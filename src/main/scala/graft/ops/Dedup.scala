@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed deduplication, keep-FIRST-occurrence semantics
+  * (dwh/preprocessing_streaming_incremental_load.py:103-116) and the
+  * QC duplicate counter (dwh/quality_report.py:74-94).
+  *
+  * pandas `seen`-set dedup keeps the first row in file order; Spark's
+  * `dropDuplicates` keeps an arbitrary row per key, so for oracle-exact
+  * parity we rank with row_number over an explicit order and keep rank 1.
+  * Struct/array-valued key columns are canonicalized through `to_json`
+  * first, mirroring the reference's `json.dumps(sort_keys=True)` key.
+  *
+  * Scale note: one shuffle on the key columns (same as dropDuplicates);
+  * the window is per-key so no global sort appears anywhere.
+  */
+object Dedup {
+
+  /** Canonicalize a key column: complex types via to_json, else as-is. */
+  def canonical(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    df.schema(c).dataType match {
+      case _: StructType | _: ArrayType | _: MapType => to_json(col(c))
+      case _                                         => col(c)
+    }
+  }
+
+  /** D1 — keep the first row per key under `order`. */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val keyCols = keys.map(canonical(df, _))
+    val w = Window.partitionBy(keyCols: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** D2 — number of surplus rows per duplicated key (pandas
+    * `duplicated(subset).sum()` counts all-but-first per key). */
+  def duplicateCount(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(canonical(df, _))
+    df.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") - 1L), lit(0L)).as("dup_rows"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Row-level transforms: metadata stamping, domain coercions, lenient
+  * timestamp parsing, sampling, truncation (SURVEY §2.3, §2.8).
+  */
+object Rows {
+
+  /** P3 — lineage metadata stamped on every bronze row
+    * (dwh/preprocessing_streaming_full_load.py:17-28). `runTime` is an
+    * explicit parameter instead of current_timestamp() so replays and
+    * oracle comparisons are deterministic; production callers pass
+    * `java.time.Instant.now` once per batch.
+    */
+  def stampMetadata(
+      df: DataFrame,
+      sourceName: String,
+      sourceId: Long,
+      runTime: Column
+  ): DataFrame =
+    df.withColumn("source_name", lit(sourceName))
+      .withColumn("source_id", lit(sourceId))
+      .withColumn("is_update", lit(false))
+      .withColumn("is_delete", lit(false))
+      // ntz: bronze rows carry naive wall-clock stamps like the
+      // reference's datetime.now(); also keeps parquet output
+      // isAdjustedToUTC=false, matching the DuckDB oracle's TIMESTAMP
+      .withColumn("created_time", runTime.cast("timestamp_ntz"))
+      // the reference writes created_date as a yyyy-MM-dd string
+      // (preprocessing_streaming_incremental_load.py:406-407)
+      .withColumn("created_date", date_format(runTime.cast("timestamp"), "yyyy-MM-dd"))
+
+  /** P5 — string-bool domain coercion (dwh/general_lib.py:176-185):
+    * a string column whose observed distinct values ⊆ {"true","false"}
+    * (case-insensitive, nulls allowed) becomes BooleanType. Faithful
+    * two-pass shape: one profiling aggregate over all candidate string
+    * columns at once (NOT one job per column), then a single projection.
+    */
+  def coerceStringBools(df: DataFrame): DataFrame = {
+    val candidates = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    if (candidates.isEmpty) return df
+    val row = df.agg(profileExpr(candidates.head), candidates.tail.map(profileExpr): _*).head()
+    val boolCols = candidates.zipWithIndex.collect {
+      case (c, i) if row.getBoolean(i) => c
+    }.toSet
+    df.select(df.columns.map { c =>
+      if (boolCols(c))
+        when(lower(col(c)) === "true", lit(true))
+          .when(lower(col(c)) === "false", lit(false))
+          .as(c)
+      else col(c)
+    }: _*)
+  }
+
+  private def profileExpr(c: String): Column =
+    (count(when(col(c).isNotNull, 1)) > 0 &&
+      count(when(col(c).isNotNull && !lower(col(c)).isin("true", "false"), 1)) === 0)
+      .as(s"${c}__isbool")
+
+  /** P6 — UUID→string projection (dwh/general_lib.py:45-48): with a
+    * typed schema this is a cast, not an applymap. */
+  def stringifyColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(df.columns.map { c =>
+      if (cols.contains(c)) col(c).cast("string").as(c) else col(c)
+    }: _*)
+
+  /** P7/T10 — lenient timestamp parse: try formats in order, null when
+    * none matches (dateutil.parser.parse analogue,
+    * preprocessing_streaming_incremental_load.py:149-161). */
+  def parseTimestampLenient(c: Column, formats: Seq[String]): Column =
+    coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
+
+  /** P4 — seeded Bernoulli sample (ingest_batch…ProblemLog:63-64). */
+  def seededSample(df: DataFrame, fraction: Double = 0.1, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** O5 — cell truncation, reference caps visible_content at 10 kchars
+    * (py:197). */
+  def truncateCell(c: Column, maxChars: Int = 10000): Column =
+    substring(c, 1, maxChars)
+}
