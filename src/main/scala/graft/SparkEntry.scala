@@ -106,7 +106,13 @@ object SparkEntry {
 
   // ---- query registry -------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ graft.registry.IoQueries.queries
+
+  def oracleSql: Map[String, String] =
+    coreOracles ++ graft.registry.IoQueries.oracles
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2_browsing_user" -> ((s, dir) => Browsing.pipeline(s, dir, perUser = true)),
     "d1_dedup_keepfirst" -> { (s, dir) =>
       Dedup
@@ -218,7 +224,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracles: Map[String, String] = Map(
     "e2_browsing_user" -> E2U,
     "d1_dedup_keepfirst" ->
       s"SELECT entry_id, user_id, event_type, visible_content FROM ($DEDUP) ORDER BY entry_id",

@@ -1,0 +1,108 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Source/sink format matrix (SURVEY §2.1/§2.2).
+  *
+  * The reference moves every table through ADLS as JSON / JSON-lines /
+  * CSV / Parquet files under a dated path layout
+  * (dwh/general_lib.py:144-396). Spark equivalents are mostly one-liner
+  * reads/writes; what we add is (a) the array-vs-lines JSON fallback
+  * (general_lib.py:161-167), (b) the dated-path builder (K5), (c) a
+  * JSON-array sink for exact parity with the reference's
+  * `json.dumps(records)` single-file format (general_lib.py:341-362).
+  *
+  * Scale notes: single-file sinks (`coalesce(1)`) exist because the
+  * reference emits one file per batch — they are for control tables and
+  * micro-batch outputs only; the partitioned variants are the default.
+  */
+object IO {
+
+  /** K5 — `{zone}/{base}/{entity}/{fmt}/{yyyyMMdd}/{stamp}_{entity}.{fmt}`
+    * (dwh/ingest_click_house_full_load.py:33-36). */
+  def datedPath(zone: String, base: String, entity: String, fmt: String,
+                yyyyMMdd: String, stamp: String): String =
+    s"$zone/$base/$entity/$fmt/$yyyyMMdd/${stamp}_$entity.$fmt"
+
+  private def fs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** S8 — catalog listing: immediate child names under a prefix
+    * (dwh/general_lib.py:50-77). */
+  def listChildren(spark: SparkSession, prefix: String): Seq[String] = {
+    val f = fs(spark, prefix)
+    val p = new Path(prefix)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName).sorted
+  }
+
+  /** S3 — JSON read with the reference's array-or-lines fallback: peek
+    * at the first non-whitespace byte; '[' means one JSON array
+    * document (multiLine), anything else is JSON-lines. The peek is a
+    * driver-side 64-byte read of one file — no data pass. */
+  def readJsonAuto(spark: SparkSession, path: String): DataFrame = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    val first = {
+      val target =
+        if (f.getFileStatus(p).isDirectory)
+          f.listStatus(p)
+            .map(_.getPath)
+            .find(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
+        else Some(p)
+      target.flatMap { t =>
+        val in = f.open(t)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          (0 until math.max(n, 0)).map(buf(_).toChar).find(!_.isWhitespace)
+        } finally in.close()
+      }
+    }
+    if (first.contains('[')) spark.read.option("multiLine", "true").json(path)
+    else spark.read.json(path)
+  }
+
+  /** S4 — CSV read, header + inferred types (dwh/general_lib.py:170-172). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S5 — folder glob + union of all *.json (dwh/general_lib.py:118-142):
+    * Spark's file source globs and unions natively. */
+  def readJsonGlob(spark: SparkSession, folder: String): DataFrame =
+    spark.read.json(s"$folder/*.json")
+
+  /** S9 — empty-file guard (dwh/general_lib.py:152-155). */
+  def isEmptyInput(df: DataFrame): Boolean = df.isEmpty
+
+  /** K1 — CSV sink; single-file mode mirrors the reference's one-file
+    * upload, partitioned mode is the scale default. */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    d.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
+
+  /** K3 — JSON-lines sink; Spark's partitioned writes replace the
+    * reference's manual 25k-row chunked appends (general_lib.py:364-384). */
+  def writeJsonLines(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    d.write.mode(SaveMode.Overwrite).json(path)
+  }
+
+  /** K2 — JSON-ARRAY sink, exact parity with `json.dumps(records)`
+    * single-file output (general_lib.py:341-362). One file, one array.
+    * Executor-side single-partition write — no driver collect — but by
+    * construction not parallel: micro-batch/control outputs only.
+    */
+  def writeJsonArray(df: DataFrame, file: String): Unit = {
+    val arr = df.toJSON.coalesce(1).mapPartitions { it =>
+      Iterator.single(it.mkString("[", ",", "]"))
+    }(org.apache.spark.sql.Encoders.STRING)
+    arr.write.mode(SaveMode.Overwrite).text(file)
+  }
+
+  /** K4 — Parquet sink (archive zone; dwh/general_lib.py:387-396). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+}

@@ -1,0 +1,263 @@
+package graft.registry
+
+import graft.Tables
+import graft.incremental.Watermark
+import graft.io.IO
+import graft.ops.Rows
+import graft.pipeline.Ingest
+import graft.quality.Quality
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registered queries for the IO format matrix, coercions, the
+  * watermark/incremental machinery, J1 enrichment and the quality
+  * report (SURVEY §2.1-§2.3, §2.5). Round-trip queries write to a
+  * per-sf scratch dir and read back through the engine's own sources,
+  * so the oracle compare also proves sink+source fidelity.
+  */
+object IoQueries {
+
+  private def scratch(dir: String, name: String): String = {
+    val sf = new java.io.File(dir).getName
+    s"${sys.props("java.io.tmpdir")}/graft_io/$sf/$name"
+  }
+
+  private def eventsSlim(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select("event_id", "user_id", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_enrich_broadcast" -> { (s, dir) =>
+      val joined = Ingest.enrich(Tables.lineitem(s, dir), Tables.part(s, dir),
+        "l_partkey", "p_partkey")
+      joined
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity")).cast("long")).as("qty"))
+        .orderBy("p_brand")
+    },
+    "p4_seeded_sample" -> { (s, dir) =>
+      // seed-dependent membership is engine-specific → no SQL oracle;
+      // driver records rows>0. A spec asserts the deterministic-replay
+      // property (same seed ⇒ same rows).
+      Rows.seededSample(Tables.lineitem(s, dir), 0.1, 42L)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    "p5_bool_coercion" -> { (s, dir) =>
+      val withStr = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          when(col("value") > 50.0, "true").otherwise("false").as("is_big"))
+      Rows.coerceStringBools(withStr)
+        .select("event_id", "is_big")
+        .orderBy("event_id")
+    },
+    "p6_uuid_string" -> { (s, dir) =>
+      Rows.stringifyColumns(eventsSlim(s, dir), Seq("user_id"))
+        .orderBy("event_id")
+    },
+    "p7_ts_parse" -> { (s, dir) =>
+      val strs = Tables.events(s, dir)
+        .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+      strs
+        .withColumn("parsed",
+          Rows.parseTimestampLenient(col("ts_str"),
+            Seq("MM/dd/yyyy HH:mm:ss", "yyyy-MM-dd HH:mm:ss")))
+        .select(col("event_id"), col("parsed").cast("long").as("parsed_sec"))
+        .orderBy("event_id")
+    },
+    "s3_json_roundtrip" -> { (s, dir) =>
+      val p = scratch(dir, "jsonlines")
+      IO.writeJsonLines(eventsSlim(s, dir), p)
+      IO.readJsonAuto(s, p).select("event_id", "user_id", "event_type").orderBy("event_id")
+    },
+    "k2_json_array_roundtrip" -> { (s, dir) =>
+      val p = scratch(dir, "jsonarray")
+      IO.writeJsonArray(eventsSlim(s, dir).orderBy("event_id"), p)
+      IO.readJsonAuto(s, p).select("event_id", "user_id", "event_type").orderBy("event_id")
+    },
+    "s4_csv_roundtrip" -> { (s, dir) =>
+      val p = scratch(dir, "csv")
+      IO.writeCsv(Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"), p)
+      // inferSchema narrows small ints to int32; restore 64-bit ids
+      IO.readCsv(s, p)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+    "s5_glob_union" -> { (s, dir) =>
+      val p = scratch(dir, "glob")
+      val ev = eventsSlim(s, dir)
+      IO.writeJsonLines(ev.filter(col("event_id") % 2 === 0), s"$p/even.json")
+      IO.writeJsonLines(ev.filter(col("event_id") % 2 === 1), s"$p/odd.json")
+      // each .json above is a directory of part files; glob both
+      s.read.json(s"$p/*.json/*.json")
+        .select("event_id", "user_id", "event_type").orderBy("event_id")
+    },
+    "k4_parquet_roundtrip" -> { (s, dir) =>
+      val p = scratch(dir, "parquet")
+      IO.writeParquet(Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"), p)
+      s.read.parquet(p).orderBy("event_id")
+    },
+    "s10_watermark_lookup" -> { (s, dir) =>
+      val csv = scratch(dir, "wm_lookup")
+      Watermark.writeTable(s, csv,
+        Seq(Watermark.Entry("events", "1704175200000000", "ts_us")))
+      val wm = Watermark.lookup(s, csv, "events").get
+      val src = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      Watermark.incrementalScan(src, wm.updateColumn, wm.watermarkValue)
+        .select("event_id", "ts_us").orderBy("event_id")
+    },
+    "k6_watermark_update" -> { (s, dir) =>
+      import s.implicits._
+      val csv = scratch(dir, "wm_update")
+      Watermark.writeTable(s, csv,
+        Seq(Watermark.Entry("events", "1704175200000000", "ts_us"),
+          Watermark.Entry("other", "0", "x")))
+      val src = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      Watermark.update(s, csv, "events", Watermark.nextWatermark(src, "ts_us"))
+      Watermark.readTable(s, csv)
+        .map(e => (e.tableName, e.watermarkValue, e.updateColumn))
+        .toDF("table_name", "watermark_value", "update_column")
+        .orderBy("table_name")
+    },
+    "s11_file_discovery" -> { (s, dir) =>
+      val base = scratch(dir, "dated")
+      val ev = Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+        .withColumn("half", when(hour(col("ts")) < 12, "000000").otherwise("120000"))
+      val slices = ev.select("day", "half").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted
+      slices.foreach { case (d, h) =>
+        IO.writeJsonLines(
+          ev.filter(col("day") === d && col("half") === h)
+            .select("event_id", "user_id", "event_type"),
+          s"$base/$d/$d${h}_events.json")
+      }
+      // watermark = 20240101 23:59:59 → first day's files are skipped
+      val files = Watermark.discoverFiles(s, base, "20240101235959")
+      s.read.json(files: _*)
+        .select("event_id", "user_id", "event_type").orderBy("event_id")
+    },
+    "e1_incremental_ingest" -> { (s, dir) =>
+      val csv = scratch(dir, "wm_e1")
+      Watermark.writeTable(s, csv,
+        Seq(Watermark.Entry("events", "1704175200000000", "ts_us")))
+      val src = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      Ingest
+        .incrementalIngest(s, src, "events", csv,
+          scratch(dir, "land"), scratch(dir, "arch"), "20240102", "20240102060000")
+        .select("event_id", "user_id", "event_type", "ts_us")
+        .orderBy("event_id")
+    },
+    "e3_batch_ingest" -> { (s, dir) =>
+      // CSV source materialized from lineitem, then the full E3 chain;
+      // seeded sample ⇒ rows-only check (no cross-engine oracle)
+      val srcCsv = scratch(dir, "e3src")
+      IO.writeCsv(Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity"), srcCsv)
+      Ingest.batchFullLoad(s, srcCsv, "lineitem",
+        scratch(dir, "e3land"), scratch(dir, "e3arch"), "20240101", "20240101000000")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    "k7_quality_report" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val spec = Quality.ReportSpec(
+        nullCols = Seq("event_id", "event_type"),
+        defaults = Map("event_type" -> lit("view")),
+        dupKeys = Seq("user_id", "event_type"),
+        cleanRules = Seq(
+          Quality.CleanRule("value_pos", "value", col("value") > 0.0),
+          Quality.CleanRule("props_json", "props", col("props").startsWith("{")))
+      )
+      Ingest.qualityCheck(ev, spec, scratch(dir, "report") + "/report.json",
+        Map("event_id" -> "bigint", "event_type" -> "string"))
+    },
+    "a8_dtype_check" -> { (s, dir) =>
+      import s.implicits._
+      Quality
+        .dtypeCheck(Tables.events(s, dir),
+          Map("event_id" -> "bigint", "event_type" -> "string",
+            "value" -> "double", "missing_col" -> "string"))
+        .toDF("column_name", "expected", "actual", "ok")
+        .orderBy("column_name")
+    },
+    "a9_schema_diff" -> { (s, dir) =>
+      import s.implicits._
+      val src = Tables.customer(s, dir)
+      val transformed = src.drop("c_mktsegment", "c_acctbal")
+      Quality.schemaDiff(src, transformed).toDF("missing_col").orderBy("missing_col")
+    }
+  )
+
+  private val EV_SLIM = "SELECT event_id, user_id, event_type FROM events"
+
+  val oracles: Map[String, String] = Map(
+    "j1_enrich_broadcast" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "p5_bool_coercion" ->
+      "SELECT event_id, (value > 50.0) AS is_big FROM events ORDER BY event_id",
+    "p6_uuid_string" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS user_id, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "p7_ts_parse" ->
+      """SELECT event_id,
+        |  CAST(epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+        |       '%Y-%m-%d %H:%M:%S')) // 1000000 AS BIGINT) AS parsed_sec
+        |FROM events ORDER BY event_id""".stripMargin,
+    "s3_json_roundtrip" -> s"$EV_SLIM ORDER BY event_id",
+    "k2_json_array_roundtrip" -> s"$EV_SLIM ORDER BY event_id",
+    "s4_csv_roundtrip" ->
+      "SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id",
+    "s5_glob_union" -> s"$EV_SLIM ORDER BY event_id",
+    "k4_parquet_roundtrip" ->
+      "SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id",
+    "s10_watermark_lookup" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us FROM events
+        |WHERE epoch_us(ts) > 1704175200000000 ORDER BY event_id""".stripMargin,
+    "k6_watermark_update" ->
+      """SELECT * FROM (
+        |  SELECT 'events' AS table_name,
+        |         CAST(MAX(epoch_us(ts)) AS VARCHAR) AS watermark_value,
+        |         'ts_us' AS update_column
+        |  FROM events
+        |  UNION ALL SELECT 'other', '0', 'x'
+        |) ORDER BY table_name""".stripMargin,
+    "s11_file_discovery" ->
+      s"""SELECT event_id, user_id, event_type FROM events
+         |WHERE strftime(ts, '%Y%m%d') > '20240101' ORDER BY event_id""".stripMargin,
+    "e1_incremental_ingest" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |WHERE epoch_us(ts) > 1704175200000000 ORDER BY event_id""".stripMargin,
+    "k7_quality_report" ->
+      """SELECT *,
+        |  CASE WHEN total_value_pos > 0
+        |       THEN 100.0 * valid_value_pos / total_value_pos END AS rate_value_pos,
+        |  CASE WHEN total_props_json > 0
+        |       THEN 100.0 * valid_props_json / total_props_json END AS rate_props_json
+        |FROM (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+        |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+        |    CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type != 'view' THEN 1 ELSE 0 END) AS BIGINT) AS viol_event_type,
+        |    CAST(SUM(CASE WHEN value IS NOT NULL AND value > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS valid_value_pos,
+        |    CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_value_pos,
+        |    CAST(SUM(CASE WHEN props IS NOT NULL AND starts_with(props, '{') THEN 1 ELSE 0 END) AS BIGINT) AS valid_props_json,
+        |    CAST(SUM(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_props_json,
+        |    CAST(COUNT(*) - COUNT(DISTINCT (user_id, event_type)) AS BIGINT) AS dup_rows,
+        |    COUNT(*) AS n_rows,
+        |    CAST(6 AS BIGINT) AS n_cols
+        |  FROM events)""".stripMargin,
+    "a8_dtype_check" ->
+      """SELECT * FROM (VALUES
+        |  ('event_id', 'bigint', 'bigint', TRUE),
+        |  ('event_type', 'string', 'string', TRUE),
+        |  ('missing_col', 'string', 'missing', FALSE),
+        |  ('value', 'double', 'double', TRUE))
+        |AS t(column_name, expected, actual, ok) ORDER BY column_name""".stripMargin,
+    "a9_schema_diff" ->
+      """SELECT * FROM (VALUES ('c_acctbal'), ('c_mktsegment'))
+        |AS t(missing_col) ORDER BY missing_col""".stripMargin
+  )
+}

@@ -63,6 +63,8 @@ def compare(name: str) -> str:
                 sb = b.astype(str).where(~b.isna(), "<NA>")
                 if not sa.equals(sb):
                     return f"DTYPE+VAL col={c} {a.dtype}vs{b.dtype}"
+                print(f"  note: {c} dtype {a.dtype} vs {b.dtype} (values equal)")
+                continue
             if np.issubdtype(a.dtype, np.floating):
                 ga, gb = a.fillna(np.nan).values, b.fillna(np.nan).values
                 if not np.array_equal(ga, gb, equal_nan=True):
