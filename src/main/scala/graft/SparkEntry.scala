@@ -107,10 +107,12 @@ object SparkEntry {
   // ---- query registry -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ graft.registry.IoQueries.queries
+    coreQueries ++ graft.registry.IoQueries.queries ++
+      graft.registry.TextQueries.queries ++ graft.registry.LlmQueries.queries
 
   def oracleSql: Map[String, String] =
-    coreOracles ++ graft.registry.IoQueries.oracles
+    coreOracles ++ graft.registry.IoQueries.oracles ++
+      graft.registry.TextQueries.oracles ++ graft.registry.LlmQueries.oracles
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2_browsing_user" -> ((s, dir) => Browsing.pipeline(s, dir, perUser = true)),

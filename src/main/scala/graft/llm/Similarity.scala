@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Numeric design: float sums are order-dependent, so a naive
+  * double-dot-product can differ in the last ulp between engines and
+  * between runs (partial aggregation order). We therefore quantize
+  * each component to a 1e-6 fixed-point BIGINT (`floor(x * 1e6)`) and
+  * take integer dot products — exact and order-independent — then
+  * derive cosine as `dot / (sqrt(na) * sqrt(nb))` where the operand
+  * longs are exact. Result: bit-identical similarity values on Spark
+  * and DuckDB, and stable top-k rankings.
+  *
+  * Scale: brute-force top-k broadcasts the (small) query set and scans
+  * the corpus once — no shuffle of the big side; the per-query heap is
+  * a window over query_id partitions. The LSH variant buckets by
+  * random-hyperplane signs first so each query only scores its bucket.
+  */
+object Similarity {
+
+  val Scale = 1000000L
+
+  /** array<float> → array<long> fixed-point. */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * Scale.toDouble).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity from quantized vectors (deterministic double). */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding itself), ranked by (similarity desc, id).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("nv"))
+    val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+    val scored = c
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineQ(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * ±1 by the parity of the first hex digit of md5("plane{p}_{j}").
+    * Computed once on the driver; the same construction is replayable
+    * in any engine with an md5 function. */
+  def planes(numPlanes: Int, dim: Int): Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { j =>
+        val hex = md.digest(s"plane${p}_$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if ("89abcdef".contains(hex.charAt(0))) 1 else -1
+      }
+    }
+  }
+
+  /** Sign-bucket key: one bit per hyperplane, over the quantized vector. */
+  def lshBucket(qv: Column, pls: Seq[Seq[Int]]): Column =
+    concat(pls.map { plane =>
+      val s = plane.zipWithIndex
+        .map { case (sign, j) => element_at(qv, j + 1) * lit(sign.toLong) }
+        .reduce(_ + _)
+      when(s > 0L, "1").otherwise("0")
+    }: _*)
+
+  /** LSH-bucketed ANN top-k: queries only score corpus vectors in the
+    * same sign-bucket. Equi-join on the bucket key — no cross product.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pls = planes(numPlanes, dim)
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("nv"))
+      .withColumn("bucket", lshBucket(col("nv"), pls))
+    val q = queries
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), pls))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineQ(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.llm
+
+import graft.ops.Text
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Column expressions (codegen-friendly, zero UDFs), all with exact
+  * cross-engine determinism so every one is oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language function-word lists for the n-gram-free
+    * heuristic language ID. Deliberately small + fixed: the DuckDB
+    * oracle inlines the identical lists. */
+  val LangWords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"),
+    "en" -> Seq("the", "a", "and", "is", "not", "of", "to", "in", "it", "with"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "avec", "sur", "de")
+  )
+
+  private def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** Language ID: distinct-token overlap with each language's function
+    * words; winner = max hits, ties broken by language code, zero hits
+    * → "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val hits = LangWords.map { case (lang, ws) =>
+      (lang, size(array_intersect(ts, array(ws.map(lit): _*))))
+    }
+    // fold to (bestLang, bestHits), visiting in lexicographic lang
+    // order so ties keep the earlier code
+    val (l0, h0) = hits.head
+    val (bestLang, bestHits) = hits.tail.foldLeft((lit(l0), h0)) {
+      case ((bl, bh), (lang, h)) =>
+        (when(h > bh, lit(lang)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    }
+    when(bestHits > 0, bestLang).otherwise(lit("und"))
+  }
+
+  /** Quality score ∈ [0,1]: length component × (1 − stop-word ratio).
+    * Same double arithmetic on both engines ⇒ exact compare. */
+  def qualityScore(text: Column): Column = {
+    val ts = tokens(text)
+    val n = size(ts).cast("double")
+    val stopHits =
+      size(filter(ts, t => array_contains(array(Text.StopWords.map(lit): _*), t))).cast("double")
+    val lengthComponent = least(n / lit(50.0), lit(1.0))
+    lengthComponent * (lit(1.0) - stopHits / n)
+  }
+
+  /** Token counts: naive whitespace split vs a BPE-ish [a-z0-9]+ regex
+    * tokenization. */
+  def tokenCountWhitespace(text: Column): Column = size(tokens(text)).cast("long")
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z0-9]+"), lit(0))).cast("long")
+
+  /** Content fingerprint: md5 of the full text (exact identity) plus
+    * the lexicographic-min md5 over word-3-gram shingles (a 1-hash
+    * MinHash — stable under small edits, the winnowing-lite variant). */
+  def md5Fingerprint(text: Column): Column = md5(text)
+
+  def minShingleFingerprint(text: Column): Column = {
+    val shingles = Text.ngrams(tokens(text), 3)
+    when(size(shingles) > 0, array_min(transform(shingles, md5(_)))).otherwise(md5(text))
+  }
+}

@@ -1,0 +1,273 @@
+package graft.registry
+
+import graft.Tables
+import graft.llm.{DedupLsh, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM training-data-pipeline operators: dedup (exact, MinHash-LSH,
+  * SimHash, bucketed n-gram Jaccard), similarity search (brute-force +
+  * LSH ANN), text analysis, multimodal plumbing. Near-dup corpora are
+  * synthesized deterministically (documents ∪ clone / truncated clone)
+  * so the dedup queries have real work at every scale factor. */
+object LlmQueries {
+
+  import TextQueries.{StopSql, tokSql, ngramSql}
+
+  /** documents ∪ exact clone at doc_id+10000. */
+  private def corpusExact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ last-word-dropped clone at doc_id+10000. */
+  private def corpusNear(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val toks = split(col("text"), " ")
+    d.unionByName(d.select((col("doc_id") + 10000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text")))
+  }
+
+  private val CorpusExactSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 10000, text FROM documents""".stripMargin
+
+  private val CorpusNearSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 10000,
+      |  array_to_string((regexp_split_to_array(text, ' '))[1:len(regexp_split_to_array(text, ' ')) - 1], ' ')
+      |FROM documents""".stripMargin
+
+  /** DuckDB twin of Similarity.quantize + integer dot. */
+  private def qvSql(c: String): String =
+    s"list_transform($c, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i])) AS DOUBLE)"
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_exact_dedup" -> { (s, dir) =>
+      DedupLsh.exactDedup(corpusExact(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+    "x2_minhash_neardup" -> { (s, dir) =>
+      DedupLsh.nearDupPairs(corpusNear(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    "x3_simhash" -> { (s, dir) =>
+      DedupLsh.simhash(Tables.documents(s, dir), "doc_id", "text", bits = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    "x4_ngram_jaccard" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / lit(100.0)).cast("long").as("len_bucket"),
+          DedupLsh.shingles(col("text"), 3).as("sh"))
+      val a = d.select(col("lang"), col("len_bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("lang"), col("len_bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("lang", "len_bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), DedupLsh.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") > 0.05)
+        .orderBy("id_a", "id_b")
+    },
+    "x5_cosine_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .orderBy("query_id", "rank")
+    },
+    "x6_ann_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      // 4 planes ⇒ 16 buckets: coarse enough for real recall on a
+      // 500-vector corpus (8 planes left most buckets near-empty)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3, numPlanes = 4)
+        .orderBy("query_id", "rank")
+    },
+    "y1_langid" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    "y2_quality_score" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("score"))
+        .orderBy("doc_id")
+    },
+    "y3_token_count" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWhitespace(col("text")).as("n_ws"),
+          TextAnalysis.tokenCountRegex(col("text")).as("n_re"))
+        .orderBy("doc_id")
+    },
+    "y4_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.md5Fingerprint(col("text")).as("fp_exact"),
+          TextAnalysis.minShingleFingerprint(col("text")).as("fp_shingle"))
+        .orderBy("doc_id")
+    },
+    "m1_multimodal_decode" -> { (s, dir) =>
+      Multimodal.decodeExprs(
+        Multimodal.attachPayload(Tables.documents(s, dir), "doc_id", "text"))
+        .orderBy("media_id")
+    },
+    "m2_frame_sample" -> { (s, dir) =>
+      // exercises the batched mapPartitions decode stub, then the
+      // columnar frame-sampling explode
+      Multimodal.sampleFrames(
+        Multimodal.decodeBatched(
+          Multimodal.attachPayload(Tables.documents(s, dir), "doc_id", "text")),
+        stride = 7)
+        .orderBy("media_id", "frame_idx")
+    }
+  )
+
+  def oracles: Map[String, String] = {
+    val planes = Similarity.planes(4, 64)
+    def bucketSql(v: String): String =
+      planes.map { plane =>
+        val terms = plane.zipWithIndex.map { case (sign, j) =>
+          if (sign > 0) s"+$v[${j + 1}]" else s"-$v[${j + 1}]"
+        }.mkString
+        s"CASE WHEN ($terms) > 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+
+    val shSql = {
+      val tk = "regexp_split_to_array(text, '\\s+')"
+      s"list_distinct(${ngramSql("tk", 3)})"
+    }
+    val simhashBits = (0 until 16).map { j =>
+      s"SUM(CASE WHEN substring(md5(tok), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    val simhashConcat = (0 until 16).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+    val minhash12 = (0 until 12).map { s =>
+      s"list_aggregate(list_transform(sh, x -> md5('$s|' || x)), 'min')"
+    }.mkString("[", ", ", "]")
+    val bands4 = (0 until 4).map { b =>
+      s"'$b#' || sig[${b * 3 + 1}] || '#' || sig[${b * 3 + 2}] || '#' || sig[${b * 3 + 3}]"
+    }.mkString("[", ", ", "]")
+
+    def langHits(ws: Seq[String]): String = {
+      val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter($arr, w -> list_contains(ts, w)))"
+    }
+    val Seq(de, en, fr) = TextAnalysis.LangWords.map(_._2)
+
+    Map(
+      "x1_exact_dedup" ->
+        s"""SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+           |FROM ($CorpusExactSql) GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+      "x2_minhash_neardup" ->
+        s"""WITH corpus AS ($CorpusNearSql),
+           |sh AS (
+           |  SELECT doc_id AS id, $shSql AS sh
+           |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM corpus)
+           |  WHERE len($shSql) > 0
+           |), sig AS (
+           |  SELECT id, sh, $minhash12 AS sig FROM sh
+           |), bands AS (
+           |  SELECT id, sh, unnest($bands4) AS band FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id)
+           |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin,
+      "x3_simhash" ->
+        s"""SELECT id AS doc_id, $simhashConcat AS simhash
+           |FROM (
+           |  SELECT id, $simhashBits
+           |  FROM (
+           |    SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+           |    FROM documents) t
+           |  GROUP BY id)
+           |ORDER BY doc_id""".stripMargin,
+      "x4_ngram_jaccard" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+           |         $shSql AS sh
+           |  FROM (SELECT *, regexp_split_to_array(text, '\\s+') AS tk FROM documents))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+           |FROM d a JOIN d b
+           |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) > 0.05
+           |ORDER BY id_a, id_b""".stripMargin,
+      "x5_cosine_topk" ->
+        s"""WITH c AS (SELECT vec_id AS neighbor_id, ${qvSql("embedding")} AS nv FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, ${qvSql("embedding")} AS qv FROM embeddings WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine
+           |  FROM c, q WHERE neighbor_id != query_id)
+           |SELECT query_id, rank, neighbor_id, cosine FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+           |  FROM scored)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      "x6_ann_lsh" ->
+        s"""WITH c AS (
+           |  SELECT vec_id AS neighbor_id, nv, ${bucketSql("nv")} AS bucket
+           |  FROM (SELECT vec_id, ${qvSql("embedding")} AS nv FROM embeddings)),
+           |q AS (
+           |  SELECT vec_id AS query_id, qv, ${bucketSql("qv")} AS bucket
+           |  FROM (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings WHERE vec_id < 5)),
+           |scored AS (
+           |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine
+           |  FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id)
+           |SELECT query_id, rank, neighbor_id, cosine FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+           |  FROM scored)
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      "y1_langid" ->
+        s"""SELECT doc_id,
+           |  CASE WHEN hd >= he AND hd >= hf AND hd > 0 THEN 'de'
+           |       WHEN he >= hf AND he > 0 THEN 'en'
+           |       WHEN hf > 0 THEN 'fr'
+           |       ELSE 'und' END AS lang_pred
+           |FROM (
+           |  SELECT doc_id, ${langHits(de)} AS hd, ${langHits(en)} AS he, ${langHits(fr)} AS hf
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents))
+           |ORDER BY doc_id""".stripMargin,
+      "y2_quality_score" ->
+        s"""SELECT doc_id,
+           |  least(CAST(len(ts) AS DOUBLE) / 50.0, 1.0) *
+           |  (1.0 - CAST(len(list_filter(ts, t -> list_contains($StopSql, t))) AS DOUBLE)
+           |         / CAST(len(ts) AS DOUBLE)) AS score
+           |FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+      "y3_token_count" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws,
+          |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "y4_fingerprint" ->
+        s"""SELECT doc_id, md5(text) AS fp_exact,
+           |  CASE WHEN len($shSql) > 0
+           |       THEN list_aggregate(list_transform($shSql, x -> md5(x)), 'min')
+           |       ELSE md5(text) END AS fp_shingle
+           |FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+      "m1_multimodal_decode" ->
+        """SELECT doc_id AS media_id,
+          |  CAST(length(text) AS BIGINT) AS n_bytes,
+          |  CAST(16 + length(text) % 16 AS BIGINT) AS width,
+          |  CAST(16 + ascii(text) % 16 AS BIGINT) AS height,
+          |  md5(text) AS checksum
+          |FROM documents ORDER BY media_id""".stripMargin,
+      "m2_frame_sample" ->
+        """SELECT media_id, n_frames, unnest(generate_series(0, n_frames - 1, 7)) AS frame_idx
+          |FROM (
+          |  SELECT doc_id AS media_id, CAST(length(text) % 64 + 1 AS BIGINT) AS n_frames
+          |  FROM documents)
+          |ORDER BY media_id, frame_idx""".stripMargin
+    )
+  }
+}

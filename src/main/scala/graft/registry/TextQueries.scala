@@ -1,0 +1,162 @@
+package graft.registry
+
+import graft.Tables
+import graft.ops.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** NLP scalar-function family T1-T9 (SURVEY §2.9) over `documents` /
+  * `events`, each with a DuckDB oracle replaying the identical string
+  * pipeline. */
+object TextQueries {
+
+  /** Stop-word list as a DuckDB array literal (shared with oracles). */
+  val StopSql: String = Text.StopWords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** DuckDB tokenize twin of Text.tokenize. */
+  def tokSql(c: String): String =
+    s"list_filter(regexp_split_to_array($c, '\\s+'), t -> length(t) > 1 AND NOT list_contains($StopSql, t))"
+
+  /** DuckDB n-gram twin of Text.ngrams. */
+  def ngramSql(ts: String, n: Int): String = {
+    val parts = (0 until n).map(k => s"$ts[i + $k]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, greatest(len($ts) - ${n - 1}, 0)), i -> $parts)"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_clean_text" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), Text.cleanText(col("props")).as("cleaned"))
+        .orderBy("event_id")
+    },
+    "t2_normalize_keyword" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Text.normalizeKeyword(concat(col("source"), lit("_"), col("lang"), lit("-X")))
+            .as("normalized"))
+        .orderBy("doc_id")
+    },
+    "t3_tokenize_stopfilter" -> { (s, dir) =>
+      val ts = Text.tokenize(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(ts).cast("long").as("n_tokens"),
+          array_join(slice(ts, 1, 5), " ").as("first_tokens"))
+        .orderBy("doc_id")
+    },
+    "t4_keywords_top10" -> { (s, dir) =>
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Text.contentGrams(col("text"))).as("g"))
+      val counts = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("cnt").desc, length(col("g")).desc, col("g").asc)
+      counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("g")))), _.getField("g")),
+          "|").as("keywords"))
+        .orderBy("doc_id")
+    },
+    "t5_exact_keywords" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_join(
+            Text.exactKeywords(
+              concat(col("source"), lit("_"), col("lang")),
+              array(col("lang"), lit("the")),
+              slice(Text.tokenize(col("text")), 1, 3)),
+            "|").as("keywords"))
+        .orderBy("doc_id")
+    },
+    "t6_email_check" -> { (s, dir) =>
+      val email = concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+        lit("@example.com"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), Text.isEmail(email).as("ok_email"),
+          Text.isEmail(col("c_name")).as("ok_raw"))
+        .orderBy("c_custkey")
+    },
+    "t7_url_check" -> { (s, dir) =>
+      Tables.browsing(s, dir)
+        .select(col("entry_id"), Text.isUrl(col("url")).as("ok_url"),
+          Text.isUrl(col("title")).as("ok_title"))
+        .orderBy("entry_id")
+    },
+    "t8_canonicalize" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Text.canonicalizeList(slice(split(col("text"), " "), 1, 4)).as("key4"))
+        .orderBy("doc_id")
+    },
+    "t9_date_format" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyyMMdd").as("d8"),
+          date_format(col("ts"), "yyyyMMddHHmmss").as("d14"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("iso"))
+        .orderBy("event_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t1_clean_text" ->
+      """SELECT event_id, lower(regexp_replace(props, '[^\w\s_-]', '', 'g')) AS cleaned
+        |FROM events ORDER BY event_id""".stripMargin,
+    "t2_normalize_keyword" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(translate(lower(source || '_' || lang || '-X'), '_-', '  '),
+        |       '\s+', ' ', 'g')) AS normalized
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t3_tokenize_stopfilter" ->
+      s"""SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |       array_to_string(ts[1:5], ' ') AS first_tokens
+         |FROM (SELECT doc_id, ${tokSql("text")} AS ts FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "t4_keywords_top10" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokSql("lower(substr(text, 1, 10000))")} AS ts FROM documents
+         |), grams AS (
+         |  SELECT doc_id, unnest(list_concat(list_concat(ts, ${ngramSql("ts", 2)}),
+         |                                    ${ngramSql("ts", 3)})) AS g
+         |  FROM toks
+         |), counts AS (
+         |  SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g
+         |), ranked AS (
+         |  SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY cnt DESC, length(g) DESC, g ASC) AS rn
+         |  FROM counts)
+         |SELECT doc_id, string_agg(g, '|' ORDER BY rn) AS keywords
+         |FROM ranked WHERE rn <= 10 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t5_exact_keywords" ->
+      s"""SELECT doc_id, array_to_string(list_sort(list_distinct(list_concat(list_concat(
+         |  list_filter([trim(regexp_replace(translate(lower(source || '_' || lang), '_-', '  '),
+         |               '\\s+', ' ', 'g'))], k -> length(k) > 0),
+         |  list_transform([lang, 'the'],
+         |    x -> trim(regexp_replace(translate(lower(x), '_-', '  '), '\\s+', ' ', 'g')))),
+         |  (${tokSql("text")})[1:3]))), '|') AS keywords
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t6_email_check" ->
+      """SELECT c_custkey,
+        |  regexp_matches(lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || '@example.com',
+        |                 '^[^@]+@[^@]+\.[^@]+') AS ok_email,
+        |  regexp_matches(c_name, '^[^@]+@[^@]+\.[^@]+') AS ok_raw
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "t7_url_check" ->
+      """SELECT event_id AS entry_id,
+        |  starts_with('http://site/' || event_type, 'http') AS ok_url,
+        |  starts_with(event_type, 'http') AS ok_title
+        |FROM events ORDER BY entry_id""".stripMargin,
+    "t8_canonicalize" ->
+      """SELECT doc_id,
+        |  array_to_string((regexp_split_to_array(text, ' '))[1:4], ',') AS key4
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t9_date_format" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y%m%d') AS d8,
+        |  strftime(ts, '%Y%m%d%H%M%S') AS d14,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
