@@ -108,11 +108,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ graft.registry.IoQueries.queries ++
-      graft.registry.TextQueries.queries ++ graft.registry.LlmQueries.queries
+      graft.registry.TextQueries.queries ++ graft.registry.LlmQueries.queries ++
+      graft.registry.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracles ++ graft.registry.IoQueries.oracles ++
-      graft.registry.TextQueries.oracles ++ graft.registry.LlmQueries.oracles
+      graft.registry.TextQueries.oracles ++ graft.registry.LlmQueries.oracles ++
+      graft.registry.StreamQueries.oracles
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2_browsing_user" -> ((s, dir) => Browsing.pipeline(s, dir, perUser = true)),

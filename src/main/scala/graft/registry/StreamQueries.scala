@@ -1,0 +1,107 @@
+package graft.registry
+
+import graft.Tables
+import graft.io.IO
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+/** Streaming twins ST1/ST4/ST5 as registered queries: each runs a real
+  * Structured Streaming query (file source, AvailableNow trigger,
+  * fresh checkpoint) to completion and returns the materialized sink,
+  * which the driver then hash-compares against a batch-SQL oracle. */
+object StreamQueries {
+
+  private def scratch(dir: String, name: String): String = {
+    val sf = new java.io.File(dir).getName
+    s"${sys.props("java.io.tmpdir")}/graft_stream/$sf/$name"
+  }
+
+  private val streamSchema = StructType(Seq(
+    StructField("entry_id", LongType), StructField("user_id", LongType),
+    StructField("ts_us", LongType), StructField("pageview_count", LongType),
+    StructField("event_type", StringType)))
+
+  /** Write the events table as 4 time-ordered micro-batch files. */
+  private def writeMicroBatches(s: SparkSession, dir: String, base: String): String = {
+    val src = s"$base/files"
+    Streams.deleteDir(s, src)
+    val ev = Tables.events(s, dir).select(
+      col("event_id").as("entry_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(col("value")).cast("long").as("pageview_count"), col("event_type"))
+    val Array(lo, m1, m2) = Array(0.25, 0.5, 0.75).map(q =>
+      ev.stat.approxQuantile("ts_us", Array(q), 0.0).head.toLong)
+    Seq(
+      ("b0", col("ts_us") <= lo),
+      ("b1", col("ts_us") > lo && col("ts_us") <= m1),
+      ("b2", col("ts_us") > m1 && col("ts_us") <= m2),
+      ("b3", col("ts_us") > m2)
+    ).foreach { case (n, pred) =>
+      IO.writeJsonLines(ev.filter(pred), s"$src/$n.json", singleFile = true)
+    }
+    s"$src/*.json/*.json"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_stream_file_source" -> { (s, dir) =>
+      val glob = writeMicroBatches(s, dir, scratch(dir, "st1"))
+      Streams
+        .runFileStream(s, glob, streamSchema, scratch(dir, "st1_ckpt"),
+          df => df.select("entry_id", "user_id", "event_type", "ts_us"))
+        .orderBy("entry_id")
+    },
+    "st4_session_window" -> { (s, dir) =>
+      val glob = writeMicroBatches(s, dir, scratch(dir, "st4"))
+      Streams
+        .runFileStream(s, glob, streamSchema, scratch(dir, "st4_ckpt"),
+          Streams.sessionWindowAgg, OutputMode.Complete())
+        .orderBy("user_id", "session_start_us")
+    },
+    "st5_stream_stitch" -> { (s, dir) =>
+      val glob = writeMicroBatches(s, dir, scratch(dir, "st5"))
+      Streams
+        .runFileStream(s, glob, streamSchema, scratch(dir, "st5_ckpt"),
+          df => Streams.stitchDwell(s, df), OutputMode.Append(),
+          maxFilesPerTrigger = Some(1))
+        .orderBy("entry_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st1_stream_file_source" ->
+      """SELECT event_id AS entry_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM events ORDER BY entry_id""".stripMargin,
+    // session_window boundary: a gap of exactly 30min closes the
+    // session (half-open window), hence >= in the break condition
+    "st4_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value) AS BIGINT) AS pageview_count
+        |  FROM events
+        |), sess AS (
+        |  SELECT *, SUM(CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000
+        |                     THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+        |        FROM e))
+        |SELECT user_id, MIN(ts_us) AS session_start_us,
+        |       MAX(ts_us) + 1800000000 AS session_end_us,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(pageview_count) AS BIGINT) AS pv_sum
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    // every event except each user's last gets the dwell to its
+    // successor — batch twin of the stateful stitch
+    "st5_stream_stitch" ->
+      """SELECT user_id, event_id AS entry_id, dwell_us FROM (
+        |  SELECT user_id, event_id,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      - epoch_us(ts) AS dwell_us
+        |  FROM events)
+        |WHERE dwell_us IS NOT NULL ORDER BY entry_id""".stripMargin
+  )
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.incremental.Watermark
+import graft.llm.{Multimodal, Similarity}
+import graft.ops.{Dedup, Rows, Text}
+import graft.pipeline.Ingest
+import graft.quality.Quality
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("D1: keep-first dedup canonicalizes struct keys via to_json") {
+    val df = Seq(
+      (1L, "a", 1), (2L, "a", 1), (3L, "b", 2)
+    ).toDF("id", "k", "v").withColumn("s", struct(col("k"), col("v")))
+    val out = Dedup.keepFirst(df, Seq("s"), Seq(col("id")))
+      .orderBy("id").select("id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 3L))
+  }
+
+  test("D2: duplicate count matches pandas duplicated().sum() semantics") {
+    val df = Seq("x", "x", "x", "y", "z", "z").toDF("k")
+    assert(Dedup.duplicateCount(df, Seq("k")).as[Long].head() == 3L)
+  }
+
+  test("P4: seeded sample is replay-deterministic") {
+    val df = spark.range(10000).toDF("id")
+    val a = Rows.seededSample(df, 0.1, 42L).as[Long].collect().toSet
+    val b = Rows.seededSample(df, 0.1, 42L).as[Long].collect().toSet
+    assert(a == b && a.nonEmpty && a.size < 2000)
+  }
+
+  test("P5: only all-boolean string columns get coerced") {
+    val df = Seq(("true", "yes"), ("FALSE", "true")).toDF("b", "s")
+    val out = Rows.coerceStringBools(df)
+    assert(out.schema("b").dataType.typeName == "boolean")
+    assert(out.schema("s").dataType.typeName == "string")
+    assert(out.select("b").as[Boolean].collect().toSeq == Seq(true, false))
+  }
+
+  test("J1: enrichment join broadcasts the dim side") {
+    val fact = spark.range(1000).toDF("k")
+    val dim = Seq((0L, "x"), (1L, "y")).toDF("dk", "name")
+    val plan = Ingest.enrich(fact, dim, "k", "dk").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("K6/ST2: watermark advances on data, holds on empty batch") {
+    val csv = s"${sys.props("java.io.tmpdir")}/graft_test_wm"
+    Watermark.writeTable(spark, csv, Seq(Watermark.Entry("t", "100", "v")))
+    val data = Seq(150L, 200L).toDF("v")
+    Watermark.update(spark, csv, "t",
+      Watermark.nextWatermark(Watermark.incrementalScan(data, "v", "100"), "v"))
+    assert(Watermark.lookup(spark, csv, "t").get.watermarkValue == "200")
+    val empty = Watermark.incrementalScan(data, "v", "500")
+    Watermark.update(spark, csv, "t", Watermark.nextWatermark(empty, "v"))
+    assert(Watermark.lookup(spark, csv, "t").get.watermarkValue == "200")
+  }
+
+  test("S11: file discovery honors yyyyMMddHHmmss boundaries") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_dated"
+    graft.streaming.Streams.deleteDir(spark, base)
+    Seq("20240101/20240101110000_e.json", "20240101/20240101130000_e.json",
+      "20240102/20240102000000_e.json").foreach { rel =>
+      val f = new java.io.File(s"$base/$rel")
+      f.getParentFile.mkdirs(); java.nio.file.Files.writeString(f.toPath, "{}")
+    }
+    val found = Watermark.discoverFiles(spark, base, "20240101120000")
+    assert(found.map(_.split("/").last) ==
+      Seq("20240101130000_e.json", "20240102000000_e.json"))
+  }
+
+  test("T4 grams: unigrams+bigrams+trigrams with stop filter") {
+    val got = Seq("the spark table scan x spark table")
+      .toDF("c").select(Text.contentGrams(col("c")).as("g"))
+      .as[Seq[String]].head()
+    assert(got.contains("spark"))
+    assert(got.contains("spark table"))
+    assert(got.contains("spark table scan"))
+    assert(!got.exists(_.contains("the"))) // stopword removed pre-gram
+    assert(!got.contains("x")) // len-1 token removed
+  }
+
+  test("Similarity: quantized cosine ≈ float cosine; identical vector ranks first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.7f, 0.7f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 3)
+      .orderBy("rank").select("neighbor_id", "cosine")
+      .as[(Long, Double)].collect().toSeq
+    assert(top.head._1 == 1L && math.abs(top.head._2 - 1.0) < 1e-9)
+    assert(top(1)._1 == 3L && math.abs(top(1)._2 - math.sqrt(0.5)) < 1e-3)
+    assert(top(2)._1 == 2L && math.abs(top(2)._2) < 1e-9)
+  }
+
+  test("Quality.metrics: one-row aggregate with nulls/defaults/dups/volume") {
+    val df = Seq(
+      (Some("a"), "x"), (None, "x"), (Some("a"), "y"), (Some("b"), "x")
+    ).toDF("c1", "c2")
+    val m = Quality.metrics(df, Quality.ReportSpec(
+      nullCols = Seq("c1"), defaults = Map("c2" -> lit("x")),
+      dupKeys = Seq("c1"),
+      cleanRules = Seq(Quality.CleanRule("a_ish", "c1", col("c1") === "a"))))
+    val r = m.head()
+    assert(r.getAs[Long]("null_c1") == 1L)
+    assert(r.getAs[Long]("viol_c2") == 1L)
+    assert(r.getAs[Long]("dup_rows") == 1L) // "a" appears twice
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("valid_a_ish") == 2L && r.getAs[Long]("total_a_ish") == 3L)
+  }
+
+  test("Multimodal: batched mapPartitions decode equals expression decode") {
+    val docs = Seq((1L, "hello world"), (2L, "zz")).toDF("doc_id", "text")
+    val p = Multimodal.attachPayload(docs, "doc_id", "text")
+    val a = Multimodal.decodeBatched(p).orderBy("media_id").collect().toSeq
+    val b = Multimodal.decodeExprs(p).orderBy("media_id").collect().toSeq
+    assert(a == b)
+  }
+}
