@@ -27,25 +27,38 @@ object DedupLsh {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__digest")
 
-  /** Word n-gram shingle set (distinct). */
+  /** Word n-gram shingle set (distinct) from a STAGED token attribute
+    * (see Text.contentTokens scaladoc for why staging matters). */
+  def shinglesFromTokens(tk: Column, n: Int = 3): Column =
+    array_distinct(Text.ngrams(tk, n))
+
+  /** Convenience for tests/small inputs — hot paths stage the split. */
   def shingles(textCol: Column, n: Int = 3): Column =
-    array_distinct(Text.ngrams(split(textCol, "\\s+"), n))
+    shinglesFromTokens(split(textCol, "\\s+"), n)
 
-  /** MinHash signature: for seed s, min over shingles of
-    * md5("s|" + shingle); one array column of `numHashes` hex strings. */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { s =>
+  /** The individual MinHash expressions: for seed s, min over shingles
+    * of md5("s|" + shingle). Returned as separate Columns so band keys
+    * can consume each exactly once — packing them into an array() and
+    * reading back via element_at would re-evaluate the whole signature
+    * per access (no subexpression elimination under HOFs). */
+  def minhashExprs(sh: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { s =>
       array_min(transform(sh, x => md5(concat(lit(s + "|"), x))))
-    }: _*)
+    }
 
-  /** Band keys: `numBands` groups of `rowsPerBand` signature entries,
-    * each concatenated to one bucket key (prefixed with the band index
-    * so buckets from different bands never collide). */
-  def bandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+  /** MinHash signature as one array column (API convenience). */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    array(minhashExprs(sh, numHashes): _*)
+
+  /** Band keys built directly from the per-seed min-hash expressions:
+    * `numBands` groups of `rowsPerBand`, each one bucket key prefixed
+    * with the band index so buckets from different bands never collide. */
+  def bandKeys(sh: Column, numBands: Int, rowsPerBand: Int): Column = {
+    val sigs = minhashExprs(sh, numBands * rowsPerBand)
     array((0 until numBands).map { b =>
-      concat_ws("#", (lit(b.toString) +:
-        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1))): _*)
+      concat_ws("#", lit(b.toString) +: sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)
     }: _*)
+  }
 
   /** Distinct Jaccard similarity of two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -64,12 +77,27 @@ object DedupLsh {
       threshold: Double = 0.5
   ): DataFrame = {
     val rowsPerBand = numHashes / numBands
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // repartition: the corpus may arrive as one small file split, but
+    // shingling+hashing is CPU-bound — spread it before the heavy maps
+    // the ≥n-tokens guard runs BEFORE the repartition: a post-shingle
+    // `size(sh) > 0` filter would be pushed below the exchange by
+    // PushDownPredicates and drag the whole shingle+hash computation
+    // onto the (few) input splits — measured 20s vs 2s at sf0.1
     val withSh = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text"), shingleN))
-      .filter(size(col("sh")) > 0)
+      .filter(size(split(col("text"), "\\s+")) >= shingleN)
+      .repartition(par)
+      .withColumn("tk", split(col("text"), "\\s+"))
+      .withColumn("sh", shinglesFromTokens(col("tk"), shingleN))
+      .select(col("id"), col("sh"))
+    // persist before the self-join: both join sides read this subtree,
+    // and without the cache the whole shingle+minhash pipeline executes
+    // twice (measured 2× wall-clock). MEMORY_AND_DISK so a 100TB corpus
+    // spills instead of OOMing; size ≈ corpus × numBands rows.
     val withBands = withSh
-      .withColumn("band", explode(bandKeys(minhashSignature(col("sh"), numHashes), numBands, rowsPerBand)))
+      .withColumn("band", explode(bandKeys(col("sh"), numBands, rowsPerBand)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withBands.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = withBands.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band"))

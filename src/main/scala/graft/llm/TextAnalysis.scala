@@ -62,8 +62,11 @@ object TextAnalysis {
     * MinHash — stable under small edits, the winnowing-lite variant). */
   def md5Fingerprint(text: Column): Column = md5(text)
 
-  def minShingleFingerprint(text: Column): Column = {
-    val shingles = Text.ngrams(tokens(text), 3)
-    when(size(shingles) > 0, array_min(transform(shingles, md5(_)))).otherwise(md5(text))
-  }
+  /** Staged variant: `sh` must be a materialized shingle attribute
+    * (see Text.contentTokens scaladoc on HOF staging). */
+  def minShingleFromShingles(sh: Column, textFallback: Column): Column =
+    when(size(sh) > 0, array_min(transform(sh, md5(_)))).otherwise(md5(textFallback))
+
+  def minShingleFingerprint(text: Column): Column =
+    minShingleFromShingles(Text.ngrams(tokens(text), 3), text)
 }

@@ -121,18 +121,30 @@ object IoQueries {
         .orderBy("table_name")
     },
     "s11_file_discovery" -> { (s, dir) =>
+      // one partitioned write job (not one job per dated slice), then
+      // driver-side metadata renames into the reference's
+      // {base}/{yyyyMMdd}/{yyyyMMddHHmmss}_{entity}.json layout
       val base = scratch(dir, "dated")
-      val ev = Tables.events(s, dir)
+      val staging = scratch(dir, "dated_staging")
+      graft.streaming.Streams.deleteDir(s, base)
+      graft.streaming.Streams.deleteDir(s, staging)
+      Tables.events(s, dir)
         .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
         .withColumn("half", when(hour(col("ts")) < 12, "000000").otherwise("120000"))
-      val slices = ev.select("day", "half").distinct().collect()
-        .map(r => (r.getString(0), r.getString(1))).sorted
-      slices.foreach { case (d, h) =>
-        IO.writeJsonLines(
-          ev.filter(col("day") === d && col("half") === h)
-            .select("event_id", "user_id", "event_type"),
-          s"$base/$d/$d${h}_events.json")
-      }
+        .select("event_id", "user_id", "event_type", "day", "half")
+        .write.partitionBy("day", "half").json(staging)
+      val fs = new org.apache.hadoop.fs.Path(staging)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+        .filter(_.isDirectory).foreach { dayDir =>
+          val day = dayDir.getPath.getName.stripPrefix("day=")
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/$day"))
+          fs.listStatus(dayDir.getPath).filter(_.isDirectory).foreach { halfDir =>
+            val half = halfDir.getPath.getName.stripPrefix("half=")
+            fs.rename(halfDir.getPath,
+              new org.apache.hadoop.fs.Path(s"$base/$day/$day${half}_events.json"))
+          }
+        }
       // watermark = 20240101 23:59:59 → first day's files are skipped
       val files = Watermark.discoverFiles(s, base, "20240101235959")
       s.read.json(files: _*)

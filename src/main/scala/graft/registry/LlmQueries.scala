@@ -62,9 +62,11 @@ object LlmQueries {
     },
     "x4_ngram_jaccard" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("tk", split(col("text"), "\\s+"))
         .select(col("doc_id"), col("lang"),
           floor(col("n_chars") / lit(100.0)).cast("long").as("len_bucket"),
-          DedupLsh.shingles(col("text"), 3).as("sh"))
+          DedupLsh.shinglesFromTokens(col("tk"), 3).as("sh"))
       val a = d.select(col("lang"), col("len_bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = d.select(col("lang"), col("len_bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, Seq("lang", "len_bucket"))
@@ -104,9 +106,12 @@ object LlmQueries {
     },
     "y4_fingerprint" -> { (s, dir) =>
       Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("tk", split(col("text"), "\\s+"))
+        .withColumn("sh", DedupLsh.shinglesFromTokens(col("tk"), 3))
         .select(col("doc_id"),
           TextAnalysis.md5Fingerprint(col("text")).as("fp_exact"),
-          TextAnalysis.minShingleFingerprint(col("text")).as("fp_shingle"))
+          TextAnalysis.minShingleFromShingles(col("sh"), col("text")).as("fp_shingle"))
         .orderBy("doc_id")
     },
     "m1_multimodal_decode" -> { (s, dir) =>

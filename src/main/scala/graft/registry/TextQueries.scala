@@ -38,15 +38,20 @@ object TextQueries {
         .orderBy("doc_id")
     },
     "t3_tokenize_stopfilter" -> { (s, dir) =>
-      val ts = Text.tokenize(col("text"))
       Tables.documents(s, dir)
-        .select(col("doc_id"), size(ts).cast("long").as("n_tokens"),
-          array_join(slice(ts, 1, 5), " ").as("first_tokens"))
+        .select(col("doc_id"), Text.tokenize(col("text")).as("ts"))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+          array_join(slice(col("ts"), 1, 5), " ").as("first_tokens"))
         .orderBy("doc_id")
     },
     "t4_keywords_top10" -> { (s, dir) =>
+      // tokens staged as an attribute + repartition: n-gram generation
+      // under HOFs must not re-run tokenize per element access, and the
+      // CPU-heavy narrow stage must not ride a single file split
       val grams = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(Text.contentGrams(col("text"))).as("g"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), Text.contentTokens(col("text")).as("ts"))
+        .select(col("doc_id"), explode(Text.gramsFromTokens(col("ts"))).as("g"))
       val counts = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("cnt").desc, length(col("g")).desc, col("g").asc)
@@ -61,12 +66,14 @@ object TextQueries {
     },
     "t5_exact_keywords" -> { (s, dir) =>
       Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          slice(Text.tokenize(col("text")), 1, 3).as("ck"))
         .select(col("doc_id"),
           array_join(
             Text.exactKeywords(
               concat(col("source"), lit("_"), col("lang")),
               array(col("lang"), lit("the")),
-              slice(Text.tokenize(col("text")), 1, 3)),
+              col("ck")),
             "|").as("keywords"))
         .orderBy("doc_id")
     },
