@@ -104,17 +104,62 @@ object SparkEntry {
        |  FROM ($MERGED))
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** Global-window (faithful) twins of W2U/MERGED/E2U for the
+    * `e2_browsing_global` oracle. */
+  private val W2G =
+    s"""SELECT * EXCLUDE (prev_ts),
+       |  CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > 1800
+       |                THEN 1 ELSE 0 END)
+       |       OVER (ORDER BY ts, entry_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+       |       AS BIGINT) AS session_id
+       |FROM (SELECT *, lag(ts_sec) OVER (ORDER BY ts, entry_id)
+       |        AS prev_ts FROM ($W1))""".stripMargin
+
+  private val MERGEDG =
+    s"""SELECT user_id, session_id,
+       |       CAST(pageview_count_sum AS BIGINT) AS pageview_count_sum,
+       |       session_start, entry_id, event_type, url, title, visible_content,
+       |       window_time_details, window_time_overall, ts_sec
+       |FROM (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY user_id, session_id
+       |                       ORDER BY ts, entry_id) AS grn,
+       |    SUM(pageview_count) OVER (PARTITION BY user_id, session_id)
+       |      AS pageview_count_sum,
+       |    MIN(ts) OVER (PARTITION BY user_id, session_id) AS session_start
+       |  FROM ($W2G)
+       |) WHERE grn = 1""".stripMargin
+
+  private val E2G =
+    s"""SELECT *,
+       |  LEAST(raw_time_on_page, 3600.0) AS capped_time_on_page,
+       |  'clickhouse-streaming-data' AS source_name,
+       |  CAST(1 AS BIGINT) AS source_id,
+       |  FALSE AS is_update,
+       |  FALSE AS is_delete,
+       |  TIMESTAMP '2025-06-25 12:00:00' AS created_time,
+       |  '2025-06-25' AS created_date
+       |FROM (
+       |  SELECT *,
+       |    COALESCE(CAST(lead(ts_sec) OVER (
+       |        ORDER BY session_start, entry_id) - ts_sec AS DOUBLE), 1800.0)
+       |      AS raw_time_on_page
+       |  FROM ($MERGEDG))
+       |ORDER BY user_id, session_id""".stripMargin
+
   // ---- query registry -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ graft.registry.IoQueries.queries ++
       graft.registry.TextQueries.queries ++ graft.registry.LlmQueries.queries ++
-      graft.registry.StreamQueries.queries
+      graft.registry.StreamQueries.queries ++ graft.registry.CoverageQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracles ++ graft.registry.IoQueries.oracles ++
       graft.registry.TextQueries.oracles ++ graft.registry.LlmQueries.oracles ++
-      graft.registry.StreamQueries.oracles
+      graft.registry.StreamQueries.oracles ++ graft.registry.CoverageQueries.oracles +
+      ("e2_browsing_global" -> E2G)
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2_browsing_user" -> ((s, dir) => Browsing.pipeline(s, dir, perUser = true)),

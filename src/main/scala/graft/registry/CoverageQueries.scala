@@ -1,0 +1,117 @@
+package graft.registry
+
+import graft.Tables
+import graft.io.IO
+import graft.pipeline.Browsing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small registered queries that pin down the remaining SURVEY §2
+  * operators not already exercised as part of a larger pipeline:
+  * S1 full scan, S6 chunked read, S7 re-emit chain, S8 catalog
+  * listing, S9 empty-file guard, P1 equality filter, A5 array-field
+  * check, and the faithful global-window E2 variant. */
+object CoverageQueries {
+
+  private def scratch(dir: String, name: String): String = {
+    val sf = new java.io.File(dir).getName
+    s"${sys.props("java.io.tmpdir")}/graft_cov/$sf/$name"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 — "SELECT * FROM t" full scan (ClickHouse sim → parquet scan)
+    "s1_full_scan" -> { (s, dir) =>
+      Tables.nation(s, dir).orderBy("n_nationkey")
+    },
+    // S6 — bounded-memory chunked read: Spark's partitioned scan with a
+    // small split size replaces the reference's 100k-row generator;
+    // the result is identical regardless of split count
+    "s6_chunked_read" -> { (s, dir) =>
+      s.read
+        .option("maxPartitionBytes", 64 * 1024)
+        .parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    // S7 — CSV → JSON-lines + Parquet re-emit, pipelined (no 4-chunk
+    // cap workaround): land CSV, re-emit both formats, read back
+    "s7_reemit" -> { (s, dir) =>
+      val csv = scratch(dir, "s7csv")
+      val json = scratch(dir, "s7json")
+      val pq = scratch(dir, "s7parquet")
+      IO.writeCsv(Tables.region(s, dir), csv)
+      val landed = IO.readCsv(s, csv)
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+      IO.writeJsonLines(landed, json)
+      IO.writeParquet(landed, pq)
+      s.read.parquet(pq)
+        .unionByName(IO.readJsonAuto(s, json).select("r_regionkey", "r_name"))
+        .groupBy("r_regionkey", "r_name").agg(count(lit(1)).as("n_copies"))
+        .orderBy("r_regionkey")
+    },
+    // S8 — catalog listing of dated folders under a prefix
+    "s8_catalog_list" -> { (s, dir) =>
+      import s.implicits._
+      val base = scratch(dir, "s8dated")
+      graft.streaming.Streams.deleteDir(s, base)
+      val days = Tables.events(s, dir)
+        .select(date_format(col("ts"), "yyyyMMdd").as("day")).distinct()
+        .as[String].collect().sorted
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      days.foreach(d => fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/$d")))
+      IO.listChildren(s, base).toDF("day").orderBy("day")
+    },
+    // S9 — whitespace-only file yields an empty frame, guarded
+    "s9_empty_guard" -> { (s, dir) =>
+      import s.implicits._
+      val p = scratch(dir, "s9empty")
+      val f = new java.io.File(s"$p/blank.json")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, "   \n  \n")
+      val df = IO.readJsonAuto(s, f.getPath)
+      Seq((IO.isEmptyInput(df), df.columns.length)).toDF("is_empty", "n_cols")
+    },
+    // P1 — equality filter (watermark control-table shape)
+    "p1_eq_filter" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+    },
+    // A5 — array-field check: static under a typed schema
+    "a5_array_check" -> { (s, dir) =>
+      import s.implicits._
+      graft.quality.Quality
+        .arrayCheck(Tables.embeddings(s, dir), Seq("embedding", "label"))
+        .toDF("column_name", "is_array")
+        .orderBy("column_name")
+    },
+    // E2, faithful global-window flavor (reference parity; micro-batch
+    // scale only — the per-user variant is the 100TB path)
+    "e2_browsing_global" -> { (s, dir) =>
+      Browsing.pipeline(s, dir, perUser = false)
+        .orderBy("user_id", "session_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_full_scan" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "s6_chunked_read" ->
+      "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
+    "s7_reemit" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+        |       CAST(2 AS BIGINT) AS n_copies
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+    "s8_catalog_list" ->
+      "SELECT DISTINCT strftime(ts, '%Y%m%d') AS day FROM events ORDER BY day",
+    "s9_empty_guard" -> "SELECT TRUE AS is_empty, 0 AS n_cols",
+    "p1_eq_filter" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "a5_array_check" ->
+      """SELECT * FROM (VALUES ('embedding', TRUE), ('label', FALSE))
+        |AS t(column_name, is_array) ORDER BY column_name""".stripMargin
+  )
+}
