@@ -88,6 +88,14 @@ object CoverageQueries {
         .toDF("column_name", "is_array")
         .orderBy("column_name")
     },
+    // P8 — rename with mapping existence check
+    "p8_rename_checked" -> { (s, dir) =>
+      graft.quality.Quality
+        .renameChecked(Tables.customer(s, dir),
+          Map("c_name" -> "customer_name", "c_acctbal" -> "balance"))
+        .select("c_custkey", "customer_name", "balance")
+        .orderBy("c_custkey")
+    },
     // E2, faithful global-window flavor (reference parity; micro-batch
     // scale only — the per-user variant is the 100TB path)
     "e2_browsing_global" -> { (s, dir) =>
@@ -110,6 +118,9 @@ object CoverageQueries {
     "p1_eq_filter" ->
       """SELECT event_id, user_id FROM events
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "p8_rename_checked" ->
+      """SELECT c_custkey, c_name AS customer_name, c_acctbal AS balance
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "a5_array_check" ->
       """SELECT * FROM (VALUES ('embedding', TRUE), ('label', FALSE))
         |AS t(column_name, is_array) ORDER BY column_name""".stripMargin

@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ST2/ST3 semantics: the file-source checkpoint is the watermark. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("entry_id", LongType), StructField("user_id", LongType),
+    StructField("ts_us", LongType), StructField("pageview_count", LongType),
+    StructField("event_type", StringType)))
+
+  test("ST2: re-running with the same checkpoint does not reprocess seen files") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_st2"
+    val ckpt = s"$base/ckpt"
+    Streams.deleteDir(spark, base)
+    def writeFile(n: String, ids: Seq[Long]): Unit = {
+      val f = new java.io.File(s"$base/src/$n")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath,
+        ids.map(i => s"""{"entry_id":$i,"user_id":1,"ts_us":${i * 1000000},"pageview_count":1,"event_type":"view"}""")
+          .mkString("\n"))
+    }
+    val out = s"$base/out"
+    def runOnce(): Unit = {
+      // parquet sink: the memory sink refuses checkpoint recovery
+      val q = spark.readStream.schema(schema).json(s"$base/src")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeFile("a.json", Seq(1L, 2L))
+    runOnce() // fresh checkpoint — intentionally NOT deleted after
+    assert(spark.read.parquet(out).count() == 2)
+
+    // a "late" file appears; second run with the SAME checkpoint only
+    // picks up the new file, never re-reads a.json
+    writeFile("b.json", Seq(3L))
+    runOnce()
+    val got = spark.read.parquet(out).select("entry_id").as[Long].collect().toSeq
+    assert(got.sorted == Seq(1L, 2L, 3L), s"no duplicates from re-reading, got $got")
+  }
+
+  test("ST5: dwell stitch crosses micro-batch boundaries") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_st5"
+    Streams.deleteDir(spark, base)
+    // two files = two micro-batches (maxFilesPerTrigger=1); user 7's
+    // dwell from event 10 to event 11 spans the boundary
+    Seq(("f1.json", Seq((10L, 1000L))), ("f2.json", Seq((11L, 5000L))))
+      .foreach { case (n, evs) =>
+        val f = new java.io.File(s"$base/src/$n")
+        f.getParentFile.mkdirs()
+        java.nio.file.Files.writeString(f.toPath,
+          evs.map { case (id, ts) =>
+            s"""{"entry_id":$id,"user_id":7,"ts_us":$ts,"pageview_count":1,"event_type":"view"}"""
+          }.mkString("\n"))
+        Thread.sleep(20) // distinct mod times → deterministic order
+      }
+    val out = Streams.runFileStream(spark, s"$base/src", schema, s"$base/ckpt",
+      df => Streams.stitchDwell(spark, df),
+      org.apache.spark.sql.streaming.OutputMode.Append(), maxFilesPerTrigger = Some(1))
+    val rows = out.select("entry_id", "dwell_us").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((10L, 4000L)), s"cross-batch dwell, got $rows")
+  }
+}
