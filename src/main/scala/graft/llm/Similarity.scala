@@ -27,8 +27,16 @@ object Similarity {
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * Scale.toDouble).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
+  /** Exact integer dot product of two quantized vectors, via the
+    * native codegen expression [[graft.functions.LongArrayDot]]
+    * (a fused loop — no intermediate array, unlike
+    * `aggregate(zip_with(...))`). Sessions must call
+    * [[graft.functions.LongArrayDot.register]] first; the entry points
+    * below do. */
+  def dotQ(a: Column, b: Column): Column = call_function("dotq", a, b)
+
+  /** Composable-functions fallback (same semantics, no codegen). */
+  def dotQComposable(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Cosine similarity from quantized vectors (deterministic double). */
@@ -41,6 +49,7 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.LongArrayDot.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("nv"))
     val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
     val scored = c
@@ -54,14 +63,15 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
-    * ±1 by the parity of the first hex digit of md5("plane{p}_{j}").
+    * ±1 by the parity of the first hex digit of md5("{prefix}{p}_{j}").
     * Computed once on the driver; the same construction is replayable
-    * in any engine with an md5 function. */
-  def planes(numPlanes: Int, dim: Int): Seq[Seq[Int]] = {
+    * in any engine with an md5 function. Distinct `prefix` values give
+    * independent hash tables for multi-table LSH. */
+  def planes(numPlanes: Int, dim: Int, prefix: String = "plane"): Seq[Seq[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until numPlanes).map { p =>
       (0 until dim).map { j =>
-        val hex = md.digest(s"plane${p}_$j".getBytes("UTF-8"))
+        val hex = md.digest(s"$prefix${p}_$j".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
         if ("89abcdef".contains(hex.charAt(0))) 1 else -1
       }
@@ -77,23 +87,30 @@ object Similarity {
       when(s > 0L, "1").otherwise("0")
     }: _*)
 
-  /** LSH-bucketed ANN top-k: queries only score corpus vectors in the
-    * same sign-bucket. Equi-join on the bucket key — no cross product.
-    */
+  /** LSH-bucketed ANN top-k: queries only score corpus vectors that
+    * share a sign-bucket in at least one of `tables` independent hash
+    * tables. Equi-joins on bucket keys — no cross product; more tables
+    * trade compute for recall (single-probe recall at high dim is the
+    * known weak spot of one table). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+              numPlanes: Int = 8, dim: Int = 64, tables: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pls = planes(numPlanes, dim)
+    graft.functions.LongArrayDot.register(corpus.sparkSession)
+    val allPlanes = (0 until tables).map(t => planes(numPlanes, dim, s"plane$t~"))
     val c = corpus
       .select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("nv"))
-      .withColumn("bucket", lshBucket(col("nv"), pls))
     val q = queries
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), pls))
-    val scored = c
-      .join(broadcast(q), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosineQ(col("qv"), col("nv")))
+    val candidates = allPlanes
+      .map { pls =>
+        c.withColumn("bucket", lshBucket(col("nv"), pls))
+          .join(broadcast(q.withColumn("bucket", lshBucket(col("qv"), pls))), Seq("bucket"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select("query_id", "neighbor_id", "qv", "nv")
+      }
+      .reduce(_.unionByName(_))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates.withColumn("cosine", cosineQ(col("qv"), col("nv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -131,9 +131,8 @@ object LlmQueries {
   )
 
   def oracles: Map[String, String] = {
-    val planes = Similarity.planes(4, 64)
-    def bucketSql(v: String): String =
-      planes.map { plane =>
+    def bucketSql(v: String, prefix: String): String =
+      Similarity.planes(4, 64, prefix).map { plane =>
         val terms = plane.zipWithIndex.map { case (sign, j) =>
           if (sign > 0) s"+$v[${j + 1}]" else s"-$v[${j + 1}]"
         }.mkString
@@ -218,14 +217,23 @@ object LlmQueries {
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       "x6_ann_lsh" ->
         s"""WITH c AS (
-           |  SELECT vec_id AS neighbor_id, nv, ${bucketSql("nv")} AS bucket
+           |  SELECT vec_id AS neighbor_id, nv,
+           |         ${bucketSql("nv", "plane0~")} AS bucket0,
+           |         ${bucketSql("nv", "plane1~")} AS bucket1
            |  FROM (SELECT vec_id, ${qvSql("embedding")} AS nv FROM embeddings)),
            |q AS (
-           |  SELECT vec_id AS query_id, qv, ${bucketSql("qv")} AS bucket
+           |  SELECT vec_id AS query_id, qv,
+           |         ${bucketSql("qv", "plane0~")} AS bucket0,
+           |         ${bucketSql("qv", "plane1~")} AS bucket1
            |  FROM (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings WHERE vec_id < 5)),
+           |cand AS (
+           |  SELECT query_id, neighbor_id, qv, nv
+           |  FROM c JOIN q ON c.bucket0 = q.bucket0 WHERE neighbor_id != query_id
+           |  UNION
+           |  SELECT query_id, neighbor_id, qv, nv
+           |  FROM c JOIN q ON c.bucket1 = q.bucket1 WHERE neighbor_id != query_id),
            |scored AS (
-           |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine
-           |  FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id)
+           |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine FROM cand)
            |SELECT query_id, rank, neighbor_id, cosine FROM (
            |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
            |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank

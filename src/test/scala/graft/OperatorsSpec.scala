@@ -111,6 +111,21 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("valid_a_ish") == 2L && r.getAs[Long]("total_a_ish") == 3L)
   }
 
+  test("LongArrayDot: native dotq matches composable fold incl. nulls") {
+    graft.functions.LongArrayDot.register(spark)
+    val df = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](4L, 5L, 6L)),
+      (Seq[java.lang.Long](7L, null, 9L), Seq[java.lang.Long](1L, 1L, 1L))
+    ).toDF("a", "b")
+    val native = df.select(expr("dotq(a, b)")).as[Long].collect().toSeq
+    assert(native == Seq(32L, 16L)) // 4+10+18; 7+0+9 (null element -> 0)
+    // composable fold can't skip null elements — compare on the clean row
+    val composable = df.limit(1)
+      .select(graft.llm.Similarity.dotQComposable(col("a"), col("b")))
+      .as[Long].collect().toSeq
+    assert(composable == Seq(32L))
+  }
+
   test("Multimodal: batched mapPartitions decode equals expression decode") {
     val docs = Seq((1L, "hello world"), (2L, "zz")).toDF("doc_id", "text")
     val p = Multimodal.attachPayload(docs, "doc_id", "text")
