@@ -88,6 +88,19 @@ object CoverageQueries {
         .toDF("column_name", "is_array")
         .orderBy("column_name")
     },
+    // K5 idiomatic form — dated layout as parquet partitionBy + pruned
+    // scan: the reader of one day touches one directory, not the table
+    "k5_partition_prune" -> { (s, dir) =>
+      val p = scratch(dir, "k5part")
+      Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+        .select("event_id", "user_id", "event_type", "day")
+        .write.mode("overwrite").partitionBy("day").parquet(p)
+      s.read.parquet(p)
+        .filter(col("day") === "20240102")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    },
     // P8 — rename with mapping existence check
     "p8_rename_checked" -> { (s, dir) =>
       graft.quality.Quality
@@ -121,6 +134,9 @@ object CoverageQueries {
     "p8_rename_checked" ->
       """SELECT c_custkey, c_name AS customer_name, c_acctbal AS balance
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "k5_partition_prune" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE strftime(ts, '%Y%m%d') = '20240102' ORDER BY event_id""".stripMargin,
     "a5_array_check" ->
       """SELECT * FROM (VALUES ('embedding', TRUE), ('label', FALSE))
         |AS t(column_name, is_array) ORDER BY column_name""".stripMargin

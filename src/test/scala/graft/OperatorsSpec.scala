@@ -111,6 +111,19 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("valid_a_ish") == 2L && r.getAs[Long]("total_a_ish") == 3L)
   }
 
+  test("K5: partitioned sink scan prunes to the filtered day") {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_test_k5"
+    graft.streaming.Streams.deleteDir(spark, p)
+    spark.range(100)
+      .withColumn("day", when(col("id") < 50, "20240101").otherwise("20240102"))
+      .write.partitionBy("day").parquet(p)
+    val q = spark.read.parquet(p).filter(col("day") === "20240102")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), "expected a partition-pruned scan")
+    assert(scan.contains("20240102"))
+    assert(q.count() == 50)
+  }
+
   test("LongArrayDot: native dotq matches composable fold incl. nulls") {
     graft.functions.LongArrayDot.register(spark)
     val df = Seq(
