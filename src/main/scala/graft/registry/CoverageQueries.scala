@@ -114,6 +114,17 @@ object CoverageQueries {
     "e2_browsing_global" -> { (s, dir) =>
       Browsing.pipeline(s, dir, perUser = false)
         .orderBy("user_id", "session_id")
+    },
+    // W2 distributed — global sessionization as a two-pass parallel
+    // prefix scan (no single-partition window); same oracle as the
+    // windowed global variant proves id-for-id equivalence
+    "w2_sessionize_distributed" -> { (s, dir) =>
+      graft.session.Sessionize
+        .sessionIdsDistributed(
+          Tables.browsing(s, dir).select("entry_id", "user_id", "ts_sec"),
+          "ts_sec", "entry_id")
+        .select("entry_id", "user_id", "ts_sec", "session_id")
+        .orderBy("entry_id")
     }
   )
 
@@ -137,6 +148,20 @@ object CoverageQueries {
     "k5_partition_prune" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE strftime(ts, '%Y%m%d') = '20240102' ORDER BY event_id""".stripMargin,
+    "w2_sessionize_distributed" ->
+      """SELECT entry_id, user_id, ts_sec,
+        |  CAST(SUM(CASE WHEN prev IS NULL OR ts_sec - prev > 1800
+        |                THEN 1 ELSE 0 END)
+        |       OVER (ORDER BY ts_sec, entry_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+        |       AS BIGINT) AS session_id
+        |FROM (
+        |  SELECT event_id AS entry_id, user_id,
+        |         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_sec,
+        |         lag(CAST(epoch_us(ts) // 1000000 AS BIGINT))
+        |           OVER (ORDER BY CAST(epoch_us(ts) // 1000000 AS BIGINT), event_id) AS prev
+        |  FROM events)
+        |ORDER BY entry_id""".stripMargin,
     "a5_array_check" ->
       """SELECT * FROM (VALUES ('embedding', TRUE), ('label', FALSE))
         |AS t(column_name, is_array) ORDER BY column_name""".stripMargin

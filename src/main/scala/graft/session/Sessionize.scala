@@ -73,6 +73,88 @@ object Sessionize {
     )
   }
 
+  /** W2 at scale — GLOBAL gap sessionization without a single-partition
+    * window. The unpartitioned `Window.orderBy` variant above is
+    * faithful to the reference but serializes the whole dataset through
+    * one task; this is the 100TB-safe equivalent, a two-pass parallel
+    * prefix scan:
+    *
+    *  1. range-partition + sort by (ts, uniq) — the only shuffle;
+    *  2. per-partition pass collecting (first ts, last ts, internal
+    *     break count) — O(#partitions) rows to the driver;
+    *  3. prefix-sum those stats into a per-partition session-id offset
+    *     and carried-in previous timestamp (empty partitions skipped);
+    *  4. per-partition scan assigns final ids with the broadcast offsets.
+    *
+    * Output ids are identical to `sessionIds(..., partition = empty)`
+    * regardless of partition count (asserted by spec + shared oracle).
+    * RDD mapPartitions is deliberate here: a sequential carry across
+    * ordered rows is genuine per-partition imperative logic.
+    */
+  def sessionIdsDistributed(
+      df: DataFrame,
+      tsSec: String,
+      uniq: String,
+      gapSeconds: Long = 1800L,
+      numPartitions: Option[Int] = None,
+      out: String = "session_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val p = numPartitions.getOrElse(spark.sparkContext.defaultParallelism)
+    val sorted = df
+      .repartitionByRange(p, col(tsSec), col(uniq))
+      .sortWithinPartitions(col(tsSec), col(uniq))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tsIdx = sorted.schema.fieldIndex(tsSec)
+
+    val stats = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var first, last: Option[Long] = None
+        var breaks = 0L
+        var prev: Option[Long] = None
+        it.foreach { r =>
+          val t = r.getLong(tsIdx)
+          if (first.isEmpty) first = Some(t)
+          else if (t - prev.get > gapSeconds) breaks += 1
+          prev = Some(t); last = Some(t)
+        }
+        Iterator.single((pid, first, last, breaks))
+      }
+      .collect()
+      .sortBy(_._1)
+
+    val offsets = new Array[Long](stats.length)
+    val carriedPrev = new Array[Option[Long]](stats.length)
+    var cum = 0L
+    var lastSeen: Option[Long] = None
+    stats.foreach { case (pid, first, last, breaks) =>
+      carriedPrev(pid) = lastSeen
+      offsets(pid) = cum
+      val boundary = first match {
+        case Some(f) if lastSeen.isEmpty || f - lastSeen.get > gapSeconds => 1L
+        case Some(_)                                                     => 0L
+        case None                                                        => 0L
+      }
+      cum += boundary + breaks
+      if (last.isDefined) lastSeen = last
+    }
+    val bc = spark.sparkContext.broadcast((offsets, carriedPrev))
+
+    val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var running = bc.value._1(pid)
+      var prev = bc.value._2(pid)
+      it.map { r =>
+        val t = r.getLong(tsIdx)
+        if (prev.isEmpty || t - prev.get > gapSeconds) running += 1
+        prev = Some(t)
+        Row.fromSeq(r.toSeq :+ (running + 1L))
+      }
+    }
+    spark.createDataFrame(outRdd, sorted.schema.add(out, LongType, nullable = false))
+  }
+
   /** W3 — dwell time: seconds to the next event in the ordered scan;
     * the last row gets `defaultSeconds` (py:370-378). */
   def timeOnPage(

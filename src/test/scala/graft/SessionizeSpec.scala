@@ -43,6 +43,22 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("W2 distributed: identical ids to the single-window global scan") {
+    val gaps = Gen.listOfN(200, Gen.chooseNum(1L, 4000L))
+    val gs = gaps.apply(Gen.Parameters.default, rng.Seed(99L)).get
+    val df = frame(gs.scanLeft(1700000000L)(_ + _))
+    val windowed = Sessionize
+      .sessionIds(df, col("ts_sec"), Seq.empty, Seq(col("ts_sec"), col("entry_id")))
+      .orderBy("entry_id").select("entry_id", "session_id")
+      .as[(Long, Long)].collect().toSeq
+    // more partitions than natural splits → exercises empty partitions
+    val distributed = Sessionize
+      .sessionIdsDistributed(df, "ts_sec", "entry_id", numPartitions = Some(7))
+      .orderBy("entry_id").select("entry_id", "session_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(distributed == windowed)
+  }
+
   test("A1: merge preserves total pageview count and event count") {
     val df = Seq(
       (1L, 100L, 1700000000L, 5L), (2L, 100L, 1700000300L, 7L),
