@@ -78,6 +78,46 @@ object Similarity {
     }
   }
 
+  /** IVF-Flat ANN top-k: corpus vectors are assigned to the cell of
+    * their nearest centroid (one broadcast-join + rank pass); a query
+    * probes its `nProbe` nearest cells and scores only those members.
+    * Centroids here are a deterministic subset of the corpus (ids
+    * `< numCells`) standing in for a k-means pass — the index
+    * structure, probe path, and cost model are the real thing; plug a
+    * trained codebook in for production. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.LongArrayDot.register(corpus.sparkSession)
+    val cents = corpus
+      .filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cell_id"), quantize(col("embedding")).as("cv"))
+    def assign(df: DataFrame, idOut: String, vecOut: String, keep: Int): DataFrame = {
+      val scored = df
+        .select(col("vec_id").as(idOut), quantize(col("embedding")).as(vecOut))
+        .crossJoin(broadcast(cents))
+        .withColumn("cell_sim", cosineQ(col(vecOut), col("cv")))
+      val w = Window.partitionBy(col(idOut)).orderBy(col("cell_sim").desc, col("cell_id"))
+      scored
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= keep)
+        .select(col(idOut), col(vecOut), col("cell_id"))
+    }
+    val members = assign(corpus, "neighbor_id", "nv", keep = 1)
+    val probes = assign(queries, "query_id", "qv", keep = nProbe)
+    val scored = members
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineQ(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    // each member lives in exactly one cell, so (query, neighbor) pairs
+    // are already unique across the probed cells
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Sign-bucket key: one bit per hyperplane, over the quantized vector. */
   def lshBucket(qv: Column, pls: Seq[Seq[Int]]): Column =
     concat(pls.map { plane =>

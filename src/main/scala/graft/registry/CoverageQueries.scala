@@ -115,6 +115,18 @@ object CoverageQueries {
       Browsing.pipeline(s, dir, perUser = false)
         .orderBy("user_id", "session_id")
     },
+    // Skew-salted aggregation on a heavy-hitter key (80% "view"):
+    // two balanced shuffles instead of one hot reduce task
+    "skew_salted_agg" -> { (s, dir) =>
+      // pre-floored long column: integer partials are exact in any
+      // merge order, so the salted two-stage sum hash-matches DuckDB
+      val ev = Tables.events(s, dir)
+        .withColumn("value_l", floor(col("value")).cast("long"))
+      graft.ops.Skew
+        .saltedAgg(ev, Seq("event_type"), col("event_id"), Seq("value_l"), salts = 16)
+        .select(col("event_type"), col("n"), col("value_l_sum"))
+        .orderBy("event_type")
+    },
     // W2 distributed — global sessionization as a two-pass parallel
     // prefix scan (no single-partition window); same oracle as the
     // windowed global variant proves id-for-id equivalence
@@ -148,6 +160,10 @@ object CoverageQueries {
     "k5_partition_prune" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE strftime(ts, '%Y%m%d') = '20240102' ORDER BY event_id""".stripMargin,
+    "skew_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS value_l_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "w2_sessionize_distributed" ->
       """SELECT entry_id, user_id, ts_sec,
         |  CAST(SUM(CASE WHEN prev IS NULL OR ts_sec - prev > 1800

@@ -87,6 +87,12 @@ object LlmQueries {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3, numPlanes = 4)
         .orderBy("query_id", "rank")
     },
+    "x7_ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
+        numCells = 16, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
     "y1_langid" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -234,6 +240,35 @@ object LlmQueries {
            |  FROM c JOIN q ON c.bucket1 = q.bucket1 WHERE neighbor_id != query_id),
            |scored AS (
            |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine FROM cand)
+           |SELECT query_id, rank, neighbor_id, cosine FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+           |  FROM scored)
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      "x7_ann_ivf" ->
+        s"""WITH cents AS (
+           |  SELECT vec_id AS cell_id, ${qvSql("embedding")} AS cv
+           |  FROM embeddings WHERE vec_id < 16),
+           |members AS (
+           |  SELECT neighbor_id, nv, cell_id FROM (
+           |    SELECT v.neighbor_id, v.nv, c.cell_id,
+           |      row_number() OVER (PARTITION BY v.neighbor_id
+           |        ORDER BY ${cosineSql("v.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
+           |    FROM (SELECT vec_id AS neighbor_id, ${qvSql("embedding")} AS nv
+           |          FROM embeddings) v CROSS JOIN cents c)
+           |  WHERE cell_rank = 1),
+           |probes AS (
+           |  SELECT query_id, qv, cell_id FROM (
+           |    SELECT q.query_id, q.qv, c.cell_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${cosineSql("q.qv", "c.cv")} DESC, c.cell_id) AS cell_rank
+           |    FROM (SELECT vec_id AS query_id, ${qvSql("embedding")} AS qv
+           |          FROM embeddings WHERE vec_id < 5) q CROSS JOIN cents c)
+           |  WHERE cell_rank <= 2),
+           |scored AS (
+           |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine
+           |  FROM members JOIN probes USING (cell_id)
+           |  WHERE neighbor_id != query_id)
            |SELECT query_id, rank, neighbor_id, cosine FROM (
            |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
            |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
