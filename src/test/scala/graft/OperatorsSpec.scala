@@ -139,6 +139,29 @@ class OperatorsSpec extends SparkSpec {
     assert(composable == Seq(32L))
   }
 
+  test("Skew: salted aggregate equals plain groupBy aggregate") {
+    val df = spark.range(5000)
+      .withColumn("k", when(col("id") % 10 === 0, "rare").otherwise("hot"))
+      .withColumn("v", col("id") % 7)
+    val salted = graft.ops.Skew.saltedAgg(df, Seq("k"), col("id"), Seq("v"), salts = 8)
+      .orderBy("k").select("k", "n", "v_sum").as[(String, Long, Long)].collect().toSeq
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("k").select("k", "n", "s").as[(String, Long, Long)].collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("K7: report file carries metrics and format checks as dotted JSON") {
+    val df = Seq(("a", 1L), (null, 2L)).toDF("s", "v")
+    val m = Quality.metrics(df, Quality.ReportSpec(nullCols = Seq("s")))
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_report/r.json"
+    Quality.writeReport(m, Quality.dtypeCheck(df, Map("v" -> "bigint", "x" -> "string")), path)
+    val json = java.nio.file.Files.readString(java.nio.file.Path.of(path))
+    assert(json.contains("\"null_s\": 1"))
+    assert(json.contains("\"n_rows\": 2"))
+    assert(json.contains("\"format_check.v\": {\"expected\": \"bigint\", \"actual\": \"bigint\", \"ok\": true}"))
+    assert(json.contains("\"format_check.x\": {\"expected\": \"string\", \"actual\": \"missing\", \"ok\": false}"))
+  }
+
   test("Multimodal: batched mapPartitions decode equals expression decode") {
     val docs = Seq((1L, "hello world"), (2L, "zz")).toDF("doc_id", "text")
     val p = Multimodal.attachPayload(docs, "doc_id", "text")
