@@ -139,6 +139,17 @@ class OperatorsSpec extends SparkSpec {
     assert(composable == Seq(32L))
   }
 
+  test("LSH guarantee: exact-duplicate texts always land in every band bucket") {
+    val docs = (0L until 30L).map(i => (i, s"alpha beta gamma delta epsilon zeta token$i end"))
+    val corpus = docs.toDF("doc_id", "text")
+      .unionByName(docs.map { case (i, t) => (i + 1000L, t) }.toDF("doc_id", "text"))
+    val pairs = graft.llm.DedupLsh
+      .nearDupPairs(corpus, "doc_id", "text", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical signatures collide in all bands — every clone pair found
+    (0L until 30L).foreach(i => assert(pairs.contains((i, i + 1000L)), s"missing pair $i"))
+  }
+
   test("Skew: salted aggregate equals plain groupBy aggregate") {
     val df = spark.range(5000)
       .withColumn("k", when(col("id") % 10 === 0, "rare").otherwise("hot"))
