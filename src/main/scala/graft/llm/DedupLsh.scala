@@ -100,7 +100,12 @@ object DedupLsh {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withBands.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = withBands.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band"))
+    // shuffle_hash hint: the planner underestimates the exploded banded
+    // corpus (file-size × selectivity heuristics) and tries to BROADCAST
+    // a corpus-sized side — OOM at 50k docs, fatal at real scale. Band
+    // buckets are small, so a shuffled hash join is the right physical
+    // plan at every corpus size.
+    a.join(b.hint("shuffle_hash"), Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .distinct()

@@ -69,7 +69,8 @@ object LlmQueries {
           DedupLsh.shinglesFromTokens(col("tk"), 3).as("sh"))
       val a = d.select(col("lang"), col("len_bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = d.select(col("lang"), col("len_bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, Seq("lang", "len_bucket"))
+      // corpus-sized self-join: never let the planner broadcast a side
+      a.join(b.hint("shuffle_hash"), Seq("lang", "len_bucket"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), DedupLsh.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") > 0.05)
