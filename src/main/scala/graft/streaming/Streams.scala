@@ -68,7 +68,14 @@ object Streams {
     spark.table(name)
   }
 
-  /** ST4 — per-user 30-minute session windows as a streaming aggregate. */
+  /** ST4 — per-user 30-minute session windows as a streaming aggregate.
+    *
+    * Complete output mode is used here so an AvailableNow replay emits
+    * every session (matching the batch oracle). A long-running
+    * production stream should instead use Append mode with
+    * `withWatermark` so closed sessions emit incrementally and state is
+    * evicted — Complete retains all sessions in the state store, which
+    * is bounded only by total session count. */
   def sessionWindowAgg(events: DataFrame): DataFrame =
     events
       .withColumn("ts", timestamp_micros(col("ts_us")))
