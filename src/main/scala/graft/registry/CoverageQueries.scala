@@ -2,7 +2,8 @@ package graft.registry
 
 import graft.Tables
 import graft.io.IO
-import graft.pipeline.Browsing
+import graft.ops.Rows
+import graft.pipeline.{Browsing, Ingest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -115,6 +116,23 @@ object CoverageQueries {
       Browsing.pipeline(s, dir, perUser = false)
         .orderBy("user_id", "session_id")
     },
+    // E3→J1 composed: the reference's missing batch-preprocessing step
+    // (SURVEY §0/§2.5) — fact rows enriched with the broadcast dim and
+    // reshaped into a browsing-history-style bronze frame, stamped
+    "e3_browsing_synthesis" -> { (s, dir) =>
+      val enriched = Ingest.enrich(Tables.lineitem(s, dir), Tables.part(s, dir),
+        "l_partkey", "p_partkey")
+      val shaped = enriched.select(
+        col("l_orderkey").as("log_id"),
+        col("l_linenumber").cast("long").as("line_no"),
+        col("p_name").as("exercise_name"),
+        col("p_brand").as("topic"),
+        floor(col("l_quantity")).cast("long").as("attempts"),
+        (floor(col("l_extendedprice")) > 30000.0).as("advanced"))
+      Rows
+        .stampMetadata(shaped, "batch-sources", 2L, lit(Browsing.RunTime))
+        .orderBy("log_id", "line_no")
+    },
     // Skew-salted aggregation on a heavy-hitter key (80% "view"):
     // two balanced shuffles instead of one hot reduce task
     "skew_salted_agg" -> { (s, dir) =>
@@ -160,6 +178,17 @@ object CoverageQueries {
     "k5_partition_prune" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE strftime(ts, '%Y%m%d') = '20240102' ORDER BY event_id""".stripMargin,
+    "e3_browsing_synthesis" ->
+      """SELECT l_orderkey AS log_id, CAST(l_linenumber AS BIGINT) AS line_no,
+        |  p_name AS exercise_name, p_brand AS topic,
+        |  CAST(floor(l_quantity) AS BIGINT) AS attempts,
+        |  (floor(l_extendedprice) > 30000.0) AS advanced,
+        |  'batch-sources' AS source_name, CAST(2 AS BIGINT) AS source_id,
+        |  FALSE AS is_update, FALSE AS is_delete,
+        |  TIMESTAMP '2025-06-25 12:00:00' AS created_time,
+        |  '2025-06-25' AS created_date
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |ORDER BY log_id, line_no""".stripMargin,
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS value_l_sum
