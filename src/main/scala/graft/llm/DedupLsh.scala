@@ -112,6 +112,46 @@ object DedupLsh {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup CLUSTER assignment from the pair list: each document in
+    * any pair gets the minimum doc id of its connected component —
+    * the canonical-representative choice a dedup pipeline needs before
+    * dropping non-canonical members. Iterative min-label propagation
+    * (Pregel-lite: join labels along edges, take the min, repeat until
+    * no label changes) — each iteration is one equi-join + aggregate,
+    * so the cost is O(iters × |edges|) shuffles and the iteration count
+    * is the component diameter (near-dup components are tiny). */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr_min"))
+      val updated = labels
+        .join(prop, labels("id") === prop("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = updated
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old"))
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   /** SimHash fingerprint, `bits` wide: bit j of token t is the high
     * bit of hex digit j of md5(t); the fingerprint bit is the sign of
     * the ±1 vote sum over tokens. Near-dups then cluster by fingerprint

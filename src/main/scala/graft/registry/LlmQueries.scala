@@ -55,6 +55,13 @@ object LlmQueries {
         shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
+    "x8_dedup_clusters" -> { (s, dir) =>
+      DedupLsh
+        .nearDupClusters(
+          DedupLsh.nearDupPairs(corpusNear(s, dir), "doc_id", "text",
+            shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5))
+        .orderBy("id")
+    },
     "x3_simhash" -> { (s, dir) =>
       DedupLsh.simhash(Tables.documents(s, dir), "doc_id", "text", bits = 16)
         .withColumnRenamed("id", "doc_id")
@@ -168,27 +175,38 @@ object LlmQueries {
     }
     val Seq(de, en, fr) = TextAnalysis.LangWords.map(_._2)
 
+    val x2Core =
+      s"""WITH corpus AS ($CorpusNearSql),
+         |sh AS (
+         |  SELECT doc_id AS id, $shSql AS sh
+         |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM corpus)
+         |  WHERE len($shSql) > 0
+         |), sig AS (
+         |  SELECT id, sh, $minhash12 AS sig FROM sh
+         |), bands AS (
+         |  SELECT id, sh, unnest($bands4) AS band FROM sig
+         |), pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
+
     Map(
       "x1_exact_dedup" ->
         s"""SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
            |FROM ($CorpusExactSql) GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
-      "x2_minhash_neardup" ->
-        s"""WITH corpus AS ($CorpusNearSql),
-           |sh AS (
-           |  SELECT doc_id AS id, $shSql AS sh
-           |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM corpus)
-           |  WHERE len($shSql) > 0
-           |), sig AS (
-           |  SELECT id, sh, $minhash12 AS sig FROM sh
-           |), bands AS (
-           |  SELECT id, sh, unnest($bands4) AS band FROM sig
-           |), pairs AS (
-           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-           |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-           |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-           |  FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id)
-           |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
-           |ORDER BY id_a, id_b""".stripMargin,
+      "x2_minhash_neardup" -> s"$x2Core\nORDER BY id_a, id_b",
+      "x8_dedup_clusters" ->
+        s"""WITH RECURSIVE np AS ($x2Core),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM np
+           |  UNION SELECT id_b, id_a FROM np),
+           |reach AS (
+           |  SELECT src AS id, src AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+           |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
       "x3_simhash" ->
         s"""SELECT id AS doc_id, $simhashConcat AS simhash
            |FROM (

@@ -150,6 +150,16 @@ class OperatorsSpec extends SparkSpec {
     (0L until 30L).foreach(i => assert(pairs.contains((i, i + 1000L)), s"missing pair $i"))
   }
 
+  test("Cluster assignment: chains and triangles collapse to min-id components") {
+    // components: chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = graft.llm.DedupLsh.nearDupClusters(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("Skew: salted aggregate equals plain groupBy aggregate") {
     val df = spark.range(5000)
       .withColumn("k", when(col("id") % 10 === 0, "rare").otherwise("hot"))
