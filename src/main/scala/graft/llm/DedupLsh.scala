@@ -145,10 +145,12 @@ object DedupLsh {
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old"))
         .limit(1).count()
+      labels.unpersist()
       labels = updated
       converged = changed == 0
       i += 1
     }
+    edges.unpersist()
     labels.withColumnRenamed("label", "cluster")
   }
 
