@@ -77,6 +77,21 @@ object Rows {
   def seededSample(df: DataFrame, fraction: Double = 0.1, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
 
+  /** P4 twin — hash-gated deterministic sample: keep rows whose md5 of
+    * the '#'-joined key falls lexicographically below the 2-hex-digit
+    * cut `round(256·fraction)`. Unlike `sample(seed)` (whose membership
+    * is engine-specific), md5 is identical everywhere, so the exact row
+    * MEMBERSHIP replays in any engine — this is the variant the DuckDB
+    * oracle can check, and the one to use when a sample must be
+    * reproducible across reruns/backfills at 100 TB (membership is a
+    * pure row property: no RNG state, no partition-order sensitivity).
+    */
+  def hashSample(df: DataFrame, keyCols: Seq[String], fraction: Double = 0.1): DataFrame = {
+    require(keyCols.nonEmpty, "hashSample needs at least one key column")
+    val cut = f"${math.round(fraction * 256).toInt}%02x"
+    df.filter(md5(concat_ws("#", keyCols.map(c => col(c).cast("string")): _*)) < lit(cut))
+  }
+
   /** O5 — cell truncation, reference caps visible_content at 10 kchars
     * (py:197). */
   def truncateCell(c: Column, maxChars: Int = 10000): Column =

@@ -57,7 +57,10 @@ object Ingest {
     batch
   }
 
-  /** E3 — batch full load with seeded sampling. Returns the landed frame. */
+  /** E3 — batch full load with a 10 % sample. `sampleKeys` selects the
+    * engine-portable hash-gated sample (replayable membership — see
+    * [[graft.ops.Rows.hashSample]]); empty keeps the reference-faithful
+    * seeded RNG sample. Returns the landed frame. */
   def batchFullLoad(
       spark: SparkSession,
       csvPath: String,
@@ -67,10 +70,13 @@ object Ingest {
       yyyyMMdd: String,
       stamp: String,
       sampleFraction: Double = 0.1,
-      seed: Long = 42L
+      seed: Long = 42L,
+      sampleKeys: Seq[String] = Seq.empty
   ): DataFrame = {
     val raw = IO.readCsv(spark, csvPath)
-    val sampled = Rows.seededSample(raw, sampleFraction, seed)
+    val sampled =
+      if (sampleKeys.nonEmpty) Rows.hashSample(raw, sampleKeys, sampleFraction)
+      else Rows.seededSample(raw, sampleFraction, seed)
     IO.writeJsonLines(sampled, IO.datedPath(landzone, "batch", table, "json", yyyyMMdd, stamp))
     IO.writeParquet(sampled, IO.datedPath(archive, "archives", table, "parquet", yyyyMMdd, stamp))
     sampled

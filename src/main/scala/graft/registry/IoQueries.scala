@@ -35,12 +35,12 @@ object IoQueries {
           sum(floor(col("l_quantity")).cast("long")).as("qty"))
         .orderBy("p_brand")
     },
-    "p4_seeded_sample" -> { (s, dir) =>
-      // seed-dependent membership is engine-specific → no SQL oracle;
-      // driver records rows>0. A spec asserts the deterministic-replay
-      // property (same seed ⇒ same rows).
-      Rows.seededSample(Tables.lineitem(s, dir), 0.1, 42L)
-        .select("l_orderkey", "l_linenumber")
+    "p4_hash_sample" -> { (s, dir) =>
+      // engine-portable 10 % sample: md5-gated membership replays
+      // bit-for-bit in DuckDB (the seeded-RNG twin Rows.seededSample is
+      // engine-specific; its replay-determinism is spec-asserted)
+      Rows.hashSample(Tables.lineitem(s, dir), Seq("l_orderkey", "l_linenumber"), 0.1)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
         .orderBy("l_orderkey", "l_linenumber")
     },
     "p5_bool_coercion" -> { (s, dir) =>
@@ -64,6 +64,18 @@ object IoQueries {
             Seq("MM/dd/yyyy HH:mm:ss", "yyyy-MM-dd HH:mm:ss")))
         .select(col("event_id"), col("parsed").cast("long").as("parsed_sec"))
         .orderBy("event_id")
+    },
+    "p9_flatten_nested" -> { (s, dir) =>
+      // recursive struct flattener over a real nested-JSON source: write
+      // two-level structs, read back (spark.read.json infers the nested
+      // StructType — the typed twin of per-cell json.loads), flatten to
+      // dotted leaf columns (quality_report.py:33-48 flatten_if_json)
+      val p = scratch(dir, "p9nested")
+      val nested = Tables.events(s, dir).select(col("event_id"),
+        struct(col("user_id"),
+          struct(col("event_type"), col("value")).as("detail")).as("meta"))
+      IO.writeJsonLines(nested, p)
+      graft.ops.Flatten.flatten(IO.readJsonAuto(s, p)).orderBy("event_id")
     },
     "s3_json_roundtrip" -> { (s, dir) =>
       val p = scratch(dir, "jsonlines")
@@ -162,12 +174,16 @@ object IoQueries {
         .orderBy("event_id")
     },
     "e3_batch_ingest" -> { (s, dir) =>
-      // CSV source materialized from lineitem, then the full E3 chain;
-      // seeded sample ⇒ rows-only check (no cross-engine oracle)
+      // CSV source materialized from lineitem, then the full E3 chain
+      // with the hash-gated sample so membership (not just row count)
+      // is oracle-checkable; CSV inference narrows ints → restore 64-bit
       val srcCsv = scratch(dir, "e3src")
       IO.writeCsv(Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity"), srcCsv)
       Ingest.batchFullLoad(s, srcCsv, "lineitem",
-        scratch(dir, "e3land"), scratch(dir, "e3arch"), "20240101", "20240101000000")
+        scratch(dir, "e3land"), scratch(dir, "e3arch"), "20240101", "20240101000000",
+        sampleKeys = Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber")
     },
     "k7_quality_report" -> { (s, dir) =>
@@ -208,6 +224,16 @@ object IoQueries {
         |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
         |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "p4_hash_sample" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+        |FROM lineitem
+        |WHERE md5(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)) < '1a'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "e3_batch_ingest" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE md5(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)) < '1a'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "p5_bool_coercion" ->
       "SELECT event_id, (value > 50.0) AS is_big FROM events ORDER BY event_id",
     "p6_uuid_string" ->
@@ -217,6 +243,12 @@ object IoQueries {
       """SELECT event_id,
         |  CAST(epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
         |       '%Y-%m-%d %H:%M:%S')) // 1000000 AS BIGINT) AS parsed_sec
+        |FROM events ORDER BY event_id""".stripMargin,
+    "p9_flatten_nested" ->
+      """SELECT event_id,
+        |  event_type AS "meta.detail.event_type",
+        |  value AS "meta.detail.value",
+        |  user_id AS "meta.user_id"
         |FROM events ORDER BY event_id""".stripMargin,
     "s3_json_roundtrip" -> s"$EV_SLIM ORDER BY event_id",
     "k2_json_array_roundtrip" -> s"$EV_SLIM ORDER BY event_id",
