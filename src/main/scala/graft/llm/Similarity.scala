@@ -84,20 +84,69 @@ object Similarity {
     }
   }
 
+  /** Deterministic distributed k-means codebook over quantized vectors
+    * (cosine assignment, component-wise integer-mean update).
+    *
+    * Everything is exactly replayable cross-engine: fixed init (the
+    * corpus vectors with `vec_id < numCells`), argmax assignment with
+    * (similarity desc, cell_id asc) tie-break, and centroid components
+    * `floor(Σcomp / n)` — long sums are exact in any partial-merge
+    * order and ≤2^53, so the double division and floor are IEEE-stable.
+    *
+    * Scale: each iteration is ONE corpus scan against broadcast
+    * centroids, the argmax is a hash aggregate (`max_by`, partial-
+    * aggregatable — no per-key window sort on the corpus), and the mean
+    * is a posexplode + two-level hash agg keyed (cell,pos) — numCells ×
+    * dim cells, never corpus-sized state. Centroids are
+    * `localCheckpoint`ed per iteration so the downstream broadcasts
+    * re-read a tiny cached RDD, not a re-executed training chain.
+    * Cells that lose all members drop out (standard k-means collapse;
+    * deterministic on both engines). */
+  def kmeansCodebook(corpus: DataFrame, numCells: Int = 16, iters: Int = 2): DataFrame = {
+    graft.functions.LongArrayDot.register(corpus.sparkSession)
+    val v = spread(corpus)
+      .select(col("vec_id"), quantize(col("embedding")).as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = v.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cell_id"), col("nv").as("cv"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = v
+        .crossJoin(broadcast(cents))
+        .withColumn("cell_sim", cosineQ(col("nv"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cell_id"), col("nv")),
+          struct(col("cell_sim"), -col("cell_id"))).as("m"))
+        .select(col("m.cell_id").as("cell_id"), col("m.nv").as("nv"))
+      cents = assigned
+        .select(col("cell_id"), posexplode(col("nv")).as(Seq("pos", "val")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(floor(sum(col("val")).cast("double") / count(lit(1))).cast("long").as("comp"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+          _.getField("comp")).as("cv"))
+        .localCheckpoint()
+    }
+    v.unpersist()
+    cents
+  }
+
   /** IVF-Flat ANN top-k: corpus vectors are assigned to the cell of
     * their nearest centroid (one broadcast-join + rank pass); a query
     * probes its `nProbe` nearest cells and scores only those members.
-    * Centroids here are a deterministic subset of the corpus (ids
-    * `< numCells`) standing in for a k-means pass — the index
-    * structure, probe path, and cost model are the real thing; plug a
-    * trained codebook in for production. */
+    * `centroids` takes a trained codebook (cell_id, cv quantized) —
+    * see [[kmeansCodebook]]; when absent, a deterministic corpus
+    * subset (ids `< numCells`) stands in, which keeps the probe path
+    * testable without a training pass. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              numCells: Int = 16, nProbe: Int = 2): DataFrame = {
+              numCells: Int = 16, nProbe: Int = 2,
+              centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.LongArrayDot.register(corpus.sparkSession)
-    val cents = corpus
-      .filter(col("vec_id") < numCells)
-      .select(col("vec_id").as("cell_id"), quantize(col("embedding")).as("cv"))
+    val cents = centroids.getOrElse(
+      corpus
+        .filter(col("vec_id") < numCells)
+        .select(col("vec_id").as("cell_id"), quantize(col("embedding")).as("cv")))
     def assign(df: DataFrame, idOut: String, vecOut: String, keep: Int): DataFrame = {
       val scored = spread(df)
         .select(col("vec_id").as(idOut), quantize(col("embedding")).as(vecOut))
