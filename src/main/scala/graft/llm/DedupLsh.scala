@@ -126,9 +126,18 @@ object DedupLsh {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: a persisted plan still NESTS the
+    // previous iteration's join, so analysis/codegen time grows with
+    // component diameter even though the data is cached. Checkpointing
+    // cuts lineage to a LogicalRDD — every iteration's plan is O(1)
+    // deep and per-iteration time stays flat (spec: 21-node chain).
+    // localCheckpoint trades fault-tolerance for speed (lost-executor
+    // recomputation is impossible); a reliable checkpoint dir is the
+    // swap-in for long multi-hour cluster runs. Superseded checkpoint
+    // RDDs are released by the ContextCleaner once unreferenced.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -140,12 +149,11 @@ object DedupLsh {
         .join(prop, labels("id") === prop("src"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val changed = updated
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old"))
         .limit(1).count()
-      labels.unpersist()
       labels = updated
       converged = changed == 0
       i += 1

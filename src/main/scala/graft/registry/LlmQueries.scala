@@ -46,6 +46,25 @@ object LlmQueries {
   private def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** One k-means iteration (assign → integer-mean update), the DuckDB
+    * twin of a Similarity.kmeansCodebook loop body. `prev` is the
+    * incoming centroid CTE; emits CTEs `assignName` and `centsName`. */
+  private def kmeansIterSql(prev: String, assignName: String, centsName: String): String =
+    s"""$assignName AS (
+       |  SELECT cell_id, nv FROM (
+       |    SELECT v.vec_id, v.nv, c.cell_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosineSql("v.nv", "c.cv")} DESC, c.cell_id) AS rnk
+       |    FROM v CROSS JOIN $prev c)
+       |  WHERE rnk = 1),
+       |$centsName AS (
+       |  SELECT cell_id, list(comp ORDER BY pos) AS cv FROM (
+       |    SELECT cell_id, g.pos,
+       |      CAST(floor(CAST(SUM(nv[g.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+       |    FROM $assignName CROSS JOIN generate_series(1, 64) AS g(pos)
+       |    GROUP BY cell_id, g.pos)
+       |  GROUP BY cell_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_exact_dedup" -> { (s, dir) =>
       DedupLsh.exactDedup(corpusExact(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -68,19 +87,15 @@ object LlmQueries {
         .orderBy("doc_id")
     },
     "x4_ngram_jaccard" -> { (s, dir) =>
-      val d = Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("tk", split(col("text"), "\\s+"))
-        .select(col("doc_id"), col("lang"),
-          floor(col("n_chars") / lit(100.0)).cast("long").as("len_bucket"),
-          DedupLsh.shinglesFromTokens(col("tk"), 3).as("sh"))
-      val a = d.select(col("lang"), col("len_bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = d.select(col("lang"), col("len_bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      // corpus-sized self-join: never let the planner broadcast a side
-      a.join(b.hint("shuffle_hash"), Seq("lang", "len_bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), DedupLsh.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-        .filter(col("jaccard") > 0.05)
+      // n-gram Jaccard with banded-LSH candidate generation: 6 bands ×
+      // 2 rows, exact Jaccard verify at a low 0.05 threshold. Bucket
+      // occupancy is bounded by minhash-agreement, not by corpus share —
+      // the earlier (lang, len_bucket) bucket self-join held a constant
+      // fraction of the corpus in one bucket and went O(bucket²) at
+      // scale. Recall bound (documented tradeoff): a pair with true
+      // Jaccard s is a candidate with P = 1-(1-s²)⁶.
+      DedupLsh.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 12, numBands = 6, threshold = 0.05)
         .orderBy("id_a", "id_b")
     },
     "x5_cosine_topk" -> { (s, dir) =>
@@ -97,8 +112,11 @@ object LlmQueries {
     },
     "x7_ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
+      // real IVF: 2-iteration deterministic k-means codebook (fixed
+      // init = ids < 16), then the probe path against trained cells
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
-        numCells = 16, nProbe = 2)
+        numCells = 16, nProbe = 2,
+        centroids = Some(Similarity.kmeansCodebook(emb, numCells = 16, iters = 2)))
         .orderBy("query_id", "rank")
     },
     "y1_langid" -> { (s, dir) =>
@@ -168,6 +186,9 @@ object LlmQueries {
     val bands4 = (0 until 4).map { b =>
       s"'$b#' || sig[${b * 3 + 1}] || '#' || sig[${b * 3 + 2}] || '#' || sig[${b * 3 + 3}]"
     }.mkString("[", ", ", "]")
+    val bands6x2 = (0 until 6).map { b =>
+      s"'$b#' || sig[${b * 2 + 1}] || '#' || sig[${b * 2 + 2}]"
+    }.mkString("[", ", ", "]")
 
     def langHits(ws: Seq[String]): String = {
       val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
@@ -217,17 +238,20 @@ object LlmQueries {
            |  GROUP BY id)
            |ORDER BY doc_id""".stripMargin,
       "x4_ngram_jaccard" ->
-        s"""WITH d AS (
-           |  SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
-           |         $shSql AS sh
-           |  FROM (SELECT *, regexp_split_to_array(text, '\\s+') AS tk FROM documents))
-           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-           |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-           |FROM d a JOIN d b
-           |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-           |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) > 0.05
+        s"""WITH sh AS (
+           |  SELECT doc_id AS id, $shSql AS sh
+           |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
+           |  WHERE len($shSql) > 0
+           |), sig AS (
+           |  SELECT id, sh, $minhash12 AS sig FROM sh
+           |), bands AS (
+           |  SELECT id, sh, unnest($bands6x2) AS band FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id)
+           |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.05
            |ORDER BY id_a, id_b""".stripMargin,
       "x5_cosine_topk" ->
         s"""WITH c AS (SELECT vec_id AS neighbor_id, ${qvSql("embedding")} AS nv FROM embeddings),
@@ -265,24 +289,25 @@ object LlmQueries {
            |  FROM scored)
            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
       "x7_ann_ivf" ->
-        s"""WITH cents AS (
-           |  SELECT vec_id AS cell_id, ${qvSql("embedding")} AS cv
-           |  FROM embeddings WHERE vec_id < 16),
+        s"""WITH v AS (
+           |  SELECT vec_id, ${qvSql("embedding")} AS nv FROM embeddings),
+           |c0 AS (
+           |  SELECT vec_id AS cell_id, nv AS cv FROM v WHERE vec_id < 16),
+           |${kmeansIterSql("c0", "a1", "c1")},
+           |${kmeansIterSql("c1", "a2", "c2")},
            |members AS (
            |  SELECT neighbor_id, nv, cell_id FROM (
-           |    SELECT v.neighbor_id, v.nv, c.cell_id,
-           |      row_number() OVER (PARTITION BY v.neighbor_id
+           |    SELECT v.vec_id AS neighbor_id, v.nv, c.cell_id,
+           |      row_number() OVER (PARTITION BY v.vec_id
            |        ORDER BY ${cosineSql("v.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
-           |    FROM (SELECT vec_id AS neighbor_id, ${qvSql("embedding")} AS nv
-           |          FROM embeddings) v CROSS JOIN cents c)
+           |    FROM v CROSS JOIN c2 c)
            |  WHERE cell_rank = 1),
            |probes AS (
            |  SELECT query_id, qv, cell_id FROM (
-           |    SELECT q.query_id, q.qv, c.cell_id,
-           |      row_number() OVER (PARTITION BY q.query_id
-           |        ORDER BY ${cosineSql("q.qv", "c.cv")} DESC, c.cell_id) AS cell_rank
-           |    FROM (SELECT vec_id AS query_id, ${qvSql("embedding")} AS qv
-           |          FROM embeddings WHERE vec_id < 5) q CROSS JOIN cents c)
+           |    SELECT q.vec_id AS query_id, q.nv AS qv, c.cell_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cosineSql("q.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
+           |    FROM (SELECT * FROM v WHERE vec_id < 5) q CROSS JOIN c2 c)
            |  WHERE cell_rank <= 2),
            |scored AS (
            |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine
