@@ -32,8 +32,10 @@ object StreamQueries {
       col("event_id").as("entry_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"),
       floor(col("value")).cast("long").as("pageview_count"), col("event_type"))
+    // 0.01 relative error: the cut points only shape batch sizes, never
+    // results, so an exact (full-accuracy) sketch would be wasted work
     val Array(lo, m1, m2) = Array(0.25, 0.5, 0.75).map(q =>
-      ev.stat.approxQuantile("ts_us", Array(q), 0.0).head.toLong)
+      ev.stat.approxQuantile("ts_us", Array(q), 0.01).head.toLong)
     Seq(
       ("b0", col("ts_us") <= lo),
       ("b1", col("ts_us") > lo && col("ts_us") <= m1),
@@ -58,6 +60,17 @@ object StreamQueries {
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st4_ckpt"),
           Streams.sessionWindowAgg, OutputMode.Complete())
+        .orderBy("user_id", "session_start_us")
+    },
+    "st4_session_window_append" -> { (s, dir) =>
+      // production-mode twin: Append output + watermark eviction; one
+      // file per trigger forces real cross-batch state + watermark
+      // progression (sessions spanning files merge before emission)
+      val glob = writeMicroBatches(s, dir, scratch(dir, "st4a"))
+      Streams
+        .runFileStream(s, glob, streamSchema, scratch(dir, "st4a_ckpt"),
+          df => Streams.sessionWindowAppend(df), OutputMode.Append(),
+          maxFilesPerTrigger = Some(1))
         .orderBy("user_id", "session_start_us")
     },
     "st5_stream_stitch" -> { (s, dir) =>
@@ -93,6 +106,30 @@ object StreamQueries {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(pageview_count) AS BIGINT) AS pv_sum
         |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    // Append-mode twin: only sessions CLOSED by the final watermark
+    // (= global max event time at 0s delay) are emitted; each user's
+    // still-open last session is withheld in state
+    "st4_session_window_append" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value) AS BIGINT) AS pageview_count
+        |  FROM events
+        |), sess AS (
+        |  SELECT *, SUM(CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000
+        |                     THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+        |        FROM e)
+        |), agg AS (
+        |  SELECT user_id, MIN(ts_us) AS session_start_us,
+        |         MAX(ts_us) + 1800000000 AS session_end_us,
+        |         COUNT(*) AS n_events,
+        |         CAST(SUM(pageview_count) AS BIGINT) AS pv_sum
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT agg.* FROM agg, (SELECT MAX(ts_us) AS w FROM e) wm
+        |WHERE session_end_us < wm.w
         |ORDER BY user_id, session_start_us""".stripMargin,
     // every event except each user's last gets the dwell to its
     // successor — batch twin of the stateful stitch

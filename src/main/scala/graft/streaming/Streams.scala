@@ -84,6 +84,28 @@ object Streams {
       .select(col("user_id"), unix_micros(col("sw.start")).as("session_start_us"),
         unix_micros(col("sw.end")).as("session_end_us"), col("n_events"), col("pv_sum"))
 
+  /** ST4 production twin — Append-mode session windows with
+    * watermark-driven state eviction. This is the variant a forever-
+    * running stream needs (the reference's streaming DAG runs
+    * unbounded under Airflow, dags/dwh_dag.py:245-248): a session is
+    * emitted exactly once, when the event-time watermark passes its
+    * end, and its state is evicted — state size is bounded by the
+    * OPEN-session count, not by history. The Complete-mode twin
+    * [[sessionWindowAgg]] stays for full-replay parity checks.
+    *
+    * Emission rule (encoded in the oracle): with a 0-second delay the
+    * final watermark of an AvailableNow run is the global max event
+    * time, so exactly the sessions with `end < max(ts)` are emitted —
+    * each user's last session (and nothing else) is still open. */
+  def sessionWindowAppend(events: DataFrame, delay: String = "0 seconds"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("pageview_count")).as("pv_sum"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"), col("n_events"), col("pv_sum"))
+
   /** ST5 — cross-batch dwell stitch. Emits, for every event that has a
     * successor in its user's stream (possibly in a later micro-batch),
     * the dwell time to that successor. The user's final event stays in
