@@ -160,6 +160,52 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("Cluster assignment: 21-node chain (diameter 20) converges with flat iterations") {
+    // 20 propagation hops; without per-iteration lineage truncation the
+    // nested-join plan at this depth stalls in analysis/codegen — the
+    // localCheckpoint design completes it in seconds
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.llm.DedupLsh.nearDupClusters(chain, maxIter = 25)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == (0L to 20L).map(i => i -> 0L))
+  }
+
+  test("Flatten: recursive dotted leaves, odd names, arrays stay leaves") {
+    val df = Seq((1L, "t", Seq(1, 2))).toDF("id", "x", "arr")
+      .select(col("id"),
+        struct(col("x").as("a.b"),
+          struct(col("x").as("deep"), col("arr")).as("in")).as("s"))
+    val out = graft.ops.Flatten.flatten(df)
+    assert(out.columns.toSeq == Seq("id", "s.a.b", "s.in.deep", "s.in.arr"))
+    assert(out.schema("s.in.arr").dataType.typeName == "array")
+    val r = out.head()
+    assert(r.getLong(0) == 1L && r.getString(1) == "t" && r.getString(2) == "t")
+  }
+
+  test("Flatten: parseAndFlatten types JSON strings then flattens") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("u", LongType),
+      StructField("d", StructType(Seq(StructField("k", StringType))))))
+    val df = Seq((1L, """{"u": 7, "d": {"k": "v"}}""")).toDF("id", "js")
+    val out = graft.ops.Flatten.parseAndFlatten(df, "js", schema)
+    assert(out.columns.toSeq == Seq("id", "js.u", "js.d.k"))
+    val r = out.head()
+    assert(r.getLong(1) == 7L && r.getString(2) == "v")
+  }
+
+  test("P4 hash sample: deterministic, ~fraction-sized, membership is a row property") {
+    val df = spark.range(20000).toDF("id")
+    val s1 = Rows.hashSample(df, Seq("id"), 0.1).as[Long].collect().toSet
+    val s2 = Rows.hashSample(df, Seq("id"), 0.1).as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(s1.size > 1500 && s1.size < 2600) // 26/256 ≈ 10.2 % expected
+    // membership depends only on the key: sampling a filtered frame
+    // yields exactly the sample's intersection with the filter
+    val sub = Rows.hashSample(df.filter(col("id") < 10000), Seq("id"), 0.1)
+      .as[Long].collect().toSet
+    assert(sub == s1.filter(_ < 10000L))
+  }
+
   test("Skew: salted aggregate equals plain groupBy aggregate") {
     val df = spark.range(5000)
       .withColumn("k", when(col("id") % 10 === 0, "rare").otherwise("hot"))
@@ -181,6 +227,62 @@ class OperatorsSpec extends SparkSpec {
     assert(json.contains("\"n_rows\": 2"))
     assert(json.contains("\"format_check.v\": {\"expected\": \"bigint\", \"actual\": \"bigint\", \"ok\": true}"))
     assert(json.contains("\"format_check.x\": {\"expected\": \"string\", \"actual\": \"missing\", \"ok\": false}"))
+  }
+
+  test("K8: guarded wrapper writes a failure alert and rethrows") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_alerts"
+    graft.streaming.Streams.deleteDir(spark, dir)
+    val e = intercept[RuntimeException] {
+      graft.quality.Alerts.guarded(dir, "e1 ingest") {
+        throw new RuntimeException("boom: watermark missing")
+      }
+    }
+    assert(e.getMessage.contains("boom"))
+    val files = new java.io.File(dir).listFiles()
+    assert(files.length == 1 && files.head.getName.startsWith("alert_e1_ingest"))
+    val json = java.nio.file.Files.readString(files.head.toPath)
+    assert(json.contains("\"job\": \"e1 ingest\"") && json.contains("\"status\": \"failed\""))
+    assert(json.contains("boom: watermark missing"))
+  }
+
+  test("K8: session listener alerts on a failed action") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_alerts_listener"
+    graft.streaming.Streams.deleteDir(spark, dir)
+    val l = graft.quality.Alerts.install(spark, dir)
+    try {
+      intercept[Exception] {
+        spark.range(10).selectExpr("raise_error('listener boom')").collect()
+      }
+      // listener dispatch is async (listener bus): poll briefly
+      val deadline = System.currentTimeMillis() + 15000
+      var files = Array.empty[java.io.File]
+      while (files.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      }
+      assert(files.nonEmpty, "no alert file written by listener")
+    } finally graft.quality.Alerts.uninstall(spark, l)
+  }
+
+  test("IVF: trained k-means codebook reaches brute-force recall on clustered corpus") {
+    // 4 well-separated clusters; ids interleaved (id % 4 = cluster) so
+    // the fixed init (vec_id < numCells) spans all clusters
+    val dim = 8
+    def vec(cluster: Int, i: Int): Array[Float] =
+      Array.tabulate(dim)(j =>
+        (if (j == cluster * 2) 10f else 0f) + ((i * 31 + j * 7) % 5) * 0.1f)
+    val rows = for (c <- 0 until 4; i <- 0 until 50) yield ((i * 4 + c).toLong, vec(c, i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 4)
+    val cb = Similarity.kmeansCodebook(emb, numCells = 4, iters = 2)
+    assert(cb.count() == 4L)
+    val ivf = Similarity
+      .ivfTopK(emb, queries, k = 5, numCells = 4, nProbe = 1, centroids = Some(cb))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf intersect bf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
   test("Multimodal: batched mapPartitions decode equals expression decode") {
