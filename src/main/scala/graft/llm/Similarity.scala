@@ -184,6 +184,37 @@ object Similarity {
       when(call_function("dotq", qv, planeLit) > 0L, "1").otherwise("0")
     }: _*)
 
+  /** Embedding-cosine near-dup pairs — the vector-space member of the
+    * dedup family (exact / MinHash / SimHash / n-gram Jaccard /
+    * embedding-cosine): all corpus pairs with cosine ≥ threshold,
+    * candidates generated by multi-table sign-bucket LSH so the only
+    * joins are equi-joins on bucket keys — never an all-pairs product.
+    * Same scale shape as [[graft.llm.DedupLsh.nearDupPairs]]: persist
+    * before the self-join, shuffle_hash against planner size
+    * underestimates, cost ∝ bucket occupancy. Recall: a near-dup pair
+    * collides in a table unless the perturbation flips one of that
+    * table's plane signs; `tables` independent tables drive the miss
+    * rate down geometrically. */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
+                            numPlanes: Int = 4, dim: Int = 64,
+                            tables: Int = 2): DataFrame = {
+    graft.functions.LongArrayDot.register(corpus.sparkSession)
+    val allPlanes = (0 until tables).map(t => planes(numPlanes, dim, s"plane$t~"))
+    val v = spread(corpus)
+      .select(col("vec_id"), quantize(col("embedding")).as("nv"))
+      .withColumn("bucket", explode(array(allPlanes.zipWithIndex.map {
+        case (pls, t) => concat(lit(s"$t#"), lshBucket(col("nv"), pls))
+      }: _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = v.select(col("bucket"), col("vec_id").as("id_a"), col("nv").as("nv_a"))
+    val b = v.select(col("bucket"), col("vec_id").as("id_b"), col("nv").as("nv_b"))
+    a.join(b.hint("shuffle_hash"), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosineQ(col("nv_a"), col("nv_b")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+
   /** LSH-bucketed ANN top-k: queries only score corpus vectors that
     * share a sign-bucket in at least one of `tables` independent hash
     * tables. Equi-joins on bucket keys — no cross product; more tables

@@ -28,6 +28,31 @@ object LlmQueries {
       concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text")))
   }
 
+  /** embeddings ∪ deterministically-perturbed clone at vec_id+10000:
+    * component j gets +0.01·(((vec_id+j) mod 3) − 1) — replayable
+    * noise, cosine to the original ≈ 0.999. */
+  private def corpusEmb(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+    // perturb FIRST, re-key second: with both in one select list the
+    // lambda's col("vec_id") resolves to the lateral alias (+10000),
+    // silently shifting the noise pattern (caught by the oracle diff)
+    e.unionByName(
+      e.select(col("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          x + lit(0.01) * (((col("vec_id") + j) % 3) - 1)).as("embedding"))
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+  }
+
+  private val CorpusEmbSql =
+    """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      |FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 10000,
+      |  list_transform(generate_series(1, 64),
+      |    i -> CAST(embedding[i] AS DOUBLE) + 0.01 * (((vec_id + i - 1) % 3) - 1))
+      |FROM embeddings""".stripMargin
+
   private val CorpusExactSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL SELECT doc_id + 10000, text FROM documents""".stripMargin
@@ -118,6 +143,14 @@ object LlmQueries {
         numCells = 16, nProbe = 2,
         centroids = Some(Similarity.kmeansCodebook(emb, numCells = 16, iters = 2)))
         .orderBy("query_id", "rank")
+    },
+    "x9_embed_neardup" -> { (s, dir) =>
+      // vector-space dedup: LSH-bucketed candidates (4 planes × 2
+      // tables here for test-corpus recall; production raises numPlanes
+      // so 2^p buckets keep per-bucket quadratic cost bounded), exact
+      // cosine verify at 0.99 over the perturbed-clone corpus
+      Similarity.embeddingNearDupPairs(corpusEmb(s, dir), threshold = 0.99)
+        .orderBy("id_a", "id_b")
     },
     "y1_langid" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -318,6 +351,20 @@ object LlmQueries {
            |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
            |  FROM scored)
            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      "x9_embed_neardup" ->
+        s"""WITH corpus AS ($CorpusEmbSql),
+           |v AS (SELECT vec_id, ${qvSql("embedding")} AS nv FROM corpus),
+           |b AS (
+           |  SELECT vec_id, nv, unnest([
+           |    '0#' || ${bucketSql("nv", "plane0~")},
+           |    '1#' || ${bucketSql("nv", "plane1~")}]) AS bucket
+           |  FROM v),
+           |pairs AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+           |    ${cosineSql("a.nv", "b2.nv")} AS cosine
+           |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+           |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
+           |ORDER BY id_a, id_b""".stripMargin,
       "y1_langid" ->
         s"""SELECT doc_id,
            |  CASE WHEN hd >= he AND hd >= hf AND hd > 0 THEN 'de'
