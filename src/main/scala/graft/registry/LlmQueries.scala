@@ -118,9 +118,9 @@ object LlmQueries {
       // the earlier (lang, len_bucket) bucket self-join held a constant
       // fraction of the corpus in one bucket and went O(bucket²) at
       // scale. Recall bound (documented tradeoff): a pair with true
-      // Jaccard s is a candidate with P = 1-(1-s²)⁶.
+      // Jaccard s is a candidate with P = 1-(1-s²)⁴.
       DedupLsh.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 12, numBands = 6, threshold = 0.05)
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.05)
         .orderBy("id_a", "id_b")
     },
     "x5_cosine_topk" -> { (s, dir) =>
@@ -219,7 +219,10 @@ object LlmQueries {
     val bands4 = (0 until 4).map { b =>
       s"'$b#' || sig[${b * 3 + 1}] || '#' || sig[${b * 3 + 2}] || '#' || sig[${b * 3 + 3}]"
     }.mkString("[", ", ", "]")
-    val bands6x2 = (0 until 6).map { b =>
+    val minhash8 = (0 until 8).map { s =>
+      s"list_aggregate(list_transform(sh, x -> md5('$s|' || x)), 'min')"
+    }.mkString("[", ", ", "]")
+    val bands4x2 = (0 until 4).map { b =>
       s"'$b#' || sig[${b * 2 + 1}] || '#' || sig[${b * 2 + 2}]"
     }.mkString("[", ", ", "]")
 
@@ -276,9 +279,9 @@ object LlmQueries {
            |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
            |  WHERE len($shSql) > 0
            |), sig AS (
-           |  SELECT id, sh, $minhash12 AS sig FROM sh
+           |  SELECT id, sh, $minhash8 AS sig FROM sh
            |), bands AS (
-           |  SELECT id, sh, unnest($bands6x2) AS band FROM sig
+           |  SELECT id, sh, unnest($bands4x2) AS band FROM sig
            |), pairs AS (
            |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
