@@ -106,6 +106,21 @@ object LlmQueries {
             shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5))
         .orderBy("id")
     },
+    "x10_dedup_apply" -> { (s, dir) =>
+      // end-to-end dedup application: pairs → connected components →
+      // drop non-canonical members (label ≠ id) via left_anti — the
+      // corpus a training pipeline actually keeps. Anti-join shuffles
+      // on doc_id only (drop-list is cluster members, not the corpus).
+      val corpus = corpusNear(s, dir)
+      val clusters = DedupLsh.nearDupClusters(
+        DedupLsh.nearDupPairs(corpus, "doc_id", "text",
+          shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5))
+      val drop = clusters.filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      corpus.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .orderBy("doc_id")
+    },
     "x3_simhash" -> { (s, dir) =>
       DedupLsh.simhash(Tables.documents(s, dir), "doc_id", "text", bits = 16)
         .withColumnRenamed("id", "doc_id")
@@ -264,6 +279,20 @@ object LlmQueries {
            |  UNION
            |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
            |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+      "x10_dedup_apply" ->
+        s"""WITH RECURSIVE np AS ($x2Core),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM np
+           |  UNION SELECT id_b, id_a FROM np),
+           |reach AS (
+           |  SELECT src AS id, src AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+           |clusters AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+           |allc AS ($CorpusNearSql)
+           |SELECT doc_id, md5(text) AS digest FROM allc
+           |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster)
+           |ORDER BY doc_id""".stripMargin,
       "x3_simhash" ->
         s"""SELECT id AS doc_id, $simhashConcat AS simhash
            |FROM (
