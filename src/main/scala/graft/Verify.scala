@@ -14,6 +14,7 @@ object Verify {
       // dump timestamps as TIMESTAMP_MICROS so the DuckDB-side compare
       // sees the exact same µs values (INT96 would round-trip via ns)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -73,13 +73,25 @@ case class LongArrayDot(left: Expression, right: Expression)
 }
 
 object LongArrayDot {
+
+  private val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "dotq(arrayA, arrayB) takes 2 arguments")
+    LongArrayDot(args.head, args(1))
+  }
+
   /** Make `dotq(a, b)` available to `expr(...)` in this session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dotq",
-      { args: Seq[Expression] =>
-        require(args.length == 2, "dotq(arrayA, arrayB) takes 2 arguments")
-        LongArrayDot(args.head, args(1))
-      },
-      "built-in")
+      "dotq", builder, "built-in")
+
+  /** Descriptor for `SparkSessionExtensions.injectFunction` — sessions
+    * built with [[graft.plans.GraftExtensions]] get `dotq` without a
+    * per-session register() call. */
+  val descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("dotq"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[LongArrayDot].getName, "dotq"),
+    builder)
 }

@@ -1,0 +1,66 @@
+package graft.plans
+
+import graft.functions.LongArrayDot
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+/** Optimizer rule: fuse the composable HOF dot product
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,v) -> acc+v)`
+  * into the native codegen [[graft.functions.LongArrayDot]] loop.
+  *
+  * The HOF chain allocates an intermediate array and runs two
+  * interpreted lambdas per row (measured 15.8 s vs 3.6 s over 20k
+  * vectors — `Similarity.lshBucket` scaladoc); after this rule,
+  * user-written HOF dot products get the fused loop without knowing
+  * the `dotq` function exists.
+  *
+  * Strictly semantics-preserving, so the fusion only fires when both
+  * sides are `array<bigint>` with non-nullable elements (a null
+  * element makes the HOF yield null, while dotq counts it as 0), and
+  * the rewrite keeps the HOF's length-mismatch behavior (zip_with
+  * pads with null ⇒ whole result null) by guarding the fused loop
+  * with a size-equality check.
+  */
+object DotFusionRule extends Rule[LogicalPlan] {
+
+  private def isNonNullLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, false) => true
+    case _                          => false
+  }
+
+  /** body vars are exactly the lambda's two declared arguments. */
+  private def usesOwnArgs(vars: Seq[NamedLambdaVariable], args: Seq[NamedExpression]): Boolean = {
+    val argIds = args.collect { case v: NamedLambdaVariable => v.exprId }
+    argIds.length == 2 && vars.map(_.exprId).toSet == argIds.toSet
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(a, b,
+            LambdaFunction(Multiply(mx: NamedLambdaVariable, my: NamedLambdaVariable, _), mArgs, _)),
+          Literal(0L, LongType),
+          LambdaFunction(Add(ax: NamedLambdaVariable, ay: NamedLambdaVariable, _), aArgs, _),
+          LambdaFunction(fin: NamedLambdaVariable, finArgs, _))
+        if isNonNullLongArray(a) && isNonNullLongArray(b) &&
+          usesOwnArgs(Seq(mx, my), mArgs) && usesOwnArgs(Seq(ax, ay), aArgs) &&
+          finArgs.collect { case v: NamedLambdaVariable => v.exprId } == Seq(fin.exprId) =>
+      If(
+        EqualTo(Size(a, legacySizeOfNull = false), Size(b, legacySizeOfNull = false)),
+        LongArrayDot(a, b),
+        Literal(null, LongType))
+  }
+}
+
+/** Session extensions: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * (or `.config(...)` on the builder) gives every session the `dotq`
+  * function and the HOF dot-product fusion — the full
+  * `SparkSessionExtensions` path for engine-level additions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => DotFusionRule)
+    ext.injectFunction(LongArrayDot.descriptor)
+  }
+}

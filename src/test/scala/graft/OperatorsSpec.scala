@@ -139,6 +139,33 @@ class OperatorsSpec extends SparkSpec {
     assert(composable == Seq(32L))
   }
 
+  test("DotFusionRule: HOF dot product fuses to native dotq, results unchanged") {
+    // inputs derive from col("id") so nothing constant-folds away
+    def arr(lo: Long, hi: Long) =
+      transform(sequence(lit(lo), lit(hi)), x => x + col("id"))
+    val base = spark.range(1).select(arr(1L, 3L).as("a"), arr(4L, 6L).as("b"))
+    val df = base.select(graft.llm.Similarity.dotQComposable(col("a"), col("b")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("dotq"), s"fusion did not fire:\n$optimized")
+    assert(!optimized.contains("aggregate("), "HOF chain survived fusion")
+    assert(df.as[Long].head() == 32L)
+    // length mismatch keeps the HOF's null semantics through the guard
+    val mism = spark.range(1).select(arr(1L, 2L).as("a"), arr(4L, 6L).as("b"))
+      .select(graft.llm.Similarity.dotQComposable(col("a"), col("b")).as("d"))
+    assert(mism.select(col("d").isNull).as[Boolean].head())
+    // nullable elements → rule must NOT fire (dotq treats null as 0,
+    // the HOF yields null — different semantics)
+    val nullable = spark.range(1)
+      .select(transform(sequence(lit(1L), lit(3L)),
+        x => when(x === 2L, lit(null)).otherwise(x + col("id"))).as("a"),
+        arr(4L, 6L).as("b"))
+      .select(graft.llm.Similarity.dotQComposable(col("a"), col("b")).as("d"))
+    assert(!nullable.queryExecution.optimizedPlan.toString.contains("dotq"))
+    assert(nullable.select(col("d").isNull).as[Boolean].head())
+    // injected function: dotq resolves without a register() call
+    assert(base.selectExpr("dotq(a, b)").as[Long].head() == 32L)
+  }
+
   test("LSH guarantee: exact-duplicate texts always land in every band bucket") {
     val docs = (0L until 30L).map(i => (i, s"alpha beta gamma delta epsilon zeta token$i end"))
     val corpus = docs.toDF("doc_id", "text")
