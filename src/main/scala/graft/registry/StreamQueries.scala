@@ -80,6 +80,14 @@ object StreamQueries {
           maxFilesPerTrigger = Some(1))
         .orderBy("user_id", "session_start_us")
     },
+    "st6_tumbling_window" -> { (s, dir) =>
+      val glob = writeMicroBatches(s, dir)
+      Streams
+        .runFileStream(s, glob, streamSchema, scratch(dir, "st6_ckpt"),
+          df => Streams.tumblingAgg(df), OutputMode.Append(),
+          maxFilesPerTrigger = Some(1))
+        .orderBy("window_start_us")
+    },
     "st5_stream_stitch" -> { (s, dir) =>
       val glob = writeMicroBatches(s, dir)
       Streams
@@ -87,6 +95,24 @@ object StreamQueries {
           df => Streams.stitchDwell(s, df), OutputMode.Append(),
           maxFilesPerTrigger = Some(1))
         .orderBy("entry_id")
+    },
+    "st5_stream_stitch_tws" -> { (s, dir) =>
+      // modern arbitrary-state API; requires the RocksDB provider —
+      // set for this query, restored after (queries run sequentially)
+      val glob = writeMicroBatches(s, dir)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try Streams
+        .runFileStream(s, glob, streamSchema, scratch(dir, "st5tws_ckpt"),
+          df => Streams.stitchDwellTws(s, df), OutputMode.Append(),
+          maxFilesPerTrigger = Some(1))
+        .orderBy("entry_id")
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     }
   )
 
@@ -138,9 +164,33 @@ object StreamQueries {
         |SELECT agg.* FROM agg, (SELECT MAX(ts_us) AS w FROM e) wm
         |WHERE session_end_us < wm.w
         |ORDER BY user_id, session_start_us""".stripMargin,
+    // epoch-aligned hour buckets; only windows CLOSED by the final
+    // watermark (= global max event time at 0s delay) are emitted
+    "st6_tumbling_window" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS ts_us,
+        |         CAST(floor(value) AS BIGINT) AS pageview_count
+        |  FROM events
+        |), agg AS (
+        |  SELECT (ts_us // 3600000000) * 3600000000 AS window_start_us,
+        |         (ts_us // 3600000000) * 3600000000 + 3600000000 AS window_end_us,
+        |         COUNT(*) AS n_events,
+        |         CAST(SUM(pageview_count) AS BIGINT) AS pv_sum
+        |  FROM e GROUP BY 1, 2)
+        |SELECT agg.* FROM agg, (SELECT MAX(ts_us) AS w FROM e) wm
+        |WHERE window_end_us < wm.w
+        |ORDER BY window_start_us""".stripMargin,
     // every event except each user's last gets the dwell to its
     // successor — batch twin of the stateful stitch
     "st5_stream_stitch" ->
+      """SELECT user_id, event_id AS entry_id, dwell_us FROM (
+        |  SELECT user_id, event_id,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      - epoch_us(ts) AS dwell_us
+        |  FROM events)
+        |WHERE dwell_us IS NOT NULL ORDER BY entry_id""".stripMargin,
+    // same stitch semantics as st5 — the API differs, the answer must not
+    "st5_stream_stitch_tws" ->
       """SELECT user_id, event_id AS entry_id, dwell_us FROM (
         |  SELECT user_id, event_id,
         |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming twins of the incremental pipelines
@@ -106,6 +106,20 @@ object Streams {
       .select(col("user_id"), unix_micros(col("sw.start")).as("session_start_us"),
         unix_micros(col("sw.end")).as("session_end_us"), col("n_events"), col("pv_sum"))
 
+  /** ST6 — tumbling event-time windows (beyond the reference, which
+    * only has gap sessions; shipped to complete the streaming matrix).
+    * Epoch-aligned 1-hour buckets, Append mode: a window emits exactly
+    * once when the watermark passes its end, state bounded by open
+    * windows. */
+  def tumblingAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("pageview_count")).as("pv_sum"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        unix_micros(col("w.end")).as("window_end_us"), col("n_events"), col("pv_sum"))
+
   /** ST5 — cross-batch dwell stitch. Emits, for every event that has a
     * successor in its user's stream (possibly in a later micro-batch),
     * the dwell time to that successor. The user's final event stays in
@@ -127,6 +141,40 @@ object Streams {
             .withPartial(false)
             .map { case Seq(a, b) => Dwell(user, a.entry_id, b.ts_us - a.ts_us) }
       }
+      .toDF()
+  }
+
+  /** ST5 on the modern `transformWithState` API (Spark 4 arbitrary
+    * state, RocksDB-backed): identical stitch semantics to
+    * [[stitchDwell]], state held in a typed `ValueState` handle — the
+    * API a long-lived production stream should target (typed state
+    * handles, TTL support, state eviction independent of output). */
+  class DwellProcessor extends StatefulProcessor[Long, Ev, Dwell] {
+    @transient private var last: ValueState[LastEv] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastEv]("last",
+        Encoders.product[LastEv], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Dwell] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.entry_id))
+      val carried =
+        if (last.exists()) Seq(Ev(user, last.get().entry_id, last.get().ts_us)) else Seq.empty
+      val withPrev = carried ++ sorted
+      if (withPrev.nonEmpty) last.update(LastEv(withPrev.last.entry_id, withPrev.last.ts_us))
+      withPrev.iterator
+        .sliding(2)
+        .withPartial(false)
+        .map { case Seq(a, b) => Dwell(user, a.entry_id, b.ts_us - a.ts_us) }
+    }
+  }
+
+  def stitchDwellTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("entry_id").cast("long"), col("ts_us").cast("long"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new DwellProcessor, TimeMode.None(), OutputMode.Append())
       .toDF()
   }
 }
