@@ -60,6 +60,17 @@ object Quality {
     }
   }
 
+  /** A7 full form — volume summary including the reference's "deep
+    * memory" figure (quality_report.py:109-114). Rows/cols are exact;
+    * bytes is Catalyst's optimized-plan size ESTIMATE (documented as
+    * such in SURVEY §2.6 — an engine-specific stat, so it stays out of
+    * the cross-engine oracle, which checks rows/cols via `a7_volume`). */
+  def volumeEstimate(df: DataFrame): (Long, Int, BigInt) = {
+    val rows = df.count()
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    (rows, df.columns.length, bytes)
+  }
+
   /** A8 — dtype-expectation check (quality_report.py:55-64): compare
     * `DataType.simpleString` per column; "missing" when absent. */
   def dtypeCheck(df: DataFrame, expected: Map[String, String]): Seq[(String, String, String, Boolean)] = {

@@ -187,12 +187,12 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("Cluster assignment: 21-node chain (diameter 20) converges with flat iterations") {
-    // 20 propagation hops; without per-iteration lineage truncation the
-    // nested-join plan at this depth stalls in analysis/codegen — the
-    // localCheckpoint design completes it in seconds
+  test("Cluster assignment: 21-node chain (diameter 20) converges within default iterations") {
+    // pointer jumping gives O(log d) convergence, so the default
+    // maxIter=10 suffices for diameter 20; localCheckpoint keeps every
+    // iteration's plan O(1) deep (no nested-join analysis blowup)
     val chain = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = graft.llm.DedupLsh.nearDupClusters(chain, maxIter = 25)
+    val got = graft.llm.DedupLsh.nearDupClusters(chain)
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(got == (0L to 20L).map(i => i -> 0L))
   }
@@ -254,6 +254,12 @@ class OperatorsSpec extends SparkSpec {
     assert(json.contains("\"n_rows\": 2"))
     assert(json.contains("\"format_check.v\": {\"expected\": \"bigint\", \"actual\": \"bigint\", \"ok\": true}"))
     assert(json.contains("\"format_check.x\": {\"expected\": \"string\", \"actual\": \"missing\", \"ok\": false}"))
+  }
+
+  test("A7: volume estimate returns exact rows/cols and a positive size stat") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val (rows, cols, bytes) = Quality.volumeEstimate(df)
+    assert(rows == 3L && cols == 2 && bytes > 0)
   }
 
   test("K8: guarded wrapper writes a failure alert and rethrows") {
