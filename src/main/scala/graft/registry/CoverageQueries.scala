@@ -133,6 +133,30 @@ object CoverageQueries {
         .stampMetadata(shaped, "batch-sources", 2L, lit(Browsing.RunTime))
         .orderBy("log_id", "line_no")
     },
+    // Bucketed co-located join: both fact tables land bucketed+sorted
+    // on the join key, so the join needs NO exchange on either side —
+    // at 100 TB this is the difference between a full fact-fact
+    // shuffle and a metadata-only co-located merge (the one shuffle
+    // left is the final groupBy on the much smaller aggregate)
+    "j3_bucketed_join" -> { (s, dir) =>
+      s.sql("DROP TABLE IF EXISTS graft_li_b")
+      s.sql("DROP TABLE IF EXISTS graft_ord_b")
+      // catalog is per-JVM but table dirs persist across runs
+      Seq("graft_li_b", "graft_ord_b").foreach(t =>
+        graft.streaming.Streams.deleteDir(s,
+          s"${sys.props("java.io.tmpdir")}/graft_warehouse/$t"))
+      Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_li_b")
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_ord_b")
+      s.table("graft_li_b")
+        .join(s.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum(floor(col("l_quantity")).cast("long")).as("qty"))
+        .orderBy("o_custkey")
+    },
     // Skew-salted aggregation on a heavy-hitter key (80% "view"):
     // two balanced shuffles instead of one hot reduce task
     "skew_salted_agg" -> { (s, dir) =>
@@ -189,6 +213,11 @@ object CoverageQueries {
         |  '2025-06-25' AS created_date
         |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
         |ORDER BY log_id, line_no""".stripMargin,
+    "j3_bucketed_join" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+        |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS value_l_sum

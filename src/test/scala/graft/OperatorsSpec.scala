@@ -233,6 +233,29 @@ class OperatorsSpec extends SparkSpec {
     assert(sub == s1.filter(_ < 10000L))
   }
 
+  test("Bucketed co-located join: no exchange on either join side") {
+    spark.sql("DROP TABLE IF EXISTS spec_a_b")
+    spark.sql("DROP TABLE IF EXISTS spec_b_b")
+    // the in-memory catalog is per-JVM but table DIRS persist across
+    // runs — clear them or saveAsTable hits LOCATION_ALREADY_EXISTS
+    Seq("spec_a_b", "spec_b_b").foreach(t =>
+      graft.streaming.Streams.deleteDir(spark,
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse_test/$t"))
+    spark.range(1000).withColumn("v", col("id") % 7)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(4, "id").sortBy("id").saveAsTable("spec_a_b")
+    spark.range(500).withColumn("w", col("id") % 3)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(4, "id").sortBy("id").saveAsTable("spec_b_b")
+    // merge hint on the INPUT side: broadcast would bypass (and thus
+    // disable) the bucketed scan we are asserting on
+    val j = spark.table("spec_a_b").hint("merge").join(spark.table("spec_b_b"), "id")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    assert(j.count() == 500)
+  }
+
   test("Skew: salted aggregate equals plain groupBy aggregate") {
     val df = spark.range(5000)
       .withColumn("k", when(col("id") % 10 === 0, "rare").otherwise("hot"))

@@ -17,6 +17,7 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.warehouse.dir", s"${sys.props("java.io.tmpdir")}/graft_warehouse_test")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
