@@ -92,6 +92,29 @@ object Rows {
     df.filter(md5(concat_ws("#", keyCols.map(c => col(c).cast("string")): _*)) < lit(cut))
   }
 
+  /** Stratified hash sample: per-stratum keep fractions over the same
+    * md5-gated membership as [[hashSample]] — the language/source
+    * balancing step of a training-data curation pipeline. Strata not
+    * in `fractions` get `default`. Fully engine-replayable: the cut is
+    * a CASE over the stratum column, membership a pure row property. */
+  def stratifiedHashSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCols: Seq[String],
+      fractions: Map[String, Double],
+      default: Double = 0.0
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "stratifiedHashSample needs at least one key column")
+    // f ≥ 1 keeps everything: "g" sorts above every hex string, while
+    // the 3-char "100" would NOT (lexicographic "1a.." > "100")
+    def cut(f: Double): String =
+      if (f >= 1.0) "g" else f"${math.round(f * 256).toInt}%02x"
+    val cutExpr = fractions.toSeq.sortBy(_._1).foldLeft(lit(cut(default))) {
+      case (acc, (k, f)) => when(col(strataCol) === k, lit(cut(f))).otherwise(acc)
+    }
+    df.filter(md5(concat_ws("#", keyCols.map(c => col(c).cast("string")): _*)) < cutExpr)
+  }
+
   /** O5 — cell truncation, reference caps visible_content at 10 kchars
     * (py:197). */
   def truncateCell(c: Column, maxChars: Int = 10000): Column =

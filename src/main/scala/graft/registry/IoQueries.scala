@@ -43,6 +43,15 @@ object IoQueries {
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
         .orderBy("l_orderkey", "l_linenumber")
     },
+    "p10_stratified_sample" -> { (s, dir) =>
+      // per-language keep fractions (en 20%, de 5%, rest 50%) — the
+      // corpus-balancing step of a curation pipeline, membership
+      // replayable by key hash
+      Rows.stratifiedHashSample(Tables.documents(s, dir), "lang", Seq("doc_id"),
+        Map("en" -> 0.2, "de" -> 0.05), default = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
     "p5_bool_coercion" -> { (s, dir) =>
       val withStr = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"),
@@ -234,6 +243,11 @@ object IoQueries {
         |FROM lineitem
         |WHERE md5(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)) < '1a'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p10_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  (CASE WHEN lang = 'en' THEN '33' WHEN lang = 'de' THEN '0d' ELSE '80' END)
+        |ORDER BY doc_id""".stripMargin,
     "p5_bool_coercion" ->
       "SELECT event_id, (value > 50.0) AS is_big FROM events ORDER BY event_id",
     "p6_uuid_string" ->

@@ -194,6 +194,25 @@ object LlmQueries {
           TextAnalysis.minShingleFromShingles(col("sh"), col("text")).as("fp_shingle"))
         .orderBy("doc_id")
     },
+    "y5_curation_funnel" -> { (s, dir) =>
+      // the full curation path a training pipeline runs end-to-end:
+      // score (lang-ID, quality, token count) → threshold filter →
+      // per-language stratified downsample (en 50%, rest kept). All
+      // narrow per-row work until the final sample filter — one scan,
+      // zero shuffles before the output sort.
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("score"),
+          TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens"))
+      val filtered = scored.filter(
+        col("lang_pred") =!= "und" && col("score") > 0.2 && col("n_tokens") >= 5L)
+      graft.ops.Rows
+        .stratifiedHashSample(filtered, "lang_pred", Seq("doc_id"),
+          Map("en" -> 0.5), default = 1.0)
+        .select("doc_id", "lang_pred", "score")
+        .orderBy("doc_id")
+    },
     "m1_multimodal_decode" -> { (s, dir) =>
       Multimodal.decodeExprs(
         Multimodal.attachPayload(Tables.documents(s, dir), "doc_id", "text"))
@@ -406,6 +425,26 @@ object LlmQueries {
            |FROM (
            |  SELECT doc_id, ${langHits(de)} AS hd, ${langHits(en)} AS he, ${langHits(fr)} AS hf
            |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents))
+           |ORDER BY doc_id""".stripMargin,
+      "y5_curation_funnel" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id,
+           |    CASE WHEN hd >= he AND hd >= hf AND hd > 0 THEN 'de'
+           |         WHEN he >= hf AND he > 0 THEN 'en'
+           |         WHEN hf > 0 THEN 'fr'
+           |         ELSE 'und' END AS lang_pred,
+           |    least(CAST(len(ts) AS DOUBLE) / 50.0, 1.0) *
+           |    (1.0 - CAST(len(list_filter(ts, t -> list_contains($StopSql, t))) AS DOUBLE)
+           |           / CAST(len(ts) AS DOUBLE)) AS score,
+           |    CAST(len(ts) AS BIGINT) AS n_tokens
+           |  FROM (
+           |    SELECT doc_id, ${langHits(de)} AS hd, ${langHits(en)} AS he,
+           |           ${langHits(fr)} AS hf, ts
+           |    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents)))
+           |SELECT doc_id, lang_pred, score FROM scored
+           |WHERE lang_pred != 'und' AND score > 0.2 AND n_tokens >= 5
+           |  AND md5(CAST(doc_id AS VARCHAR)) <
+           |      (CASE WHEN lang_pred = 'en' THEN '80' ELSE 'g' END)
            |ORDER BY doc_id""".stripMargin,
       "y2_quality_score" ->
         s"""SELECT doc_id,

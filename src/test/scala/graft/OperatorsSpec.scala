@@ -256,6 +256,16 @@ class OperatorsSpec extends SparkSpec {
     assert(j.count() == 500)
   }
 
+  test("P10: stratified hash sample honors per-stratum fractions incl. keep-all") {
+    val df = spark.range(6000)
+      .withColumn("g", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val out = Rows.stratifiedHashSample(df.toDF(), "g", Seq("id"),
+      Map("a" -> 0.1), default = 1.0)
+    val byG = out.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG("b") == 3000L, "default 1.0 must keep every row of stratum b")
+    assert(byG("a") > 150 && byG("a") < 500, s"stratum a kept ${byG("a")} of 3000 at 10%")
+  }
+
   test("Skew: salted aggregate equals plain groupBy aggregate") {
     val df = spark.range(5000)
       .withColumn("k", when(col("id") % 10 === 0, "rare").otherwise("hot"))
