@@ -174,6 +174,55 @@ object DedupLsh {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** SimHash fingerprint as a BIGINT (bit j set when the ±1 vote sum
+    * over tokens is positive; vote j of token t = high bit of hex
+    * digit j of md5(t)). Integer form feeds the block-partitioned
+    * hamming search below. */
+  def simhashLong(df: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    require(bits <= 32, "md5 supplies 32 hex digits = 32 vote lanes")
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), "\\s+")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = (0 until bits).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+  }
+
+  /** SimHash near-dup pairs — Manku-style block-partitioned hamming
+    * search: split the fingerprint into `maxHamming + 1` equal blocks;
+    * by pigeonhole, any pair within the hamming radius shares at least
+    * one identical block, so candidate generation is an equi-join on
+    * (block_idx, block_value) with EXACT recall (no probabilistic miss,
+    * unlike minhash banding). Cost ∝ block-bucket occupancy — at real
+    * scale use 64-bit fingerprints with 16-bit blocks so each block
+    * key space is 65k-wide. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          bits: Int = 32, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = bits / blocks
+    val mask = (1L << width) - 1
+    val blk = simhashLong(df, idCol, textCol, bits)
+      .select(col("id"), col("sim"),
+        explode(array((0 until blocks).map(i =>
+          struct(lit(i).as("bi"),
+            shiftright(col("sim"), i * width).bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
+      .select(col("id"), col("sim"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = blk.select(col("bi"), col("bv"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b2 = blk.select(col("bi"), col("bv"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b2.hint("shuffle_hash"), Seq("bi", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash fingerprint, `bits` wide: bit j of token t is the high
     * bit of hex digit j of md5(t); the fingerprint bit is the sign of
     * the ±1 vote sum over tokens. Near-dups then cluster by fingerprint

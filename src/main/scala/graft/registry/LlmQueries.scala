@@ -126,6 +126,11 @@ object LlmQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
+    "x11_simhash_neardup" -> { (s, dir) =>
+      DedupLsh.simhashNearDupPairs(corpusNear(s, dir), "doc_id", "text",
+        bits = 32, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
     "x4_ngram_jaccard" -> { (s, dir) =>
       // n-gram Jaccard with banded-LSH candidate generation: 6 bands ×
       // 2 rows, exact Jaccard verify at a low 0.05 threshold. Bucket
@@ -242,6 +247,11 @@ object LlmQueries {
       val tk = "regexp_split_to_array(text, '\\s+')"
       s"list_distinct(${ngramSql("tk", 3)})"
     }
+    val simhash32Bits = (0 until 32).map { j =>
+      s"SUM(CASE WHEN substring(md5(tok), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    val sim32 = (0 until 32).map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+
     val simhashBits = (0 until 16).map { j =>
       s"SUM(CASE WHEN substring(md5(tok), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"
     }.mkString(", ")
@@ -321,6 +331,23 @@ object LlmQueries {
            |    FROM documents) t
            |  GROUP BY id)
            |ORDER BY doc_id""".stripMargin,
+      "x11_simhash_neardup" ->
+        s"""WITH corpus AS ($CorpusNearSql),
+           |fp AS (
+           |  SELECT id, CAST($sim32 AS BIGINT) AS sim FROM (
+           |    SELECT id, $simhash32Bits
+           |    FROM (SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+           |          FROM corpus) t
+           |    GROUP BY id)),
+           |blk AS (
+           |  SELECT id, sim, g.bi, (sim >> (g.bi * 8)) & 255 AS bv
+           |  FROM fp CROSS JOIN generate_series(0, 3) AS g(bi)),
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+           |  FROM blk a JOIN blk b ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
+           |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
       "x4_ngram_jaccard" ->
         s"""WITH sh AS (
            |  SELECT doc_id AS id, $shSql AS sh

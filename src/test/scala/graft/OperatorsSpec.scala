@@ -177,6 +177,22 @@ class OperatorsSpec extends SparkSpec {
     (0L until 30L).foreach(i => assert(pairs.contains((i, i + 1000L)), s"missing pair $i"))
   }
 
+  test("SimHash near-dup: block search finds EXACTLY the hamming<=3 pairs (pigeonhole)") {
+    val docs = (0L until 25L).map(i => (i, s"alpha beta gamma delta tok$i epsilon zeta eta theta"))
+    val corpus = docs.toDF("doc_id", "text")
+      .unionByName(docs.map { case (i, t) => (i + 1000L, t + " extra") }.toDF("doc_id", "text"))
+    val fp = graft.llm.DedupLsh.simhashLong(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      (a, sa) <- fp.toSeq; (b, sb) <- fp.toSeq
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "fixture should contain near-dup fingerprints")
+    val got = graft.llm.DedupLsh.simhashNearDupPairs(corpus, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("Cluster assignment: chains and triangles collapse to min-id components") {
     // components: chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
