@@ -102,6 +102,33 @@ object CoverageQueries {
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     },
+    // K9 — dynamic partition pruning: the fact is partitioned by day
+    // and the day filter lives on the DIM side, so only a runtime
+    // subquery (not a static predicate) can prune the fact scan — at
+    // 100 TB this is what keeps a dim-filtered fact join from reading
+    // the whole table. Spec asserts the dynamicpruning subquery.
+    "k9_dpp_prune" -> { (s, dir) =>
+      val p = scratch(dir, "k9part")
+      Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+        .select("event_id", "user_id", "day")
+        .write.mode("overwrite").partitionBy("day").parquet(p)
+      // partition values are type-inferred (all-digit days → int32);
+      // disable inference for the read — a cast on the join key would
+      // also defeat the partition-attribute match DPP needs
+      val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prevInf = s.conf.get(infKey)
+      s.conf.set(infKey, "false")
+      val fact =
+        try s.read.parquet(p)
+        finally s.conf.set(infKey, prevInf)
+      val dim = Tables.events(s, dir)
+        .select(date_format(col("ts"), "yyyyMMdd").as("day")).distinct()
+        .withColumn("is_target", col("day") === "20240102")
+      fact.join(broadcast(dim.filter(col("is_target"))), Seq("day"))
+        .groupBy("day").agg(count(lit(1)).as("n"))
+        .orderBy("day")
+    },
     // P8 — rename with mapping existence check
     "p8_rename_checked" -> { (s, dir) =>
       graft.quality.Quality
@@ -213,6 +240,10 @@ object CoverageQueries {
         |  '2025-06-25' AS created_date
         |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
         |ORDER BY log_id, line_no""".stripMargin,
+    "k9_dpp_prune" ->
+      """SELECT strftime(ts, '%Y%m%d') AS day, COUNT(*) AS n
+        |FROM events WHERE strftime(ts, '%Y%m%d') = '20240102'
+        |GROUP BY day ORDER BY day""".stripMargin,
     "j3_bucketed_join" ->
       """SELECT o_custkey, COUNT(*) AS n,
         |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty

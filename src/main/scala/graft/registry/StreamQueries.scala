@@ -88,6 +88,14 @@ object StreamQueries {
           maxFilesPerTrigger = Some(1))
         .orderBy("window_start_us")
     },
+    "st7_sliding_window" -> { (s, dir) =>
+      val glob = writeMicroBatches(s, dir)
+      Streams
+        .runFileStream(s, glob, streamSchema, scratch(dir, "st7_ckpt"),
+          df => Streams.slidingAgg(df), OutputMode.Append(),
+          maxFilesPerTrigger = Some(1))
+        .orderBy("window_start_us")
+    },
     "st5_stream_stitch" -> { (s, dir) =>
       val glob = writeMicroBatches(s, dir)
       Streams
@@ -177,6 +185,28 @@ object StreamQueries {
         |         COUNT(*) AS n_events,
         |         CAST(SUM(pageview_count) AS BIGINT) AS pv_sum
         |  FROM e GROUP BY 1, 2)
+        |SELECT agg.* FROM agg, (SELECT MAX(ts_us) AS w FROM e) wm
+        |WHERE window_end_us < wm.w
+        |ORDER BY window_start_us""".stripMargin,
+    // each event contributes to width/slide = 2 windows whose starts
+    // are the two slide-aligned offsets covering it; emission rule as
+    // st6 (window_end < final watermark)
+    "st7_sliding_window" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS ts_us,
+        |         CAST(floor(value) AS BIGINT) AS pageview_count
+        |  FROM events
+        |), contrib AS (
+        |  SELECT ((ts_us // 1800000000) - g.k) * 1800000000 AS window_start_us,
+        |         ts_us, pageview_count
+        |  FROM e CROSS JOIN generate_series(0, 1) AS g(k)
+        |  WHERE ts_us < ((ts_us // 1800000000) - g.k) * 1800000000 + 3600000000
+        |    AND ((ts_us // 1800000000) - g.k) >= 0
+        |), agg AS (
+        |  SELECT window_start_us, window_start_us + 3600000000 AS window_end_us,
+        |         COUNT(*) AS n_events,
+        |         CAST(SUM(pageview_count) AS BIGINT) AS pv_sum
+        |  FROM contrib GROUP BY window_start_us)
         |SELECT agg.* FROM agg, (SELECT MAX(ts_us) AS w FROM e) wm
         |WHERE window_end_us < wm.w
         |ORDER BY window_start_us""".stripMargin,

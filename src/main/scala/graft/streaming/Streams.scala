@@ -120,6 +120,20 @@ object Streams {
       .select(unix_micros(col("w.start")).as("window_start_us"),
         unix_micros(col("w.end")).as("window_end_us"), col("n_events"), col("pv_sum"))
 
+  /** ST6b — sliding event-time windows (1 h wide, 30 min slide): every
+    * event lands in exactly width/slide windows; Append emission when
+    * the watermark passes each window's end, state bounded by open
+    * windows. */
+  def slidingAgg(events: DataFrame, width: String = "1 hour",
+                 slide: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("pageview_count")).as("pv_sum"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        unix_micros(col("w.end")).as("window_end_us"), col("n_events"), col("pv_sum"))
+
   /** ST5 — cross-batch dwell stitch. Emits, for every event that has a
     * successor in its user's stream (possibly in a later micro-batch),
     * the dwell time to that successor. The user's final event stays in

@@ -249,6 +249,24 @@ class OperatorsSpec extends SparkSpec {
     assert(sub == s1.filter(_ < 10000L))
   }
 
+  test("K9: dim-side filter prunes fact partitions via dynamic pruning subquery") {
+    // needs a realistic partition count — with 2 tiny partitions the
+    // benefit heuristic (rightly) skips the pruning subquery
+    val p = s"${sys.props("java.io.tmpdir")}/graft_test_dpp"
+    graft.streaming.Streams.deleteDir(spark, p)
+    spark.range(100000)
+      .withColumn("day", concat(lit("d"), (col("id") % 50).cast("string")))
+      .write.partitionBy("day").parquet(p)
+    val fact = spark.read.parquet(p)
+    val dim = spark.range(50)
+      .select(concat(lit("d"), col("id").cast("string")).as("day"),
+        (col("id") === 1L).as("is_target"))
+    val j = fact.join(broadcast(dim.filter(col("is_target"))), Seq("day"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP subquery in plan:\n$plan")
+    assert(j.count() == 2000)
+  }
+
   test("Bucketed co-located join: no exchange on either join side") {
     spark.sql("DROP TABLE IF EXISTS spec_a_b")
     spark.sql("DROP TABLE IF EXISTS spec_b_b")
