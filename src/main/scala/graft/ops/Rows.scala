@@ -88,7 +88,10 @@ object Rows {
     */
   def hashSample(df: DataFrame, keyCols: Seq[String], fraction: Double = 0.1): DataFrame = {
     require(keyCols.nonEmpty, "hashSample needs at least one key column")
-    val cut = f"${math.round(fraction * 256).toInt}%02x"
+    // f ≥ 1 keeps everything: "g" sorts above every hex string, while
+    // the 3-char "100" would NOT (lexicographic "1a.." > "100")
+    val cut =
+      if (fraction >= 1.0) "g" else f"${math.round(fraction * 256).toInt}%02x"
     df.filter(md5(concat_ws("#", keyCols.map(c => col(c).cast("string")): _*)) < lit(cut))
   }
 
