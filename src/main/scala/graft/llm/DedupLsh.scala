@@ -174,11 +174,11 @@ object DedupLsh {
     labels.withColumnRenamed("label", "cluster")
   }
 
-  /** SimHash fingerprint as a BIGINT (bit j set when the ±1 vote sum
-    * over tokens is positive; vote j of token t = high bit of hex
-    * digit j of md5(t)). Integer form feeds the block-partitioned
-    * hamming search below. */
-  def simhashLong(df: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+  /** Shared ±1 vote aggregate behind both fingerprint forms: vote j of
+    * token t = high bit of hex digit j of md5(t); one row per id with
+    * columns b0..b{bits-1}. Factored so the bit-string and BIGINT
+    * fingerprints can never silently disagree on the vote rule. */
+  private def simhashVotes(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
     require(bits <= 32, "md5 supplies 32 hex digits = 32 vote lanes")
     val toks = df.select(col(idCol).as("id"),
       explode(split(col(textCol), "\\s+")).as("tok"))
@@ -188,10 +188,16 @@ object DedupLsh {
         .otherwise(-1)).as(s"b$j")
     }
     toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+  }
+
+  /** SimHash fingerprint as a BIGINT (bit j set when the vote sum is
+    * positive). Integer form feeds the block-partitioned hamming
+    * search below. */
+  def simhashLong(df: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame =
+    simhashVotes(df, idCol, textCol, bits)
       .select(col("id"),
         (0 until bits).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("sim"))
-  }
 
   /** SimHash near-dup pairs — Manku-style block-partitioned hamming
     * search: split the fingerprint into `maxHamming + 1` equal blocks;
@@ -227,17 +233,9 @@ object DedupLsh {
     * bit of hex digit j of md5(t); the fingerprint bit is the sign of
     * the ±1 vote sum over tokens. Near-dups then cluster by fingerprint
     * (optionally with banded sub-keys for hamming tolerance). */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(split(col(textCol), "\\s+")).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val votes = (0 until bits).map { j =>
-      sum(when(substring(col("h"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-        .otherwise(-1)).as(s"b$j")
-    }
-    val agg = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-    agg.select(col("id"),
-      concat((0 until bits).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*)
-        .as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
+    simhashVotes(df, idCol, textCol, bits)
+      .select(col("id"),
+        concat((0 until bits).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*)
+          .as("simhash"))
 }

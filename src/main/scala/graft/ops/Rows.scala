@@ -86,13 +86,25 @@ object Rows {
     * reproducible across reruns/backfills at 100 TB (membership is a
     * pure row property: no RNG state, no partition-order sensitivity).
     */
+  /** Shared hex cut: round(256·f) as 2 hex digits. Fractions that
+    * round to ≥256 (f ≳ 0.998) keep everything via the "g" sentinel —
+    * it sorts above every hex string, while the 3-char "100" would NOT
+    * (lexicographic "1a.." > "100"). */
+  private def hexCut(fraction: Double): String = {
+    val r = math.round(fraction * 256).toInt
+    if (r >= 256) "g" else f"$r%02x"
+  }
+
+  /** '#'-joined key via null-PROPAGATING concat (not concat_ws): a
+    * null key must kill membership identically to the DuckDB replay's
+    * `||`, and must not collide ('a',NULL,'b') with ('a','b',NULL). */
+  private def hashKey(keyCols: Seq[String]): Column =
+    md5(concat(keyCols.map(c => col(c).cast("string"))
+      .flatMap(c => Seq(lit("#"), c)).tail: _*))
+
   def hashSample(df: DataFrame, keyCols: Seq[String], fraction: Double = 0.1): DataFrame = {
     require(keyCols.nonEmpty, "hashSample needs at least one key column")
-    // f ≥ 1 keeps everything: "g" sorts above every hex string, while
-    // the 3-char "100" would NOT (lexicographic "1a.." > "100")
-    val cut =
-      if (fraction >= 1.0) "g" else f"${math.round(fraction * 256).toInt}%02x"
-    df.filter(md5(concat_ws("#", keyCols.map(c => col(c).cast("string")): _*)) < lit(cut))
+    df.filter(hashKey(keyCols) < lit(hexCut(fraction)))
   }
 
   /** Stratified hash sample: per-stratum keep fractions over the same
@@ -108,14 +120,10 @@ object Rows {
       default: Double = 0.0
   ): DataFrame = {
     require(keyCols.nonEmpty, "stratifiedHashSample needs at least one key column")
-    // f ≥ 1 keeps everything: "g" sorts above every hex string, while
-    // the 3-char "100" would NOT (lexicographic "1a.." > "100")
-    def cut(f: Double): String =
-      if (f >= 1.0) "g" else f"${math.round(f * 256).toInt}%02x"
-    val cutExpr = fractions.toSeq.sortBy(_._1).foldLeft(lit(cut(default))) {
-      case (acc, (k, f)) => when(col(strataCol) === k, lit(cut(f))).otherwise(acc)
+    val cutExpr = fractions.toSeq.sortBy(_._1).foldLeft(lit(hexCut(default))) {
+      case (acc, (k, f)) => when(col(strataCol) === k, lit(hexCut(f))).otherwise(acc)
     }
-    df.filter(md5(concat_ws("#", keyCols.map(c => col(c).cast("string")): _*)) < cutExpr)
+    df.filter(hashKey(keyCols) < cutExpr)
   }
 
   /** O5 — cell truncation, reference caps visible_content at 10 kchars

@@ -17,12 +17,21 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * user-written HOF dot products get the fused loop without knowing
   * the `dotq` function exists.
   *
-  * Strictly semantics-preserving, so the fusion only fires when both
-  * sides are `array<bigint>` with non-nullable elements (a null
-  * element makes the HOF yield null, while dotq counts it as 0), and
-  * the rewrite keeps the HOF's length-mismatch behavior (zip_with
-  * pads with null ⇒ whole result null) by guarding the fused loop
-  * with a size-equality check.
+  * Guards (the fusion only fires when):
+  *  - both sides are `array<bigint>` with non-nullable elements (a
+  *    null element makes the HOF yield null, while dotq counts it
+  *    as 0);
+  *  - both sides are deterministic — the rewrite duplicates them into
+  *    a size-equality check (preserving zip_with's length-mismatch ⇒
+  *    null behavior), which would otherwise re-draw a nondeterministic
+  *    input.
+  *
+  * Known, accepted deviation: on Long overflow under ANSI mode the
+  * HOF throws ARITHMETIC_OVERFLOW while the fused loop wraps. The
+  * intended domain is 1e-6 fixed-point embeddings (|component| ≤ ~1e6,
+  * dim ≤ 64 ⇒ |dot| ≤ ~6.4e13, four-thousand-fold below Long.Max), so
+  * wrapping is unreachable by construction; noted here rather than
+  * silently claimed away.
   */
 object DotFusionRule extends Rule[LogicalPlan] {
 
@@ -45,6 +54,7 @@ object DotFusionRule extends Rule[LogicalPlan] {
           LambdaFunction(Add(ax: NamedLambdaVariable, ay: NamedLambdaVariable, _), aArgs, _),
           LambdaFunction(fin: NamedLambdaVariable, finArgs, _))
         if isNonNullLongArray(a) && isNonNullLongArray(b) &&
+          a.deterministic && b.deterministic &&
           usesOwnArgs(Seq(mx, my), mArgs) && usesOwnArgs(Seq(ax, ay), aArgs) &&
           finArgs.collect { case v: NamedLambdaVariable => v.exprId } == Seq(fin.exprId) =>
       If(

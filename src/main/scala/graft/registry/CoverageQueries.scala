@@ -168,10 +168,13 @@ object CoverageQueries {
     "j3_bucketed_join" -> { (s, dir) =>
       s.sql("DROP TABLE IF EXISTS graft_li_b")
       s.sql("DROP TABLE IF EXISTS graft_ord_b")
-      // catalog is per-JVM but table dirs persist across runs
+      // catalog is per-JVM but table dirs persist across runs; derive
+      // the location from the session's warehouse conf, never a
+      // hardcoded path (a different entry point would otherwise clean
+      // the wrong dir and hit LOCATION_ALREADY_EXISTS on run 2)
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
       Seq("graft_li_b", "graft_ord_b").foreach(t =>
-        graft.streaming.Streams.deleteDir(s,
-          s"${sys.props("java.io.tmpdir")}/graft_warehouse/$t"))
+        graft.streaming.Streams.deleteDir(s, s"$wh/$t"))
       Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_li_b")

@@ -132,7 +132,7 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     },
     "x4_ngram_jaccard" -> { (s, dir) =>
-      // n-gram Jaccard with banded-LSH candidate generation: 6 bands ×
+      // n-gram Jaccard with banded-LSH candidate generation: 4 bands ×
       // 2 rows, exact Jaccard verify at a low 0.05 threshold. Bucket
       // occupancy is bounded by minhash-agreement, not by corpus share —
       // the earlier (lang, len_bucket) bucket self-join held a constant

@@ -149,8 +149,11 @@ object StreamQueries {
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
     // Append-mode twin: only sessions CLOSED by the final watermark
-    // (= global max event time at 0s delay) are emitted; each user's
-    // still-open last session is withheld in state
+    // are emitted. Empirically pinned semantics (see Streams scaladoc):
+    // Spark tracks the event-time watermark in MILLISECONDS, so at 0s
+    // delay the final watermark is floor_ms(max event time) and the
+    // emission predicate is end <= floor_ms(max) — a session ending in
+    // the sub-ms band (floor_ms(max), max) stays in state
     "st4_session_window_append" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us,
@@ -170,10 +173,10 @@ object StreamQueries {
         |         CAST(SUM(pageview_count) AS BIGINT) AS pv_sum
         |  FROM sess GROUP BY user_id, sid)
         |SELECT agg.* FROM agg, (SELECT MAX(ts_us) AS w FROM e) wm
-        |WHERE session_end_us < wm.w
+        |WHERE session_end_us <= (wm.w // 1000) * 1000
         |ORDER BY user_id, session_start_us""".stripMargin,
-    // epoch-aligned hour buckets; only windows CLOSED by the final
-    // watermark (= global max event time at 0s delay) are emitted
+    // epoch-aligned hour buckets; emission rule as st4a: watermark is
+    // ms-truncated and the predicate is end <= floor_ms(max)
     "st6_tumbling_window" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) AS ts_us,
@@ -186,11 +189,11 @@ object StreamQueries {
         |         CAST(SUM(pageview_count) AS BIGINT) AS pv_sum
         |  FROM e GROUP BY 1, 2)
         |SELECT agg.* FROM agg, (SELECT MAX(ts_us) AS w FROM e) wm
-        |WHERE window_end_us < wm.w
+        |WHERE window_end_us <= (wm.w // 1000) * 1000
         |ORDER BY window_start_us""".stripMargin,
     // each event contributes to width/slide = 2 windows whose starts
     // are the two slide-aligned offsets covering it; emission rule as
-    // st6 (window_end < final watermark)
+    // st6 (window_end <= ms-truncated final watermark)
     "st7_sliding_window" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) AS ts_us,
@@ -208,7 +211,7 @@ object StreamQueries {
         |         CAST(SUM(pageview_count) AS BIGINT) AS pv_sum
         |  FROM contrib GROUP BY window_start_us)
         |SELECT agg.* FROM agg, (SELECT MAX(ts_us) AS w FROM e) wm
-        |WHERE window_end_us < wm.w
+        |WHERE window_end_us <= (wm.w // 1000) * 1000
         |ORDER BY window_start_us""".stripMargin,
     // every event except each user's last gets the dwell to its
     // successor — batch twin of the stateful stitch

@@ -93,10 +93,13 @@ object Streams {
     * OPEN-session count, not by history. The Complete-mode twin
     * [[sessionWindowAgg]] stays for full-replay parity checks.
     *
-    * Emission rule (encoded in the oracle): with a 0-second delay the
-    * final watermark of an AvailableNow run is the global max event
-    * time, so exactly the sessions with `end < max(ts)` are emitted —
-    * each user's last session (and nothing else) is still open. */
+    * Emission rule (empirically pinned, encoded in the oracle): Spark
+    * tracks the event-time watermark in MILLISECONDS, so at 0s delay
+    * the final watermark of an AvailableNow run is floor_ms(max event
+    * time) and exactly the sessions with `end <= floor_ms(max ts)` are
+    * emitted — a session ending inside the sub-ms band
+    * (floor_ms(max), max] stays in state, as does each user's open
+    * last session. */
   def sessionWindowAppend(events: DataFrame, delay: String = "0 seconds"): DataFrame =
     events
       .withColumn("ts", timestamp_micros(col("ts_us")))

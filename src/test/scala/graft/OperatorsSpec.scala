@@ -272,9 +272,9 @@ class OperatorsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS spec_b_b")
     // the in-memory catalog is per-JVM but table DIRS persist across
     // runs — clear them or saveAsTable hits LOCATION_ALREADY_EXISTS
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     Seq("spec_a_b", "spec_b_b").foreach(t =>
-      graft.streaming.Streams.deleteDir(spark,
-        s"${sys.props("java.io.tmpdir")}/graft_warehouse_test/$t"))
+      graft.streaming.Streams.deleteDir(spark, s"$wh/$t"))
     spark.range(1000).withColumn("v", col("id") % 7)
       .write.mode("overwrite").format("parquet")
       .bucketBy(4, "id").sortBy("id").saveAsTable("spec_a_b")
