@@ -290,6 +290,15 @@ class OperatorsSpec extends SparkSpec {
     assert(j.count() == 500)
   }
 
+  test("P4 hash sample: null keys never members (matches SQL || null propagation)") {
+    val df = Seq((Option(1L), "a"), (None, "b"), (Option(3L), "c")).toDF("k", "v")
+    // keep-all cut: every non-null-key row stays, the null-key row
+    // cannot be a member in ANY engine (md5 of null key is null)
+    val out = Rows.hashSample(df, Seq("k", "v"), 1.0)
+    assert(out.count() == 2)
+    assert(out.filter(col("k").isNull).count() == 0)
+  }
+
   test("P10: stratified hash sample honors per-stratum fractions incl. keep-all") {
     val df = spark.range(6000)
       .withColumn("g", when(col("id") % 2 === 0, "a").otherwise("b"))
