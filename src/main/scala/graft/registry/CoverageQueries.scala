@@ -187,6 +187,22 @@ object CoverageQueries {
         .agg(count(lit(1)).as("n"), sum(floor(col("l_quantity")).cast("long")).as("qty"))
         .orderBy("o_custkey")
     },
+    // J4 — as-of join: every event picks the dimension version active
+    // at its timestamp. The version table is sparse (every 3rd day) so
+    // the match genuinely reaches back across days, and events before
+    // the first version keep a null (ASOF LEFT JOIN semantics)
+    "j4_asof_join" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val d = e.select(col("user_id"), expr("ts_us div 86400000000").as("version"))
+        .distinct()
+        .filter(col("version") % 3 === 0)
+        .withColumn("vf_us", col("version") * lit(86400000000L))
+      graft.ops.AsOf
+        .joinAsOf(e, d, "user_id", "ts_us", "vf_us", Seq("version"))
+        .select("event_id", "user_id", "version")
+        .orderBy("event_id")
+    },
     // Skew-salted aggregation on a heavy-hitter key (80% "view"):
     // two balanced shuffles instead of one hot reduce task
     "skew_salted_agg" -> { (s, dir) =>
@@ -252,6 +268,15 @@ object CoverageQueries {
         |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "j4_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |d AS (SELECT DISTINCT user_id,
+        |             (ts_us // 86400000000) * 86400000000 AS vf_us,
+        |             ts_us // 86400000000 AS version
+        |      FROM e WHERE (ts_us // 86400000000) % 3 = 0)
+        |SELECT e.event_id, e.user_id, d.version
+        |FROM e ASOF LEFT JOIN d ON e.user_id = d.user_id AND e.ts_us >= d.vf_us
+        |ORDER BY event_id""".stripMargin,
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS value_l_sum

@@ -267,6 +267,19 @@ class OperatorsSpec extends SparkSpec {
     assert(j.count() == 2000)
   }
 
+  test("J4 as-of join: latest version at-or-before ts, null before first version") {
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 250L), (3L, 1L, 200L), (4L, 2L, 50L))
+      .toDF("event_id", "k", "ts")
+    val right = Seq((1L, 100L, 10L), (1L, 200L, 20L), (2L, 60L, 30L))
+      .toDF("k", "vf", "v")
+    val got = graft.ops.AsOf.joinAsOf(left, right, "k", "ts", "vf", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).contains(10L)) // exact boundary: ts == vf matches (>=)
+    assert(got(2L).contains(20L)) // latest of two versions
+    assert(got(3L).contains(20L)) // boundary of the second version
+    assert(got(4L).isEmpty)       // before key 2's first version -> null
+  }
+
   test("Bucketed co-located join: no exchange on either join side") {
     spark.sql("DROP TABLE IF EXISTS spec_a_b")
     spark.sql("DROP TABLE IF EXISTS spec_b_b")
