@@ -203,6 +203,22 @@ object CoverageQueries {
         .select("event_id", "user_id", "version")
         .orderBy("event_id")
     },
+    // J5 — range join: events into 2-hour intervals anchored every 3rd
+    // hour. The 1-hour bucket width makes each interval span 2 buckets,
+    // so the equi-join genuinely exercises multi-bucket coverage (an
+    // hour-1 event reaches the interval anchored at hour 0)
+    "j5_range_join" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val iv = e.select(expr("ts_us div 3600000000").as("interval_id")).distinct()
+        .filter(col("interval_id") % 3 === 0)
+        .withColumn("s_us", col("interval_id") * 3600000000L)
+        .withColumn("e_us", (col("interval_id") + 2) * 3600000000L)
+      graft.ops.RangeJoin
+        .joinByRange(e, "ts_us", iv, "s_us", "e_us", bucketWidth = 3600000000L)
+        .select("event_id", "interval_id")
+        .orderBy("event_id", "interval_id")
+    },
     // Skew-salted aggregation on a heavy-hitter key (80% "view"):
     // two balanced shuffles instead of one hot reduce task
     "skew_salted_agg" -> { (s, dir) =>
@@ -277,6 +293,15 @@ object CoverageQueries {
         |SELECT e.event_id, e.user_id, d.version
         |FROM e ASOF LEFT JOIN d ON e.user_id = d.user_id AND e.ts_us >= d.vf_us
         |ORDER BY event_id""".stripMargin,
+    "j5_range_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+        |i AS (SELECT interval_id, interval_id * 3600000000 AS s_us,
+        |             (interval_id + 2) * 3600000000 AS e_us
+        |      FROM (SELECT DISTINCT (ts_us // 3600000000) AS interval_id
+        |            FROM e WHERE (ts_us // 3600000000) % 3 = 0))
+        |SELECT e.event_id, i.interval_id
+        |FROM e JOIN i ON e.ts_us >= i.s_us AND e.ts_us < i.e_us
+        |ORDER BY event_id, interval_id""".stripMargin,
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS value_l_sum

@@ -280,6 +280,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got(4L).isEmpty)       // before key 2's first version -> null
   }
 
+  test("J5 range join: bucketed equi-join equals brute-force range filter, incl. overlaps") {
+    val events = (0L until 500L).map(i => (i, i * 7L)).toDF("event_id", "ts_us")
+    // overlapping intervals of varying length (≤ 300), some sharing rows
+    val intervals = Seq((1L, 0L, 300L), (2L, 150L, 400L), (3L, 390L, 391L),
+      (4L, 1000L, 1200L)).toDF("interval_id", "s_us", "e_us")
+    val got = graft.ops.RangeJoin
+      .joinByRange(events, "ts_us", intervals, "s_us", "e_us", bucketWidth = 100L)
+      .select("event_id", "interval_id").as[(Long, Long)].collect().sorted.toSeq
+    val expected = events.crossJoin(intervals)
+      .filter(col("ts_us") >= col("s_us") && col("ts_us") < col("e_us"))
+      .select("event_id", "interval_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(expected.nonEmpty && got == expected)
+  }
+
   test("Bucketed co-located join: no exchange on either join side") {
     spark.sql("DROP TABLE IF EXISTS spec_a_b")
     spark.sql("DROP TABLE IF EXISTS spec_b_b")
