@@ -54,8 +54,9 @@ object TextAnalysis {
   /** Token counts: naive whitespace split vs a BPE-ish [a-z0-9]+ regex
     * tokenization. */
   def tokenCountWhitespace(text: Column): Column = size(tokens(text)).cast("long")
-  def tokenCountRegex(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-z0-9]+"), lit(0))).cast("long")
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z0-9]+"), lit(0))
+  def tokenCountRegex(text: Column): Column = size(regexTokens(text)).cast("long")
 
   /** Content fingerprint: md5 of the full text (exact identity) plus
     * the lexicographic-min md5 over word-3-gram shingles (a 1-hash

@@ -218,6 +218,32 @@ object LlmQueries {
         .select("doc_id", "lang_pred", "score")
         .orderBy("doc_id")
     },
+    "y6_vocab_topk" -> { (s, dir) =>
+      // vocabulary building: global token frequencies, top 200 —
+      // explode → hash agg (map-side partial combine carries the
+      // corpus-scale load) → one small top-k sort. The op that seeds a
+      // tokenizer/BPE vocab over the whole corpus.
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(TextAnalysis.regexTokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(200)
+    },
+    "y7_corpus_stats" -> { (s, dir) =>
+      // one-pass corpus summary: doc/token/char volumes and per-lang
+      // spread — the report row a curation run logs per snapshot
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"),
+          TextAnalysis.tokenCountWhitespace(col("text")).as("n_tok"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("lang")).as("n_langs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_chars").cast("long")).as("total_chars"),
+          (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens"))
+    },
     "m1_multimodal_decode" -> { (s, dir) =>
       Multimodal.decodeExprs(
         Multimodal.attachPayload(Tables.documents(s, dir), "doc_id", "text"))
@@ -492,6 +518,19 @@ object LlmQueries {
            |       ELSE md5(text) END AS fp_shingle
            |FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
            |ORDER BY doc_id""".stripMargin,
+      "y6_vocab_topk" ->
+        """SELECT token, COUNT(*) AS cnt
+          |FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
+          |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 200""".stripMargin,
+      "y7_corpus_stats" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+          |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+          |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |       CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens
+          |FROM (SELECT lang, n_chars,
+          |             len(regexp_split_to_array(text, '\s+')) AS n_tok
+          |      FROM documents)""".stripMargin,
       "m1_multimodal_decode" ->
         """SELECT doc_id AS media_id,
           |  CAST(length(text) AS BIGINT) AS n_bytes,
