@@ -183,9 +183,11 @@ object DedupLsh {
     val toks = df.select(col(idCol).as("id"),
       explode(split(col(textCol), "\\s+")).as("tok"))
       .withColumn("h", md5(col("tok")))
+    // ">= '8'" ≡ IN ('8','9','a'..'f') for lowercase hex (digits sort
+    // below letters): one comparison instead of 8 string equalities on
+    // the tokens × lanes hot path
     val votes = (0 until bits).map { j =>
-      sum(when(substring(col("h"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-        .otherwise(-1)).as(s"b$j")
+      sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"b$j")
     }
     toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
   }
