@@ -27,10 +27,14 @@ object DedupLsh {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__digest")
 
-  /** Word n-gram shingle set (distinct) from a STAGED token attribute
-    * (see Text.contentTokens scaladoc for why staging matters). */
+  /** Word n-gram shingle set (distinct, SORTED) from a STAGED token
+    * attribute (see Text.contentTokens scaladoc for why staging
+    * matters). Sorting costs one pass at build time and is
+    * value-neutral for every consumer (minhash = min, jaccard =
+    * set-valued) but lets the pair-verify step run the allocation-free
+    * sorted-merge [[graft.functions.SortedArrayJaccard]]. */
   def shinglesFromTokens(tk: Column, n: Int = 3): Column =
-    array_distinct(Text.ngrams(tk, n))
+    array_sort(array_distinct(Text.ngrams(tk, n)))
 
   /** Convenience for tests/small inputs — hot paths stage the split. */
   def shingles(textCol: Column, n: Int = 3): Column =
@@ -60,9 +64,17 @@ object DedupLsh {
     }: _*)
   }
 
-  /** Distinct Jaccard similarity of two shingle arrays. */
+  /** Distinct Jaccard similarity of two shingle arrays (composable
+    * form — allocates two intermediate arrays per pair). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Jaccard over SORTED distinct arrays via the native fused
+    * sorted-merge expression — same values, no per-pair allocation.
+    * Callers must register [[graft.functions.SortedArrayJaccard]]
+    * first; [[nearDupPairs]] does. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    call_function("jaccardq", a, b)
 
   /** Near-dup pairs via banded LSH + Jaccard verification.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
@@ -77,6 +89,7 @@ object DedupLsh {
       threshold: Double = 0.5
   ): DataFrame = {
     val rowsPerBand = numHashes / numBands
+    graft.functions.SortedArrayJaccard.register(df.sparkSession)
     val par = df.sparkSession.sparkContext.defaultParallelism
     // repartition: the corpus may arrive as one small file split, but
     // shingling+hashing is CPU-bound — spread it before the heavy maps
@@ -107,7 +120,7 @@ object DedupLsh {
     // plan at every corpus size.
     a.join(b.hint("shuffle_hash"), Seq("band"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .distinct()
       .filter(col("jaccard") >= threshold)
   }

@@ -72,5 +72,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotFusionRule)
     ext.injectFunction(LongArrayDot.descriptor)
+    ext.injectFunction(graft.functions.SortedArrayJaccard.descriptor)
   }
 }

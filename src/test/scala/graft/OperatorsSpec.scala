@@ -166,6 +166,23 @@ class OperatorsSpec extends SparkSpec {
     assert(base.selectExpr("dotq(a, b)").as[Long].head() == 32L)
   }
 
+  test("SortedArrayJaccard: native fused merge equals composable intersect/union form") {
+    graft.functions.SortedArrayJaccard.register(spark)
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),      // partial overlap
+      (Seq("a"), Seq("b")),                          // disjoint
+      (Seq("a", "b"), Seq("a", "b")),                // identical
+      (Seq.empty[String], Seq("x")),                 // one empty
+      (Seq("a", "b", "c", "d"), Seq("b"))            // containment
+    )
+    val df = cases.toDF("a", "b")
+    val native = df.selectExpr("jaccardq(a, b)").as[Double].collect().toSeq
+    val composable = df
+      .select(graft.llm.DedupLsh.jaccard(col("a"), col("b")))
+      .as[Double].collect().toSeq
+    assert(native == composable)
+  }
+
   test("LSH guarantee: exact-duplicate texts always land in every band bucket") {
     val docs = (0L until 30L).map(i => (i, s"alpha beta gamma delta epsilon zeta token$i end"))
     val corpus = docs.toDF("doc_id", "text")
