@@ -21,7 +21,7 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Alerts {
 
-  private def esc(s: String): String = s.flatMap {
+  private[quality] def esc(s: String): String = s.flatMap {
     case '"'          => "\\\""
     case '\\'         => "\\\\"
     case '\n'         => "\\n"

@@ -114,13 +114,13 @@ object Quality {
       val v = row.get(i)
       val j = v match {
         case null               => "null"
-        case s: String          => "\"" + s + "\""
+        case s: String          => "\"" + Alerts.esc(s) + "\""
         case other              => other.toString
       }
-      s""""$c": $j"""
+      s""""${Alerts.esc(c)}": $j"""
     }
     val schemaKv = schemaChecks.map { case (c, exp, act, ok) =>
-      s""""format_check.$c": {"expected": "$exp", "actual": "$act", "ok": $ok}"""
+      s""""format_check.${Alerts.esc(c)}": {"expected": "${Alerts.esc(exp)}", "actual": "${Alerts.esc(act)}", "ok": $ok}"""
     }
     val json = (dataKv ++ schemaKv).mkString("{", ", ", "}")
     val p = new java.io.File(path)

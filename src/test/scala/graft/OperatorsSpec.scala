@@ -376,6 +376,21 @@ class OperatorsSpec extends SparkSpec {
     assert(json.contains("\"format_check.x\": {\"expected\": \"string\", \"actual\": \"missing\", \"ok\": false}"))
   }
 
+  test("K7: report escapes quotes/backslashes/newlines and stays parseable JSON") {
+    val df = Seq(("say \"hi\"\nback\\slash", 1L)).toDF("msg", "v")
+    val m = df.agg(first("msg").as("worst \"msg\""), count(lit(1)).as("n_rows"))
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_report_esc/r.json"
+    Quality.writeReport(m, Seq(("q\"col", "str\"ing", "str\\ing", false)), path)
+    val json = java.nio.file.Files.readString(java.nio.file.Path.of(path))
+    // round-trip through a real JSON parser (Jackson via Spark)
+    val parsed = spark.read.option("multiLine", true).json(Seq(json).toDS)
+    assert(!parsed.columns.contains("_corrupt_record"), s"report not valid JSON: $json")
+    val row = parsed.head()
+    assert(row.getAs[String]("worst \"msg\"") == "say \"hi\"\nback\\slash")
+    val chk = row.getAs[org.apache.spark.sql.Row]("format_check.q\"col")
+    assert(chk.getAs[String]("expected") == "str\"ing" && chk.getAs[String]("actual") == "str\\ing")
+  }
+
   test("A7: volume estimate returns exact rows/cols and a positive size stat") {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val (rows, cols, bytes) = Quality.volumeEstimate(df)
