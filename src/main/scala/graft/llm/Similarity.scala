@@ -53,19 +53,41 @@ object Similarity {
   private def spread(corpus: DataFrame): DataFrame =
     corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
 
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** Exact two-stage per-query top-k over `(query_id, neighbor_id,
+    * cosine)` candidates, ranked by (cosine desc, neighbor_id).
+    *
+    * A single `row_number() OVER (PARTITION BY query_id)` funnels every
+    * candidate of a query into ONE task — with few queries over a huge
+    * corpus that task is the whole job (round-3 verdict). Stage 1 ranks
+    * inside (query_id, salt) groups — `salts` tasks per query, salt
+    * deterministic on neighbor_id — and keeps k per group; the global
+    * top-k is a subset of the union of per-salt top-ks, so stage 2
+    * ranks only salts × k survivors per query. Both stages use the same
+    * (cosine desc, neighbor_id) order, so results are bit-identical to
+    * the one-stage window. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val salts = scored.sparkSession.sparkContext.defaultParallelism
+    val w1 = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(salts.toLong)))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("part_rank", row_number().over(w1))
+      .filter(col("part_rank") <= k)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.LongArrayDot.register(corpus.sparkSession)
     val c = spread(corpus).select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("nv"))
     val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
     val scored = c
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosineQ(col("qv"), col("nv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
@@ -164,13 +186,9 @@ object Similarity {
       .join(broadcast(probes), Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosineQ(col("qv"), col("nv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     // each member lives in exactly one cell, so (query, neighbor) pairs
     // are already unique across the probed cells
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    topKPerQuery(scored, k)
   }
 
   /** Sign-bucket key: one bit per hyperplane, over the quantized
@@ -208,10 +226,14 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = v.select(col("bucket"), col("vec_id").as("id_a"), col("nv").as("nv_a"))
     val b = v.select(col("bucket"), col("vec_id").as("id_b"), col("nv").as("nv_b"))
+    // dedup (id_a, id_b) BEFORE the cosine verify: a pair colliding in
+    // t tables would otherwise pay t verifies, and at scale the verify
+    // is the hot loop (round-3 verdict). dropDuplicates carries the
+    // vectors along (they are functionally dependent on the ids).
     a.join(b.hint("shuffle_hash"), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), cosineQ(col("nv_a"), col("nv_b")).as("cosine"))
-      .distinct()
       .filter(col("cosine") >= threshold)
   }
 
@@ -222,7 +244,6 @@ object Similarity {
     * known weak spot of one table). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numPlanes: Int = 8, dim: Int = 64, tables: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.LongArrayDot.register(corpus.sparkSession)
     val allPlanes = (0 until tables).map(t => planes(numPlanes, dim, s"plane$t~"))
     val c = spread(corpus)
@@ -239,10 +260,6 @@ object Similarity {
       .reduce(_.unionByName(_))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = candidates.withColumn("cosine", cosineQ(col("qv"), col("nv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    topKPerQuery(scored, k)
   }
 }
