@@ -118,10 +118,14 @@ object DedupLsh {
     // a corpus-sized side — OOM at 50k docs, fatal at real scale. Band
     // buckets are small, so a shuffled hash join is the right physical
     // plan at every corpus size.
+    // dedup (id_a, id_b) BEFORE the jaccard verify: a pair colliding in
+    // k bands would otherwise pay k verifies (the verify is the hot
+    // loop at scale — round-3 verdict). dropDuplicates carries the
+    // shingle arrays along (functionally dependent on the ids).
     a.join(b.hint("shuffle_hash"), Seq("band"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
@@ -225,22 +229,33 @@ object DedupLsh {
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           bits: Int = 32, maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
-    val width = bits / blocks
-    val mask = (1L << width) - 1
+    // blocks > bits would make some block zero-width (every row keys to
+    // block value 0 → a full cross product) — refuse loudly instead
+    require(blocks <= bits,
+      s"maxHamming + 1 = $blocks blocks need at least 1 bit each, got bits = $bits")
+    // distribute the remainder so every fingerprint bit lands in exactly
+    // one block (bits % blocks leading blocks are one bit wider); a
+    // truncating bits/blocks width would leave the top bits out of every
+    // block key and loosen the buckets
+    val base = bits / blocks
+    val widths = (0 until blocks).map(i => base + (if (i < bits % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val blk = simhashLong(df, idCol, textCol, bits)
       .select(col("id"), col("sim"),
         explode(array((0 until blocks).map(i =>
           struct(lit(i).as("bi"),
-            shiftright(col("sim"), i * width).bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
+            shiftright(col("sim"), offsets(i))
+              .bitwiseAND(lit((1L << widths(i)) - 1)).as("bv"))): _*)).as("b"))
       .select(col("id"), col("sim"), col("b.bi").as("bi"), col("b.bv").as("bv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = blk.select(col("bi"), col("bv"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b2 = blk.select(col("bi"), col("bv"), col("id").as("id_b"), col("sim").as("sim_b"))
+    // pair-dedup before the hamming verify (same shape as nearDupPairs)
     a.join(b2.hint("shuffle_hash"), Seq("bi", "bv"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
