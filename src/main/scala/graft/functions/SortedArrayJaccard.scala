@@ -105,6 +105,15 @@ object SortedArrayJaccard {
       Seq[Expression] => Expression) = (
     org.apache.spark.sql.catalyst.FunctionIdentifier("jaccardq"),
     new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-      classOf[SortedArrayJaccard].getName, "jaccardq"),
+      classOf[SortedArrayJaccard].getName, null, "jaccardq",
+      // the call-site contract, surfaced to SQL users via DESCRIBE
+      // FUNCTION (round-3 advice): results are undefined off-contract
+      "jaccardq(a, b) - Jaccard similarity of two SORTED ASCENDING, " +
+        "DISTINCT array<string> values (e.g. array_sort(array_distinct(x))). " +
+        "Unsorted or non-distinct inputs return WRONG results silently; " +
+        "null elements are skipped in the intersection but counted in the " +
+        "union denominator. Returns NaN for two empty arrays, NULL for a " +
+        "NULL array.",
+      "> SELECT jaccardq(array('a','b'), array('b','c'));\n 0.3333333333333333"),
     builder)
 }

@@ -24,10 +24,17 @@ object RangeJoin {
   def joinByRange(left: DataFrame, ts: String, intervals: DataFrame,
                   startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val iv = intervals.withColumn("__b",
-      explode(sequence(
-        expr(s"$startCol div $bucketWidth"),
-        expr(s"($endCol - 1) div $bucketWidth"))))
+    // drop malformed intervals (end <= start) before the explode: they
+    // can never match the final range filter, but sequence(start, stop)
+    // with stop < start generates DESCENDING — one interval with end
+    // far below start would explode into an arbitrarily large bucket
+    // list (round-3 advice)
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__b",
+        explode(sequence(
+          expr(s"$startCol div $bucketWidth"),
+          expr(s"($endCol - 1) div $bucketWidth"))))
     val ev = left.withColumn("__b", expr(s"$ts div $bucketWidth"))
     // corpus-sized sides: never let the planner broadcast on a size
     // underestimate of the exploded interval table

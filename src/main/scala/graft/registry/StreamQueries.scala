@@ -193,7 +193,10 @@ object StreamQueries {
         |ORDER BY window_start_us""".stripMargin,
     // each event contributes to width/slide = 2 windows whose starts
     // are the two slide-aligned offsets covering it; emission rule as
-    // st6 (window_end <= ms-truncated final watermark)
+    // st6 (window_end <= ms-truncated final watermark). No start >= 0
+    // guard: Spark's window() DOES emit pre-epoch windows for events
+    // within width-slide of the epoch, and the oracle must mirror that
+    // (round-3 advice; the 2024 fixture never reaches the branch)
     "st7_sliding_window" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) AS ts_us,
@@ -204,7 +207,6 @@ object StreamQueries {
         |         ts_us, pageview_count
         |  FROM e CROSS JOIN generate_series(0, 1) AS g(k)
         |  WHERE ts_us < ((ts_us // 1800000000) - g.k) * 1800000000 + 3600000000
-        |    AND ((ts_us // 1800000000) - g.k) >= 0
         |), agg AS (
         |  SELECT window_start_us, window_start_us + 3600000000 AS window_end_us,
         |         COUNT(*) AS n_events,
