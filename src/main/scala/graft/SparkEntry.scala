@@ -170,6 +170,19 @@ object SparkEntry {
         .select("entry_id", "user_id", "event_type", "visible_content")
         .orderBy("entry_id")
     },
+    // reference-EXACT key set: remove_duplicates_browsing_history keys
+    // on positions [2,5,6,8,9,10] = (pageview_count, timestamp, title,
+    // url, user_id, visible_content) — the d1 flagship uses a looser
+    // 3-column key because the synthetic events have no exact-ts dups;
+    // this twin keeps the reference semantics executable (see COVERAGE.md)
+    "d1b_dedup_reference_key" -> { (s, dir) =>
+      Dedup
+        .keepFirst(Tables.browsing(s, dir),
+          Seq("pageview_count", "ts", "title", "url", "user_id", "visible_content"),
+          Seq(col("entry_id")))
+        .select("entry_id", "user_id", "event_type", "visible_content")
+        .orderBy("entry_id")
+    },
     "d2_dupcount" -> { (s, dir) =>
       Dedup.duplicateCount(Tables.events(s, dir), Seq("user_id", "event_type"))
     },
@@ -277,6 +290,13 @@ object SparkEntry {
     "e2_browsing_user" -> E2U,
     "d1_dedup_keepfirst" ->
       s"SELECT entry_id, user_id, event_type, visible_content FROM ($DEDUP) ORDER BY entry_id",
+    "d1b_dedup_reference_key" ->
+      s"""SELECT entry_id, user_id, event_type, visible_content FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY pageview_count, ts, title, url, user_id, visible_content
+         |      ORDER BY entry_id) AS rn
+         |  FROM ($BH)
+         |) WHERE rn = 1 ORDER BY entry_id""".stripMargin,
     "d2_dupcount" ->
       """SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS dup_rows
         |FROM (SELECT COUNT(*) AS n FROM events GROUP BY user_id, event_type)""".stripMargin,

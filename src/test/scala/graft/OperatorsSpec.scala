@@ -95,6 +95,31 @@ class OperatorsSpec extends SparkSpec {
     assert(top(2)._1 == 2L && math.abs(top(2)._2) < 1e-9)
   }
 
+  test("Similarity: two-stage top-k is bit-identical to a one-stage window") {
+    import org.apache.spark.sql.expressions.Window
+    // 120 corpus vectors in 3 dims, 2 queries: enough ties and salt
+    // groups to exercise both stages and the (cosine desc, id) tie-break
+    val emb = (0L until 120L)
+      .map(i => (i, Array(((i % 7) + 1).toFloat, ((i % 5) + 1).toFloat, ((i % 3) + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 2)
+    val got = Similarity.bruteForceTopK(emb, queries, 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // reference: the naive single-window ranking over the same scores
+    graft.functions.LongArrayDot.register(spark)
+    val c = emb.select(col("vec_id").as("neighbor_id"), Similarity.quantize(col("embedding")).as("nv"))
+    val q = queries.select(col("vec_id").as("query_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val expected = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", Similarity.cosineQ(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("Quality.metrics: one-row aggregate with nulls/defaults/dups/volume") {
     val df = Seq(
       (Some("a"), "x"), (None, "x"), (Some("a"), "y"), (Some("b"), "x")
@@ -210,6 +235,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("SimHash near-dup: non-divisible block widths keep exact recall; zero-width blocks refused") {
+    // bits=30, maxHamming=3 → 4 blocks of widths 8,8,7,7: every bit
+    // must land in exactly one block or recall silently loosens
+    val docs = (0L until 20L).map(i => (i, s"alpha beta gamma delta tok$i epsilon zeta"))
+    val corpus = docs.toDF("doc_id", "text")
+      .unionByName(docs.map { case (i, t) => (i + 1000L, t + " extra") }.toDF("doc_id", "text"))
+    val fp = graft.llm.DedupLsh.simhashLong(corpus, "doc_id", "text", bits = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      (a, sa) <- fp.toSeq; (b, sb) <- fp.toSeq
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val got = graft.llm.DedupLsh.simhashNearDupPairs(corpus, "doc_id", "text", bits = 30)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.DedupLsh.simhashNearDupPairs(corpus, "doc_id", "text", bits = 4, maxHamming = 7)
+    }
+    assert(e.getMessage.contains("blocks"))
+  }
+
   test("Cluster assignment: chains and triangles collapse to min-id components") {
     // components: chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
@@ -295,6 +341,33 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L).contains(20L)) // latest of two versions
     assert(got(3L).contains(20L)) // boundary of the second version
     assert(got(4L).isEmpty)       // before key 2's first version -> null
+  }
+
+  test("J4 as-of join: a matched version's NULL attr stays NULL; attr/payload collision refused") {
+    // version at ts=200 has v = NULL: real ASOF semantics return that
+    // NULL, not the ts=100 version's 10 (struct-carry, round-3 advice)
+    val left = Seq((1L, 1L, 150L), (2L, 1L, 250L)).toDF("event_id", "k", "ts")
+    val right = Seq((1L, 100L, Some(10L)), (1L, 200L, None)).toDF("k", "vf", "v")
+    val got = graft.ops.AsOf.joinAsOf(left, right, "k", "ts", "vf", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).contains(10L))
+    assert(got(2L).isEmpty, "matched NULL attr must not inherit the older version's value")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.AsOf.joinAsOf(left, right.withColumnRenamed("v", "ts"), "k", "ts", "vf", Seq("ts"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("J5 range join: malformed interval (end <= start) is dropped, not exploded") {
+    val events = (0L until 10L).map(i => (i, i * 10L)).toDF("event_id", "ts_us")
+    // end far below start: sequence() would generate a huge DESCENDING
+    // bucket list without the pre-filter
+    val intervals = Seq((1L, 0L, 50L), (2L, 1000000L, 10L), (3L, 30L, 30L))
+      .toDF("interval_id", "s_us", "e_us")
+    val got = graft.ops.RangeJoin
+      .joinByRange(events, "ts_us", intervals, "s_us", "e_us", bucketWidth = 100L)
+      .select("event_id", "interval_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == (0L until 5L).map(i => (i, 1L)))
   }
 
   test("J5 range join: bucketed equi-join equals brute-force range filter, incl. overlaps") {
