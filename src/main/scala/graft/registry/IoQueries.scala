@@ -26,6 +26,24 @@ object IoQueries {
     Tables.events(s, dir).select("event_id", "user_id", "event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // real JDBC source path (S1/S2 against embedded Derby): seed the
+    // orders table into the database once, then an incremental load —
+    // post-watermark, price-capped rows only — through a key-range
+    // partitioned JDBC read; both predicates push into the remote SQL
+    // (spec asserts PushedFilters + partition count). o_orderdate is
+    // emitted as epoch micros so the oracle compare is tz-proof.
+    "s12_jdbc_incremental" -> { (s, dir) =>
+      val ord = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      val url = graft.io.Jdbc.seedOnce(ord, s"db_${new java.io.File(dir).getName}", "orders",
+        "o_orderstatus VARCHAR(8)")
+      val maxKey = ord.agg(max("o_orderkey")).head().getLong(0)
+      graft.io.Jdbc.readPartitioned(s, url, "orders", "o_orderkey", 1L, maxKey + 1, 4)
+        .filter(col("o_orderkey") > 100L && col("o_totalprice") < 150000.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), unix_micros(col("o_orderdate")).as("od_us"))
+        .orderBy("o_orderkey")
+    },
     "j1_enrich_broadcast" -> { (s, dir) =>
       val joined = Ingest.enrich(Tables.lineitem(s, dir), Tables.part(s, dir),
         "l_partkey", "p_partkey")
@@ -228,6 +246,12 @@ object IoQueries {
   private val EV_SLIM = "SELECT event_id, user_id, event_type FROM events"
 
   val oracles: Map[String, String] = Map(
+    "s12_jdbc_incremental" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       epoch_us(o_orderdate) AS od_us
+        |FROM orders
+        |WHERE o_orderkey > 100 AND o_totalprice < 150000.0
+        |ORDER BY o_orderkey""".stripMargin,
     "j1_enrich_broadcast" ->
       """SELECT p_brand, COUNT(*) AS n,
         |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
