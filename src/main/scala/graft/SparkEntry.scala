@@ -216,9 +216,11 @@ object SparkEntry {
         .orderBy("entry_id")
     },
     "a1_session_merge" -> { (s, dir) =>
+      // single hash exchange: user_id partitioning satisfies the 3-col
+      // dedup window, session window and merge agg (see Browsing.pipeline)
       val sess = Sessionize.sessionIds(
         Sessionize.windowTime(
-          Dedup.keepFirst(Tables.browsing(s, dir),
+          Dedup.keepFirst(Tables.browsing(s, dir).repartition(col("user_id")),
             Seq("user_id", "event_type", "visible_content"),
             Seq(col("ts"), col("entry_id"))),
           "ts"),

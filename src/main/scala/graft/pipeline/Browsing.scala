@@ -23,7 +23,14 @@ object Browsing {
   val RunTime = "2025-06-25 12:00:00"
 
   def pipeline(spark: SparkSession, dir: String, perUser: Boolean): DataFrame = {
-    val bh = Tables.browsing(spark, dir)
+    // ONE hash exchange for the whole chain: user_id is a subset of the
+    // dedup window's 3-column key, so hash-partitioning by user_id
+    // satisfies the dedup window, the session window, the session-merge
+    // aggregate AND the dwell window (ClusteredDistribution subset
+    // rule) — without it the planner shuffles once for the 3-column
+    // dedup key and again for user_id
+    val bh0 = Tables.browsing(spark, dir)
+    val bh = if (perUser) bh0.repartition(col("user_id")) else bh0
     val part = if (perUser) Seq(col("user_id")) else Seq.empty
     val ord = Seq(col("ts"), col("entry_id"))
 
