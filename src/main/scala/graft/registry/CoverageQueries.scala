@@ -129,6 +129,24 @@ object CoverageQueries {
         .groupBy("day").agg(count(lit(1)).as("n"))
         .orderBy("day")
     },
+    // J6 — skewed fact ⋈ dim shuffled join: 90 % of fact rows share
+    // one key. Salting (skew_salted_agg) is the static fix for
+    // AGGREGATES; for joins the engine-native fix is AQE's runtime
+    // skew split, demonstrated in the spec (thresholds lowered, final
+    // adaptive plan shows the skewed AQEShuffleRead). The registered
+    // query keeps default confs — at real scale the default thresholds
+    // trigger on genuinely oversized partitions.
+    "j6_skew_join" -> { (s, dir) =>
+      val fact = Tables.lineitem(s, dir).select(
+        when(pmod(col("l_orderkey"), lit(100)) < 90, 0L)
+          .otherwise(col("l_orderkey")).as("skew_key"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      val dim = fact.select(col("skew_key")).distinct()
+        .withColumn("w", pmod(col("skew_key"), lit(7L)))
+      fact.join(dim.hint("shuffle_hash"), Seq("skew_key"))
+        .groupBy("w").agg(count(lit(1)).as("n"), sum("qty").as("qty_sum"))
+        .orderBy("w")
+    },
     // P8 — rename with mapping existence check
     "p8_rename_checked" -> { (s, dir) =>
       graft.quality.Quality
@@ -245,6 +263,15 @@ object CoverageQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "j6_skew_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0 ELSE l_orderkey END AS skew_key,
+        |         CAST(floor(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem),
+        |d AS (SELECT DISTINCT skew_key, skew_key % 7 AS w FROM f)
+        |SELECT w, COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |FROM f JOIN d USING (skew_key)
+        |GROUP BY w ORDER BY w""".stripMargin,
     "s1_full_scan" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "s6_chunked_read" ->
       "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1",

@@ -244,6 +244,27 @@ object LlmQueries {
           sum(col("n_chars").cast("long")).as("total_chars"),
           (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens"))
     },
+    // y8 — per-language length distribution (p50/p95/p99): the report a
+    // curation run uses to pick truncation cutoffs. DISCRETE percentiles
+    // (value at rank ceil(p·n) under (n_chars, doc_id) order): integer-
+    // exact and engine-portable — continuous-interpolation percentiles
+    // differ between engines in the last ulp and break hash compare.
+    // Scale: one window keyed by lang (distributed across languages),
+    // then a hash agg; never a driver-side sort.
+    "y8_length_percentiles" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      val cw = Window.partitionBy(col("lang"))
+      val ranked = Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(cw))
+      def pct(p: Double, name: String) =
+        min(when(col("rn") === ceil(col("cnt") * p), col("n_chars"))).as(name)
+      ranked.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), pct(0.5, "p50"), pct(0.95, "p95"), pct(0.99, "p99"))
+        .orderBy("lang")
+    },
     "m1_multimodal_decode" -> { (s, dir) =>
       Multimodal.decodeExprs(
         Multimodal.attachPayload(Tables.documents(s, dir), "doc_id", "text"))
@@ -531,6 +552,17 @@ object LlmQueries {
           |FROM (SELECT lang, n_chars,
           |             len(regexp_split_to_array(text, '\s+')) AS n_tok
           |      FROM documents)""".stripMargin,
+      "y8_length_percentiles" ->
+        """WITH r AS (
+          |  SELECT lang, n_chars,
+          |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+          |         COUNT(*) OVER (PARTITION BY lang) AS cnt
+          |  FROM documents)
+          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       MIN(CASE WHEN rn = ceil(cnt * 0.5) THEN n_chars END) AS p50,
+          |       MIN(CASE WHEN rn = ceil(cnt * 0.95) THEN n_chars END) AS p95,
+          |       MIN(CASE WHEN rn = ceil(cnt * 0.99) THEN n_chars END) AS p99
+          |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
       "m1_multimodal_decode" ->
         """SELECT doc_id AS media_id,
           |  CAST(length(text) AS BIGINT) AS n_bytes,

@@ -348,6 +348,40 @@ class OperatorsSpec extends SparkSpec {
     assert(graft.io.Jdbc.seedOnce(src, "db_spec", "t_spec", "name VARCHAR(16)") == url)
   }
 
+  test("J6/AQE: skewed shuffled join splits the hot partition at runtime") {
+    // 90% of fact rows share key 0; with lowered thresholds AQE must
+    // mark the hot partition skewed and split it across tasks — the
+    // runtime fix for join skew (salting covers aggregates)
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.range(200000).select(
+        when(col("id") % 100 < 90, 0L).otherwise(col("id")).as("k"),
+        concat(lit("payload_payload_payload_"), col("id")).as("pay"))
+      val dim = spark.range(200000).select(col("id").as("k"))
+        .filter(col("k") % 100 >= 90 || col("k") === 0)
+      val j = fact.join(dim, "k")
+      // collect() drives THIS queryExecution (count() would build a
+      // separate one and leave this adaptive plan unfinalized)
+      assert(j.collect().length == 200000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"adaptive plan did not finalize:\n$plan")
+      assert(plan.toLowerCase.contains("skewed"), s"no skew split in final plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("J4 as-of join: latest version at-or-before ts, null before first version") {
     val left = Seq((1L, 1L, 100L), (2L, 1L, 250L), (3L, 1L, 200L), (4L, 2L, 50L))
       .toDF("event_id", "k", "ts")
