@@ -1,7 +1,7 @@
 package graft.registry
 
 import graft.Tables
-import graft.llm.{DedupLsh, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Contamination, DedupLsh, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -197,6 +197,29 @@ object LlmQueries {
         .select(col("doc_id"),
           TextAnalysis.md5Fingerprint(col("text")).as("fp_exact"),
           TextAnalysis.minShingleFromShingles(col("sh"), col("text")).as("fp_shingle"))
+        .orderBy("doc_id")
+    },
+    // x12 — benchmark-contamination sweep: docs with doc_id % 97 == 0
+    // stand in for the eval/benchmark set; every other doc sharing >= 2
+    // rare (corpus-df <= 50) trigrams with an eval doc is flagged. The
+    // clone families in the fixture guarantee real hits.
+    "x12_contamination" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Contamination.overlapPairs(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eval_id"), col("text")),
+        "doc_id", "text", "eval_id",
+        n = 3, minShared = 2, maxDf = 50L)
+        .orderBy("doc_id", "eval_id")
+    },
+    // y9 — intra-document repetition filter (Gopher/C4-style signal)
+    "y9_repetition_filter" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
+        .select(col("doc_id"),
+          Contamination.repetitionRatio(col("tk"), 3).as("rep_ratio"))
+        .withColumn("kept", col("rep_ratio") <= 0.2)
         .orderBy("doc_id")
     },
     "y5_curation_funnel" -> { (s, dir) =>
@@ -552,6 +575,40 @@ object LlmQueries {
           |FROM (SELECT lang, n_chars,
           |             len(regexp_split_to_array(text, '\s+')) AS n_tok
           |      FROM documents)""".stripMargin,
+      "x12_contamination" ->
+        """WITH tk AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+          |g AS (
+          |  SELECT doc_id, UNNEST(list_distinct(
+          |    CASE WHEN len(t) >= 3
+          |         THEN list_transform(generate_series(1, len(t) - 2),
+          |                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+          |         ELSE []::VARCHAR[] END)) AS g
+          |  FROM tk),
+          |cg AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+          |eg AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 97 = 0),
+          |rare AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) <= 50)
+          |SELECT cg.doc_id, eg.eval_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+          |FROM cg JOIN rare USING (g) JOIN eg USING (g)
+          |GROUP BY cg.doc_id, eg.eval_id
+          |HAVING COUNT(*) >= 2
+          |ORDER BY doc_id, eval_id""".stripMargin,
+      "y9_repetition_filter" ->
+        """WITH g AS (
+          |  SELECT doc_id,
+          |         CASE WHEN len(t) >= 3
+          |              THEN list_transform(generate_series(1, len(t) - 2),
+          |                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+          |              ELSE []::VARCHAR[] END AS gs
+          |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)),
+          |r AS (
+          |  SELECT doc_id,
+          |         CASE WHEN len(gs) > 0
+          |              THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+          |              ELSE CAST(0 AS DOUBLE) END AS rep_ratio
+          |  FROM g)
+          |SELECT doc_id, rep_ratio, rep_ratio <= 0.2 AS kept
+          |FROM r ORDER BY doc_id""".stripMargin,
       "y8_length_percentiles" ->
         """WITH r AS (
           |  SELECT lang, n_chars,

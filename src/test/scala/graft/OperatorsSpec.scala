@@ -256,6 +256,31 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("blocks"))
   }
 
+  test("X12 contamination: shared rare trigrams flag the pair; boilerplate grams df-capped") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high today"),     // shares 2 trigrams with eval 100
+      (2L, "completely different text about spark engines"),
+      (3L, "common header line alpha"), (4L, "common header line beta"),
+      (5L, "common header line gamma")                  // "common header line" has df 3
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "quick brown fox jumps far"),
+      (101L, "common header line omega")                // only matches the df-capped gram
+    ).toDF("eval_id", "text")
+    val got = graft.llm.Contamination
+      .overlapPairs(corpus, eval, "doc_id", "text", "eval_id", n = 3, minShared = 2, maxDf = 2L)
+      .select("doc_id", "eval_id", "shared_grams").as[(Long, Long, Long)].collect().toSet
+    // doc 1 × eval 100 share "quick brown fox" + "brown fox jumps";
+    // docs 3-5 × eval 101 share only "common header line", which is
+    // df-capped (df 3 > maxDf 2) AND below minShared anyway
+    assert(got == Set((1L, 100L, 2L)))
+    // with the cap lifted and minShared 1, the boilerplate pairs appear
+    val loose = graft.llm.Contamination
+      .overlapPairs(corpus, eval, "doc_id", "text", "eval_id", n = 3, minShared = 1, maxDf = 10L)
+      .select("doc_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(loose == Set((1L, 100L), (3L, 101L), (4L, 101L), (5L, 101L)))
+  }
+
   test("Cluster assignment: chains and triangles collapse to min-id components") {
     // components: chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
