@@ -97,10 +97,12 @@ object DedupLsh {
     // `size(sh) > 0` filter would be pushed below the exchange by
     // PushDownPredicates and drag the whole shingle+hash computation
     // onto the (few) input splits — measured 20s vs 2s at sf0.1
-    val withSh = df
+    // guarded: >= par input splits (any real-scale corpus) skip the
+    // full shuffle — the spread only pays off for few-split test files
+    val guarded = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .filter(size(split(col("text"), "\\s+")) >= shingleN)
-      .repartition(par)
+    val withSh = (if (guarded.rdd.getNumPartitions < par) guarded.repartition(par) else guarded)
       .withColumn("tk", split(col("text"), "\\s+"))
       .withColumn("sh", shinglesFromTokens(col("tk"), shingleN))
       .select(col("id"), col("sh"))

@@ -49,9 +49,14 @@ object Similarity {
     */
   /** Spread the corpus across cores before per-vector heavy math — a
     * small parquet arrives as one split, and quantize+bucket+cosine are
-    * CPU-bound narrow work (same trap as Text.contentTokens staging). */
-  private def spread(corpus: DataFrame): DataFrame =
-    corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    * CPU-bound narrow work (same trap as Text.contentTokens staging).
+    * Guarded: a corpus that already has >= parallelism input splits
+    * (any real-scale table) skips the full-corpus shuffle the
+    * unconditional repartition would pay. */
+  private def spread(corpus: DataFrame): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
+  }
 
   /** Exact two-stage per-query top-k over `(query_id, neighbor_id,
     * cosine)` candidates, ranked by (cosine desc, neighbor_id).

@@ -126,9 +126,16 @@ object LlmQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
+    // maxHamming=1 → two 16-bit blocks: the documented at-scale config.
+    // At radius 3 (8-bit blocks, 256 bucket values) this fixture's
+    // template-heavy text collapses to 6.4k distinct 32-bit
+    // fingerprints and the TRUE hamming<=3 pair set is 1.6M rows at
+    // sf0.1 (163 pairs/doc) — the radius, not the search, is what
+    // stops discriminating; specs keep radius-3 coverage on small
+    // fixtures where it is meaningful.
     "x11_simhash_neardup" -> { (s, dir) =>
       DedupLsh.simhashNearDupPairs(corpusNear(s, dir), "doc_id", "text",
-        bits = 32, maxHamming = 3)
+        bits = 32, maxHamming = 1)
         .orderBy("id_a", "id_b")
     },
     "x4_ngram_jaccard" -> { (s, dir) =>
@@ -410,13 +417,13 @@ object LlmQueries {
            |          FROM corpus) t
            |    GROUP BY id)),
            |blk AS (
-           |  SELECT id, sim, g.bi, (sim >> (g.bi * 8)) & 255 AS bv
-           |  FROM fp CROSS JOIN generate_series(0, 3) AS g(bi)),
+           |  SELECT id, sim, g.bi, (sim >> (g.bi * 16)) & 65535 AS bv
+           |  FROM fp CROSS JOIN generate_series(0, 1) AS g(bi)),
            |pairs AS (
            |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            |    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
            |  FROM blk a JOIN blk b ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
-           |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+           |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
            |ORDER BY id_a, id_b""".stripMargin,
       "x4_ngram_jaccard" ->
         s"""WITH sh AS (
