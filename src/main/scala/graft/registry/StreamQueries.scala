@@ -96,6 +96,22 @@ object StreamQueries {
           maxFilesPerTrigger = Some(1))
         .orderBy("window_start_us")
     },
+    "st8_stream_join" -> { (s, dir) =>
+      val glob = writeMicroBatches(s, dir)
+      Streams
+        .runFileStream(s, glob, streamSchema, scratch(dir, "st8_ckpt"),
+          df => Streams.streamSelfJoinPairs(df), OutputMode.Append(),
+          maxFilesPerTrigger = Some(1))
+        .orderBy("a_id", "b_id")
+    },
+    "st9_stream_dedup" -> { (s, dir) =>
+      val glob = writeMicroBatches(s, dir)
+      Streams
+        .runFileStream(s, glob, streamSchema, scratch(dir, "st9_ckpt"),
+          df => Streams.streamDedupKeys(df, Seq("user_id", "event_type")),
+          OutputMode.Append(), maxFilesPerTrigger = Some(1))
+        .orderBy("user_id", "event_type")
+    },
     "st5_stream_stitch" -> { (s, dir) =>
       val glob = writeMicroBatches(s, dir)
       Streams
@@ -125,6 +141,19 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // inner stream-stream join emits every match exactly once, so the
+    // memory sink equals the batch self-join
+    "st8_stream_join" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
+        |ORDER BY a_id, b_id""".stripMargin,
+    "st9_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "st1_stream_file_source" ->
       """SELECT event_id AS entry_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM events ORDER BY entry_id""".stripMargin,

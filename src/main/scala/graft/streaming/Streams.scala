@@ -137,6 +137,42 @@ object Streams {
       .select(unix_micros(col("w.start")).as("window_start_us"),
         unix_micros(col("w.end")).as("window_end_us"), col("n_events"), col("pv_sum"))
 
+  /** ST8 — stream-stream windowed SELF-JOIN: every (earlier, later)
+    * event pair of the same user within `windowSec` — click-to-action
+    * attribution. Both sides carry an event-time watermark and the join
+    * condition time-bounds both event times, so the state store evicts
+    * rows once the watermark passes `a_ts + windowSec` (without the
+    * bound, stream-stream join state grows forever). Inner-join output
+    * is independent of micro-batch boundaries — every match emits
+    * exactly once — so the result equals the batch self-join and is
+    * oracle-checkable. The generous delay keeps the bench fixture's
+    * mildly out-of-order files from dropping matches; production tunes
+    * it to the real disorder bound. */
+  def streamSelfJoinPairs(events: DataFrame, windowSec: Long = 600L,
+                          delay: String = "24 hours"): DataFrame = {
+    val a = events.select(col("user_id"), col("entry_id").as("a_id"),
+      timestamp_micros(col("ts_us")).as("a_ts")).withWatermark("a_ts", delay)
+    val b = events.select(col("user_id").as("user_id_b"), col("entry_id").as("b_id"),
+      timestamp_micros(col("ts_us")).as("b_ts")).withWatermark("b_ts", delay)
+    a.join(b, expr(
+        s"""user_id = user_id_b AND b_ts > a_ts
+           |AND b_ts <= a_ts + INTERVAL $windowSec seconds""".stripMargin))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+  }
+
+  /** ST9 — streaming exact dedup: `dropDuplicates` over the key columns
+    * keeps cross-batch state of every key seen and emits each key's
+    * first arrival once — the reference's keyed dedup in streaming
+    * mode. Projecting the output to the key columns makes the result
+    * independent of WHICH physical row survives (any survivor projects
+    * to the same tuple), so the memory-sink content equals the batch
+    * DISTINCT. State = one entry per distinct key; bound it in
+    * production with dropDuplicatesWithinWatermark when keys don't
+    * recur beyond the disorder bound. */
+  def streamDedupKeys(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.select(keys.map(col): _*).dropDuplicates(keys)
+
   /** ST5 — cross-batch dwell stitch. Emits, for every event that has a
     * successor in its user's stream (possibly in a later micro-batch),
     * the dwell time to that successor. The user's final event stays in
