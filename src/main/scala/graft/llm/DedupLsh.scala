@@ -159,6 +159,15 @@ object DedupLsh {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // convergence via Σlabel: labels are component-wise non-increasing
+    // (every update takes a least()), so an iteration changed something
+    // iff the sum strictly dropped — one cheap aggregate over the
+    // cached checkpoint instead of a join+filter+count per iteration.
+    // decimal(38,0) keeps the sum exact where a long sum could overflow
+    // on web-scale id spaces (2^40 ids × 2^30 docs > 2^63).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -181,12 +190,10 @@ object DedupLsh {
         .select(viaNbr("id"),
           least(viaNbr("label"), coalesce(col("pj_label"), viaNbr("label"))).as("label"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old"))
-        .limit(1).count()
+      val newSum = labelSum(updated)
       labels = updated
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       i += 1
     }
     edges.unpersist()
