@@ -147,6 +147,26 @@ object CoverageQueries {
         .groupBy("w").agg(count(lit(1)).as("n"), sum("qty").as("qty_sum"))
         .orderBy("w")
     },
+    // K10 — SCD2 dimension intervals from the event stream: one row per
+    // state run per user with [valid_from, valid_to) validity
+    "k10_scd2_intervals" -> { (s, dir) =>
+      graft.ops.Scd.intervals(
+        Tables.events(s, dir), "user_id",
+        unix_micros(col("ts")), col("event_type"), col("event_id"))
+        .orderBy("user_id", "valid_from_us", "state")
+    },
+    // A12 — pivot/crosstab: daily activity matrix, one column per event
+    // type (explicit value list keeps the schema static — no extra
+    // distinct-scan job and deterministic column order)
+    "a12_pivot_daily" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")
+    },
     // P8 — rename with mapping existence check
     "p8_rename_checked" -> { (s, dir) =>
       graft.quality.Quality
@@ -263,6 +283,27 @@ object CoverageQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "k10_scd2_intervals" ->
+      """WITH ord AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type AS state, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, ts_us, state, event_id FROM ord
+        |  WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id, state, ts_us AS valid_from_us,
+        |       lead(ts_us) OVER (PARTITION BY user_id
+        |                         ORDER BY ts_us, event_id) AS valid_to_us
+        |FROM chg ORDER BY user_id, valid_from_us, state""".stripMargin,
+    "a12_pivot_daily" ->
+      """SELECT strftime(ts, '%Y%m%d') AS day,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "j6_skew_join" ->
       """WITH f AS (
         |  SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0 ELSE l_orderkey END AS skew_key,

@@ -373,6 +373,24 @@ class OperatorsSpec extends SparkSpec {
     assert(graft.io.Jdbc.seedOnce(src, "db_spec", "t_spec", "name VARCHAR(16)") == url)
   }
 
+  test("K10 SCD2: state runs become [from, to) intervals; current version open-ended") {
+    // user 1: a,a,b,a -> three runs; user 2: single state -> one open row
+    val obs = Seq(
+      (1L, 100L, "a", 1L), (1L, 200L, "a", 2L), (1L, 300L, "b", 3L), (1L, 400L, "a", 4L),
+      (2L, 50L, "x", 5L)
+    ).toDF("user_id", "ts_us", "state", "event_id")
+    val got = graft.ops.Scd.intervals(obs, "user_id", col("ts_us"), col("state"), col("event_id"))
+      .orderBy("user_id", "valid_from_us")
+      .as[(Long, String, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 100L, Some(300L)), (1L, "b", 300L, Some(400L)), (1L, "a", 400L, None),
+      (2L, "x", 50L, None)))
+    // both windows share one hash exchange on the key
+    val plan = graft.ops.Scd.intervals(obs, "user_id", col("ts_us"), col("state"), col("event_id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("J6/AQE: skewed shuffled join splits the hot partition at runtime") {
     // 90% of fact rows share key 0; with lowered thresholds AQE must
     // mark the hot partition skewed and split it across tasks — the
