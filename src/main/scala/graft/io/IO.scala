@@ -105,4 +105,39 @@ object IO {
   /** K4 — Parquet sink (archive zone; dwh/general_lib.py:387-396). */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S13/K12 — ORC source + sink (columnar twin of parquet; Spark ships
+    * the ORC reader/writer natively, so format parity is one line). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** K11 — small-file compaction: rewrite a table directory into
+    * ~`targetBytes`-sized files. The small-files problem is the classic
+    * large-pipeline failure mode — a micro-batch sink drips thousands of
+    * KB-scale files per day and every downstream scan pays a task (and a
+    * namenode round-trip) per file. One distributed read → repartition to
+    * ceil(bytes/target) → rewrite; the swap is
+    * write-temp / delete / rename so a crash leaves either the old or
+    * the new directory, never a half-compacted one. Returns
+    * (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val f = fs(spark, path)
+    def dataFiles(p: String): Array[org.apache.hadoop.fs.FileStatus] =
+      f.globStatus(new Path(s"$p/*")).filter(s =>
+        s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val before = dataFiles(path)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = s"$path.__compact_tmp"
+    f.delete(new Path(tmp), true)
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    f.delete(new Path(path), true)
+    f.rename(new Path(tmp), new Path(path))
+    (before.length, dataFiles(path).length)
+  }
 }

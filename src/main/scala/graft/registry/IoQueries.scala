@@ -44,6 +44,22 @@ object IoQueries {
           col("o_totalprice"), unix_micros(col("o_orderdate")).as("od_us"))
         .orderBy("o_orderkey")
     },
+    "s13_orc_roundtrip" -> { (s, dir) =>
+      val p = scratch(dir, "orc")
+      IO.writeOrc(Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"), p)
+      IO.readOrc(s, p).orderBy("event_id")
+    },
+    // K11 — compaction: 40 deliberately-tiny files rewritten to
+    // ~256 KB-target files; the oracle proves content survives the
+    // rewrite bit-for-bit, the spec asserts the file-count collapse
+    "k11_compaction" -> { (s, dir) =>
+      val p = scratch(dir, "compact")
+      Tables.events(s, dir).select("event_id", "user_id", "event_type", "value")
+        .repartition(40)
+        .write.mode("overwrite").parquet(p)
+      IO.compact(s, p, targetBytes = 256 * 1024L)
+      s.read.parquet(p).orderBy("event_id")
+    },
     "j1_enrich_broadcast" -> { (s, dir) =>
       val joined = Ingest.enrich(Tables.lineitem(s, dir), Tables.part(s, dir),
         "l_partkey", "p_partkey")
@@ -246,6 +262,12 @@ object IoQueries {
   private val EV_SLIM = "SELECT event_id, user_id, event_type FROM events"
 
   val oracles: Map[String, String] = Map(
+    "s13_orc_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "k11_compaction" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "s12_jdbc_incremental" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       epoch_us(o_orderdate) AS od_us

@@ -373,6 +373,19 @@ class OperatorsSpec extends SparkSpec {
     assert(graft.io.Jdbc.seedOnce(src, "db_spec", "t_spec", "name VARCHAR(16)") == url)
   }
 
+  test("K11 compaction: tiny files collapse near the target size, content intact") {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_test_k11"
+    graft.streaming.Streams.deleteDir(spark, p)
+    spark.range(50000).select(col("id"), concat(lit("payload_"), col("id")).as("pay"))
+      .repartition(30).write.mode("overwrite").parquet(p)
+    val (before, after) = graft.io.IO.compact(spark, p, targetBytes = 512 * 1024L)
+    assert(before == 30)
+    assert(after < before && after >= 1, s"expected collapse, got $before -> $after")
+    val back = spark.read.parquet(p)
+    assert(back.count() == 50000L)
+    assert(back.agg(sum("id")).head.getLong(0) == 49999L * 50000L / 2)
+  }
+
   test("K10 SCD2: state runs become [from, to) intervals; current version open-ended") {
     // user 1: a,a,b,a -> three runs; user 2: single state -> one open row
     val obs = Seq(
