@@ -1,7 +1,7 @@
 package graft.registry
 
 import graft.Tables
-import graft.llm.{Contamination, DedupLsh, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Contamination, DedupLsh, Inference, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -219,6 +219,17 @@ object LlmQueries {
         "doc_id", "text", "eval_id",
         n = 3, minShared = 2, maxDf = 50L)
         .orderBy("doc_id", "eval_id")
+    },
+    // x13 — batched embedding inference (typed mapPartitions plumbing;
+    // the oracle replays the stub encoder and checks flattened scalars)
+    "x13_embed_inference" -> { (s, dir) =>
+      Inference.encodeBatched(Tables.documents(s, dir), "doc_id", "text",
+        dim = 16, batchSize = 64)
+        .select(col("doc_id"),
+          size(col("embedding")).cast("long").as("n_dim"),
+          element_at(col("embedding"), 1).as("comp0"),
+          aggregate(col("embedding"), lit(0.0), (a, x) => a + abs(x)).as("l1_norm"))
+        .orderBy("doc_id")
     },
     // y9 — intra-document repetition filter (Gopher/C4-style signal)
     "y9_repetition_filter" -> { (s, dir) =>
@@ -600,6 +611,13 @@ object LlmQueries {
           |GROUP BY cg.doc_id, eg.eval_id
           |HAVING COUNT(*) >= 2
           |ORDER BY doc_id, eval_id""".stripMargin,
+      "x13_embed_inference" ->
+        """SELECT doc_id, CAST(16 AS BIGINT) AS n_dim,
+          |  CAST(ascii(substr(md5(text), 1, 1)) % 16 AS DOUBLE) / 8.0 - 1.0 AS comp0,
+          |  list_aggregate(list_transform(generate_series(1, 16),
+          |    j -> abs(CAST(ascii(substr(md5(text), j, 1)) % 16 AS DOUBLE) / 8.0 - 1.0)),
+          |    'sum') AS l1_norm
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "y9_repetition_filter" ->
         """WITH g AS (
           |  SELECT doc_id,

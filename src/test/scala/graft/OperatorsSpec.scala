@@ -256,6 +256,22 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("blocks"))
   }
 
+  test("X13 inference: batch size never changes results; typed path matches Column md5") {
+    val docs = (0L until 150L).map(i => (i, s"document number $i with text")).toDF("doc_id", "text")
+    def flat(bs: Int) = graft.llm.Inference.encodeBatched(docs, "doc_id", "text", dim = 8, batchSize = bs)
+      .select(col("doc_id"), concat_ws(",", col("embedding").cast("array<string>")).as("e"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val a = flat(64)
+    assert(a == flat(1) && a == flat(1000), "batch boundaries must not affect results")
+    // the stub must equal the declarative md5 construction component-wise
+    val expected = docs.select(col("doc_id"), concat_ws(",",
+        transform(sequence(lit(1), lit(8)),
+          j => (ascii(md5(col("text")).substr(j, lit(1))) % 16).cast("double") / 8.0 - 1.0)
+          .cast("array<string>")).as("e"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(a == expected)
+  }
+
   test("X12 contamination: shared rare trigrams flag the pair; boilerplate grams df-capped") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps high today"),     // shares 2 trigrams with eval 100
