@@ -98,10 +98,14 @@ object StreamQueries {
     },
     "st8_stream_join" -> { (s, dir) =>
       val glob = writeMicroBatches(s, dir)
+      // 4 state partitions: the join holds 4-5 state stores/partition
+      // and replays 5 micro-batches — at 32 partitions the store-commit
+      // machinery, not the data, dominates (16s → 5.3s at sf0.1;
+      // results partition-independent)
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st8_ckpt"),
           df => Streams.streamSelfJoinPairs(df), OutputMode.Append(),
-          maxFilesPerTrigger = Some(1))
+          maxFilesPerTrigger = Some(1), shufflePartitions = Some(4))
         .orderBy("a_id", "b_id")
     },
     "st9_stream_dedup" -> { (s, dir) =>

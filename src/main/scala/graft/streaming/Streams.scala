@@ -48,7 +48,8 @@ object Streams {
       checkpoint: String,
       transform: DataFrame => DataFrame,
       outputMode: OutputMode = OutputMode.Append(),
-      maxFilesPerTrigger: Option[Int] = None
+      maxFilesPerTrigger: Option[Int] = None,
+      shufflePartitions: Option[Int] = None
   ): DataFrame = {
     deleteDir(spark, checkpoint)
     val reader = spark.readStream.schema(schema)
@@ -57,14 +58,24 @@ object Streams {
       .getOrElse(reader)
       .json(path)
     val name = s"mem_${System.nanoTime()}"
-    val q = transform(src).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // stateful operators keep one state store PER shuffle partition per
+    // store type — a stream-stream join holds 4-5 stores/partition, so
+    // a micro-batch replay pays (partitions × stores) store commits per
+    // trigger. Queries with heavy state machinery pass a smaller count
+    // (captured into the checkpoint at query start; results unaffected).
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    shufflePartitions.foreach(n => spark.conf.set(key, n))
+    try {
+      val q = transform(src).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally shufflePartitions.foreach(_ => spark.conf.set(key, prev))
     spark.table(name)
   }
 
