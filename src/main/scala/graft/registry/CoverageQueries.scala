@@ -147,6 +147,16 @@ object CoverageQueries {
         .groupBy("w").agg(count(lit(1)).as("n"), sum("qty").as("qty_sum"))
         .orderBy("w")
     },
+    // O6 — distributed global cumulative sum (two-pass prefix sum): the
+    // scalable twin of SUM() OVER (ORDER BY ...), which runs in ONE task
+    "o6_global_cumsum" -> { (s, dir) =>
+      graft.ops.Cumsum.globalCumsum(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), floor(col("value")).cast("long").as("v")),
+        Seq(col("ts"), col("event_id")), col("v"), "cum_v")
+        .select("event_id", "cum_v")
+        .orderBy("event_id")
+    },
     // K10 — SCD2 dimension intervals from the event stream: one row per
     // state run per user with [valid_from, valid_to) validity
     "k10_scd2_intervals" -> { (s, dir) =>
@@ -283,6 +293,12 @@ object CoverageQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "o6_global_cumsum" ->
+      """SELECT event_id,
+        |  CAST(SUM(CAST(floor(value) AS BIGINT)) OVER (
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_v
+        |FROM events ORDER BY event_id""".stripMargin,
     "k10_scd2_intervals" ->
       """WITH ord AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_type AS state, event_id,

@@ -389,6 +389,22 @@ class OperatorsSpec extends SparkSpec {
     assert(graft.io.Jdbc.seedOnce(src, "db_spec", "t_spec", "name VARCHAR(16)") == url)
   }
 
+  test("O6 cumsum: two-pass prefix sum equals the single-task window, incl. negatives") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 5000L).map(i => (i, (i % 7) - 3)).toDF("id", "v")
+    val got = graft.ops.Cumsum.globalCumsum(df, Seq(col("id")), col("v"), "cum")
+      .orderBy("id").select("id", "cum").as[(Long, Long)].collect().toSeq
+    val w = Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("cum", sum(col("v")).over(w))
+      .orderBy("id").select("id", "cum").as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+    // and the plan must not contain an unpartitioned (single-task) window
+    val plan = graft.ops.Cumsum.globalCumsum(df, Seq(col("id")), col("v"), "cum")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [sum") || plan.contains("__pid"),
+      s"expected per-partition window, got:\n$plan")
+  }
+
   test("K11 compaction: tiny files collapse near the target size, content intact") {
     val p = s"${sys.props("java.io.tmpdir")}/graft_test_k11"
     graft.streaming.Streams.deleteDir(spark, p)
