@@ -157,6 +157,20 @@ object CoverageQueries {
         .select("event_id", "cum_v")
         .orderBy("event_id")
     },
+    // O7 — time-series densification: one row per user per calendar day
+    // in the user's active span; gap days zero-filled, last event type
+    // carried forward (LOCF)
+    "o7_gap_fill" -> { (s, dir) =>
+      graft.ops.GapFill.dailySpine(
+        Tables.events(s, dir), "user_id", to_date(col("ts")),
+        agg = Seq(
+          "n_events" -> count(lit(1)),
+          "pv" -> sum(floor(col("value")).cast("long"))),
+        ffill = Seq("last_type" -> max(col("event_type"))))
+        .select(col("user_id"), date_format(col("day"), "yyyyMMdd").as("day"),
+          col("n_events"), col("pv"), col("last_type"))
+        .orderBy("user_id", "day")
+    },
     // K10 — SCD2 dimension intervals from the event stream: one row per
     // state run per user with [valid_from, valid_to) validity
     "k10_scd2_intervals" -> { (s, dir) =>
@@ -293,6 +307,25 @@ object CoverageQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "o7_gap_fill" ->
+      """WITH obs AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS pv,
+        |         MAX(event_type) AS last_type
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, CAST(UNNEST(generate_series(MIN(day), MAX(day),
+        |                       INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM obs GROUP BY user_id)
+        |SELECT s.user_id, strftime(s.day, '%Y%m%d') AS day,
+        |       COALESCE(o.n_events, 0) AS n_events,
+        |       COALESCE(o.pv, 0) AS pv,
+        |       last_value(o.last_type IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type
+        |FROM spine s LEFT JOIN obs o USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
     "o6_global_cumsum" ->
       """SELECT event_id,
         |  CAST(SUM(CAST(floor(value) AS BIGINT)) OVER (

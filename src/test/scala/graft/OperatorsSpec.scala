@@ -389,6 +389,27 @@ class OperatorsSpec extends SparkSpec {
     assert(graft.io.Jdbc.seedOnce(src, "db_spec", "t_spec", "name VARCHAR(16)") == url)
   }
 
+  test("O7 gap fill: missing days appear zero-filled with state carried forward") {
+    val ev = Seq(
+      (1L, "2024-01-01", "click", 5L),
+      (1L, "2024-01-04", "view", 2L), // 3-day gap: 02, 03 filled
+      (2L, "2024-02-10", "error", 1L)
+    ).toDF("user_id", "d", "event_type", "v").withColumn("ts", to_timestamp(col("d")))
+    val got = graft.ops.GapFill.dailySpine(ev, "user_id", to_date(col("ts")),
+      agg = Seq("n" -> count(lit(1)), "pv" -> sum(col("v"))),
+      ffill = Seq("last_type" -> max(col("event_type"))))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("pv"), col("last_type"))
+      .orderBy("user_id", "day")
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01", 1L, 5L, "click"),
+      (1L, "2024-01-02", 0L, 0L, "click"), // gap: zero counts, LOCF type
+      (1L, "2024-01-03", 0L, 0L, "click"),
+      (1L, "2024-01-04", 1L, 2L, "view"),
+      (2L, "2024-02-10", 1L, 1L, "error")))
+  }
+
   test("O6 cumsum: two-pass prefix sum equals the single-task window, incl. negatives") {
     import org.apache.spark.sql.expressions.Window
     val df = (0L until 5000L).map(i => (i, (i % 7) - 3)).toDF("id", "v")
