@@ -77,7 +77,7 @@ object StreamQueries {
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st4a_ckpt"),
           df => Streams.sessionWindowAppend(df), OutputMode.Append(),
-          maxFilesPerTrigger = Some(1))
+          maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
         .orderBy("user_id", "session_start_us")
     },
     "st6_tumbling_window" -> { (s, dir) =>
@@ -85,7 +85,7 @@ object StreamQueries {
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st6_ckpt"),
           df => Streams.tumblingAgg(df), OutputMode.Append(),
-          maxFilesPerTrigger = Some(1))
+          maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
         .orderBy("window_start_us")
     },
     "st7_sliding_window" -> { (s, dir) =>
@@ -93,7 +93,7 @@ object StreamQueries {
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st7_ckpt"),
           df => Streams.slidingAgg(df), OutputMode.Append(),
-          maxFilesPerTrigger = Some(1))
+          maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
         .orderBy("window_start_us")
     },
     "st8_stream_join" -> { (s, dir) =>
@@ -113,7 +113,7 @@ object StreamQueries {
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st9_ckpt"),
           df => Streams.streamDedupKeys(df, Seq("user_id", "event_type")),
-          OutputMode.Append(), maxFilesPerTrigger = Some(1))
+          OutputMode.Append(), maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
         .orderBy("user_id", "event_type")
     },
     "st5_stream_stitch" -> { (s, dir) =>
@@ -121,7 +121,7 @@ object StreamQueries {
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st5_ckpt"),
           df => Streams.stitchDwell(s, df), OutputMode.Append(),
-          maxFilesPerTrigger = Some(1))
+          maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
         .orderBy("entry_id")
     },
     "st5_stream_stitch_tws" -> { (s, dir) =>
@@ -135,7 +135,7 @@ object StreamQueries {
       try Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st5tws_ckpt"),
           df => Streams.stitchDwellTws(s, df), OutputMode.Append(),
-          maxFilesPerTrigger = Some(1))
+          maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
         .orderBy("entry_id")
       finally prev match {
         case Some(v) => s.conf.set(key, v)
