@@ -74,9 +74,13 @@ object Ingest {
       sampleKeys: Seq[String] = Seq.empty
   ): DataFrame = {
     val raw = IO.readCsv(spark, csvPath)
+    // persist at the fan-out: the sample feeds TWO sinks and the
+    // returned frame — without the cache each consumer re-parses the
+    // CSV and recomputes the md5 gate (3 full passes)
     val sampled =
-      if (sampleKeys.nonEmpty) Rows.hashSample(raw, sampleKeys, sampleFraction)
-      else Rows.seededSample(raw, sampleFraction, seed)
+      (if (sampleKeys.nonEmpty) Rows.hashSample(raw, sampleKeys, sampleFraction)
+       else Rows.seededSample(raw, sampleFraction, seed))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IO.writeJsonLines(sampled, IO.datedPath(landzone, "batch", table, "json", yyyyMMdd, stamp))
     IO.writeParquet(sampled, IO.datedPath(archive, "archives", table, "parquet", yyyyMMdd, stamp))
     sampled
