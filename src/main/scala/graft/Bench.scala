@@ -53,6 +53,11 @@ object Bench {
           case e: Throwable => System.err.println(s"[bench] $name failed: $e"); None
         }
       }
+      // several operators persist at internal fan-out points and cannot
+      // unpersist before returning (the caller still reads the frame);
+      // clearing between queries stops those blocks accumulating across
+      // 100+ queries × N runs
+      spark.catalog.clearCache()
       name -> (if (times.nonEmpty) median(times) else -1.0)
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -119,10 +119,12 @@ object IO {
     * large-pipeline failure mode — a micro-batch sink drips thousands of
     * KB-scale files per day and every downstream scan pays a task (and a
     * namenode round-trip) per file. One distributed read → repartition to
-    * ceil(bytes/target) → rewrite; the swap is
-    * write-temp / delete / rename so a crash leaves either the old or
-    * the new directory, never a half-compacted one. Returns
-    * (filesBefore, filesAfter). */
+    * ceil(bytes/target) → rewrite. Swap order: write the new data
+    * beside, rename OLD aside, rename new in, delete old — a crash at
+    * any point leaves a complete directory recoverable at `path` or
+    * `path.__compact_old` (never a window where neither exists, which a
+    * delete-then-rename sequence has). Returns (filesBefore, filesAfter).
+    */
   def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val f = fs(spark, path)
@@ -133,11 +135,14 @@ object IO {
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = s"$path.__compact_tmp"
+    val old = s"$path.__compact_old"
     f.delete(new Path(tmp), true)
+    f.delete(new Path(old), true)
     spark.read.parquet(path).repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    f.delete(new Path(path), true)
+    f.rename(new Path(path), new Path(old))
     f.rename(new Path(tmp), new Path(path))
+    f.delete(new Path(old), true)
     (before.length, dataFiles(path).length)
   }
 }

@@ -26,21 +26,35 @@ import org.apache.spark.sql.functions._
 object Contamination {
 
   /** (doc_id, eval_id, shared_grams) for every corpus×eval pair sharing
-    * at least `minShared` distinct n-grams after the df cap. */
+    * at least `minShared` distinct n-grams after the df cap.
+    *
+    * Join order matters at scale: the BROADCAST eval-gram semi-join
+    * runs FIRST, so the full corpus gram table is filtered map-side and
+    * never shuffles — only grams that exist in the (small) eval set
+    * survive. The document-frequency cap is then computed over that
+    * restricted set, which yields the same df values for every eval
+    * gram as a full-corpus count would (grams outside the eval set can
+    * never reach the output). The corpus is split+shingled exactly
+    * once. */
   def overlapPairs(corpus: DataFrame, eval: DataFrame,
                    idCol: String, textCol: String, evalIdCol: String,
                    n: Int = 3, minShared: Int = 2, maxDf: Long = 50L): DataFrame = {
     def grams(df: DataFrame, id: String, out: String): DataFrame =
       df.select(col(id), split(col(textCol), "\\s+").as("tk"))
         .select(col(id), explode(DedupLsh.shinglesFromTokens(col("tk"), n)).as(out))
-    val cg = grams(corpus, idCol, "g")
-    // document frequency over the CORPUS side; grams above the cap are
-    // boilerplate and would defeat the posting-list bound
-    val rare = cg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val eg = grams(eval, evalIdCol, "g")
+    // corpus grams restricted to the eval gram set — map-side via the
+    // broadcast semi-join; one row per (corpus doc, eval gram) since
+    // per-doc shingles are distinct
+    val hits = grams(corpus, idCol, "g")
+      .join(broadcast(eg.select(col("g")).distinct()), Seq("g"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df cap over the restricted set: grams above it are boilerplate
+    // ("all rights reserved") that would join every doc to every eval doc
+    val rare = hits.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("g"))
-    val eg = grams(eval, evalIdCol, "g")
-    cg.join(rare.hint("shuffle_hash"), Seq("g"))
+    hits.join(broadcast(rare), Seq("g"))
       .join(broadcast(eg), Seq("g"))
       .groupBy(col(idCol), col(evalIdCol))
       .agg(count(lit(1)).as("shared_grams"))

@@ -165,8 +165,12 @@ object DedupLsh {
     // cached checkpoint instead of a join+filter+count per iteration.
     // decimal(38,0) keeps the sum exact where a long sum could overflow
     // on web-scale id spaces (2^40 ids × 2^30 docs > 2^63).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    // sum over zero rows is NULL — map it to 0 or an empty pair list
+    // NPEs at the first compareTo (empty input must just converge)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0

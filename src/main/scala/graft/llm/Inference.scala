@@ -34,6 +34,10 @@ object Inference {
     import spark.implicits._
     docs
       .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      // the typed tuple encoder and text.getBytes both NPE on nulls —
+      // rows with no id or no text carry nothing to encode; drop them
+      // (routine in scraped corpora) rather than fail the stage
+      .na.drop()
       .as[(Long, String)]
       .mapPartitions { rows =>
         // per-partition "model load" — a real encoder session goes here

@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Distributed global cumulative sum — the scalable replacement for an
   * unpartitioned `SUM() OVER (ORDER BY …)` window, which Spark executes
@@ -10,18 +11,23 @@ import org.apache.spark.sql.functions._
   * global sessionization has; `w2_sessionize_global` keeps that form
   * for parity, this is the 100 TB path).
   *
-  * Classic two-pass prefix sum:
-  *   1. range-repartition on the order key, so partition i holds a
-  *      contiguous key range below partition i+1 — each partition
-  *      computes its LOCAL running sum in parallel (window keyed by
-  *      `spark_partition_id()`);
-  *   2. the per-partition totals (one row per partition — O(partitions),
-  *      not O(rows)) come to the driver, their exclusive prefix sums go
-  *      back as a broadcast map, and each row adds its partition offset.
+  * Classic two-pass prefix sum over ONE exchange:
+  *   1. range-repartition + sort on the order key (partition i's keys
+  *     all precede partition i+1's), then cache — this is the only
+  *     shuffle;
+  *   2. a narrow pass brings one (partition, total) row per partition
+  *     to the driver — O(partitions), not O(rows);
+  *   3. a second narrow pass computes each partition's local running
+  *     sum seeded with its broadcast exclusive-prefix offset.
+  * A window keyed by `spark_partition_id()` would be wrong here: the
+  * pid column doesn't satisfy the range partitioning, so the planner
+  * would insert a SECOND full-data hash exchange (measured in review).
   *
   * The result is independent of where the (sampled, nondeterministic)
   * range boundaries land: offsets absorb the split. The order key must
-  * be a total order — pass a unique tiebreaker.
+  * be a total order — pass a unique tiebreaker. The value is summed as
+  * LONG (exact in any partial order; null counts as 0, matching SQL
+  * SUM's null-skipping).
   */
 object Cumsum {
 
@@ -30,27 +36,31 @@ object Cumsum {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val parted = df
+      .withColumn("__v", value.cast("long"))
       .repartitionByRange(par, order: _*)
-      .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // persisted: the totals pass and the output both read this subtree
-    val local = parted.withColumn(out, sum(value).over(w))
+      .sortWithinPartitions(order: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // sum, not max-of-running-sum: max breaks on negative values.
-    // LONG totals keep the offsets exact (doubles would drift by
-    // partition count × ulp and diverge from the single-window oracle).
-    val totals = local.groupBy(col("__pid"))
-      .agg(sum(value).as("__total"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
+    val vIdx = parted.schema.fieldIndex("__v")
+    val totals = parted.toDF().rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var acc = 0L
+        it.foreach(r => if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx))
+        Iterator.single(pid -> acc)
+      }
+      .collect().sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
       .init.map { case (_, off) => off }
-    val offsetsByPid = totals.map(_._1).zip(offsets).toMap
-    val offsetExpr = offsetsByPid.foldLeft(lit(0L)) { case (e, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(e)
-    }
-    local.withColumn(out, col(out) + offsetExpr).drop("__pid")
+    val offsetByPid = spark.sparkContext.broadcast(
+      totals.map(_._1).zip(offsets).toMap)
+    val outSchema = parted.schema.add(out, LongType)
+    val result = parted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var acc = offsetByPid.value.getOrElse(pid, 0L)
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(Encoders.row(outSchema))
+    result.drop("__v")
   }
 }

@@ -21,7 +21,6 @@ object Scd {
 
   def intervals(df: DataFrame, key: String, tsUs: Column, state: Column,
                 tiebreak: Column): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(tsUs, tiebreak)
     val changes = df
       .select(col(key), tsUs.as("__ts"), state.as("state"), tiebreak.as("__tb"))
       .withColumn("__prev", lag(col("state"), 1).over(

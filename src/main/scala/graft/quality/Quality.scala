@@ -113,9 +113,15 @@ object Quality {
     val dataKv = metricsRow.columns.zipWithIndex.map { case (c, i) =>
       val v = row.get(i)
       val j = v match {
-        case null               => "null"
-        case s: String          => "\"" + Alerts.esc(s) + "\""
-        case other              => other.toString
+        case null                                   => "null"
+        case s: String                              => "\"" + Alerts.esc(s) + "\""
+        // JSON has no NaN/Infinity literals
+        case d: java.lang.Double if d.isNaN || d.isInfinite  => "null"
+        case f: java.lang.Float if f.isNaN || f.isInfinite   => "null"
+        case n @ (_: java.lang.Number | _: java.lang.Boolean) => n.toString
+        // timestamps, dates, and anything else stringifies QUOTED —
+        // bare `toString` here produced unparseable reports
+        case other                                  => "\"" + Alerts.esc(other.toString) + "\""
       }
       s""""${Alerts.esc(c)}": $j"""
     }

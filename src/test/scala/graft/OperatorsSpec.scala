@@ -419,11 +419,13 @@ class OperatorsSpec extends SparkSpec {
     val expected = df.withColumn("cum", sum(col("v")).over(w))
       .orderBy("id").select("id", "cum").as[(Long, Long)].collect().toSeq
     assert(got == expected)
-    // and the plan must not contain an unpartitioned (single-task) window
+    // the output plan must contain NO window and NO hash exchange — the
+    // range repartition inside the cached subtree is the only shuffle
     val plan = graft.ops.Cumsum.globalCumsum(df, Seq(col("id")), col("v"), "cum")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window [sum") || plan.contains("__pid"),
-      s"expected per-partition window, got:\n$plan")
+    assert(!plan.contains("Window ["), s"expected no window operator, got:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected no hash exchange above the cached range partition, got:\n$plan")
   }
 
   test("K11 compaction: tiny files collapse near the target size, content intact") {
