@@ -147,6 +147,16 @@ object CoverageQueries {
         .groupBy("w").agg(count(lit(1)).as("n"), sum("qty").as("qty_sum"))
         .orderBy("w")
     },
+    // A13 — ROLLUP hierarchy totals: (day, type) cells + per-day
+    // subtotals + grand total in ONE pass (partial-aggregable; the
+    // engine expands grouping sets map-side instead of 3 scans)
+    "a13_rollup" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+        .rollup(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("day"), col("event_type"))
+    },
     // O6 — distributed global cumulative sum (two-pass prefix sum): the
     // scalable twin of SUM() OVER (ORDER BY ...), which runs in ONE task
     "o6_global_cumsum" -> { (s, dir) =>
@@ -307,6 +317,14 @@ object CoverageQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "a13_rollup" ->
+      """SELECT strftime(ts, '%Y%m%d') AS day, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(GROUPING(strftime(ts, '%Y%m%d')) * 2
+        |            + GROUPING(event_type) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY ROLLUP (strftime(ts, '%Y%m%d'), event_type)
+        |ORDER BY gid, day, event_type""".stripMargin,
     "o7_gap_fill" ->
       """WITH obs AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,
