@@ -44,6 +44,23 @@ object IoQueries {
           col("o_totalprice"), unix_micros(col("o_orderdate")).as("od_us"))
         .orderBy("o_orderkey")
     },
+    // S14 — schema evolution across batch generations: an old batch
+    // without `value` and a new batch with it, read as one table via
+    // mergeSchema (the footer-union read an append-only lake needs when
+    // columns arrive over time); old rows surface NULL for the new column
+    "s14_schema_evolution" -> { (s, dir) =>
+      val p = scratch(dir, "evolve")
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "user_id", "event_type")
+        .write.mode("overwrite").parquet(s"$p/gen=old")
+      ev.filter(col("event_id") % 2 === 1)
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$p/gen=new")
+      s.read.option("mergeSchema", "true").parquet(s"$p/gen=old", s"$p/gen=new")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
     "s13_orc_roundtrip" -> { (s, dir) =>
       val p = scratch(dir, "orc")
       IO.writeOrc(Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"), p)
@@ -262,6 +279,10 @@ object IoQueries {
   private val EV_SLIM = "SELECT event_id, user_id, event_type FROM events"
 
   val oracles: Map[String, String] = Map(
+    "s14_schema_evolution" ->
+      """SELECT event_id, user_id, event_type,
+        |       CASE WHEN event_id % 2 = 1 THEN value END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
     "s13_orc_roundtrip" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
