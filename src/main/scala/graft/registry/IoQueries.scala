@@ -44,6 +44,18 @@ object IoQueries {
           col("o_totalprice"), unix_micros(col("o_orderdate")).as("od_us"))
         .orderBy("o_orderkey")
     },
+    // S15 — compressed-text roundtrip: gzip JSON-lines (the wire format
+    // scraped-data deliveries actually arrive in; Spark's text sources
+    // decompress transparently, but gzip is NOT splittable — one task
+    // per .gz file, so real pipelines keep delivery files shard-sized)
+    "s15_gzip_json_roundtrip" -> { (s, dir) =>
+      val p = scratch(dir, "gzip")
+      Tables.events(s, dir).select("event_id", "user_id", "event_type")
+        .write.mode("overwrite").option("compression", "gzip").json(p)
+      s.read.json(p)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    },
     // S14 — schema evolution across batch generations: an old batch
     // without `value` and a new batch with it, read as one table via
     // mergeSchema (the footer-union read an append-only lake needs when
@@ -279,6 +291,8 @@ object IoQueries {
   private val EV_SLIM = "SELECT event_id, user_id, event_type FROM events"
 
   val oracles: Map[String, String] = Map(
+    "s15_gzip_json_roundtrip" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "s14_schema_evolution" ->
       """SELECT event_id, user_id, event_type,
         |       CASE WHEN event_id % 2 = 1 THEN value END AS value
