@@ -45,11 +45,13 @@ object Jdbc {
   def seedOnce(df: DataFrame, db: String, table: String, columnTypes: String): String =
     seeded.computeIfAbsent(s"$db/$table", { _ =>
       val url = s"jdbc:derby:${home()}/$db;create=true"
-      df.write.format("jdbc")
+      val w = df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
-        .option("createTableColumnTypes", columnTypes)
         .mode("overwrite")
+      // empty override = keep Spark's default DDL mapping (the option
+      // value is parsed as SQL and rejects an empty string)
+      (if (columnTypes.nonEmpty) w.option("createTableColumnTypes", columnTypes) else w)
         .save()
       url
     })

@@ -493,6 +493,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("S12 JDBC: timestamps round-trip through Derby to the exact microsecond") {
+    val src = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 12:34:56.123456")),
+      (2L, java.sql.Timestamp.valueOf("1997-12-31 23:59:59.999999")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.0"))
+    ).toDF("id", "ts")
+    val url = graft.io.Jdbc.seedOnce(src, "db_spec_ts", "t_ts", "")
+    val back = graft.io.Jdbc.read(spark, url, "t_ts")
+      .select(col("id"), unix_micros(col("ts")).as("us")).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    val expected = src.select(col("id"), unix_micros(col("ts")).as("us")).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(back == expected, "µs timestamps must survive the JDBC write/read cycle")
+  }
+
   test("J4 as-of join: latest version at-or-before ts, null before first version") {
     val left = Seq((1L, 1L, 100L), (2L, 1L, 250L), (3L, 1L, 200L), (4L, 2L, 50L))
       .toDF("event_id", "k", "ts")
