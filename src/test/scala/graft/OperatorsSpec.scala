@@ -371,6 +371,17 @@ class OperatorsSpec extends SparkSpec {
     assert(j.count() == 2000)
   }
 
+  test("E2 plan: the whole browsing chain runs on ONE hash exchange") {
+    // pins the subset-rule co-partitioning: user_id partitioning must
+    // satisfy the 3-col dedup window, session window, merge agg and
+    // dwell window — a second hashpartitioning exchange is a regression
+    assume(new java.io.File("/root/testdata/sf0.001/events.parquet").exists)
+    val plan = graft.pipeline.Browsing.pipeline(spark, "/root/testdata/sf0.001", perUser = true)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, found $hashEx:\n$plan")
+  }
+
   test("S12 JDBC: Derby roundtrip pushes filters into the scan and stripes the read") {
     val src = (1L to 200L).map(i => (i, s"u$i", i * 1.5)).toDF("id", "name", "score")
     val url = graft.io.Jdbc.seedOnce(src, "db_spec", "t_spec", "name VARCHAR(16)")
