@@ -64,7 +64,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // The full line is >2KB at 100+ queries and the driver keeps only an
+    // output TAIL — BENCH_r03/r04 both captured it front-truncated and
+    // unparseable. Persist the full line to a file and ALSO print a short
+    // summary line LAST so any tail-window capture still holds one
+    // complete JSON object.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.size},"file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -124,10 +124,21 @@ object IO {
     * any point leaves a complete directory recoverable at `path` or
     * `path.__compact_old` (never a window where neither exists, which a
     * delete-then-rename sequence has). Returns (filesBefore, filesAfter).
+    *
+    * Contract: `path` must be a FLAT parquet directory (data files only,
+    * no partition subdirectories). A hive-partitioned table would have
+    * its partition column re-inferred and rewritten as a data column
+    * into a flat layout — a silent schema/layout change — so the method
+    * rejects directories containing subdirectories instead of guessing.
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val f = fs(spark, path)
+    val entries = f.globStatus(new Path(s"$path/*"))
+    val subdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+    require(subdirs.isEmpty,
+      s"compact() requires a flat parquet directory; $path contains subdirectories " +
+        s"(${subdirs.take(3).mkString(", ")}) — compact each partition leaf instead")
     def dataFiles(p: String): Array[org.apache.hadoop.fs.FileStatus] =
       f.globStatus(new Path(s"$p/*")).filter(s =>
         s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
@@ -140,8 +151,13 @@ object IO {
     f.delete(new Path(old), true)
     spark.read.parquet(path).repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    f.rename(new Path(path), new Path(old))
-    f.rename(new Path(tmp), new Path(path))
+    // Hadoop FileSystem.rename reports failure by RETURNING false, not
+    // throwing; on a LocalFS a false first rename would let the second
+    // rename move tmp INSIDE the still-existing path dir. Fail loudly.
+    def mv(src: String, dst: String): Unit =
+      require(f.rename(new Path(src), new Path(dst)), s"rename $src -> $dst failed")
+    mv(path, old)
+    mv(tmp, path)
     f.delete(new Path(old), true)
     (before.length, dataFiles(path).length)
   }

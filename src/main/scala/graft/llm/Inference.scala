@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   *     batch-sized memory, nothing materializes per partition.
   *
   * The encoder itself is STUBBED (no ML runtime in this sandbox) with a
-  * deterministic md5-derived vector — component j is a [-1, 1) value
-  * from hex digit j — chosen because any engine with an md5() can
-  * replay it, so the DuckDB oracle verifies the distributed plumbing
-  * end-to-end. Components are exact binary fractions (k/8 − 1), so
-  * derived sums compare bit-for-bit across engines.
+  * deterministic md5-derived vector — component j is
+  * `(ascii(h[j]) % 16) / 8 − 1` where h[j] is hex-digit CHARACTER j of
+  * the digest (ascii modulo, NOT the hex digit's numeric value: 'a'..'f'
+  * land on the same residues as '1'..'6', so components span only
+  * [−1, 0.125]) — chosen because any engine with an md5() can replay
+  * the same formula, so the DuckDB oracle verifies the distributed
+  * plumbing end-to-end. Components are exact binary fractions (k/8 − 1),
+  * so derived sums compare bit-for-bit across engines.
   */
 object Inference {
 

@@ -353,12 +353,14 @@ object CoverageQueries {
     "k10_scd2_intervals" ->
       """WITH ord AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_type AS state, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS rn,
         |         lag(event_type) OVER (PARTITION BY user_id
         |                               ORDER BY epoch_us(ts), event_id) AS prev
         |  FROM events),
         |chg AS (
         |  SELECT user_id, ts_us, state, event_id FROM ord
-        |  WHERE prev IS NULL OR prev <> state)
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM state)
         |SELECT user_id, state, ts_us AS valid_from_us,
         |       lead(ts_us) OVER (PARTITION BY user_id
         |                         ORDER BY ts_us, event_id) AS valid_to_us

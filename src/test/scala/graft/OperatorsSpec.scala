@@ -470,6 +470,36 @@ class OperatorsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("K10 SCD2: NULL is a real state — NULL runs open intervals, resume splits runs") {
+    // user 1: a, NULL, NULL, a -> three runs (the resumed 'a' is a NEW
+    // interval, not a continuation); user 2: opens on NULL -> one run
+    val obs = Seq(
+      (1L, 100L, Some("a"), 1L), (1L, 200L, None, 2L), (1L, 300L, None, 3L),
+      (1L, 400L, Some("a"), 4L),
+      (2L, 50L, None, 5L), (2L, 60L, Some("x"), 6L)
+    ).toDF("user_id", "ts_us", "state", "event_id")
+    val got = graft.ops.Scd.intervals(obs, "user_id", col("ts_us"), col("state"), col("event_id"))
+      .orderBy("user_id", "valid_from_us")
+      .as[(Long, Option[String], Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("a"), 100L, Some(200L)), (1L, None, 200L, Some(400L)),
+      (1L, Some("a"), 400L, None),
+      (2L, None, 50L, Some(60L)), (2L, Some("x"), 60L, None)))
+  }
+
+  test("K11 compaction rejects partitioned (non-flat) directories") {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_test_k11_part"
+    graft.streaming.Streams.deleteDir(spark, p)
+    spark.range(100).select(col("id"), (col("id") % 3).as("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(p)
+    val e = intercept[IllegalArgumentException] {
+      graft.io.IO.compact(spark, p, targetBytes = 1024L)
+    }
+    assert(e.getMessage.contains("flat parquet directory"), e.getMessage)
+    // and the table is untouched
+    assert(spark.read.parquet(p).count() == 100L)
+  }
+
   test("J6/AQE: skewed shuffled join splits the hot partition at runtime") {
     // 90% of fact rows share key 0; with lowered thresholds AQE must
     // mark the hot partition skewed and split it across tasks — the
