@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data preparation operators: TF-IDF term
+  * weighting, fixed-window token chunking (the sample-boundary pass a
+  * training pipeline runs before packing sequences), and CCNet-style
+  * boilerplate detection by corpus-frequent segment counting.
+  *
+  * All three share one scale shape: explode to (doc, unit) rows →
+  * map-side-combinable hash aggregates → equi-joins on the unit key.
+  * No windows over corpus-sized partitions, no driver-side loops — the
+  * only windows are per-document (bounded by document vocabulary).
+  */
+object Corpus {
+
+  /** TF-IDF top-k terms per document over the `[a-z0-9]+` regex
+    * tokenization (the same tokenizer the vocabulary builder uses).
+    *
+    * score = tf · ln(N / df), rounded to 6 decimals: `ln` is not
+    * guaranteed correctly-rounded (unlike IEEE + − × ÷), so unrounded
+    * scores can differ from another engine's in the last ulp and break
+    * bit-compare; 1e-6 granularity is far above both engines' ln error.
+    *
+    * Plan: tokens explode → (doc, term) hash agg (tf) → (term) hash agg
+    * (df, from the already-distinct doc-term pairs) → shuffle equi-join
+    * on term → per-doc top-k window. N arrives via a broadcast 1-row
+    * cross join, never a corpus-wide window.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    // tf feeds BOTH join sides (as itself and aggregated to df) — keep
+    // the explode+agg result instead of re-scanning the corpus twice;
+    // the caller's sweep clears the cache between queries
+    val tf = docs
+      .select(col(idCol), explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Fixed-size overlapping token windows — the chunking pass that
+    * turns documents into training samples. Chunk i covers tokens
+    * [i·stride, i·stride + size); a document with n ≤ size tokens is
+    * one chunk, otherwise 1 + ceil((n − size) / stride) chunks so the
+    * tail is always covered. Pure per-row explode: embarrassingly
+    * parallel, no shuffle before the caller's sink.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      "need 1 <= stride <= size")
+    val staged = docs
+      .select(col(idCol), split(col(textCol), "\\s+").as("__tk"))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__tk")).cast("long"))
+      // floor((max(0, n-size) + stride - 1) / stride) via double
+      // division — exact while counts < 2^52
+      .withColumn("__n_chunks",
+        lit(1L) + floor((greatest(lit(0L), col("__n") - size) + (stride - 1))
+          / lit(stride.toDouble)).cast("long"))
+    staged
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("__n_chunks") - 1)))
+      .withColumn("__ctk",
+        slice(col("__tk"), (col("chunk_idx") * stride + 1).cast("int"), lit(size)))
+      .select(col(idCol), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("__ctk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__ctk")).as("chunk_text"))
+  }
+
+  /** Boilerplate detection by corpus-frequent segments (the CCNet /
+    * RefinedWeb dedup-at-line-granularity signal, on segment
+    * granularity since this corpus has no line structure): cut each
+    * document into non-overlapping `segLen`-token segments (trailing
+    * partial segment dropped), count each distinct segment's document
+    * frequency across the corpus, and score each document by the
+    * fraction of its segment INSTANCES whose segment occurs in ≥
+    * `minDf` documents. `kept` = boiler_frac ≤ maxFrac.
+    *
+    * Segment df counts docs, not instances (a doc repeating its own
+    * segment isn't corpus boilerplate), via a distinct on (doc, seg)
+    * before the df aggregate.
+    */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+                  segLen: Int, minDf: Long, maxFrac: Double): DataFrame = {
+    require(segLen >= 1, "segLen must be positive")
+    val segs = docs
+      .select(col(idCol), split(col(textCol), "\\s+").as("__tk"))
+      .withColumn("__n_segs",
+        floor(org.apache.spark.sql.functions.size(col("__tk"))
+          / lit(segLen.toDouble)).cast("long"))
+      // sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — docs
+      // shorter than one segment must not reach the explode (they are
+      // re-attached by the left join below)
+      .filter(col("__n_segs") >= 1L)
+      .withColumn("seg_idx", explode(sequence(lit(1L), col("__n_segs"))))
+      .select(col(idCol),
+        concat_ws(" ",
+          slice(col("__tk"), ((col("seg_idx") - 1) * segLen + 1).cast("int"), lit(segLen)))
+          .as("seg"))
+    val segDf = segs.select(col(idCol), col("seg")).distinct()
+      .groupBy("seg").agg(count(lit(1)).as("seg_df"))
+    val perDoc = segs.join(segDf, "seg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("seg_df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_segs"), 6))
+    // docs shorter than one segment have no evidence: frac 0, kept
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        coalesce(col("boiler_frac"), lit(0.0)).as("boiler_frac"))
+      .withColumn("kept", col("boiler_frac") <= maxFrac)
+  }
+}

@@ -74,6 +74,16 @@ object Text {
   /** T8 — list→string canonicalization for grouping keys (py:344-346). */
   def canonicalizeList(c: Column): Column = array_join(c, ",")
 
+  /** PII redaction for training corpora: emails then long digit runs
+    * replaced by typed placeholders. Emails go first (they contain
+    * digits); both patterns stay inside the RE2-compatible subset so
+    * any engine replays them identically. Pure codegen'd
+    * regexp_replace — embarrassingly parallel. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val NumRe = "[0-9]{4,}"
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), NumRe, "<NUM>")
+
   /** T5 — exact_keywords synthesis (py:230-315): union of the
     * normalized search keyword (unless blank), the normalized
     * tmp-keywords list, and the content top-k — deduped and sorted for

@@ -1,7 +1,7 @@
 package graft.registry
 
 import graft.Tables
-import graft.llm.{Contamination, DedupLsh, Inference, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Contamination, Corpus, DedupLsh, Inference, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -319,6 +319,26 @@ object LlmQueries {
           Multimodal.attachPayload(Tables.documents(s, dir), "doc_id", "text")),
         stride = 7)
         .orderBy("media_id", "frame_idx")
+    },
+    // y10 — fixed-window token chunking: the pass that cuts documents
+    // into training samples (32-token windows, stride 24 → 8-token
+    // overlap). Pure per-row explode, no shuffle before the sink.
+    "y10_doc_chunks" -> { (s, dir) =>
+      Corpus.chunk(Tables.documents(s, dir), "doc_id", "text", size = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    },
+    // y11 — corpus-frequent-segment boilerplate scoring (CCNet-style
+    // at 2-token segment granularity; fixture docs are short random
+    // draws over a small vocabulary, so real segment collisions exist)
+    "y11_boilerplate" -> { (s, dir) =>
+      Corpus.boilerplate(Tables.documents(s, dir), "doc_id", "text",
+        segLen = 2, minDf = 8L, maxFrac = 0.5)
+        .orderBy("doc_id")
+    },
+    // y12 — TF-IDF top-5 terms per document over the regex tokenizer
+    "y12_tfidf_topk" -> { (s, dir) =>
+      Corpus.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
     }
   )
 
@@ -657,7 +677,60 @@ object LlmQueries {
           |FROM (
           |  SELECT doc_id AS media_id, CAST(length(text) % 64 + 1 AS BIGINT) AS n_frames
           |  FROM documents)
-          |ORDER BY media_id, frame_idx""".stripMargin
+          |ORDER BY media_id, frame_idx""".stripMargin,
+      "y10_doc_chunks" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+          |n AS (
+          |  SELECT doc_id, tk,
+          |    CAST(1 + floor((greatest(len(tk) - 32, 0) + 23) / 24.0) AS BIGINT) AS n_chunks
+          |  FROM t),
+          |c AS (
+          |  SELECT doc_id, tk, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM n)
+          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+          |  CAST(len(tk[(chunk_idx*24 + 1):(chunk_idx*24 + 32)]) AS BIGINT) AS n_tokens,
+          |  array_to_string(tk[(chunk_idx*24 + 1):(chunk_idx*24 + 32)], ' ') AS chunk_text
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+      "y11_boilerplate" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+          |s AS (
+          |  SELECT doc_id, array_to_string(tk[((i-1)*2+1):((i-1)*2+2)], ' ') AS seg
+          |  FROM (SELECT doc_id, tk,
+          |          unnest(generate_series(1, CAST(floor(len(tk)/2.0) AS BIGINT))) AS i
+          |        FROM t)),
+          |df AS (
+          |  SELECT seg, COUNT(*) AS seg_df
+          |  FROM (SELECT DISTINCT doc_id, seg FROM s) GROUP BY seg),
+          |pd AS (
+          |  SELECT s.doc_id, COUNT(*) AS n_segs,
+          |         SUM(CASE WHEN df.seg_df >= 8 THEN 1 ELSE 0 END) AS n_boiler
+          |  FROM s JOIN df USING (seg) GROUP BY s.doc_id)
+          |SELECT d.doc_id,
+          |  CAST(COALESCE(pd.n_segs, 0) AS BIGINT) AS n_segs,
+          |  CAST(COALESCE(pd.n_boiler, 0) AS BIGINT) AS n_boiler,
+          |  COALESCE(round(CAST(pd.n_boiler AS DOUBLE) / pd.n_segs, 6), 0.0) AS boiler_frac,
+          |  COALESCE(round(CAST(pd.n_boiler AS DOUBLE) / pd.n_segs, 6), 0.0) <= 0.5 AS kept
+          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+      "y12_tfidf_topk" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+          |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+          |  FROM tf JOIN df USING (term) CROSS JOIN n),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY score DESC, term ASC) AS rn
+          |  FROM scored)
+          |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+          |FROM ranked WHERE rn <= 5
+          |ORDER BY doc_id, score DESC, term""".stripMargin
     )
   }
 }

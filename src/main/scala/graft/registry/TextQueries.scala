@@ -104,6 +104,24 @@ object TextQueries {
           date_format(col("ts"), "yyyyMMddHHmmss").as("d14"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("iso"))
         .orderBy("event_id")
+    },
+    // T11 (beyond reference) — PII redaction. The fixture text carries
+    // no PII, so a deterministic doc_id-derived email + reference
+    // number is appended FIRST (replayable in any engine) and the
+    // redaction then has real matches to rewrite.
+    "t11_pii_redact" -> { (s, dir) =>
+      val pii = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com ref "),
+          (col("doc_id") * 7919 + 12345).cast("string")).as("t"))
+      pii.select(col("doc_id"),
+        Text.redactPii(col("t")).as("redacted"),
+        size(regexp_extract_all(col("t"), lit(Text.EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(
+          regexp_replace(col("t"), Text.EmailRe, "<EMAIL>"),
+          lit(Text.NumRe), lit(0))).cast("long").as("n_nums"))
+        .orderBy("doc_id")
     }
   )
 
@@ -164,6 +182,22 @@ object TextQueries {
         |  strftime(ts, '%Y%m%d') AS d8,
         |  strftime(ts, '%Y%m%d%H%M%S') AS d14,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "t11_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val num = "[0-9]{4,}"
+      s"""WITH pii AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@mail.example.com ref ' || CAST(doc_id * 7919 + 12345 AS VARCHAR) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+         |                 '$num', '<NUM>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(t, '$email', '<EMAIL>', 'g'), '$num')) AS BIGINT) AS n_nums
+         |FROM pii ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Edge behavior of the corpus-preparation operators (Corpus.scala) and
+  * the PII redactor. Oracle parity runs through Verify/check.py; these
+  * pin the boundary cases the sf fixtures don't exercise. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk: short doc is one chunk; tail always covered; overlap correct") {
+    val docs = Seq(
+      (1L, "a b c"),                       // 3 tokens <= size -> 1 chunk
+      (2L, "a b c d e f g h i j"),         // 10 tokens, size 4 stride 3 -> 1+ceil(6/3)=3 chunks
+      (3L, "a b c d e f g h i j k")        // 11 tokens -> 1+ceil(7/3)=4 chunks, tail len 2
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Corpus.chunk(docs, "doc_id", "text", size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 3L, "a b c"),
+      (2L, 0L, 4L, "a b c d"), (2L, 1L, 4L, "d e f g"), (2L, 2L, 4L, "g h i j"),
+      (3L, 0L, 4L, "a b c d"), (3L, 1L, 4L, "d e f g"), (3L, 2L, 4L, "g h i j"),
+      (3L, 3L, 2L, "j k")))
+    // every token index is inside at least one chunk
+    assert(got.filter(_._1 == 3L).map(_._3).sum >= 11L)
+  }
+
+  test("boilerplate: sub-segment docs keep frac 0; within-doc repeats count df once") {
+    val docs = Seq(
+      (1L, "x"),                  // shorter than one 2-token segment
+      (2L, "p q p q p q"),        // 'p q' x3 in ONE doc -> df 1, not 3
+      (3L, "p q r s"),            // shares 'p q' with doc 2 -> df 2
+      (4L, "p q t u")             // df('p q') = 3
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Corpus.boilerplate(docs, "doc_id", "text",
+      segLen = 2, minDf = 3L, maxFrac = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    // 'p q' df = 3 (docs 2,3,4) -> boiler; all other segments df 1
+    assert(got == Seq(
+      (1L, 0L, 0L, 0.0, true),
+      (2L, 3L, 3L, 1.0, false),   // all 3 instances are the boiler segment
+      (3L, 2L, 1L, 0.5, true),
+      (4L, 2L, 1L, 0.5, true)))
+  }
+
+  test("tfidf: corpus-unique terms outrank shared ones; k bounds per-doc rows") {
+    val docs = Seq(
+      (1L, "alpha alpha shared"),
+      (2L, "beta shared"),
+      (3L, "gamma shared")
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Corpus.tfidfTopK(docs, "doc_id", "text", k = 1)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    // shared appears in all docs -> idf 0; unique terms win despite tf
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    assert(got.head._3 == 2L && got.head._4 == 1L) // alpha: tf 2, df 1
+    assert(math.abs(got.head._5 - 2 * math.log(3.0)) < 1e-6)
+  }
+
+  test("redactPii: emails and 4+ digit runs replaced, short numbers kept") {
+    val got = Seq("mail a.b-c_d@ex-1.co.uk now 123 and 4567 id12345end")
+      .toDF("t").select(graft.ops.Text.redactPii(col("t"))).as[String].head()
+    assert(got == "mail <EMAIL> now 123 and <NUM> id<NUM>end")
+  }
+}
