@@ -81,6 +81,42 @@ object Corpus {
         concat_ws(" ", col("__ctk")).as("chunk_text"))
   }
 
+  /** Unigram language-model scoring — the cheap perplexity proxy a
+    * curation pipeline uses to rank documents (KenLM-lite): each token
+    * scores ln(count(token) / total_tokens) under the corpus's own
+    * unigram distribution, summed per document.
+    *
+    * Scores are summed in FIXED-POINT micro-nats
+    * (floor(ln(p) · 1e6) as BIGINT): a double sum is
+    * non-associative, so two engines summing a document's tokens in
+    * different orders disagree in the last ulp — integer sums are
+    * order-independent and compare exactly.
+    *
+    * Plan: one staged explode (persisted — it feeds the count agg and
+    * the scoring join), token-keyed hash agg for counts, shuffle
+    * equi-join tokens→counts, per-doc hash agg. Total arrives as a
+    * broadcast 1-row aggregate of the count table, never a rescan.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.select(sum(col("cnt")).as("total"))
+    val scored = toks.join(counts, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("lp_micro",
+        floor(log(col("cnt").cast("double") / col("total")) * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("logprob_micro"))
+    // zero-token docs carry no evidence: 0 tokens, 0 micro-nats
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
+  }
+
   /** Boilerplate detection by corpus-frequent segments (the CCNet /
     * RefinedWeb dedup-at-line-granularity signal, on segment
     * granularity since this corpus has no line structure): cut each

@@ -157,6 +157,31 @@ object CoverageQueries {
         .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
         .orderBy(col("gid"), col("day"), col("event_type"))
     },
+    // A14 — CUBE: all 4 grouping sets over (day, event_type) in one
+    // pass (rollup's superset; same single-shuffle plan, the extra
+    // sets come from Expand before the hash agg)
+    "a14_cube" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+        .cube(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value")).cast("long")).as("pv"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("day"), col("event_type"))
+    },
+    // K12 — MERGE/upsert: an updates batch (changed balances + brand-new
+    // keys) merged into the customer dimension; updates win on the key
+    "k12_merge_upsert" -> { (s, dir) =>
+      val base = Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal")
+      val upd = base.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .unionByName(base.filter(col("c_custkey") % 17 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_name"), col("c_acctbal")))
+      graft.ops.Merge.upsert(base, upd, Seq("c_custkey"), Seq(col("c_custkey")))
+        .orderBy("c_custkey")
+    },
     // O6 — distributed global cumulative sum (two-pass prefix sum): the
     // scalable twin of SUM() OVER (ORDER BY ...), which runs in ONE task
     "o6_global_cumsum" -> { (s, dir) =>
@@ -325,6 +350,32 @@ object CoverageQueries {
         |FROM events
         |GROUP BY ROLLUP (strftime(ts, '%Y%m%d'), event_type)
         |ORDER BY gid, day, event_type""".stripMargin,
+    "a14_cube" ->
+      """SELECT strftime(ts, '%Y%m%d') AS day, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS pv,
+        |       CAST(GROUPING(strftime(ts, '%Y%m%d')) * 2
+        |            + GROUPING(event_type) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY CUBE (strftime(ts, '%Y%m%d'), event_type)
+        |ORDER BY gid, day, event_type""".stripMargin,
+    "k12_merge_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+        |  FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal
+        |  FROM base WHERE c_custkey % 17 = 0),
+        |tagged AS (
+        |  SELECT *, 0 AS src FROM base
+        |  UNION ALL SELECT *, 1 AS src FROM upd),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY src DESC, c_custkey DESC) AS rn
+        |  FROM tagged)
+        |SELECT c_custkey, c_name, c_acctbal FROM r WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin,
     "o7_gap_fill" ->
       """WITH obs AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -339,6 +339,12 @@ object LlmQueries {
     "y12_tfidf_topk" -> { (s, dir) =>
       Corpus.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", k = 5)
         .orderBy(col("doc_id"), col("score").desc, col("term"))
+    },
+    // y13 — unigram-LM document scoring in fixed-point micro-nats
+    // (double sums are order-sensitive; integer sums compare exactly)
+    "y13_unigram_logprob" -> { (s, dir) =>
+      Corpus.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -730,7 +736,26 @@ object LlmQueries {
           |  FROM scored)
           |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
           |FROM ranked WHERE rn <= 5
-          |ORDER BY doc_id, score DESC, term""".stripMargin
+          |ORDER BY doc_id, score DESC, term""".stripMargin,
+      "y13_unigram_logprob" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+          |  FROM documents),
+          |counts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+          |tot AS (SELECT SUM(cnt) AS total FROM counts),
+          |scored AS (
+          |  SELECT tok.doc_id,
+          |         CAST(floor(ln(CAST(counts.cnt AS DOUBLE) / tot.total) * 1e6)
+          |              AS BIGINT) AS lp_micro
+          |  FROM tok JOIN counts USING (term) CROSS JOIN tot),
+          |pd AS (
+          |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp_micro) AS lp
+          |  FROM scored GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+          |  CAST(COALESCE(pd.lp, 0) AS BIGINT) AS logprob_micro
+          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+          |ORDER BY d.doc_id""".stripMargin
     )
   }
 }

@@ -124,6 +124,18 @@ object StreamQueries {
           maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
         .orderBy("entry_id")
     },
+    // st10 — foreachBatch streaming upsert into a parquet table:
+    // keep-latest per user. Keep-latest is associative, so the final
+    // table is micro-batch-boundary independent and oracle-checkable.
+    "st10_stream_upsert" -> { (s, dir) =>
+      val glob = writeMicroBatches(s, dir)
+      Streams
+        .runFileStreamUpsert(s, glob, streamSchema, scratch(dir, "st10_ckpt"),
+          scratch(dir, "st10_table"),
+          keys = Seq("user_id"), order = Seq("ts_us", "entry_id"))
+        .select("user_id", "entry_id", "ts_us", "event_type")
+        .orderBy("user_id")
+    },
     "st5_stream_stitch_tws" -> { (s, dir) =>
       // modern arbitrary-state API; requires the RocksDB provider —
       // set for this query, restored after (queries run sequentially)
@@ -158,6 +170,14 @@ object StreamQueries {
     "st9_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // upsert keep-latest end state = each user's (ts, id)-max event
+    "st10_stream_upsert" ->
+      """SELECT user_id, entry_id, ts_us, event_type FROM (
+        |  SELECT user_id, event_id AS entry_id, epoch_us(ts) AS ts_us, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "st1_stream_file_source" ->
       """SELECT event_id AS entry_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM events ORDER BY entry_id""".stripMargin,

@@ -241,4 +241,66 @@ object Streams {
       .transformWithState(new DwellProcessor, TimeMode.None(), OutputMode.Append())
       .toDF()
   }
+
+  /** ST10 — streaming UPSERT sink via foreachBatch: each micro-batch
+    * merges into a parquet table with keep-latest-per-key semantics
+    * (the foreachBatch + MERGE idiom every lakehouse streaming writer
+    * uses; the merge itself is [[graft.ops.Merge.upsert]]).
+    *
+    * The rewritten table goes to a tmp dir first and is swapped in by
+    * rename — the base MUST be fully materialized before the target is
+    * touched, since Spark reads it lazily DURING the write (an in-place
+    * overwrite would consume its own half-deleted input). Swap order
+    * mirrors IO.compact: new beside, old aside, new in, old gone.
+    *
+    * Keep-latest by a (version, tiebreak) order is associative, so the
+    * final table is independent of how rows fell into micro-batches —
+    * which is what makes the result oracle-checkable.
+    */
+  def runFileStreamUpsert(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      checkpoint: String,
+      tablePath: String,
+      keys: Seq[String],
+      order: Seq[String]
+  ): DataFrame = {
+    deleteDir(spark, checkpoint)
+    deleteDir(spark, tablePath)
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mv(src: String, dst: String): Unit =
+      require(fs.rename(new Path(src), new Path(dst)), s"rename $src -> $dst failed")
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(path)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        // keepLatest, NOT upsert: source precedence (updates-win) is
+        // last-writer-wins, whose end state depends on batch order;
+        // pure version-order survival is associative, so the final
+        // table is independent of micro-batch boundaries
+        val merged =
+          if (fs.exists(new Path(tablePath)))
+            graft.ops.Merge.keepLatest(
+              spark.read.parquet(tablePath), b, keys, order.map(col))
+          else
+            graft.ops.Merge.keepLatest(b.limit(0), b, keys, order.map(col))
+        val tmp = s"$tablePath.__upsert_tmp"
+        val old = s"$tablePath.__upsert_old"
+        fs.delete(new Path(tmp), true)
+        fs.delete(new Path(old), true)
+        merged.write.mode("overwrite").parquet(tmp)
+        if (fs.exists(new Path(tablePath))) mv(tablePath, old)
+        mv(tmp, tablePath)
+        fs.delete(new Path(old), true)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(tablePath)
+  }
 }

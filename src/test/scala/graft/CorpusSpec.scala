@@ -65,4 +65,32 @@ class CorpusSpec extends SparkSpec {
       .toDF("t").select(graft.ops.Text.redactPii(col("t"))).as[String].head()
     assert(got == "mail <EMAIL> now 123 and <NUM> id<NUM>end")
   }
+
+  test("Merge.upsert: updates win regardless of version; one hash exchange") {
+    val base = Seq((1L, "old", 10L), (2L, "keep", 20L)).toDF("k", "v", "ver")
+    val upd = Seq((1L, "newer-but-older-ver", 5L), (3L, "insert", 1L),
+      (3L, "insert-v2", 2L)).toDF("k", "v", "ver")
+    val got = graft.ops.Merge.upsert(base, upd, Seq("k"), Seq(col("ver")))
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    // update replaces base even with a LOWER version (last-writer-wins);
+    // within updates the higher version survives
+    assert(got == Seq((1L, "newer-but-older-ver", 5L), (2L, "keep", 20L),
+      (3L, "insert-v2", 2L)))
+    val plan = graft.ops.Merge.upsert(base, upd, Seq("k"), Seq(col("ver")))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("Merge.keepLatest: version order wins over arrival order (associative)") {
+    val b1 = Seq((1L, "v2", 2L), (2L, "a", 1L)).toDF("k", "v", "ver")
+    val b2 = Seq((1L, "v1-late", 1L), (2L, "b", 3L)).toDF("k", "v", "ver")
+    def m(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      graft.ops.Merge.keepLatest(x, y, Seq("k"), Seq(col("ver")))
+        .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    val expected = Seq((1L, "v2", 2L), (2L, "b", 3L))
+    // the late-arriving LOWER version does not clobber; and either
+    // batch order yields the same end state
+    assert(m(b1, b2) == expected)
+    assert(m(b2, b1) == expected)
+  }
 }
