@@ -39,11 +39,16 @@ object Bench {
     // registered query is idempotent (overwrite-mode scratch sinks,
     // per-run checkpoint reset), so re-running is safe
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // optional regex filter for targeted perf iteration, e.g.
+    // SPARK_GRAFT_BENCH_ONLY='^(t4|x7)' — full sweep when unset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
