@@ -169,6 +169,35 @@ object CoverageQueries {
           grouping_id().as("gid"))
         .orderBy(col("gid"), col("day"), col("event_type"))
     },
+    // O8 — global top-k WITHOUT a global sort: orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition partial top-k, single small
+    // merge) — the scalable form of "100 biggest events"
+    "o8_global_topk" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select("event_id", "user_id", "value")
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(100)
+    },
+    // J8 — full-outer reconciliation: per-customer order rollup vs the
+    // customer dimension; either-side-missing rows survive with flags
+    // (the audit every warehouse load runs after ingest). Spend floors
+    // each price to BIGINT before summing — double sums are
+    // order-sensitive and would not reconcile bit-for-bit cross-engine
+    "j8_full_outer_reconcile" -> { (s, dir) =>
+      val agg = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice")).cast("long")).as("spend"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"))
+      cust.join(agg, cust("c_custkey") === agg("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_custkey").isNotNull.as("in_dim"),
+          col("o_custkey").isNotNull.as("has_orders"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spend"), lit(0L)).as("spend"))
+        .orderBy("custkey")
+    },
     // K12 — MERGE/upsert: an updates batch (changed balances + brand-new
     // keys) merged into the customer dimension; updates win on the key
     "k12_merge_upsert" -> { (s, dir) =>
@@ -359,6 +388,21 @@ object CoverageQueries {
         |FROM events
         |GROUP BY CUBE (strftime(ts, '%Y%m%d'), event_type)
         |ORDER BY gid, day, event_type""".stripMargin,
+    "o8_global_topk" ->
+      """SELECT event_id, user_id, value FROM events
+        |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin,
+    "j8_full_outer_reconcile" ->
+      """WITH agg AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(c.c_custkey, a.o_custkey) AS custkey,
+        |       c.c_custkey IS NOT NULL AS in_dim,
+        |       a.o_custkey IS NOT NULL AS has_orders,
+        |       COALESCE(a.n_orders, 0) AS n_orders,
+        |       COALESCE(a.spend, 0) AS spend
+        |FROM customer c FULL OUTER JOIN agg a ON c.c_custkey = a.o_custkey
+        |ORDER BY custkey""".stripMargin,
     "k12_merge_upsert" ->
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
         |upd AS (

@@ -124,6 +124,23 @@ object StreamQueries {
           maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
         .orderBy("entry_id")
     },
+    // st11 — stream-STATIC join: per-row broadcast enrichment of the
+    // stream against a batch dimension (the third streaming join shape
+    // beside stream-stream st8 and the foreachBatch merge st10).
+    // Stateless inner equi-join → emission is batch-boundary
+    // independent, so the sink equals the batch join exactly
+    "st11_stream_static_join" -> { (s, dir) =>
+      val glob = writeMicroBatches(s, dir)
+      val dim = broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name")))
+      Streams
+        .runFileStream(s, glob, streamSchema, scratch(dir, "st11_ckpt"),
+          df => df
+            .select(col("entry_id"), col("user_id"), (col("user_id") % 25).as("nk"))
+            .join(dim, "nk")
+            .select("entry_id", "user_id", "n_name"))
+        .orderBy("entry_id")
+    },
     // st10 — foreachBatch streaming upsert into a parquet table:
     // keep-latest per user. Keep-latest is associative, so the final
     // table is micro-batch-boundary independent and oracle-checkable.
@@ -170,6 +187,10 @@ object StreamQueries {
     "st9_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "st11_stream_static_join" ->
+      """SELECT e.event_id AS entry_id, e.user_id, n.n_name
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |ORDER BY entry_id""".stripMargin,
     // upsert keep-latest end state = each user's (ts, id)-max event
     "st10_stream_upsert" ->
       """SELECT user_id, entry_id, ts_us, event_type FROM (

@@ -81,6 +81,16 @@ class CorpusSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("O8 global top-k plans as TakeOrdered, never a global sort exchange") {
+    val df = spark.range(100000).select(col("id").as("event_id"),
+      (col("id") * 37 % 1000).as("value"))
+      .orderBy(col("value").desc, col("event_id").asc).limit(100)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global top-k must not range-shuffle the corpus:\n$plan")
+  }
+
   test("Merge.keepLatest: version order wins over arrival order (associative)") {
     val b1 = Seq((1L, "v2", 2L), (2L, "a", 1L)).toDF("k", "v", "ver")
     val b2 = Seq((1L, "v1-late", 1L), (2L, "b", 3L)).toDF("k", "v", "ver")
