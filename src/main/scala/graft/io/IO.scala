@@ -114,16 +114,52 @@ object IO {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Restore a directory from a half-completed [[replaceDir]] swap: a
+    * crash between the two renames leaves the data at `path.__swap_old`
+    * and nothing at `path`. Any reader of a swap-managed table calls
+    * this first (replaceDir itself does). No-op when `path` exists. */
+  def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val old = new Path(s"$path.__swap_old")
+    if (!f.exists(new Path(path)) && f.exists(old))
+      require(f.rename(old, new Path(path)), s"recovery rename $old -> $path failed")
+  }
+
+  /** Crash-safe directory replacement: `write` produces the new
+    * contents into a tmp dir BESIDE the target, then the swap is
+    * rename-only — new beside, old aside, new in, old gone. A crash at
+    * any point leaves a complete copy at `path` or `path.__swap_old`
+    * (never a window with neither, which delete-then-rename has), and
+    * [[recoverSwap]] restores the latter on the next access. Hadoop
+    * rename reports failure by RETURNING false, so every rename is
+    * checked — an unflagged failed rename would nest tmp inside the
+    * still-existing target. Shared by compact() and the streaming
+    * upsert sink so the crash-window reasoning lives in one place. */
+  def replaceDir(spark: SparkSession, path: String)(write: String => Unit): Unit = {
+    val f = fs(spark, path)
+    val tmp = s"$path.__swap_tmp"
+    val old = s"$path.__swap_old"
+    def mv(src: String, dst: String): Unit =
+      require(f.rename(new Path(src), new Path(dst)), s"rename $src -> $dst failed")
+    recoverSwap(spark, path)
+    f.delete(new Path(tmp), true)
+    write(tmp)
+    // a stale old copy can only exist here if a prior swap crashed
+    // AFTER its swap-in (path is live) — safe to drop before our swap
+    f.delete(new Path(old), true)
+    if (f.exists(new Path(path))) mv(path, old)
+    mv(tmp, path)
+    f.delete(new Path(old), true)
+  }
+
   /** K11 — small-file compaction: rewrite a table directory into
     * ~`targetBytes`-sized files. The small-files problem is the classic
     * large-pipeline failure mode — a micro-batch sink drips thousands of
     * KB-scale files per day and every downstream scan pays a task (and a
     * namenode round-trip) per file. One distributed read → repartition to
-    * ceil(bytes/target) → rewrite. Swap order: write the new data
-    * beside, rename OLD aside, rename new in, delete old — a crash at
-    * any point leaves a complete directory recoverable at `path` or
-    * `path.__compact_old` (never a window where neither exists, which a
-    * delete-then-rename sequence has). Returns (filesBefore, filesAfter).
+    * ceil(bytes/target) → rewrite; the swap runs through [[replaceDir]],
+    * so a crash at any point leaves a complete directory recoverable.
+    * Returns (filesBefore, filesAfter).
     *
     * Contract: `path` must be a FLAT parquet directory (data files only,
     * no partition subdirectories). A hive-partitioned table would have
@@ -134,8 +170,12 @@ object IO {
   def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val f = fs(spark, path)
-    val entries = f.globStatus(new Path(s"$path/*"))
-    val subdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+    // hidden/system entries (_temporary from a killed write, .crc dirs)
+    // are not partition dirs — same convention as dataFiles below
+    val subdirs = f.globStatus(new Path(s"$path/*"))
+      .filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
     require(subdirs.isEmpty,
       s"compact() requires a flat parquet directory; $path contains subdirectories " +
         s"(${subdirs.take(3).mkString(", ")}) — compact each partition leaf instead")
@@ -145,20 +185,10 @@ object IO {
     val before = dataFiles(path)
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = s"$path.__compact_tmp"
-    val old = s"$path.__compact_old"
-    f.delete(new Path(tmp), true)
-    f.delete(new Path(old), true)
-    spark.read.parquet(path).repartition(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    // Hadoop FileSystem.rename reports failure by RETURNING false, not
-    // throwing; on a LocalFS a false first rename would let the second
-    // rename move tmp INSIDE the still-existing path dir. Fail loudly.
-    def mv(src: String, dst: String): Unit =
-      require(f.rename(new Path(src), new Path(dst)), s"rename $src -> $dst failed")
-    mv(path, old)
-    mv(tmp, path)
-    f.delete(new Path(old), true)
+    replaceDir(spark, path) { tmp =>
+      spark.read.parquet(path).repartition(nOut)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
     (before.length, dataFiles(path).length)
   }
 }

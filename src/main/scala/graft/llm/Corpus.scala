@@ -133,6 +133,9 @@ object Corpus {
   def boilerplate(docs: DataFrame, idCol: String, textCol: String,
                   segLen: Int, minDf: Long, maxFrac: Double): DataFrame = {
     require(segLen >= 1, "segLen must be positive")
+    // segs feeds BOTH the df aggregate and the instance-scoring join —
+    // persist so the split+slice+explode doesn't re-run per consumer
+    // (same shape as tfidfTopK/unigramLogProb)
     val segs = docs
       .select(col(idCol), split(col(textCol), "\\s+").as("__tk"))
       .withColumn("__n_segs",
@@ -147,6 +150,7 @@ object Corpus {
         concat_ws(" ",
           slice(col("__tk"), ((col("seg_idx") - 1) * segLen + 1).cast("int"), lit(segLen)))
           .as("seg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segDf = segs.select(col(idCol), col("seg")).distinct()
       .groupBy("seg").agg(count(lit(1)).as("seg_df"))
     val perDoc = segs.join(segDf, "seg")

@@ -245,13 +245,17 @@ object Streams {
   /** ST10 — streaming UPSERT sink via foreachBatch: each micro-batch
     * merges into a parquet table with keep-latest-per-key semantics
     * (the foreachBatch + MERGE idiom every lakehouse streaming writer
-    * uses; the merge itself is [[graft.ops.Merge.upsert]]).
+    * uses; the merge itself is [[graft.ops.Merge.keepLatest]] — NOT
+    * `upsert`, whose last-writer-wins source precedence would make the
+    * end state depend on batch order).
     *
-    * The rewritten table goes to a tmp dir first and is swapped in by
-    * rename — the base MUST be fully materialized before the target is
-    * touched, since Spark reads it lazily DURING the write (an in-place
-    * overwrite would consume its own half-deleted input). Swap order
-    * mirrors IO.compact: new beside, old aside, new in, old gone.
+    * The rewrite runs through [[graft.io.IO.replaceDir]] — the base
+    * MUST stay intact while the new table writes, since Spark reads it
+    * lazily DURING the write (an in-place overwrite would consume its
+    * own half-deleted input) — and each batch first calls
+    * [[graft.io.IO.recoverSwap]] so a crash between the swap renames
+    * (or a checkpoint replay after one) resumes from the preserved old
+    * copy instead of silently rebuilding from empty.
     *
     * Keep-latest by a (version, tiebreak) order is associative, so the
     * final table is independent of how rows fell into micro-batches —
@@ -268,33 +272,24 @@ object Streams {
   ): DataFrame = {
     deleteDir(spark, checkpoint)
     deleteDir(spark, tablePath)
+    deleteDir(spark, s"$tablePath.__swap_old")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def mv(src: String, dst: String): Unit =
-      require(fs.rename(new Path(src), new Path(dst)), s"rename $src -> $dst failed")
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .json(path)
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.toDF()
-        // keepLatest, NOT upsert: source precedence (updates-win) is
-        // last-writer-wins, whose end state depends on batch order;
-        // pure version-order survival is associative, so the final
-        // table is independent of micro-batch boundaries
+        graft.io.IO.recoverSwap(spark, tablePath)
         val merged =
           if (fs.exists(new Path(tablePath)))
             graft.ops.Merge.keepLatest(
               spark.read.parquet(tablePath), b, keys, order.map(col))
           else
             graft.ops.Merge.keepLatest(b.limit(0), b, keys, order.map(col))
-        val tmp = s"$tablePath.__upsert_tmp"
-        val old = s"$tablePath.__upsert_old"
-        fs.delete(new Path(tmp), true)
-        fs.delete(new Path(old), true)
-        merged.write.mode("overwrite").parquet(tmp)
-        if (fs.exists(new Path(tablePath))) mv(tablePath, old)
-        mv(tmp, tablePath)
-        fs.delete(new Path(old), true)
+        graft.io.IO.replaceDir(spark, tablePath) { tmp =>
+          merged.write.mode("overwrite").parquet(tmp)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

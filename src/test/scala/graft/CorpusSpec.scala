@@ -66,6 +66,39 @@ class CorpusSpec extends SparkSpec {
     assert(got == "mail <EMAIL> now 123 and <NUM> id<NUM>end")
   }
 
+  test("replaceDir swap survives a crash between renames via recoverSwap") {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_test_swap"
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(p), true)
+    f.delete(new org.apache.hadoop.fs.Path(s"$p.__swap_old"), true)
+    spark.range(10).write.mode("overwrite").parquet(p)
+    // simulate the crash window: old aside, new never swapped in
+    assert(f.rename(new org.apache.hadoop.fs.Path(p),
+      new org.apache.hadoop.fs.Path(s"$p.__swap_old")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(p)))
+    graft.io.IO.recoverSwap(spark, p)
+    assert(spark.read.parquet(p).count() == 10L)
+    // and a subsequent replaceDir over the recovered table works
+    graft.io.IO.replaceDir(spark, p) { tmp =>
+      spark.range(20).write.mode("overwrite").parquet(tmp)
+    }
+    assert(spark.read.parquet(p).count() == 20L)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$p.__swap_old")))
+  }
+
+  test("compact ignores hidden/system subdirectories in the flat-dir guard") {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_test_k11_hidden"
+    graft.streaming.Streams.deleteDir(spark, p)
+    spark.range(1000).repartition(5).write.mode("overwrite").parquet(p)
+    // leftover from a killed write job — must not read as a partition dir
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$p/_temporary"))
+    val (before, after) = graft.io.IO.compact(spark, p, targetBytes = 64 * 1024 * 1024L)
+    assert(before == 5 && after == 1, s"$before -> $after")
+  }
+
   test("Merge.upsert: updates win regardless of version; one hash exchange") {
     val base = Seq((1L, "old", 10L), (2L, "keep", 20L)).toDF("k", "v", "ver")
     val upd = Seq((1L, "newer-but-older-ver", 5L), (3L, "insert", 1L),
