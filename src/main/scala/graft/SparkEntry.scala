@@ -215,6 +215,20 @@ object SparkEntry {
         .select("entry_id", "raw_time_on_page", "capped_time_on_page")
         .orderBy("entry_id")
     },
+    // W6 — ROWS-frame rolling aggregate (moving sum over the last 4
+    // events per user): the per-key frame window no other registered
+    // query exercises; distributed across users, no global sort
+    "w6_rolling_sum" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          floor(col("value")).cast("long").as("v"), col("ts"))
+        .withColumn("roll_sum", sum(col("v")).over(w))
+        .select("event_id", "user_id", "roll_sum")
+        .orderBy("event_id")
+    },
     "a1_session_merge" -> { (s, dir) =>
       // single hash exchange: user_id partitioning satisfies the 3-col
       // dedup window, session window and merge agg (see Browsing.pipeline)
@@ -336,6 +350,12 @@ object SparkEntry {
          |      AS raw_time_on_page
          |  FROM ($BH))
          |ORDER BY entry_id""".stripMargin,
+    "w6_rolling_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(floor(value) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum
+        |FROM events ORDER BY event_id""".stripMargin,
     "a1_session_merge" -> s"SELECT * FROM ($MERGED) ORDER BY user_id, session_id",
     "o1_global_sort" ->
       s"SELECT entry_id, ts, user_id FROM ($BH) ORDER BY ts, entry_id",

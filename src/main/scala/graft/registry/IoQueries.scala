@@ -285,12 +285,28 @@ object IoQueries {
       val src = Tables.customer(s, dir)
       val transformed = src.drop("c_mktsegment", "c_acctbal")
       Quality.schemaDiff(src, transformed).toDF("missing_col").orderBy("missing_col")
+    },
+    // K13 — range-clustered write: disjoint sorted user_id ranges per
+    // file, then a selective read back — parquet min-max stats prune
+    // the non-matching files (spec asserts the disjointness; the
+    // oracle proves the roundtrip + filter fidelity)
+    "k13_clustered_write" -> { (s, dir) =>
+      val p = scratch(dir, "clustered")
+      IO.writeClustered(
+        Tables.events(s, dir).select("event_id", "user_id", "event_type"),
+        p, nFiles = 8, col("user_id"), col("event_id"))
+      s.read.parquet(p)
+        .filter(col("user_id") < 50L)
+        .orderBy("event_id")
     }
   )
 
   private val EV_SLIM = "SELECT event_id, user_id, event_type FROM events"
 
   val oracles: Map[String, String] = Map(
+    "k13_clustered_write" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id < 50 ORDER BY event_id""".stripMargin,
     "s15_gzip_json_roundtrip" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "s14_schema_evolution" ->

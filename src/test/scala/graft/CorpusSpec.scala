@@ -114,6 +114,27 @@ class CorpusSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("K13 clustered write: per-file key ranges are disjoint (min-max prunable)") {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_test_k13"
+    graft.streaming.Streams.deleteDir(spark, p)
+    val df = spark.range(100000).select(
+      (col("id") * 7919 % 1000).as("k"), col("id").as("payload"))
+    val n = graft.io.IO.writeClustered(df, p, nFiles = 8, col("k"))
+    assert(n == 8, s"expected 8 clustered files, got $n")
+    // per-file [min, max] of the cluster key must not overlap
+    val ranges = spark.read.parquet(p)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .orderBy("lo")
+      .as[(String, Long, Long)].collect()
+    assert(ranges.length == 8)
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._2, s"overlapping file ranges: $a vs $b")
+    }
+    // and the content survives the clustered rewrite
+    assert(spark.read.parquet(p).count() == 100000L)
+  }
+
   test("O8 global top-k plans as TakeOrdered, never a global sort exchange") {
     val df = spark.range(100000).select(col("id").as("event_id"),
       (col("id") * 37 % 1000).as("value"))
