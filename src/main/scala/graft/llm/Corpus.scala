@@ -53,6 +53,32 @@ object Corpus {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Sequence packing — assign documents to fixed-token-budget training
+    * bins (the packing step between chunking and batch assembly).
+    * Contiguous deterministic fill: within each `partCol` group (e.g.
+    * language — the parallelism unit), documents in `orderCol` order
+    * fill bins of `budget` tokens; a document belongs to the bin its
+    * FIRST token lands in, bin = floor((cumsum − n_tokens) / budget).
+    *
+    * One per-group window (running sum) — distributed across groups,
+    * no global sort; the pure-arithmetic bin rule replays in any
+    * engine, unlike true first-fit bin packing, which is inherently
+    * sequential.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    partCol: String, budget: Int): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), col(partCol),
+        TextAnalysis.tokenCountWhitespace(col(textCol)).as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col(partCol), col("n_tokens"),
+        floor((col("__cum") - col("n_tokens")) / lit(budget.toDouble))
+          .cast("long").as("pack_id"))
+  }
+
   /** Fixed-size overlapping token windows — the chunking pass that
     * turns documents into training samples. Chunk i covers tokens
     * [i·stride, i·stride + size); a document with n ≤ size tokens is

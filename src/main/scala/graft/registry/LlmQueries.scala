@@ -345,6 +345,14 @@ object LlmQueries {
     "y13_unigram_logprob" -> { (s, dir) =>
       Corpus.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    },
+    // y14 — sequence packing into 512-token training bins, parallel by
+    // language (true first-fit is sequential; the contiguous-fill rule
+    // is arithmetic, so it distributes AND replays cross-engine)
+    "y14_sequence_packing" -> { (s, dir) =>
+      Corpus.packSequences(Tables.documents(s, dir), "doc_id", "text",
+        "lang", budget = 512)
+        .orderBy("doc_id")
     }
   )
 
@@ -755,7 +763,19 @@ object LlmQueries {
           |  CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
           |  CAST(COALESCE(pd.lp, 0) AS BIGINT) AS logprob_micro
           |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
-          |ORDER BY d.doc_id""".stripMargin
+          |ORDER BY d.doc_id""".stripMargin,
+      "y14_sequence_packing" ->
+        """SELECT doc_id, lang, n_tokens,
+          |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+          |FROM (
+          |  SELECT doc_id, lang, n_tokens,
+          |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM (
+          |    SELECT doc_id, lang,
+          |      CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+          |    FROM documents))
+          |ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -114,6 +114,32 @@ class CorpusSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("corpus operators never funnel the corpus into one partition") {
+    // windows are keyed per doc / per group and totals arrive as
+    // broadcast 1-row aggregates — a SinglePartition exchange anywhere
+    // except a final scalar agg would be the 100x scale-killer
+    val docs = spark.range(1000).select(col("id").as("doc_id"),
+      concat(lit("w"), (col("id") % 7).cast("string"), lit(" x y z")).as("text"),
+      (col("id") % 3).cast("string").as("lang"))
+    // tfidf/unigram carry ONE legal SinglePartition: the 1-row corpus
+    // total that feeds a broadcast. Everything else must have none —
+    // doc-level rows never pass through a single partition.
+    for (
+      (name, maxSingle, df) <- Seq[(String, Int, org.apache.spark.sql.DataFrame)](
+        ("tfidf", 1, graft.llm.Corpus.tfidfTopK(docs, "doc_id", "text", 5)),
+        ("unigram", 1, graft.llm.Corpus.unigramLogProb(docs, "doc_id", "text")),
+        ("boilerplate", 0, graft.llm.Corpus.boilerplate(docs, "doc_id", "text", 2, 3L, 0.5)),
+        ("packing", 0, graft.llm.Corpus.packSequences(docs, "doc_id", "text", "lang", 512)),
+        ("chunk", 0, graft.llm.Corpus.chunk(docs, "doc_id", "text", 4, 3)))
+    ) {
+      val plan = df.queryExecution.executedPlan.toString
+      val single = "Exchange SinglePartition".r.findAllIn(plan).length
+      assert(single <= maxSingle,
+        s"$name has $single SinglePartition exchanges (max $maxSingle):\n$plan")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("K13 clustered write: per-file key ranges are disjoint (min-max prunable)") {
     val p = s"${sys.props("java.io.tmpdir")}/graft_test_k13"
     graft.streaming.Streams.deleteDir(spark, p)
