@@ -141,6 +141,18 @@ object StreamQueries {
             .select("entry_id", "user_id", "n_name"))
         .orderBy("entry_id")
     },
+    // st12 — BUCKETED streaming upsert: same keep-latest semantics as
+    // st10 but per-trigger cost O(touched buckets) via hash-bucket
+    // partitioning + dynamic partition overwrite, not O(table)
+    "st12_stream_upsert_bucketed" -> { (s, dir) =>
+      val glob = writeMicroBatches(s, dir)
+      Streams
+        .runFileStreamUpsertBucketed(s, glob, streamSchema, scratch(dir, "st12_ckpt"),
+          scratch(dir, "st12_table"),
+          keys = Seq("user_id"), order = Seq("ts_us", "entry_id"), nBuckets = 16)
+        .select("user_id", "entry_id", "ts_us", "event_type")
+        .orderBy("user_id")
+    },
     // st10 — foreachBatch streaming upsert into a parquet table:
     // keep-latest per user. Keep-latest is associative, so the final
     // table is micro-batch-boundary independent and oracle-checkable.
@@ -193,6 +205,14 @@ object StreamQueries {
         |ORDER BY entry_id""".stripMargin,
     // upsert keep-latest end state = each user's (ts, id)-max event
     "st10_stream_upsert" ->
+      """SELECT user_id, entry_id, ts_us, event_type FROM (
+        |  SELECT user_id, event_id AS entry_id, epoch_us(ts) AS ts_us, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // bucketing must not change the merge's answer
+    "st12_stream_upsert_bucketed" ->
       """SELECT user_id, entry_id, ts_us, event_type FROM (
         |  SELECT user_id, event_id AS entry_id, epoch_us(ts) AS ts_us, event_type,
         |    row_number() OVER (PARTITION BY user_id

@@ -171,6 +171,32 @@ class CorpusSpec extends SparkSpec {
       s"global top-k must not range-shuffle the corpus:\n$plan")
   }
 
+  test("bucketed upsert: untouched buckets survive; batch replay is a no-op") {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_test_st12"
+    graft.streaming.Streams.deleteDir(spark, p)
+    def batch(rows: (Long, Long, String)*) =
+      rows.toSeq.toDF("user_id", "ver", "payload")
+    def run(b: org.apache.spark.sql.DataFrame) =
+      graft.streaming.Streams.upsertBucketedBatch(spark, p, b,
+        Seq("user_id"), Seq("ver"), nBuckets = 4)
+    def table() = spark.read.parquet(p)
+      .select("user_id", "ver", "payload")
+      .orderBy("user_id").as[(Long, Long, String)].collect().toSeq
+    // batch 1 touches buckets 0..3; batch 2 touches ONLY bucket 1 (user 5)
+    run(batch((0L, 1L, "a"), (1L, 1L, "b"), (2L, 1L, "c"), (3L, 1L, "d")))
+    run(batch((5L, 2L, "e"), (1L, 2L, "b2")))
+    val expected = Seq((0L, 1L, "a"), (1L, 2L, "b2"), (2L, 1L, "c"),
+      (3L, 1L, "d"), (5L, 2L, "e"))
+    assert(table() == expected)
+    // crash-recovery model: replaying the last batch must not change
+    // the table (keepLatest of already-merged rows is identity)
+    run(batch((5L, 2L, "e"), (1L, 2L, "b2")))
+    assert(table() == expected)
+    // an OLDER replayed version must not clobber either
+    run(batch((1L, 1L, "b")))
+    assert(table() == expected)
+  }
+
   test("Merge.keepLatest: version order wins over arrival order (associative)") {
     val b1 = Seq((1L, "v2", 2L), (2L, "a", 1L)).toDF("k", "v", "ver")
     val b2 = Seq((1L, "v1-late", 1L), (2L, "b", 3L)).toDF("k", "v", "ver")
