@@ -131,6 +131,58 @@ object DedupLsh {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental (cross-snapshot) near-dup: candidate pairs between a
+    * NEW batch and the EXISTING corpus — the production dedup mode,
+    * where each ingest batch is checked against the accumulated corpus
+    * instead of re-deduping everything. Same banded-LSH candidate rule
+    * as [[nearDupPairs]], but the band join is two-sided, so there is
+    * no self-join and no `id_a < id_b` canonicalization.
+    *
+    * With `broadcastNew` (the normal case — a batch is orders of
+    * magnitude smaller than the corpus) the corpus bands NEVER
+    * shuffle: the batch's band table broadcasts and the corpus streams
+    * map-side through the join. At deployment the corpus band table is
+    * the thing to materialize once and reuse per batch (it's a pure
+    * function of the corpus text), rather than recompute per call.
+    */
+  def crossNearDupPairs(
+      newDf: DataFrame,
+      baseDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 12,
+      numBands: Int = 4,
+      threshold: Double = 0.5,
+      broadcastNew: Boolean = true
+  ): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    graft.functions.SortedArrayJaccard.register(newDf.sparkSession)
+    val par = newDf.sparkSession.sparkContext.defaultParallelism
+    def bandTable(df: DataFrame): DataFrame = {
+      val guarded = df
+        .select(col(idCol).as("id"), col(textCol).as("text"))
+        .filter(size(split(col("text"), "\\s+")) >= shingleN)
+      (if (guarded.rdd.getNumPartitions < par) guarded.repartition(par) else guarded)
+        .withColumn("tk", split(col("text"), "\\s+"))
+        .withColumn("sh", shinglesFromTokens(col("tk"), shingleN))
+        .withColumn("band", explode(bandKeys(col("sh"), numBands, rowsPerBand)))
+        .select(col("id"), col("sh"), col("band"))
+    }
+    val nb = bandTable(newDf)
+      .select(col("band"), col("id").as("id_new"), col("sh").as("sh_new"))
+    val bb = bandTable(baseDf)
+      .select(col("band"), col("id").as("id_base"), col("sh").as("sh_base"))
+    val joined =
+      if (broadcastNew) bb.join(broadcast(nb), Seq("band"))
+      else bb.join(nb.hint("shuffle_hash"), Seq("band"))
+    joined
+      .dropDuplicates("id_new", "id_base")
+      .select(col("id_new"), col("id_base"),
+        jaccardSorted(col("sh_new"), col("sh_base")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Near-dup CLUSTER assignment from the pair list: each document in
     * any pair gets the minimum doc id of its connected component —
     * the canonical-representative choice a dedup pipeline needs before

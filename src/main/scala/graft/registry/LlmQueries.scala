@@ -346,6 +346,19 @@ object LlmQueries {
       Corpus.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
+    // x14 — incremental dedup: each ingest batch (every 10th doc,
+    // last-word-dropped, re-keyed) checked against the EXISTING corpus
+    // via a two-sided band join — the batch side broadcasts, so the
+    // corpus bands never shuffle
+    "x14_incremental_neardup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val toks = split(col("text"), " ")
+      val newBatch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+      DedupLsh.crossNearDupPairs(newBatch, docs, "doc_id", "text")
+        .orderBy("id_new", "id_base")
+    },
     // y14 — sequence packing into 512-token training bins, parallel by
     // language (true first-fit is sequential; the contiguous-fill rule
     // is arithmetic, so it distributes AND replays cross-engine)
@@ -764,6 +777,32 @@ object LlmQueries {
           |  CAST(COALESCE(pd.lp, 0) AS BIGINT) AS logprob_micro
           |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+      "x14_incremental_neardup" ->
+        s"""WITH newsrc AS (
+           |  SELECT doc_id + 20000 AS doc_id,
+           |    array_to_string((regexp_split_to_array(text, ' '))[1:len(regexp_split_to_array(text, ' ')) - 1], ' ') AS text
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |nsh AS (
+           |  SELECT doc_id AS id, $shSql AS sh
+           |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM newsrc)
+           |  WHERE len($shSql) > 0),
+           |bsh AS (
+           |  SELECT doc_id AS id, $shSql AS sh
+           |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
+           |  WHERE len($shSql) > 0),
+           |nbands AS (
+           |  SELECT id, sh, unnest($bands4) AS band
+           |  FROM (SELECT id, sh, $minhash12 AS sig FROM nsh)),
+           |bbands AS (
+           |  SELECT id, sh, unnest($bands4) AS band
+           |  FROM (SELECT id, sh, $minhash12 AS sig FROM bsh)),
+           |pairs AS (
+           |  SELECT DISTINCT n.id AS id_new, b.id AS id_base,
+           |    CAST(len(list_intersect(n.sh, b.sh)) AS DOUBLE) /
+           |    CAST(len(list_distinct(list_concat(n.sh, b.sh))) AS DOUBLE) AS jaccard
+           |  FROM nbands n JOIN bbands b USING (band))
+           |SELECT id_new, id_base, jaccard FROM pairs WHERE jaccard >= 0.5
+           |ORDER BY id_new, id_base""".stripMargin,
       "y14_sequence_packing" ->
         """SELECT doc_id, lang, n_tokens,
           |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id

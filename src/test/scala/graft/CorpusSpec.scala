@@ -171,6 +171,21 @@ class CorpusSpec extends SparkSpec {
       s"global top-k must not range-shuffle the corpus:\n$plan")
   }
 
+  test("X14 incremental dedup: batch broadcasts, corpus bands never hash-shuffle") {
+    val mk = (n: Int, off: Long) => spark.range(n)
+      .select((col("id") + off).as("doc_id"),
+        concat(lit("alpha beta gamma delta epsilon zeta eta theta w"),
+          col("id").cast("string")).as("text"))
+    val base = mk(200, 0L)
+    val batch = mk(20, 10000L)
+    val df = graft.llm.DedupLsh.crossNearDupPairs(batch, base, "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the band join must not re-shuffle either side by the band key —
+    // broadcast is the whole point of the incremental mode
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("bucketed upsert: untouched buckets survive; batch replay is a no-op") {
     val p = s"${sys.props("java.io.tmpdir")}/graft_test_st12"
     graft.streaming.Streams.deleteDir(spark, p)
