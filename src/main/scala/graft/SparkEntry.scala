@@ -215,6 +215,22 @@ object SparkEntry {
         .select("entry_id", "raw_time_on_page", "capped_time_on_page")
         .orderBy("entry_id")
     },
+    // SQL1 — the sessionizer through the pure `spark.sql` surface
+    // (temp view + SQL text): proves a reference user can drive the
+    // engine from SQL alone; same answer as w2_sessionize_user
+    "sql1_sessionize_sql" -> { (s, dir) =>
+      Tables.browsing(s, dir).createOrReplaceTempView("browsing")
+      s.sql(
+        """SELECT entry_id, user_id, ts_sec,
+          |  CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > 1800
+          |                THEN 1 ELSE 0 END)
+          |       OVER (PARTITION BY user_id ORDER BY ts, entry_id
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+          |       AS BIGINT) AS session_id
+          |FROM (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts, entry_id)
+          |        AS prev_ts FROM browsing)
+          |ORDER BY entry_id""".stripMargin)
+    },
     // W6 — ROWS-frame rolling aggregate (moving sum over the last 4
     // events per user): the per-key frame window no other registered
     // query exercises; distributed across users, no global sort
@@ -349,6 +365,16 @@ object SparkEntry {
          |        ORDER BY ts, entry_id) - ts_sec AS DOUBLE), 1800.0)
          |      AS raw_time_on_page
          |  FROM ($BH))
+         |ORDER BY entry_id""".stripMargin,
+    "sql1_sessionize_sql" ->
+      s"""SELECT entry_id, user_id, ts_sec,
+         |  CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > 1800
+         |                THEN 1 ELSE 0 END)
+         |       OVER (PARTITION BY user_id ORDER BY ts, entry_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+         |       AS BIGINT) AS session_id
+         |FROM (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts, entry_id)
+         |        AS prev_ts FROM ($BH))
          |ORDER BY entry_id""".stripMargin,
     "w6_rolling_sum" ->
       """SELECT event_id, user_id,

@@ -359,6 +359,20 @@ object LlmQueries {
       DedupLsh.crossNearDupPairs(newBatch, docs, "doc_id", "text")
         .orderBy("id_new", "id_base")
     },
+    // sql2 — the extension-injected native `dotq` function driven from
+    // the pure SQL surface: quantized-vector dot products over a temp
+    // view, proving SparkSessionExtensions functions reach SQL users
+    "sql2_dotq_sql" -> { (s, dir) =>
+      graft.functions.LongArrayDot.register(s)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+        .createOrReplaceTempView("emb_q")
+      s.sql(
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b, dotq(a.q, b.q) AS dot
+          |FROM emb_q a JOIN emb_q b ON b.vec_id = a.vec_id + 100
+          |WHERE a.vec_id < 100
+          |ORDER BY id_a""".stripMargin)
+    },
     // y14 — sequence packing into 512-token training bins, parallel by
     // language (true first-fit is sequential; the contiguous-fill rule
     // is arithmetic, so it distributes AND replays cross-engine)
@@ -777,6 +791,14 @@ object LlmQueries {
           |  CAST(COALESCE(pd.lp, 0) AS BIGINT) AS logprob_micro
           |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+      "sql2_dotq_sql" ->
+        s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  CAST(list_sum(list_transform(generate_series(1, 64),
+           |       i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot
+           |FROM q a JOIN q b ON b.vec_id = a.vec_id + 100
+           |WHERE a.vec_id < 100
+           |ORDER BY id_a""".stripMargin,
       "x14_incremental_neardup" ->
         s"""WITH newsrc AS (
            |  SELECT doc_id + 20000 AS doc_id,
