@@ -188,11 +188,20 @@ object IO {
   def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val f = fs(spark, path)
-    // hidden/system entries (_temporary from a killed write, .crc dirs)
-    // are not partition dirs — same convention as dataFiles below
+    // a crash between a prior swap's renames leaves the data at
+    // __swap_old — restore BEFORE listing, or the size stats and the
+    // flat-dir guard run against an empty directory
+    recoverSwap(spark, path)
+    // Partition dirs are 'col=value' — their names contain '=' even
+    // when the column is hidden-prefixed (st12 writes '__bucket=N'),
+    // so the partition check keys on '='; hidden system entries
+    // WITHOUT '=' (_temporary from a killed write, .crc dirs) are the
+    // only directories compaction may ignore
     val subdirs = f.globStatus(new Path(s"$path/*"))
-      .filter(s => s.isDirectory &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .filter(s => s.isDirectory && {
+        val n = s.getPath.getName
+        n.contains("=") || !(n.startsWith("_") || n.startsWith("."))
+      })
       .map(_.getPath.getName)
     require(subdirs.isEmpty,
       s"compact() requires a flat parquet directory; $path contains subdirectories " +

@@ -90,28 +90,11 @@ object DedupLsh {
   ): DataFrame = {
     val rowsPerBand = numHashes / numBands
     graft.functions.SortedArrayJaccard.register(df.sparkSession)
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    // repartition: the corpus may arrive as one small file split, but
-    // shingling+hashing is CPU-bound — spread it before the heavy maps
-    // the ≥n-tokens guard runs BEFORE the repartition: a post-shingle
-    // `size(sh) > 0` filter would be pushed below the exchange by
-    // PushDownPredicates and drag the whole shingle+hash computation
-    // onto the (few) input splits — measured 20s vs 2s at sf0.1
-    // guarded: >= par input splits (any real-scale corpus) skip the
-    // full shuffle — the spread only pays off for few-split test files
-    val guarded = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .filter(size(split(col("text"), "\\s+")) >= shingleN)
-    val withSh = (if (guarded.rdd.getNumPartitions < par) guarded.repartition(par) else guarded)
-      .withColumn("tk", split(col("text"), "\\s+"))
-      .withColumn("sh", shinglesFromTokens(col("tk"), shingleN))
-      .select(col("id"), col("sh"))
     // persist before the self-join: both join sides read this subtree,
     // and without the cache the whole shingle+minhash pipeline executes
     // twice (measured 2× wall-clock). MEMORY_AND_DISK so a 100TB corpus
     // spills instead of OOMing; size ≈ corpus × numBands rows.
-    val withBands = withSh
-      .withColumn("band", explode(bandKeys(col("sh"), numBands, rowsPerBand)))
+    val withBands = bandedTable(df, idCol, textCol, shingleN, numBands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withBands.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = withBands.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
@@ -129,6 +112,27 @@ object DedupLsh {
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Shared banded-LSH staging for [[nearDupPairs]] (self-join) and
+    * [[crossNearDupPairs]] (two-sided): the ≥shingleN-token guard runs
+    * BEFORE the repartition — a post-shingle `size(sh) > 0` filter
+    * would be pushed below the exchange by PushDownPredicates and drag
+    * the whole shingle+hash computation onto the (few) input splits
+    * (measured 20 s vs 2 s at sf0.1). The repartition spreads the
+    * CPU-bound shingle/minhash maps, and is skipped when the input
+    * already has ≥ parallelism splits (any real-scale corpus). */
+  private def bandedTable(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int, numBands: Int, rowsPerBand: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val guarded = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .filter(size(split(col("text"), "\\s+")) >= shingleN)
+    (if (guarded.rdd.getNumPartitions < par) guarded.repartition(par) else guarded)
+      .withColumn("tk", split(col("text"), "\\s+"))
+      .withColumn("sh", shinglesFromTokens(col("tk"), shingleN))
+      .withColumn("band", explode(bandKeys(col("sh"), numBands, rowsPerBand)))
+      .select(col("id"), col("sh"), col("band"))
   }
 
   /** Incremental (cross-snapshot) near-dup: candidate pairs between a
@@ -158,20 +162,9 @@ object DedupLsh {
   ): DataFrame = {
     val rowsPerBand = numHashes / numBands
     graft.functions.SortedArrayJaccard.register(newDf.sparkSession)
-    val par = newDf.sparkSession.sparkContext.defaultParallelism
-    def bandTable(df: DataFrame): DataFrame = {
-      val guarded = df
-        .select(col(idCol).as("id"), col(textCol).as("text"))
-        .filter(size(split(col("text"), "\\s+")) >= shingleN)
-      (if (guarded.rdd.getNumPartitions < par) guarded.repartition(par) else guarded)
-        .withColumn("tk", split(col("text"), "\\s+"))
-        .withColumn("sh", shinglesFromTokens(col("tk"), shingleN))
-        .withColumn("band", explode(bandKeys(col("sh"), numBands, rowsPerBand)))
-        .select(col("id"), col("sh"), col("band"))
-    }
-    val nb = bandTable(newDf)
+    val nb = bandedTable(newDf, idCol, textCol, shingleN, numBands, rowsPerBand)
       .select(col("band"), col("id").as("id_new"), col("sh").as("sh_new"))
-    val bb = bandTable(baseDf)
+    val bb = bandedTable(baseDf, idCol, textCol, shingleN, numBands, rowsPerBand)
       .select(col("band"), col("id").as("id_base"), col("sh").as("sh_base"))
     val joined =
       if (broadcastNew) bb.join(broadcast(nb), Seq("band"))

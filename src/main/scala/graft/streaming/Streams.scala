@@ -263,7 +263,15 @@ object Streams {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keyed = batch.withColumn("__bucket", pmod(col(keys.head), lit(nBuckets.toLong)))
     val touched = keyed.select("__bucket").distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map { r =>
+        // a permissive JSON source emits NULL (not a parse error) for a
+        // missing key field; pmod(null) is a null bucket — fail with
+        // the column name instead of an opaque NPE mid-stream
+        require(!r.isNullAt(0),
+          s"upsertBucketedBatch: merge key '${keys.head}' contains NULL — " +
+            "filter or repair null-key records before the merge")
+        r.getLong(0)
+      }.toSeq
     val base =
       if (fs.exists(new Path(tablePath)))
         spark.read.parquet(tablePath)

@@ -87,6 +87,47 @@ class CorpusSpec extends SparkSpec {
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$p.__swap_old")))
   }
 
+  test("compact rejects hidden-prefixed PARTITION dirs (__bucket=N) and recovers a crashed swap first") {
+    // 1) '__bucket=N' starts with '_' but IS a partition layout (what
+    // the bucketed upsert writes) — flattening it silently would mix
+    // layouts; the '=' in the name must trip the guard
+    val p1 = s"${sys.props("java.io.tmpdir")}/graft_test_compact_bucket"
+    graft.streaming.Streams.deleteDir(spark, p1)
+    spark.range(100).select(col("id"), (col("id") % 3).as("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(p1)
+    val e = intercept[IllegalArgumentException] {
+      graft.io.IO.compact(spark, p1, targetBytes = 1024L)
+    }
+    assert(e.getMessage.contains("__bucket="), e.getMessage)
+    // 2) crash between a prior swap's renames: data sits at __swap_old.
+    // compact must restore it BEFORE sizing, or it sizes an empty dir
+    val p2 = s"${sys.props("java.io.tmpdir")}/graft_test_compact_crash"
+    val f = new org.apache.hadoop.fs.Path(p2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.Streams.deleteDir(spark, p2)
+    f.delete(new org.apache.hadoop.fs.Path(s"$p2.__swap_old"), true)
+    spark.range(50000).select(col("id"), concat(lit("p"), col("id")).as("pay"))
+      .repartition(10).write.mode("overwrite").parquet(p2)
+    assert(f.rename(new org.apache.hadoop.fs.Path(p2),
+      new org.apache.hadoop.fs.Path(s"$p2.__swap_old")))
+    val (before, after) = graft.io.IO.compact(spark, p2, targetBytes = 256 * 1024L)
+    assert(before == 10, s"recovery must happen before sizing; saw before=$before")
+    assert(after >= 1 && after < 10)
+    assert(spark.read.parquet(p2).count() == 50000L)
+  }
+
+  test("bucketed upsert rejects NULL merge keys with a named error") {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_test_st12_null"
+    graft.streaming.Streams.deleteDir(spark, p)
+    val bad = Seq((Some(1L), 1L, "a"), (None, 2L, "b"))
+      .toDF("user_id", "ver", "payload")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.upsertBucketedBatch(spark, p, bad,
+        Seq("user_id"), Seq("ver"), nBuckets = 4)
+    }
+    assert(e.getMessage.contains("user_id"), e.getMessage)
+  }
+
   test("compact ignores hidden/system subdirectories in the flat-dir guard") {
     val p = s"${sys.props("java.io.tmpdir")}/graft_test_k11_hidden"
     graft.streaming.Streams.deleteDir(spark, p)
