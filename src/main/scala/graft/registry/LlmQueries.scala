@@ -359,6 +359,29 @@ object LlmQueries {
       DedupLsh.crossNearDupPairs(newBatch, docs, "doc_id", "text")
         .orderBy("id_new", "id_base")
     },
+    // x15 — canonical-representative selection by QUALITY: real
+    // curation keeps each near-dup cluster's best-quality member, not
+    // its min-id. Composition: pairs → connected components → join the
+    // quality score → per-cluster (score desc, id asc) pick. The only
+    // window is per-cluster (bounded by cluster size).
+    "x15_canonical_quality" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = corpusNear(s, dir)
+      val clusters = DedupLsh.nearDupClusters(
+        DedupLsh.nearDupPairs(docs, "doc_id", "text"))
+      val scored = clusters
+        .join(docs.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("score")),
+          clusters("id") === col("doc_id"))
+        .select(col("cluster"), col("id"), col("score"))
+      val w = Window.partitionBy("cluster").orderBy(col("score").desc, col("id").asc)
+      val rep = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("id").as("rep_id"))
+      scored.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+        .join(rep, "cluster")
+        .orderBy("cluster")
+    },
     // sql2 — the extension-injected native `dotq` function driven from
     // the pure SQL surface: quantized-vector dot products over a temp
     // view, proving SparkSessionExtensions functions reach SQL users
@@ -791,6 +814,34 @@ object LlmQueries {
           |  CAST(COALESCE(pd.lp, 0) AS BIGINT) AS logprob_micro
           |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+      "x15_canonical_quality" ->
+        s"""WITH RECURSIVE np AS ($x2Core),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM np
+           |  UNION SELECT id_b, id_a FROM np),
+           |reach AS (
+           |  SELECT src AS id, src AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+           |clusters AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+           |corpus AS ($CorpusNearSql),
+           |scored AS (
+           |  SELECT c.cluster, c.id,
+           |    least(CAST(len(ts) AS DOUBLE) / 50.0, 1.0) *
+           |    (1.0 - CAST(len(list_filter(ts, t -> list_contains($StopSql, t))) AS DOUBLE)
+           |           / CAST(len(ts) AS DOUBLE)) AS score
+           |  FROM clusters c JOIN (
+           |    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM corpus) d
+           |    ON c.id = d.doc_id),
+           |rep AS (
+           |  SELECT cluster, id, row_number() OVER (PARTITION BY cluster
+           |    ORDER BY score DESC, id ASC) AS rn
+           |  FROM scored)
+           |SELECT m.cluster, m.n_members, r.rep_id
+           |FROM (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+           |      FROM scored GROUP BY cluster) m
+           |JOIN (SELECT cluster, id AS rep_id FROM rep WHERE rn = 1) r USING (cluster)
+           |ORDER BY m.cluster""".stripMargin,
       "sql2_dotq_sql" ->
         s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings)
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
