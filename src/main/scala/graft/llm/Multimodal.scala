@@ -77,4 +77,41 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0L), col("n_frames") - 1L, lit(stride.toLong))))
       .select("media_id", "n_frames", "frame_idx")
+
+  /** Resize planning: fit-within (targetW, targetH) preserving aspect
+    * ratio. The DIMENSION math is the real operator (it decides batch
+    * shapes and memory downstream); the pixel resample itself is the
+    * stubbed decoder's job. Pure integer arithmetic — `tw·h ≤ th·w`
+    * picks the binding axis and the other dimension scales by an exact
+    * integer floor-division, so any engine replays it bit-for-bit
+    * (double-based scale factors differ in the last ulp). */
+  def planResize(decoded: Dataset[Row], targetW: Long, targetH: Long): DataFrame =
+    decoded
+      .withColumn("dst_w",
+        when(col("width") * targetH <= col("height") * targetW,
+          floor(col("width") * targetH / col("height").cast("double")).cast("long"))
+          .otherwise(targetW))
+      .withColumn("dst_h",
+        when(col("width") * targetH <= col("height") * targetW, targetH)
+          .otherwise(floor(col("height") * targetW / col("width").cast("double")).cast("long")))
+      .select(col("media_id"), col("width").as("src_w"), col("height").as("src_h"),
+        col("dst_w"), col("dst_h"))
+
+  /** Feature extraction stub: an 8-component vector derived from the
+    * payload digest (each component `(ascii(hex_j) % 16) / 8 − 1`, the
+    * same engine-replayable construction the inference stub uses) plus
+    * its L1 norm — exact binary fractions, so sums compare
+    * bit-for-bit. A real extractor (CLIP embedding, mel filterbank)
+    * swaps in behind the same schema. */
+  def extractFeatures(withPayload: DataFrame, dim: Int = 8): DataFrame = {
+    require(dim >= 1 && dim <= 32, "md5 supplies 32 hex digits")
+    val digest = md5(col("payload"))
+    val vec = transform(sequence(lit(1), lit(dim)),
+      j => (ascii(digest.substr(j, lit(1))) % 16).cast("double") / 8.0 - 1.0)
+    withPayload.select(col("media_id"), vec.as("features"))
+      .select(col("media_id"),
+        org.apache.spark.sql.functions.size(col("features")).cast("long").as("n_dim"),
+        element_at(col("features"), 1).as("f0"),
+        aggregate(col("features"), lit(0.0), (a, x) => a + abs(x)).as("l1_norm"))
+  }
 }

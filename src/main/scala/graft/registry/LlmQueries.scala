@@ -320,6 +320,22 @@ object LlmQueries {
         stride = 7)
         .orderBy("media_id", "frame_idx")
     },
+    // m3 — resize planning (fit-within 224×224, aspect preserved):
+    // exact integer axis selection + floor division, engine-replayable
+    "m3_resize_plan" -> { (s, dir) =>
+      Multimodal.planResize(
+        Multimodal.decodeExprs(
+          Multimodal.attachPayload(Tables.documents(s, dir), "doc_id", "text")),
+        targetW = 224L, targetH = 224L)
+        .orderBy("media_id")
+    },
+    // m4 — feature-extraction stub over the payload (digest-derived
+    // vector + L1 norm, same replayable construction as x13)
+    "m4_media_features" -> { (s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.attachPayload(Tables.documents(s, dir), "doc_id", "text"))
+        .orderBy("media_id")
+    },
     // y10 — fixed-window token chunking: the pass that cuts documents
     // into training samples (32-token windows, stride 24 → 8-token
     // overlap). Pure per-row explode, no shuffle before the sink.
@@ -742,6 +758,26 @@ object LlmQueries {
           |  SELECT doc_id AS media_id, CAST(length(text) % 64 + 1 AS BIGINT) AS n_frames
           |  FROM documents)
           |ORDER BY media_id, frame_idx""".stripMargin,
+      "m3_resize_plan" ->
+        """WITH d AS (
+          |  SELECT doc_id AS media_id,
+          |    CAST(16 + length(text) % 16 AS BIGINT) AS w,
+          |    CAST(16 + ascii(text) % 16 AS BIGINT) AS h
+          |  FROM documents)
+          |SELECT media_id, w AS src_w, h AS src_h,
+          |  CASE WHEN w * 224 <= h * 224
+          |       THEN CAST(floor(w * 224 / CAST(h AS DOUBLE)) AS BIGINT)
+          |       ELSE 224 END AS dst_w,
+          |  CASE WHEN w * 224 <= h * 224
+          |       THEN 224
+          |       ELSE CAST(floor(h * 224 / CAST(w AS DOUBLE)) AS BIGINT) END AS dst_h
+          |FROM d ORDER BY media_id""".stripMargin,
+      "m4_media_features" ->
+        """SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS n_dim,
+          |  (ascii(substring(md5(text), 1, 1)) % 16) / 8.0 - 1.0 AS f0,
+          |  list_sum(list_transform(generate_series(1, 8),
+          |    j -> abs((ascii(substring(md5(text), j, 1)) % 16) / 8.0 - 1.0))) AS l1_norm
+          |FROM documents ORDER BY media_id""".stripMargin,
       "y10_doc_chunks" ->
         """WITH t AS (
           |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
