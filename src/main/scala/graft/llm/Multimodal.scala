@@ -89,11 +89,11 @@ object Multimodal {
     decoded
       .withColumn("dst_w",
         when(col("width") * targetH <= col("height") * targetW,
-          floor(col("width") * targetH / col("height").cast("double")).cast("long"))
+          expr(s"(width * $targetH) DIV height"))
           .otherwise(targetW))
       .withColumn("dst_h",
         when(col("width") * targetH <= col("height") * targetW, targetH)
-          .otherwise(floor(col("height") * targetW / col("width").cast("double")).cast("long")))
+          .otherwise(expr(s"(height * $targetW) DIV width")))
       .select(col("media_id"), col("width").as("src_w"), col("height").as("src_h"),
         col("dst_w"), col("dst_h"))
 

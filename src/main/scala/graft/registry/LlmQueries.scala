@@ -390,12 +390,16 @@ object LlmQueries {
           TextAnalysis.qualityScore(col("text")).as("score")),
           clusters("id") === col("doc_id"))
         .select(col("cluster"), col("id"), col("score"))
+      // ONE window pass computes both the representative rank and the
+      // member count — evaluating `scored` twice (rep + groupBy) would
+      // re-run the cluster join and quality scoring and add a join
       val w = Window.partitionBy("cluster").orderBy(col("score").desc, col("id").asc)
-      val rep = scored.withColumn("rn", row_number().over(w))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("cluster")))
         .filter(col("rn") === 1)
-        .select(col("cluster"), col("id").as("rep_id"))
-      scored.groupBy("cluster").agg(count(lit(1)).as("n_members"))
-        .join(rep, "cluster")
+        .select(col("cluster"), col("n_members"), col("id").as("rep_id"))
         .orderBy("cluster")
     },
     // sql2 — the extension-injected native `dotq` function driven from
@@ -766,11 +770,11 @@ object LlmQueries {
           |  FROM documents)
           |SELECT media_id, w AS src_w, h AS src_h,
           |  CASE WHEN w * 224 <= h * 224
-          |       THEN CAST(floor(w * 224 / CAST(h AS DOUBLE)) AS BIGINT)
+          |       THEN CAST((w * 224) // h AS BIGINT)
           |       ELSE 224 END AS dst_w,
           |  CASE WHEN w * 224 <= h * 224
           |       THEN 224
-          |       ELSE CAST(floor(h * 224 / CAST(w AS DOUBLE)) AS BIGINT) END AS dst_h
+          |       ELSE CAST((h * 224) // w AS BIGINT) END AS dst_h
           |FROM d ORDER BY media_id""".stripMargin,
       "m4_media_features" ->
         """SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS n_dim,
