@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   * map-side-combinable hash aggregates → equi-joins on the unit key.
   * No windows over corpus-sized partitions, no driver-side loops — the
   * only windows are per-document (bounded by document vocabulary).
+  *
+  * ==Caching contract==
+  * [[tfidfTopK]], [[unigramLogProb]] and [[boilerplate]] persist their
+  * (doc, unit) pre-aggregate at `MEMORY_AND_DISK` because it feeds two
+  * plan branches (the per-unit corpus aggregate and the scoring join) —
+  * without it the explode+agg re-runs per branch. The returned plan
+  * holds a reference to that persisted frame, and Spark has no
+  * after-the-caller-materializes hook to release it from inside a lazy
+  * builder, so the CALLER owns the blocks: after materializing the
+  * result, release them with `spark.catalog.clearCache()` (what
+  * `Bench`/`Verify` do between queries) or keep the session short. In a
+  * long-lived session that skips this, each call leaks one cached
+  * intermediate until the LRU store evicts it.
   */
 object Corpus {
 
@@ -117,6 +130,16 @@ object Corpus {
     * non-associative, so two engines summing a document's tokens in
     * different orders disagree in the last ulp — integer sums are
     * order-independent and compare exactly.
+    *
+    * Residual boundary cliff, accepted: `ln` is not correctly-rounded,
+    * so if two engines' ln(p) differ by one ulp exactly where
+    * ln(p)·1e6 sits on an integer, the floors differ by 1 micro-nat.
+    * Any double→int quantization has such a cliff somewhere (half-even
+    * rounding just moves it to the .5 boundaries); it needs BOTH a
+    * last-ulp ln divergence AND a p within ~2^-33 relative distance of
+    * a boundary, and the measured 31-term/500k-doc vocabularies hit
+    * none. If a larger vocabulary ever trips one, compare at coarser
+    * granularity (1e5) rather than switching rounding modes.
     *
     * Plan: one staged explode (persisted — it feeds the count agg and
     * the scoring join), token-keyed hash agg for counts, shuffle

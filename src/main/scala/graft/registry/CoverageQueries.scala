@@ -199,7 +199,12 @@ object CoverageQueries {
         .orderBy("custkey")
     },
     // K12 — MERGE/upsert: an updates batch (changed balances + brand-new
-    // keys) merged into the customer dimension; updates win on the key
+    // keys) merged into the customer dimension; updates win on the key.
+    // The within-source tie-break orders by (c_acctbal, c_name) — NOT the
+    // key itself (constant per key): at sf>=7 a %17-branch re-key
+    // (c_custkey+1000000) can collide with a %10-branch update key, and
+    // the two update rows carry different names, so c_name stays a
+    // deterministic discriminator
     "k12_merge_upsert" -> { (s, dir) =>
       val base = Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal")
       val upd = base.filter(col("c_custkey") % 10 === 0)
@@ -208,7 +213,8 @@ object CoverageQueries {
         .unionByName(base.filter(col("c_custkey") % 17 === 0)
           .select((col("c_custkey") + 1000000L).as("c_custkey"),
             col("c_name"), col("c_acctbal")))
-      graft.ops.Merge.upsert(base, upd, Seq("c_custkey"), Seq(col("c_custkey")))
+      graft.ops.Merge.upsert(base, upd, Seq("c_custkey"),
+        Seq(col("c_acctbal"), col("c_name")))
         .orderBy("c_custkey")
     },
     // O6 — distributed global cumulative sum (two-pass prefix sum): the
@@ -416,7 +422,7 @@ object CoverageQueries {
         |  UNION ALL SELECT *, 1 AS src FROM upd),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY c_custkey
-        |    ORDER BY src DESC, c_custkey DESC) AS rn
+        |    ORDER BY src DESC, c_acctbal DESC, c_name DESC) AS rn
         |  FROM tagged)
         |SELECT c_custkey, c_name, c_acctbal FROM r WHERE rn = 1
         |ORDER BY c_custkey""".stripMargin,

@@ -272,6 +272,11 @@ object Streams {
             "filter or repair null-key records before the merge")
         r.getLong(0)
       }.toSeq
+    // an empty micro-batch (e.g. an empty JSON file) touches no bucket:
+    // writing would be pure metadata churn (dynamic overwrite of zero
+    // partitions still creates a job + _SUCCESS churn) — a merge of
+    // nothing is a no-op, return before touching the base
+    if (touched.isEmpty) return
     val base =
       if (fs.exists(new Path(tablePath)))
         spark.read.parquet(tablePath)

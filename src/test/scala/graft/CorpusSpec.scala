@@ -251,6 +251,31 @@ class CorpusSpec extends SparkSpec {
     // an OLDER replayed version must not clobber either
     run(batch((1L, 1L, "b")))
     assert(table() == expected)
+    // an EMPTY micro-batch (an empty JSON file in the stream) is a
+    // no-op, not a zero-partition dynamic overwrite: no write job runs,
+    // so every file (incl. mtimes) is untouched
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing() = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val b = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        b += ((f.getPath.toString, f.getLen, f.getModificationTime))
+      }
+      b.result().sortBy(_._1)
+    }
+    val before = listing()
+    run(batch())
+    assert(listing() == before)
+    assert(table() == expected)
+    // and against a table that does not exist yet, it must not even
+    // create the directory
+    val p2 = s"${sys.props("java.io.tmpdir")}/graft_test_st12_empty"
+    graft.streaming.Streams.deleteDir(spark, p2)
+    graft.streaming.Streams.upsertBucketedBatch(spark, p2, batch(),
+      Seq("user_id"), Seq("ver"), nBuckets = 4)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p2)))
   }
 
   test("Merge.keepLatest: version order wins over arrival order (associative)") {
