@@ -188,9 +188,17 @@ object DedupLsh {
     * rounds. */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs
+    // localCheckpoint the PAIR list before mirroring it: edges is a
+    // union of two selects over `pairs`, and a merely-persisted pairs
+    // plan would still execute the band self-join + verify once per
+    // union branch on first materialization (only the banded staging
+    // below it is cached — measured 2× the whole candidate+verify
+    // phase on x8/x10). Checkpointing materializes the pair list once
+    // and both branches read the cached RDD.
+    val pairsCk = pairs.localCheckpoint()
+    val edges = pairsCk
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .unionByName(pairsCk.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint, not persist: a persisted plan still NESTS the
     // previous iteration's join, so analysis/codegen time grows with
