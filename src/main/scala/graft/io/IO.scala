@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
 
 /** Source/sink format matrix (SURVEY §2.1/§2.2).
   *
@@ -127,6 +128,42 @@ object IO {
     require(nFiles >= 1 && keys.nonEmpty, "need nFiles >= 1 and cluster keys")
     df.repartitionByRange(nFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val f = fs(df.sparkSession, path)
+    f.globStatus(new Path(s"$path/part-*")).length
+  }
+
+  /** Morton/Z-order value of two non-negative `bits`-wide integer
+    * columns: bit j of `x` lands at z-bit 2j, bit j of `y` at 2j+1, so
+    * sorting by z interleaves both dimensions — points close in (x, y)
+    * are close in z. Pure Column bit arithmetic (shift/and/sum of
+    * disjoint bits), whole-stage codegen, replayable in any engine.
+    * Callers quantize to [0, 2^bits) first (e.g. `pmod`, or a
+    * percent_rank bucket for skewed dimensions). */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31 per dimension")
+    (0 until bits).flatMap { j =>
+      Seq(
+        shiftleft(shiftright(x.cast("long"), j).bitwiseAND(lit(1L)), 2 * j),
+        shiftleft(shiftright(y.cast("long"), j).bitwiseAND(lit(1L)), 2 * j + 1))
+    }.reduce(_ + _) // disjoint bit positions: + is |
+  }
+
+  /** K14 — Z-order clustered write: range-partition + sort by the
+    * interleaved [[zValue]] of TWO dimensions, so per-file min-max
+    * stats prune selective filters on EITHER column (a 1-D
+    * [[writeClustered]] sort prunes only its leading key; the second
+    * column's values smear across every file). The write itself is one
+    * range exchange + in-partition sort — same cost shape as the 1-D
+    * cluster at any scale. */
+  def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
+                    x: Column, y: Column, bits: Int = 16): Int = {
+    require(nFiles >= 1, "need nFiles >= 1")
+    val z = zValue(x, y, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
     val f = fs(df.sparkSession, path)
     f.globStatus(new Path(s"$path/part-*")).length

@@ -273,4 +273,43 @@ object Similarity {
     val scored = candidates.withColumn("cosine", cosineQ(col("qv"), col("nv")))
     topKPerQuery(scored, k)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the embedding space with the trained
+    * [[kmeansCodebook]], then WITHIN each cell drop every vector that
+    * has a lower-id cell-mate with cosine ≥ `threshold` (the paper's
+    * keep-one-per-semantic-group rule — no transitive closure across
+    * cells, by design: pair-comparison cost is Σ|cell|², and numCells
+    * is chosen so cells stay pairwise-tractable; at corpus scale that
+    * is ~√n·k cells, not 16). Returns the KEPT (vec_id, cell_id) rows.
+    *
+    * Every step replays cross-engine: deterministic codebook, argmax
+    * assignment with (sim desc, cell_id) tie-break, exact integer-dot
+    * cosine verify. One corpus shuffle on cell_id for the pair join;
+    * assignment is a broadcast cross join + hash argmax, and the final
+    * anti-join moves only the drop set. */
+  def semanticDedup(corpus: DataFrame, numCells: Int = 16, iters: Int = 2,
+                    threshold: Double = 0.99): DataFrame = {
+    graft.functions.LongArrayDot.register(corpus.sparkSession)
+    val cents = kmeansCodebook(corpus, numCells, iters)
+    val assigned = spread(corpus)
+      .select(col("vec_id"), quantize(col("embedding")).as("nv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cell_sim", cosineQ(col("nv"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell_id"), col("nv")),
+        struct(col("cell_sim"), -col("cell_id"))).as("m"))
+      .select(col("vec_id"), col("m.cell_id").as("cell_id"), col("m.nv").as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cell_id"), col("vec_id").as("id_a"), col("nv").as("nv_a"))
+    val b = assigned.select(col("cell_id"), col("vec_id").as("id_b"), col("nv").as("nv_b"))
+    // shuffle_hash: cells are bounded buckets, but the planner's size
+    // estimate of the assigned table invites a corpus-sized broadcast
+    val drops = a.join(b.hint("shuffle_hash"), Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineQ(col("nv_a"), col("nv_b")) >= threshold)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    assigned.select("vec_id", "cell_id").join(drops, Seq("vec_id"), "left_anti")
+  }
 }

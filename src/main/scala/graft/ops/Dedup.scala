@@ -37,6 +37,33 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Per-key cap: keep the first `n` rows per key under `order` (the
+    * per-domain cap a crawl-curation pipeline applies so no domain
+    * dominates the corpus). `order` must be a TOTAL order (include a
+    * unique tie-break column) for an exact, engine-replayable result.
+    *
+    * Scale shape: a single `row_number` over a hot key (a domain with
+    * 10^8 pages) funnels that key into one task, so this runs the
+    * salted two-stage pattern — stage 1 ranks within (key, salt) and
+    * keeps `n` per salt (correct because stage 1's per-salt top-n is a
+    * superset of the global top-n members that landed in that salt),
+    * stage 2 ranks the ≤ n·salts survivors per key. `saltCol` must be
+    * a deterministic row property (an id), never rand().
+    */
+  def capPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                n: Int, saltCol: Column): DataFrame = {
+    require(n >= 1, "cap must be positive")
+    val salts = df.sparkSession.sparkContext.defaultParallelism
+    val keyCols = keys.map(col)
+    val w1 = Window
+      .partitionBy(keyCols :+ pmod(saltCol, lit(salts.toLong)): _*)
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(keyCols: _*).orderBy(order: _*)
+    df.withColumn("__pr", row_number().over(w1)).filter(col("__pr") <= n)
+      .withColumn("__r", row_number().over(w2)).filter(col("__r") <= n)
+      .drop("__pr", "__r")
+  }
+
   /** D2 — number of surplus rows per duplicated key (pandas
     * `duplicated(subset).sum()` counts all-but-first per key). */
   def duplicateCount(df: DataFrame, keys: Seq[String]): DataFrame = {

@@ -107,6 +107,75 @@ object Rows {
     df.filter(hashKey(keyCols) < lit(hexCut(fraction)))
   }
 
+  /** 4-hex-digit cut at 1/65536 granularity for DERIVED rates (the
+    * 2-digit cut is fine for hand-picked fractions; computed rates
+    * need finer steps). floor, not round: floor on a double is an
+    * exact IEEE operation, so the cut has NO tie boundary for two
+    * engines to disagree on (a round() tie at .5/65536 would be the
+    * same ulp cliff the unigram-LM scaladoc documents). */
+  private def hexCut16(fraction: Double): String = {
+    val r = math.floor(fraction * 65536).toInt
+    if (r >= 65536) "g" else f"$r%04x"
+  }
+
+  /** Mixture sampling — the data-mixing step of a training-data
+    * pipeline: given TARGET mixture weights per stratum (e.g. the
+    * en/de/fr proportions the training run wants) and a target output
+    * size, derive each stratum's keep rate from its realized count,
+    * rate_g = min(1, w_g·totalOut / n_g), and apply the md5-gated
+    * membership. Strata without a target weight are dropped.
+    * Downsampling only — a stratum smaller than its target keeps all
+    * rows (rate caps at 1) and the realized mix shifts accordingly;
+    * upsampling is a repeat-epoch decision for the trainer, not a
+    * row filter.
+    *
+    * Scale shape: one count aggregate (O(#strata) rows to the driver —
+    * strata are languages/sources, bounded), then a pure row-property
+    * filter; no shuffle of the data itself. Membership replays in any
+    * engine (md5 string compare, floor-derived cut).
+    */
+  def mixtureSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCols: Seq[String],
+      targetWeights: Map[String, Double],
+      totalOut: Long
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "mixtureSample needs at least one key column")
+    require(targetWeights.nonEmpty && targetWeights.values.forall(_ >= 0.0),
+      "target weights must be non-negative")
+    val counts = df.groupBy(col(strataCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // default '00': no 32-char md5 hex sorts below it, so unlisted
+    // strata drop
+    val cutExpr = targetWeights.toSeq.sortBy(_._1).foldLeft(lit("00"): Column) {
+      case (acc, (g, w)) =>
+        val n = counts.getOrElse(g, 0L)
+        val rate = if (n == 0L) 0.0 else math.min(1.0, w * totalOut / n)
+        when(col(strataCol).cast("string") === g, lit(hexCut16(rate))).otherwise(acc)
+    }
+    df.filter(hashKey(keyCols) < cutExpr)
+  }
+
+  /** Deterministic train/val/test split assignment — the fixed,
+    * backfill-stable split a training pipeline needs (re-running over
+    * a grown corpus must never move an old row between splits, which
+    * rules out RNG and row-order schemes; the md5 key property
+    * guarantees it). Cuts at floor(frac·65536)/65536.
+    */
+  def splitAssign(df: DataFrame, keyCols: Seq[String],
+                  valFrac: Double, testFrac: Double): DataFrame = {
+    require(keyCols.nonEmpty, "splitAssign needs at least one key column")
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1,
+      "need valFrac, testFrac >= 0 and valFrac + testFrac <= 1")
+    val k = hashKey(keyCols)
+    df.withColumn("split",
+      when(k < lit(hexCut16(valFrac)), "val")
+        .when(k < lit(hexCut16(valFrac + testFrac)), "test")
+        .otherwise("train"))
+  }
+
   /** Stratified hash sample: per-stratum keep fractions over the same
     * md5-gated membership as [[hashSample]] — the language/source
     * balancing step of a training-data curation pipeline. Strata not

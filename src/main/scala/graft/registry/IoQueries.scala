@@ -115,6 +115,15 @@ object IoQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },
+    "p11_split_assign" -> { (s, dir) =>
+      // deterministic, backfill-stable train/val/test assignment:
+      // membership is a pure key-hash property, so re-running over a
+      // grown corpus never moves an old row between splits
+      Rows.splitAssign(Tables.documents(s, dir), Seq("doc_id"),
+        valFrac = 0.05, testFrac = 0.05)
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    },
     "p5_bool_coercion" -> { (s, dir) =>
       val withStr = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"),
@@ -298,6 +307,23 @@ object IoQueries {
       s.read.parquet(p)
         .filter(col("user_id") < 50L)
         .orderBy("event_id")
+    },
+    // K14 — Z-ORDER clustered write: files sorted by the interleaved
+    // (user_id, value-bucket) Morton code, so min-max stats prune
+    // selective filters on EITHER dimension (k13's 1-D sort prunes
+    // only its leading key). The oracle proves roundtrip + filter
+    // fidelity on the SECOND dimension; the spec proves the per-file
+    // bounding boxes actually shrink.
+    "k14_zorder_write" -> { (s, dir) =>
+      val p = scratch(dir, "zorder")
+      IO.writeZOrdered(
+        Tables.events(s, dir).select("event_id", "user_id", "value"),
+        p, nFiles = 8,
+        pmod(col("user_id"), lit(65536L)),
+        pmod(floor(col("value") * 100).cast("long"), lit(65536L)))
+      s.read.parquet(p)
+        .filter(col("value") >= 99.0)
+        .orderBy("event_id")
     }
   )
 
@@ -307,6 +333,9 @@ object IoQueries {
     "k13_clustered_write" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE user_id < 50 ORDER BY event_id""".stripMargin,
+    "k14_zorder_write" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value >= 99.0 ORDER BY event_id""".stripMargin,
     "s15_gzip_json_roundtrip" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "s14_schema_evolution" ->
@@ -345,6 +374,12 @@ object IoQueries {
         |WHERE md5(CAST(doc_id AS VARCHAR)) <
         |  (CASE WHEN lang = 'en' THEN '33' WHEN lang = 'de' THEN '0d' ELSE '80' END)
         |ORDER BY doc_id""".stripMargin,
+    "p11_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0ccc' THEN 'val'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < '1999' THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "p5_bool_coercion" ->
       "SELECT event_id, (value > 50.0) AS is_big FROM events ORDER BY event_id",
     "p6_uuid_string" ->

@@ -179,6 +179,15 @@ object LlmQueries {
       Similarity.embeddingNearDupPairs(corpusEmb(s, dir), threshold = 0.99)
         .orderBy("id_a", "id_b")
     },
+    // x17 — SemDeDup semantic dedup: k-means cells (the trained x7
+    // codebook machinery) bound the pairwise comparison, cosine ≥ 0.99
+    // drops the higher id of each similar cell-mate pair — keeps one
+    // representative per semantic group without any LSH recall gamble
+    "x17_semantic_dedup" -> { (s, dir) =>
+      Similarity.semanticDedup(corpusEmb(s, dir), numCells = 16, iters = 2,
+        threshold = 0.99)
+        .orderBy("vec_id")
+    },
     "y1_langid" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -402,6 +411,36 @@ object LlmQueries {
         .select(col("cluster"), col("n_members"), col("id").as("rep_id"))
         .orderBy("cluster")
     },
+    // y15 — mixture sampling: per-language keep rates DERIVED from
+    // target mixture weights (en .5 / de .3 / fr .2 of a 400-doc
+    // output) and the realized counts; md5-gated membership, so the
+    // mix replays in any engine. One O(#langs) count agg, then a pure
+    // row filter — the data itself never shuffles.
+    "y15_mixture_sample" -> { (s, dir) =>
+      graft.ops.Rows.mixtureSample(Tables.documents(s, dir), "lang", Seq("doc_id"),
+        Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), totalOut = 400L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    // x16 — bloom-prefilter incremental exact dedup: new-batch rows
+    // whose digest is absent from the accumulated corpus, with ZERO
+    // corpus shuffle — the corpus scan carries a map-side codegen
+    // might_contain(bloom-of-batch) filter and only suspected dupes
+    // reach the exact verify join. Exact at any fpp (false positives
+    // add history keys that match no batch row). Every 5th doc forms
+    // the batch; every 10th keeps its text (a true dupe), the rest
+    // are perturbed (genuinely new).
+    "x16_bloom_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 10 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" v2")))).as("digest"))
+      val history = docs.select(md5(col("text")).as("digest"))
+      graft.llm.BloomDedup.antiJoinBloom(batch, history, "digest",
+        expectedItems = 8192L, fpp = 0.001)
+        .orderBy("doc_id")
+    },
     // sql2 — the extension-injected native `dotq` function driven from
     // the pure SQL surface: quantized-vector dot products over a temp
     // view, proving SparkSessionExtensions functions reach SQL users
@@ -490,6 +529,27 @@ object LlmQueries {
         s"""SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
            |FROM ($CorpusExactSql) GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
       "x2_minhash_neardup" -> s"$x2Core\nORDER BY id_a, id_b",
+      "y15_mixture_sample" ->
+        """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+          |cuts AS (
+          |  SELECT lang, CASE WHEN r >= 65536 THEN 'g' ELSE printf('%04x', r) END AS cut
+          |  FROM (
+          |    SELECT lang, CAST(floor(LEAST(1.0,
+          |      ((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3 WHEN 'fr' THEN 0.2
+          |        ELSE 0.0 END) * 400) / n) * 65536) AS BIGINT) AS r
+          |    FROM counts))
+          |SELECT d.doc_id, d.lang
+          |FROM documents d JOIN cuts c ON d.lang = c.lang
+          |WHERE md5(CAST(d.doc_id AS VARCHAR)) < c.cut
+          |ORDER BY d.doc_id""".stripMargin,
+      "x16_bloom_dedup" ->
+        """WITH batch AS (
+          |  SELECT doc_id,
+          |    md5(CASE WHEN doc_id % 10 = 0 THEN text ELSE text || ' v2' END) AS digest
+          |  FROM documents WHERE doc_id % 5 = 0)
+          |SELECT digest, doc_id FROM batch b
+          |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = b.digest)
+          |ORDER BY doc_id""".stripMargin,
       "x8_dedup_clusters" ->
         s"""WITH RECURSIVE np AS ($x2Core),
            |edges AS (
@@ -621,6 +681,27 @@ object LlmQueries {
            |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
            |  FROM scored)
            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      "x17_semantic_dedup" ->
+        s"""WITH corpus AS ($CorpusEmbSql),
+           |v AS (SELECT vec_id, ${qvSql("embedding")} AS nv FROM corpus),
+           |c0 AS (SELECT vec_id AS cell_id, nv AS cv FROM v WHERE vec_id < 16),
+           |${kmeansIterSql("c0", "a1", "c1")},
+           |${kmeansIterSql("c1", "a2", "c2")},
+           |members AS (
+           |  SELECT vec_id, nv, cell_id FROM (
+           |    SELECT v.vec_id, v.nv, c.cell_id,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${cosineSql("v.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
+           |    FROM v CROSS JOIN c2 c)
+           |  WHERE cell_rank = 1),
+           |drops AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM members a JOIN members b
+           |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+           |  WHERE ${cosineSql("a.nv", "b.nv")} >= 0.99)
+           |SELECT vec_id, cell_id FROM members
+           |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+           |ORDER BY vec_id""".stripMargin,
       "x9_embed_neardup" ->
         s"""WITH corpus AS ($CorpusEmbSql),
            |v AS (SELECT vec_id, ${qvSql("embedding")} AS nv FROM corpus),

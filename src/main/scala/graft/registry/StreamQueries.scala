@@ -116,6 +116,19 @@ object StreamQueries {
           OutputMode.Append(), maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
         .orderBy("user_id", "event_type")
     },
+    // st13 — bounded-state dedup twin of st9: state evicts at the
+    // watermark (the production mode at corpus scale). The 40-day
+    // delay covers the fixture's 30-day span, so every duplicate is
+    // within the bound and the sink equals batch DISTINCT; the
+    // re-emission-after-eviction behavior is spec-asserted.
+    "st13_stream_dedup_bounded" -> { (s, dir) =>
+      val glob = writeMicroBatches(s, dir)
+      Streams
+        .runFileStream(s, glob, streamSchema, scratch(dir, "st13_ckpt"),
+          df => Streams.streamDedupKeysWithinWatermark(df, Seq("user_id", "event_type")),
+          OutputMode.Append(), maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
+        .orderBy("user_id", "event_type")
+    },
     "st5_stream_stitch" -> { (s, dir) =>
       val glob = writeMicroBatches(s, dir)
       Streams
@@ -197,6 +210,10 @@ object StreamQueries {
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
         |ORDER BY a_id, b_id""".stripMargin,
     "st9_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    // bounded-state dedup: delay covers the fixture span ⇒ DISTINCT
+    "st13_stream_dedup_bounded" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
     "st11_stream_static_join" ->

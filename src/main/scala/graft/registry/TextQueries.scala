@@ -122,6 +122,45 @@ object TextQueries {
           regexp_replace(col("t"), Text.EmailRe, "<EMAIL>"),
           lit(Text.NumRe), lit(0))).cast("long").as("n_nums"))
         .orderBy("doc_id")
+    },
+    // T12 (beyond reference) — URL canonicalization + domain
+    // extraction. The fixture has no URL column, so deterministic
+    // MESSY urls (mixed case, default and non-default ports, tracking
+    // params, fragments, trailing slashes, a single-label host) are
+    // synthesized from event columns first — replayable in any engine.
+    "t12_url_canonicalize" -> { (s, dir) =>
+      import graft.ops.Urls
+      val u = when(col("event_id") % 4 === 0,
+          concat(lit("HTTPS://WWW.Example.COM:443/Shop/Items/?utm_source=mail&id="),
+            (col("event_id") % 7).cast("string"), lit("#top")))
+        .when(col("event_id") % 4 === 1,
+          concat(lit("http://Blog.example.com:80/post/"),
+            (col("event_id") % 50).cast("string"), lit("/?ref=home&utm_campaign=x")))
+        .when(col("event_id") % 4 === 2,
+          concat(lit("https://news.portal.org:8080/a/b.html?x="),
+            (col("event_id") % 3).cast("string"), lit("&fbclid=abc")))
+        .otherwise(concat(lit("http://site/"), col("event_type")))
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          Urls.canonicalize(u).as("url_canon"),
+          Urls.host(u).as("domain"),
+          Urls.registeredDomain(u).as("reg_domain"))
+        .orderBy("event_id")
+    },
+    // T13 (beyond reference) — per-domain cap: keep each domain's top-5
+    // events by (value desc, event_id) — the no-domain-dominates rule of
+    // crawl curation. Salted two-stage ranking, so a hot domain never
+    // funnels into a single task.
+    "t13_domain_cap" -> { (s, dir) =>
+      import graft.ops.Urls
+      val u = concat(lit("https://Shard"), (col("user_id") % 20).cast("string"),
+        lit(".Example.com/p/"), col("event_id").cast("string"))
+      val withDom = Tables.events(s, dir)
+        .select(col("event_id"), col("value"), Urls.host(u).as("domain"))
+      graft.ops.Dedup.capPerKey(withDom, Seq("domain"),
+        Seq(col("value").desc, col("event_id").asc), n = 5, saltCol = col("event_id"))
+        .select("domain", "event_id", "value")
+        .orderBy("domain", "event_id")
     }
   )
 
@@ -198,6 +237,55 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(
          |    regexp_replace(t, '$email', '<EMAIL>', 'g'), '$num')) AS BIGINT) AS n_nums
          |FROM pii ORDER BY doc_id""".stripMargin
-    }
+    },
+    "t12_url_canonicalize" -> {
+      val urlCase =
+        """CASE WHEN event_id % 4 = 0 THEN
+          |    'HTTPS://WWW.Example.COM:443/Shop/Items/?utm_source=mail&id=' ||
+          |    CAST(event_id % 7 AS VARCHAR) || '#top'
+          |  WHEN event_id % 4 = 1 THEN
+          |    'http://Blog.example.com:80/post/' || CAST(event_id % 50 AS VARCHAR) ||
+          |    '/?ref=home&utm_campaign=x'
+          |  WHEN event_id % 4 = 2 THEN
+          |    'https://news.portal.org:8080/a/b.html?x=' ||
+          |    CAST(event_id % 3 AS VARCHAR) || '&fbclid=abc'
+          |  ELSE 'http://site/' || event_type END""".stripMargin
+      s"""WITH raw AS (SELECT event_id, $urlCase AS u FROM events),
+         |parts AS (
+         |  SELECT event_id, u,
+         |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+         |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+         |    regexp_replace(regexp_extract(u,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '') AS pth,
+         |    array_to_string(list_filter(str_split(regexp_extract(u, '\\?([^#]*)', 1), '&'),
+         |      p -> NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)=') AND p != ''),
+         |      '&') AS q
+         |  FROM raw),
+         |canon AS (
+         |  SELECT event_id,
+         |    sch || '://' ||
+         |    (CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$$', '')
+         |          WHEN sch = 'https' THEN regexp_replace(hp, ':443$$', '')
+         |          ELSE hp END) || pth ||
+         |    (CASE WHEN len(q) > 0 THEN '?' || q ELSE '' END) AS url_canon,
+         |    regexp_replace(hp, ':[0-9]+$$', '') AS domain
+         |  FROM parts)
+         |SELECT event_id, url_canon, domain,
+         |  CASE WHEN len(str_split(domain, '.')) >= 2
+         |       THEN str_split(domain, '.')[-2] || '.' || str_split(domain, '.')[-1]
+         |       ELSE domain END AS reg_domain
+         |FROM canon ORDER BY event_id""".stripMargin
+    },
+    "t13_domain_cap" ->
+      """WITH d AS (
+        |  SELECT event_id, value,
+        |    lower('Shard' || CAST(user_id % 20 AS VARCHAR) || '.Example.com') AS domain
+        |  FROM events),
+        |r AS (
+        |  SELECT domain, event_id, value,
+        |    row_number() OVER (PARTITION BY domain ORDER BY value DESC, event_id) AS rn
+        |  FROM d)
+        |SELECT domain, event_id, value FROM r WHERE rn <= 5
+        |ORDER BY domain, event_id""".stripMargin
   )
 }

@@ -184,6 +184,25 @@ object Streams {
   def streamDedupKeys(events: DataFrame, keys: Seq[String]): DataFrame =
     events.select(keys.map(col): _*).dropDuplicates(keys)
 
+  /** ST13 — BOUNDED-STATE streaming dedup:
+    * `dropDuplicatesWithinWatermark` evicts a key's state once the
+    * event-time watermark passes its arrival time, so state holds
+    * O(keys per disorder window) instead of st9's O(every key ever) —
+    * at 100 TB/day the unbounded version eventually evicts to disk and
+    * dies; this one is the production shape. Contract: duplicates of a
+    * key arrive within `delay` of the first occurrence (the disorder
+    * bound); a key recurring LATER re-emits (spec-asserted), which is
+    * the price of bounded state. With `delay` covering the fixture's
+    * whole span the sink equals batch DISTINCT, which is what the
+    * oracle checks. */
+  def streamDedupKeysWithinWatermark(events: DataFrame, keys: Seq[String],
+                                     delay: String = "40 days"): DataFrame =
+    events
+      .select(keys.map(col) :+ timestamp_micros(col("ts_us")).as("__ts"): _*)
+      .withWatermark("__ts", delay)
+      .dropDuplicatesWithinWatermark(keys)
+      .select(keys.map(col): _*)
+
   /** ST5 — cross-batch dwell stitch. Emits, for every event that has a
     * successor in its user's stream (possibly in a later micro-batch),
     * the dwell time to that successor. The user's final event stays in

@@ -202,6 +202,38 @@ class CorpusSpec extends SparkSpec {
     assert(spark.read.parquet(p).count() == 100000L)
   }
 
+  test("K14 z-order write: SECOND dimension's per-file span shrinks; 1-D cluster smears it") {
+    import graft.io.IO
+    // uniform 256x256 grid, one point per (x, y) cell
+    val grid = spark.range(65536).select(
+      (col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    def spans(path: String): Array[(Long, Long)] = spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+      .select("xs", "ys").as[(Long, Long)].collect()
+    // zValue sanity: interleave(3, 5) = x bits at even, y at odd = 39
+    val z = grid.sparkSession.range(1)
+      .select(IO.zValue(lit(3L), lit(5L), bits = 8)).as[Long].head()
+    assert(z == 39L, s"zValue(3,5) = $z, want 39")
+    val pz = s"${sys.props("java.io.tmpdir")}/graft_test_k14_z"
+    val p1 = s"${sys.props("java.io.tmpdir")}/graft_test_k14_lin"
+    graft.streaming.Streams.deleteDir(spark, pz)
+    graft.streaming.Streams.deleteDir(spark, p1)
+    assert(IO.writeZOrdered(grid, pz, nFiles = 8, col("x"), col("y"), bits = 8) == 8)
+    IO.writeClustered(grid, p1, nFiles = 8, col("x"))
+    // 8 z-contiguous files fix the top ~3 z bits: a file's y-span is
+    // bounded at ~domain/4 (≤ domain/2 when it straddles a block
+    // boundary); the x-sorted write leaves y unconstrained per file
+    val zs = spans(pz)
+    val ls = spans(p1)
+    assert(zs.forall(_._2 <= 128L),
+      s"z-order y-spans not bounded: ${zs.mkString(",")}")
+    assert(ls.exists(_._2 >= 250L),
+      s"1-D cluster should smear y across files: ${ls.mkString(",")}")
+    // both preserve content
+    assert(spark.read.parquet(pz).count() == 65536L)
+  }
+
   test("O8 global top-k plans as TakeOrdered, never a global sort exchange") {
     val df = spark.range(100000).select(col("id").as("event_id"),
       (col("id") * 37 % 1000).as("value"))

@@ -745,11 +745,147 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
+  test("SemDeDup: exact clones drop inside their cell, distinct vectors survive") {
+    // 32 distinct base vectors: dominant 10 at dim (id%4), noise ±3 at
+    // dim 4+(id/4)%4 — within-cell cosines stay ≈0.84-0.92, well under
+    // τ=0.99. Exact clones of ids 0..7 at id+1000 have cosine 1.0.
+    def vec(id: Int): Array[Float] = {
+      val a = Array.fill(8)(0f)
+      a(id % 4) = 10f
+      a(4 + (id / 4) % 4) = if (id / 16 == 0) 3f else -3f
+      a
+    }
+    val base = (0 until 32).map(i => (i.toLong, vec(i)))
+    val clones = (0 until 8).map(i => (i + 1000L, vec(i)))
+    val emb = (base ++ clones).toDF("vec_id", "embedding")
+    val kept = graft.llm.Similarity
+      .semanticDedup(emb, numCells = 4, iters = 2, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (0L until 32L).toSet,
+      s"every clone must drop, every distinct vector survive; got $kept")
+  }
+
   test("Multimodal: batched mapPartitions decode equals expression decode") {
     val docs = Seq((1L, "hello world"), (2L, "zz")).toDF("doc_id", "text")
     val p = Multimodal.attachPayload(docs, "doc_id", "text")
     val a = Multimodal.decodeBatched(p).orderBy("media_id").collect().toSeq
     val b = Multimodal.decodeExprs(p).orderBy("media_id").collect().toSeq
     assert(a == b)
+  }
+
+  test("Urls: canonicalization rules on messy fixtures") {
+    import graft.ops.Urls
+    val cases = Seq(
+      // case-folding, default port, trailing slash, tracking params, fragment
+      "HTTPS://WWW.Ex.COM:443/A/B/?utm_source=m&id=3&utm_x=1#f" ->
+        ("https://www.ex.com/A/B?id=3", "www.ex.com", "ex.com"),
+      // :80 stripped for http, all params tracking ⇒ no '?'
+      "http://Blog.Ex.com:80/p/7/?ref=h&gclid=g" ->
+        ("http://blog.ex.com/p/7", "blog.ex.com", "ex.com"),
+      // non-default port kept, non-tracking param kept, order preserved
+      "https://n.portal.org:8080/a.html?x=1&fbclid=z&y=2" ->
+        ("https://n.portal.org:8080/a.html?x=1&y=2", "n.portal.org", "portal.org"),
+      // single-label host, no query, root slash collapses
+      "http://site/" -> ("http://site", "site", "site"))
+    val got = cases.map(_._1).toDF("u")
+      .select(Urls.canonicalize(col("u")), Urls.host(col("u")),
+        Urls.registeredDomain(col("u")))
+      .as[(String, String, String)].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("capPerKey: equals single-window rank, exact at tie boundaries") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot key (60 rows incl. score ties at the n boundary), one
+    // small key, one singleton
+    val rows = (0 until 60).map(i => ("hot", i.toLong, (i % 7).toDouble)) ++
+      Seq(("small", 100L, 5.0), ("small", 101L, 5.0), ("one", 200L, 1.0))
+    val df = rows.toDF("k", "id", "score")
+    val got = Dedup.capPerKey(df, Seq("k"),
+      Seq(col("score").desc, col("id").asc), n = 5, saltCol = col("id"))
+      .select("k", "id").as[(String, Long)].collect().toSet
+    val w = Window.partitionBy("k").orderBy(col("score").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("k", "id").as[(String, Long)].collect().toSet
+    assert(got == want)
+    assert(got.count(_._1 == "hot") == 5 && got.count(_._1 == "small") == 2
+      && got.count(_._1 == "one") == 1)
+  }
+
+  test("Mixture sample: rates derive from targets, oversized strata downsample") {
+    // 1000 'en', 50 'de', 200 'zz' rows; targets en .5 / de .5 of 200
+    // out → en rate 0.1, de rate min(1, 100/50)=1 (keep all), zz drops
+    val df = ((0 until 1000).map(i => (i.toLong, "en")) ++
+      (1000 until 1050).map(i => (i.toLong, "de")) ++
+      (1050 until 1250).map(i => (i.toLong, "zz"))).toDF("id", "lang")
+    val out = Rows.mixtureSample(df, "lang", Seq("id"),
+      Map("en" -> 0.5, "de" -> 0.5), totalOut = 200L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(out("de") == 50L, "undersized stratum must keep every row")
+    assert(!out.contains("zz"), "stratum without a target weight must drop")
+    // md5-gated ~10% of 1000: binomial-ish but FIXED (no RNG) — the
+    // exact value is a constant of the fixture; assert the ballpark
+    // and determinism
+    assert(out("en") > 60L && out("en") < 140L, s"en kept ${out("en")}, want ~100")
+    val again = Rows.mixtureSample(df, "lang", Seq("id"),
+      Map("en" -> 0.5, "de" -> 0.5), totalOut = 200L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == out, "membership must be a pure row property")
+  }
+
+  test("Split assign: disjoint cover, stable under corpus growth") {
+    val small = (0L until 400L).toDF("id")
+    val grown = (0L until 1000L).toDF("id")
+    val a = Rows.splitAssign(small, Seq("id"), 0.1, 0.1)
+      .as[(Long, String)].collect().toMap
+    val b = Rows.splitAssign(grown, Seq("id"), 0.1, 0.1)
+      .as[(Long, String)].collect().toMap
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(a.size == 400 && b.size == 1000, "every row gets exactly one split")
+    // backfill stability: old rows keep their split when the corpus grows
+    assert(a.forall { case (id, s) => b(id) == s })
+    assert(Set("train", "val", "test").subsetOf(b.values.toSet),
+      "all three splits populated at n=1000")
+  }
+
+  test("BloomDedup: exact under adversarial fpp, equal to plain anti-join") {
+    // a deliberately saturated sketch (2 expected items, fpp 0.3, 500
+    // history keys) floods the verify set with false positives — the
+    // result must STILL equal the plain left_anti (fpp trades scan
+    // output volume, never correctness)
+    val batch = (0L until 100L).map(i => (i, s"key_${i * 3}")).toDF("id", "k")
+    val history = (0L until 500L).map(i => (s"key_$i", i)).toDF("k", "junk")
+      .select("k")
+    val got = graft.llm.BloomDedup
+      .antiJoinBloom(batch, history, "k", expectedItems = 2, fpp = 0.3)
+      .orderBy("id").as[(String, Long)].collect().toSeq
+    val want = batch.join(history, Seq("k"), "left_anti")
+      .orderBy("id").as[(String, Long)].collect().toSeq
+    assert(got == want)
+    // batch keys key_0, key_3, …, key_297 all fall inside history's
+    // key_0..key_499 ⇒ every batch row is a dupe ⇒ empty result
+    assert(got.isEmpty)
+  }
+
+  test("BloomDedup: history side filters map-side, batch anti-join broadcasts") {
+    val batch = (0L until 50L).map(i => (i, s"b_$i")).toDF("id", "k")
+    // spark.range keeps the history a physical plan — a local Seq
+    // becomes a LocalRelation and ConvertToLocalRelation would fold
+    // the bloom filter away before it ever reaches the executed plan
+    val history = spark.range(200)
+      .select(concat(when(col("id") % 4 === 0, "b_").otherwise("h_"),
+        col("id")).as("k"))
+    val out = graft.llm.BloomDedup
+      .antiJoinBloom(batch, history, "k", expectedItems = 64, fpp = 0.01)
+    val plan = out.queryExecution.executedPlan.toString
+    // the bloom membership predicate must sit in the scan-side filter
+    // (zero history shuffle before it) and the final exact check must
+    // be a broadcast LeftAnti — the two properties that make this the
+    // 100 TB plan
+    assert(plan.contains("might_contain"), s"bloom prefilter missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"broadcast anti-join missing:\n$plan")
+    // b_0, b_4, ..., b_48 collide with history ⇒ 13 dupes of 50
+    assert(out.count() == 37L)
   }
 }

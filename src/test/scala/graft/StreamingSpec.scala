@@ -45,6 +45,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted == Seq(1L, 2L, 3L), s"no duplicates from re-reading, got $got")
   }
 
+  test("ST13: watermark-bounded dedup evicts state — a key recurring late re-emits") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_st13"
+    Streams.deleteDir(spark, base)
+    // delay 10s. b1: key A at t=1000s (emits, state expires 1010s).
+    // b2: key B at t=100000s (emits; the batch's CLOSING watermark
+    // jumps to ~99990s). b3: key C (emits; runs WITH that watermark
+    // and evicts A — eviction is applied while processing a batch, so
+    // the key needs one intervening batch after the watermark passes
+    // it). b4: key A again at t=100020s → fresh state ⇒ emits AGAIN —
+    // the bounded-state tradeoff st9's dropDuplicates never shows.
+    // Distinct mtimes pin the per-trigger file order.
+    val files = Seq(
+      ("f1.json", 1L, 1000L * 1000000),
+      ("f2.json", 2L, 100000L * 1000000),
+      ("f3.json", 3L, 100010L * 1000000),
+      ("f4.json", 1L, 100020L * 1000000))
+    files.zipWithIndex.foreach { case ((n, uid, ts), i) =>
+      val f = new java.io.File(s"$base/src/$n")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath,
+        s"""{"entry_id":$ts,"user_id":$uid,"ts_us":$ts,"pageview_count":1,"event_type":"view"}""")
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    val got = Streams.runFileStream(spark, s"$base/src", schema, s"$base/ckpt",
+      df => Streams.streamDedupKeysWithinWatermark(df, Seq("user_id"), delay = "10 seconds"),
+      maxFilesPerTrigger = Some(1))
+      .as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 1L, 2L, 3L),
+      s"expected user 1 re-emitted after state eviction, got $got")
+    // the unbounded st9 dedup on the same inputs emits each key once
+    Streams.deleteDir(spark, s"$base/ckpt2")
+    val unbounded = Streams.runFileStream(spark, s"$base/src", schema, s"$base/ckpt2",
+      df => Streams.streamDedupKeys(df, Seq("user_id")),
+      maxFilesPerTrigger = Some(1))
+      .as[Long].collect().toSeq.sorted
+    assert(unbounded == Seq(1L, 2L, 3L))
+  }
+
   test("ST5: dwell stitch crosses micro-batch boundaries") {
     val base = s"${sys.props("java.io.tmpdir")}/graft_test_st5"
     Streams.deleteDir(spark, base)
