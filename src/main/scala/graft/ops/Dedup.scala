@@ -42,26 +42,22 @@ object Dedup {
     * dominates the corpus). `order` must be a TOTAL order (include a
     * unique tie-break column) for an exact, engine-replayable result.
     *
-    * Scale shape: a single `row_number` over a hot key (a domain with
-    * 10^8 pages) funnels that key into one task, so this runs the
-    * salted two-stage pattern — stage 1 ranks within (key, salt) and
-    * keeps `n` per salt (correct because stage 1's per-salt top-n is a
-    * superset of the global top-n members that landed in that salt),
-    * stage 2 ranks the ≤ n·salts survivors per key. `saltCol` must be
-    * a deterministic row property (an id), never rand().
+    * Scale shape: this is deliberately the PLAIN window + rank filter.
+    * A hot key (a domain with 10^8 pages) does NOT funnel into one
+    * task on Spark ≥ 3.5: `InferWindowGroupLimit` inserts a Partial
+    * WindowGroupLimit BELOW the exchange, so each map partition ships
+    * only its local top-n per key and the per-key task sees ≤
+    * n·partitions rows (spec pins the Partial node). A hand-salted
+    * two-stage variant was measured REDUNDANT against it — same
+    * map-side sort, one extra shuffle+window (100M rows, 50M-row hot
+    * key, local[32]: plain 3.9 s warm vs salted 6.8 s; PROBES.md).
     */
   def capPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
-                n: Int, saltCol: Column): DataFrame = {
+                n: Int): DataFrame = {
     require(n >= 1, "cap must be positive")
-    val salts = df.sparkSession.sparkContext.defaultParallelism
-    val keyCols = keys.map(col)
-    val w1 = Window
-      .partitionBy(keyCols :+ pmod(saltCol, lit(salts.toLong)): _*)
-      .orderBy(order: _*)
-    val w2 = Window.partitionBy(keyCols: _*).orderBy(order: _*)
-    df.withColumn("__pr", row_number().over(w1)).filter(col("__pr") <= n)
-      .withColumn("__r", row_number().over(w2)).filter(col("__r") <= n)
-      .drop("__pr", "__r")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
+      .drop("__r")
   }
 
   /** D2 — number of surplus rows per duplicated key (pandas

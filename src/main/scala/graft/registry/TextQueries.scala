@@ -148,9 +148,11 @@ object TextQueries {
         .orderBy("event_id")
     },
     // T13 (beyond reference) — per-domain cap: keep each domain's top-5
-    // events by (value desc, event_id) — the no-domain-dominates rule of
-    // crawl curation. Salted two-stage ranking, so a hot domain never
-    // funnels into a single task.
+    // events by (value desc, event_id) — the no-domain-dominates rule
+    // of crawl curation. Hot domains don't funnel into one task: the
+    // optimizer's rank-limit pushdown ships only map-local top-5s per
+    // domain through the exchange (spec pins the Partial
+    // WindowGroupLimit node).
     "t13_domain_cap" -> { (s, dir) =>
       import graft.ops.Urls
       val u = concat(lit("https://Shard"), (col("user_id") % 20).cast("string"),
@@ -158,7 +160,7 @@ object TextQueries {
       val withDom = Tables.events(s, dir)
         .select(col("event_id"), col("value"), Urls.host(u).as("domain"))
       graft.ops.Dedup.capPerKey(withDom, Seq("domain"),
-        Seq(col("value").desc, col("event_id").asc), n = 5, saltCol = col("event_id"))
+        Seq(col("value").desc, col("event_id").asc), n = 5)
         .select("domain", "event_id", "value")
         .orderBy("domain", "event_id")
     }

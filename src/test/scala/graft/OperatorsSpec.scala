@@ -794,22 +794,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got == cases.map(_._2))
   }
 
-  test("capPerKey: equals single-window rank, exact at tie boundaries") {
-    import org.apache.spark.sql.expressions.Window
+  test("capPerKey: exact at tie boundaries; rank-limit pushes below the exchange") {
     // one hot key (60 rows incl. score ties at the n boundary), one
     // small key, one singleton
     val rows = (0 until 60).map(i => ("hot", i.toLong, (i % 7).toDouble)) ++
       Seq(("small", 100L, 5.0), ("small", 101L, 5.0), ("one", 200L, 1.0))
     val df = rows.toDF("k", "id", "score")
-    val got = Dedup.capPerKey(df, Seq("k"),
-      Seq(col("score").desc, col("id").asc), n = 5, saltCol = col("id"))
-      .select("k", "id").as[(String, Long)].collect().toSet
-    val w = Window.partitionBy("k").orderBy(col("score").desc, col("id").asc)
-    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-      .select("k", "id").as[(String, Long)].collect().toSet
-    assert(got == want)
-    assert(got.count(_._1 == "hot") == 5 && got.count(_._1 == "small") == 2
-      && got.count(_._1 == "one") == 1)
+    val capped = Dedup.capPerKey(df, Seq("k"),
+      Seq(col("score").desc, col("id").asc), n = 5)
+    val got = capped.select("k", "id").as[(String, Long)].collect().toSet
+    // ties at the boundary resolve by the id tie-break: hot keeps
+    // score-6 rows at ids 6,13,20,27,34
+    assert(got == Set(("hot", 6L), ("hot", 13L), ("hot", 20L), ("hot", 27L),
+      ("hot", 34L), ("small", 100L), ("small", 101L), ("one", 200L)))
+    // the scale guarantee: InferWindowGroupLimit plants a PARTIAL
+    // WindowGroupLimit below the exchange, so a hot key ships only
+    // map-local top-n rows — the property that replaces hand-salting
+    // (see Dedup.capPerKey scaladoc + PROBES.md measurement). Use a
+    // physical source: a LocalRelation folds the whole plan away.
+    val phys = Dedup.capPerKey(
+      spark.range(1000).select((col("id") % 3).cast("string").as("k"),
+        col("id"), col("id").cast("double").as("score")),
+      Seq("k"), Seq(col("score").desc, col("id").asc), n = 5)
+    val plan = phys.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected partial rank-limit pushdown below the exchange:\n$plan")
   }
 
   test("Mixture sample: rates derive from targets, oversized strata downsample") {
