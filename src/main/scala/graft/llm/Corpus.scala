@@ -174,6 +174,44 @@ object Corpus {
         coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
   }
 
+  /** Bigram language-model scoring — the next perplexity-proxy rung
+    * above [[unigramLogProb]]: each bigram (w1 w2) scores
+    * ln(count(w1 w2) / count(w1 ·)) — the MLE conditional P(w2|w1) with
+    * the denominator summed over bigrams starting with w1 — in the
+    * same fixed-point micro-nat BIGINT encoding (see unigram scaladoc
+    * for why integer sums are the cross-engine-exact choice).
+    *
+    * Plan: one staged-token bigram explode → (doc, bigram) tf agg
+    * (persisted — feeds the count agg and the scoring join) → bigram
+    * vocabulary counts → first-token totals aggregated FROM the
+    * vocabulary (vocab-sized, never corpus-sized) → two equi-joins on
+    * vocabulary keys → per-doc hash agg. The Zipf-head first-token key
+    * only ever joins vocabulary rows, so the skew a corpus-sized
+    * w1-join would hit never materializes. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .withColumn("__tk", TextAnalysis.regexTokens(col(textCol)))
+      .select(col(idCol), explode(graft.ops.Text.ngrams(col("__tk"), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = tf.groupBy("bg").agg(sum(col("tf")).as("cnt"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val w1tot = counts.groupBy("w1").agg(sum(col("cnt")).as("cnt1"))
+    val scored = tf
+      .join(counts, "bg")
+      .join(w1tot, "w1")
+      .withColumn("lp_micro",
+        col("tf") * floor(log(col("cnt").cast("double") / col("cnt1")) * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("lp_micro")).as("logprob_micro"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
+  }
+
   /** Boilerplate detection by corpus-frequent segments (the CCNet /
     * RefinedWeb dedup-at-line-granularity signal, on segment
     * granularity since this corpus has no line structure): cut each

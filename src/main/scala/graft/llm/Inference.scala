@@ -55,4 +55,30 @@ object Inference {
       }
       .toDF(idCol, "embedding")
   }
+
+  /** Length-aware inference batch assignment — the padding-kill pass
+    * before batched encoding: group documents by EXACT token count and
+    * fill fixed-size batches within each group, so every batch holds
+    * equal-length sequences and pads zero tokens (the dominant
+    * inference-throughput lever; length-BUCKETED batching trades some
+    * padding back for fuller batches by coarsening the key).
+    *
+    * One per-length window: the rank is per (n_tokens) group, so the
+    * work distributes across the length distribution (rank-limit
+    * pushdown does not apply — every row keeps a rank — but group
+    * cardinality is bounded by max document length, and any single
+    * over-heavy length can be pre-split by a deterministic sub-key).
+    * Assignment is a pure function of (n_tokens, id order) — replayable
+    * cross-engine. */
+  def inferenceBatches(docs: DataFrame, idCol: String, textCol: String,
+                       batchSize: Int): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("n_tokens")).orderBy(col(idCol))
+    docs
+      .select(col(idCol),
+        TextAnalysis.tokenCountWhitespace(col(textCol)).as("n_tokens"))
+      .withColumn("batch_seq",
+        floor((row_number().over(w) - 1) / lit(batchSize.toDouble)).cast("long"))
+  }
 }

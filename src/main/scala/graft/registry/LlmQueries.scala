@@ -411,6 +411,21 @@ object LlmQueries {
         .select(col("cluster"), col("n_members"), col("id").as("rep_id"))
         .orderBy("cluster")
     },
+    // y16 — bigram-LM scoring: MLE conditional P(w2|w1) in fixed-point
+    // micro-nats; the denominator joins are vocabulary-sized, so the
+    // Zipf-head first token never skews a corpus-sized shuffle
+    "y16_bigram_logprob" -> { (s, dir) =>
+      Corpus.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    // y17 — length-aware inference batching: equal-token-count batches
+    // pad zero tokens; assignment is a pure (n_tokens, id-order)
+    // function, replayable cross-engine
+    "y17_inference_batches" -> { (s, dir) =>
+      Inference.inferenceBatches(Tables.documents(s, dir), "doc_id", "text",
+        batchSize = 8)
+        .orderBy("doc_id")
+    },
     // y15 — mixture sampling: per-language keep rates DERIVED from
     // target mixture weights (en .5 / de .3 / fr .2 of a 400-doc
     // output) and the realized counts; md5-gated membership, so the
@@ -935,6 +950,36 @@ object LlmQueries {
           |  CAST(COALESCE(pd.lp, 0) AS BIGINT) AS logprob_micro
           |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+      "y16_bigram_logprob" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk
+           |  FROM documents),
+           |bgs AS (SELECT doc_id, unnest(${ngramSql("tk", 2)}) AS bg FROM tok),
+           |tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bgs GROUP BY doc_id, bg),
+           |counts AS (
+           |  SELECT bg, split_part(bg, ' ', 1) AS w1, SUM(tf) AS cnt
+           |  FROM tf GROUP BY bg),
+           |w1tot AS (SELECT w1, SUM(cnt) AS cnt1 FROM counts GROUP BY w1),
+           |pd AS (
+           |  SELECT tf.doc_id, SUM(tf.tf) AS n_bigrams,
+           |    SUM(tf.tf * CAST(floor(ln(CAST(c.cnt AS DOUBLE) / w.cnt1) * 1e6)
+           |        AS BIGINT)) AS lp
+           |  FROM tf JOIN counts c USING (bg) JOIN w1tot w ON c.w1 = w.w1
+           |  GROUP BY tf.doc_id)
+           |SELECT d.doc_id,
+           |  CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |  CAST(COALESCE(pd.lp, 0) AS BIGINT) AS logprob_micro
+           |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+      "y17_inference_batches" ->
+        """SELECT doc_id, n_tokens,
+          |  CAST(floor((row_number() OVER (PARTITION BY n_tokens ORDER BY doc_id) - 1)
+          |       / 8.0) AS BIGINT) AS batch_seq
+          |FROM (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin,
       "x15_canonical_quality" ->
         s"""WITH RECURSIVE np AS ($x2Core),
            |edges AS (

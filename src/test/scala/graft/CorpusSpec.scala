@@ -322,4 +322,34 @@ class CorpusSpec extends SparkSpec {
     assert(m(b1, b2) == expected)
     assert(m(b2, b1) == expected)
   }
+
+  test("bigramLogProb: MLE conditionals in micro-nats; short docs score zero") {
+    // corpus bigrams: doc1 "a b", doc2 "a c" ⇒ count(a b)=count(a c)=1,
+    // count(a ·)=2 ⇒ each scores floor(ln(0.5)·1e6) = -693148.
+    // doc3 has one token (no bigram), doc4 repeats "x y" twice within
+    // one doc (tf=2, P=1 ⇒ 0 micro-nats each)
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "solo"),
+      (4L, "x y x y")).toDF("doc_id", "text")
+    val got = graft.llm.Corpus.bigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // doc4 bigrams: "x y"(tf 2), "y x"(tf 1) — count(x ·)=2 all "x y",
+    // count(y ·)=1 ⇒ ln(1)=0 for both vocab entries
+    assert(got == Seq((1L, 1L, -693148L), (2L, 1L, -693148L),
+      (3L, 0L, 0L), (4L, 3L, 0L)))
+  }
+
+  test("inferenceBatches: equal-length batches, capped at batchSize, deterministic") {
+    val docs = ((0 until 10).map(i => (i.toLong, ("w " * 5).trim)) ++
+      (10 until 13).map(i => (i.toLong, "a b c"))).toDF("doc_id", "text")
+    val out = graft.llm.Inference.inferenceBatches(docs, "doc_id", "text", batchSize = 4)
+    val rows = out.as[(Long, Long, Long)].collect().toSeq
+    // every batch holds rows of ONE token count and at most batchSize
+    val sizes = rows.groupBy(r => (r._2, r._3)).view.mapValues(_.size).toMap
+    assert(sizes.values.forall(_ <= 4))
+    // 10 five-token docs → batches of 4,4,2; 3 three-token docs → one batch
+    assert(sizes((5L, 0L)) == 4 && sizes((5L, 1L)) == 4 && sizes((5L, 2L)) == 2)
+    assert(sizes((3L, 0L)) == 3)
+    // pure row-property assignment: re-run is identical
+    assert(out.as[(Long, Long, Long)].collect().toSeq.sorted == rows.sorted)
+  }
 }
