@@ -198,11 +198,17 @@ object Corpus {
     val counts = tf.groupBy("bg").agg(sum(col("tf")).as("cnt"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val w1tot = counts.groupBy("w1").agg(sum(col("cnt")).as("cnt1"))
+    // join the two VOCABULARY tables on w1 first, then hit the
+    // corpus-sized tf exactly once on the full bigram key — joining tf
+    // on w1 directly would shuffle every corpus bigram through the
+    // Zipf-head first-token key (the skew the scaladoc promises away)
+    val vocab = counts.join(w1tot, "w1")
+      .withColumn("lp1",
+        floor(log(col("cnt").cast("double") / col("cnt1")) * 1e6).cast("long"))
+      .select("bg", "lp1")
     val scored = tf
-      .join(counts, "bg")
-      .join(w1tot, "w1")
-      .withColumn("lp_micro",
-        col("tf") * floor(log(col("cnt").cast("double") / col("cnt1")) * 1e6).cast("long"))
+      .join(vocab, "bg")
+      .withColumn("lp_micro", col("tf") * col("lp1"))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_bigrams"), sum(col("lp_micro")).as("logprob_micro"))
     docs.select(col(idCol))

@@ -130,10 +130,20 @@ object Similarity {
     * Cells that lose all members drop out (standard k-means collapse;
     * deterministic on both engines). */
   def kmeansCodebook(corpus: DataFrame, numCells: Int = 16, iters: Int = 2): DataFrame = {
-    graft.functions.LongArrayDot.register(corpus.sparkSession)
     val v = spread(corpus)
       .select(col("vec_id"), quantize(col("embedding")).as("nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = kmeansCodebookQ(v, numCells, iters)
+    v.unpersist()
+    cents
+  }
+
+  /** Training loop over an already-quantized, caller-persisted
+    * (vec_id, nv) frame — lets callers that need the quantized corpus
+    * AGAIN after training ([[semanticDedup]]'s cell assignment) share
+    * one scan+quantize instead of rebuilding it. */
+  private[llm] def kmeansCodebookQ(v: DataFrame, numCells: Int, iters: Int): DataFrame = {
+    graft.functions.LongArrayDot.register(v.sparkSession)
     var cents = v.filter(col("vec_id") < numCells)
       .select(col("vec_id").as("cell_id"), col("nv").as("cv"))
       .localCheckpoint()
@@ -154,7 +164,6 @@ object Similarity {
           _.getField("comp")).as("cv"))
         .localCheckpoint()
     }
-    v.unpersist()
     cents
   }
 
@@ -291,9 +300,15 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, numCells: Int = 16, iters: Int = 2,
                     threshold: Double = 0.99): DataFrame = {
     graft.functions.LongArrayDot.register(corpus.sparkSession)
-    val cents = kmeansCodebook(corpus, numCells, iters)
-    val assigned = spread(corpus)
+    // ONE scan+quantize serves training AND the final assignment (the
+    // public kmeansCodebook would rebuild the identical projection);
+    // v stays cached under the caller-owns-cache contract (see
+    // Corpus scaladoc) because the returned plan still reads it
+    val v = spread(corpus)
       .select(col("vec_id"), quantize(col("embedding")).as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = kmeansCodebookQ(v, numCells, iters)
+    val assigned = v
       .crossJoin(broadcast(cents))
       .withColumn("cell_sim", cosineQ(col("nv"), col("cv")))
       .groupBy(col("vec_id"))

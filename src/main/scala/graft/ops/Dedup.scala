@@ -28,14 +28,10 @@ object Dedup {
     }
   }
 
-  /** D1 — keep the first row per key under `order`. */
-  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val keyCols = keys.map(canonical(df, _))
-    val w = Window.partitionBy(keyCols: _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+  /** D1 — keep the first row per key under `order` ([[capPerKey]] at
+    * n = 1). */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    capPerKey(df, keys, order, n = 1)
 
   /** Per-key cap: keep the first `n` rows per key under `order` (the
     * per-domain cap a crawl-curation pipeline applies so no domain
@@ -55,7 +51,10 @@ object Dedup {
   def capPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
                 n: Int): DataFrame = {
     require(n >= 1, "cap must be positive")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    // canonical(): struct/array/map keys window-partition via their
+    // to_json form, same as D1 (bare complex columns are not legal
+    // partition keys)
+    val w = Window.partitionBy(keys.map(canonical(df, _)): _*).orderBy(order: _*)
     df.withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
       .drop("__r")
   }

@@ -24,13 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  /** Parameters dropped by [[canonicalize]] — `key=` prefixes. */
-  val TrackingParamRe = "^(utm_[^=]*|ref|fbclid|gclid)="
+  /** Parameters dropped by [[canonicalize]]: `utm_*`, `ref`, `fbclid`,
+    * `gclid` — case-insensitive, with or without a value (`?ref` and
+    * `?UTM_SOURCE=x` are both tracking noise); `refresh=1` does NOT
+    * match (the name must END at `=` or end-of-param). */
+  val TrackingParamRe = "(?i)^(utm_[^=]*|ref|fbclid|gclid)(=|$)"
 
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   private val HostPortRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
   private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-  private val QueryRe = "\\?([^#]*)"
+  // anchored from the start with '#' excluded BEFORE the '?': a '?'
+  // that first appears inside the fragment (`/app#/search?q=1`, the
+  // SPA hash-route pattern) is fragment content, not a query string —
+  // the unanchored `\?([^#]*)` would leak it into the canonical form
+  private val QueryRe = "^[^#?]*\\?([^#]*)"
 
   def scheme(u: Column): Column = lower(regexp_extract(u, SchemeRe, 1))
 
@@ -60,11 +67,17 @@ object Urls {
         p => !(p.rlike(TrackingParamRe) || p === "")),
       "&")
 
-  /** The full canonical form (see object scaladoc for the rules). */
+  /** The full canonical form (see object scaladoc for the rules).
+    * Scheme-less input (`example.com/a`, protocol-relative `//cdn…`)
+    * passes through UNCHANGED: the parsers all anchor on `scheme://`,
+    * and silently emitting a shared degenerate key (`://`) for every
+    * such row would collapse them into one survivor under URL-keyed
+    * dedup — identity is the safe behavior, normalize upstream. */
   def canonicalize(u: Column): Column = {
     val q = queryCanonical(u)
-    concat(scheme(u), lit("://"), hostCanonical(u), pathCanonical(u),
-      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+    when(scheme(u) === "", u).otherwise(
+      concat(scheme(u), lit("://"), hostCanonical(u), pathCanonical(u),
+        when(length(q) > 0, concat(lit("?"), q)).otherwise(lit(""))))
   }
 
   /** Registered domain: the last two host labels (`a.b.c.com` →

@@ -259,8 +259,8 @@ object TextQueries {
          |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
          |    regexp_replace(regexp_extract(u,
          |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '') AS pth,
-         |    array_to_string(list_filter(str_split(regexp_extract(u, '\\?([^#]*)', 1), '&'),
-         |      p -> NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)=') AND p != ''),
+         |    array_to_string(list_filter(str_split(regexp_extract(u, '^[^#?]*\\?([^#]*)', 1), '&'),
+         |      p -> NOT regexp_matches(p, '(?i)^(utm_[^=]*|ref|fbclid|gclid)(=|$$)') AND p != ''),
          |      '&') AS q
          |  FROM raw),
          |canon AS (

@@ -786,7 +786,16 @@ class OperatorsSpec extends SparkSpec {
       "https://n.portal.org:8080/a.html?x=1&fbclid=z&y=2" ->
         ("https://n.portal.org:8080/a.html?x=1&y=2", "n.portal.org", "portal.org"),
       // single-label host, no query, root slash collapses
-      "http://site/" -> ("http://site", "site", "site"))
+      "http://site/" -> ("http://site", "site", "site"),
+      // SPA hash-route: the '?' lives INSIDE the fragment — it is NOT
+      // a query string and must vanish with the fragment
+      "https://ex.com/app#/search?q=1" -> ("https://ex.com/app", "ex.com", "ex.com"),
+      // bare and uppercase tracking params drop; refresh= is NOT ref
+      "http://ex.com/a?ref&UTM_SOURCE=m&refresh=1" ->
+        ("http://ex.com/a?refresh=1", "ex.com", "ex.com"),
+      // scheme-less input passes through unchanged (a degenerate '://'
+      // key would collapse all such rows under URL-keyed dedup)
+      "example.com/a?x=1" -> ("example.com/a?x=1", "", ""))
     val got = cases.map(_._1).toDF("u")
       .select(Urls.canonicalize(col("u")), Urls.host(col("u")),
         Urls.registeredDomain(col("u")))
@@ -819,6 +828,14 @@ class OperatorsSpec extends SparkSpec {
     val plan = phys.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
       s"expected partial rank-limit pushdown below the exchange:\n$plan")
+    // complex-typed keys partition via their canonical (to_json) form,
+    // same as keepFirst — a bare array key is not a legal window key
+    val complexKey = Seq((Seq(1, 2), 1L, 2.0), (Seq(1, 2), 2L, 1.0),
+      (Seq(3), 3L, 9.0)).toDF("k", "id", "score")
+    val capped2 = Dedup.capPerKey(complexKey, Seq("k"),
+      Seq(col("score").desc, col("id").asc), n = 1)
+      .select("id").as[Long].collect().toSet
+    assert(capped2 == Set(1L, 3L))
   }
 
   test("Mixture sample: rates derive from targets, oversized strata downsample") {
