@@ -54,4 +54,50 @@ object Merge {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Snapshot diff (CDC between two table versions): classify every
+    * key as `insert` (new only), `delete` (old only) or `update` (both
+    * sides, any compared column differing under null-safe
+    * IS DISTINCT FROM semantics); unchanged keys are omitted — at
+    * warehouse scale the diff is the small output, the snapshots are
+    * the big inputs. One full-outer join = one key shuffle per side
+    * (bucket both snapshots on the key to drop even that); the
+    * classification is a projection.
+    *
+    * Output: key columns + `change`, plus each compared column's old/
+    * new pair (`<col>_old`, `<col>_new`) — what a downstream incremental
+    * consumer needs to apply or audit the delta. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one diff key")
+    require(compareCols.nonEmpty, "need at least one compared column")
+    // explicit presence markers, not key-null tests: a NULL key column
+    // cannot distinguish "row absent" from "row present with NULL key"
+    // string aliases + qualified key refs, not df(col) handles: both
+    // snapshots routinely derive from ONE source frame (current table
+    // vs mutated view), and unqualified key references then trip the
+    // ambiguous-self-join analyzer
+    val o = oldDf.select((keys ++ compareCols).map(col): _*)
+      .withColumnsRenamed(compareCols.map(c => c -> s"${c}_old").toMap)
+      .withColumn("__in_old", lit(true)).alias("__o")
+    val n = newDf.select((keys ++ compareCols).map(col): _*)
+      .withColumnsRenamed(compareCols.map(c => c -> s"${c}_new").toMap)
+      .withColumn("__in_new", lit(true)).alias("__n")
+    // null-safe key equality: NULL-keyed rows pair up instead of
+    // surviving as a phantom delete+insert
+    val cond = keys.map(k => col(s"__o.$k") <=> col(s"__n.$k")).reduce(_ && _)
+    val differs = compareCols
+      .map(c => !(col(s"${c}_old") <=> col(s"${c}_new")))
+      .reduce(_ || _)
+    o.join(n, cond, "full_outer")
+      .withColumn("change",
+        when(col("__in_old").isNull, "insert")
+          .when(col("__in_new").isNull, "delete")
+          .when(differs, "update"))
+      .filter(col("change").isNotNull)
+      .select(
+        keys.map(k => coalesce(col(s"__o.$k"), col(s"__n.$k")).as(k)) ++
+          Seq(col("change")) ++
+          compareCols.flatMap(c => Seq(col(s"${c}_old"), col(s"${c}_new"))): _*)
+  }
 }

@@ -198,6 +198,23 @@ object CoverageQueries {
           coalesce(col("spend"), lit(0L)).as("spend"))
         .orderBy("custkey")
     },
+    // J9 — snapshot diff (CDC between table versions): deterministic
+    // mutations of the customer dimension (deletes %13, balance
+    // updates %7, re-keyed inserts %17) classified insert/delete/
+    // update via one full-outer join; unchanged keys omitted — the
+    // diff is the small output, the snapshots the big inputs
+    "j9_snapshot_diff" -> { (s, dir) =>
+      val old = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
+      val mutated = old.filter(col("c_custkey") % 13 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+      val inserted = old.filter(col("c_custkey") % 17 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_acctbal"))
+      graft.ops.Merge.snapshotDiff(old, mutated.unionByName(inserted),
+        Seq("c_custkey"), Seq("c_acctbal"))
+        .orderBy("c_custkey")
+    },
     // K12 — MERGE/upsert: an updates batch (changed balances + brand-new
     // keys) merged into the customer dimension; updates win on the key.
     // The within-source tie-break orders by (c_acctbal, c_name) — NOT the
@@ -397,6 +414,23 @@ object CoverageQueries {
     "o8_global_topk" ->
       """SELECT event_id, user_id, value FROM events
         |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin,
+    "j9_snapshot_diff" ->
+      """WITH oldt AS (SELECT c_custkey, c_acctbal FROM customer),
+        |newt AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal FROM customer WHERE c_custkey % 17 = 0)
+        |SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+        |  CASE WHEN o.c_custkey IS NULL THEN 'insert'
+        |       WHEN n.c_custkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change,
+        |  o.c_acctbal AS c_acctbal_old, n.c_acctbal AS c_acctbal_new
+        |FROM oldt o FULL OUTER JOIN newt n ON o.c_custkey = n.c_custkey
+        |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+        |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |ORDER BY c_custkey""".stripMargin,
     "j8_full_outer_reconcile" ->
       """WITH agg AS (
         |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -745,6 +745,22 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
+  test("snapshotDiff: insert/delete/update with null-safe keys and values") {
+    val old = Seq((Some(1L), Some(10.0)), (Some(2L), Some(20.0)),
+      (Some(3L), Some(30.0)), (None, Some(5.0)), (Some(5L), None))
+      .toDF("k", "v")
+    val nw = Seq((Some(1L), Some(10.0)), (Some(2L), Some(25.0)),
+      (None, Some(5.0)), (Some(4L), Some(40.0)), (Some(5L), Some(1.0)))
+      .toDF("k", "v")
+    val got = graft.ops.Merge.snapshotDiff(old, nw, Seq("k"), Seq("v"))
+      .select("k", "change").collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getString(1))).toSet
+    // 1 unchanged (omitted), NULL key pairs null-safely (omitted),
+    // 2 update, 3 delete, 4 insert, 5 NULL→1.0 update
+    assert(got == Set((Some(2L), "update"), (Some(3L), "delete"),
+      (Some(4L), "insert"), (Some(5L), "update")))
+  }
+
   test("SemDeDup: exact clones drop inside their cell, distinct vectors survive") {
     // 32 distinct base vectors: dominant 10 at dim (id%4), noise ±3 at
     // dim 4+(id/4)%4 — within-cell cosines stay ≈0.84-0.92, well under
