@@ -55,6 +55,36 @@ object Merge {
       .drop("__rn")
   }
 
+  /** Incremental aggregate-view maintenance: fold a new batch into a
+    * persisted per-key aggregate STATE (count + long sums) without
+    * rescanning history — the only viable way to keep corpus-level
+    * per-key statistics at 100 TB. The batch is pre-aggregated
+    * map-side, unioned with the state, and re-aggregated; because
+    * count/sum are associative and commutative, ANY batch split folds
+    * to exactly the full recompute (spec + oracle prove equality).
+    * Only touched keys change value, so pairing this with the bucketed
+    * upsert sink (st12) makes the state rewrite O(touched buckets).
+    * Long sums, deliberately: double sums drift per fold order and the
+    * incremental view would slowly diverge from the recompute.
+    */
+  def mergeAggState(state: DataFrame, batch: DataFrame, keys: Seq[String],
+                    sumCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one state key")
+    state.unionByName(aggState(batch, keys, sumCols))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sumCols.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** Bootstrap (or per-batch partial) form of [[mergeAggState]]'s
+    * state: per-key count + long sums over one batch. */
+  def aggState(batch: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one state key")
+    batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sumCols.map(c => sum(col(c)).as(c)): _*)
+  }
+
   /** Snapshot diff (CDC between two table versions): classify every
     * key as `insert` (new only), `delete` (old only) or `update` (both
     * sides, any compared column differing under null-safe

@@ -198,6 +198,21 @@ object CoverageQueries {
           coalesce(col("spend"), lit(0L)).as("spend"))
         .orderBy("custkey")
     },
+    // K15 — incremental aggregate-view maintenance: three batch folds
+    // of per-user (count, Σfloor(value)) state; associative long sums
+    // make the folded state equal the full recompute EXACTLY, which is
+    // what the oracle checks (it aggregates everything in one pass)
+    "k15_incremental_agg" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), floor(col("value")).cast("long").as("v"))
+      val st0 = graft.ops.Merge.aggState(
+        ev.filter(col("user_id") % 3 === 0), Seq("user_id"), Seq("v"))
+      val st1 = graft.ops.Merge.mergeAggState(st0,
+        ev.filter(col("user_id") % 3 === 1), Seq("user_id"), Seq("v"))
+      graft.ops.Merge.mergeAggState(st1,
+        ev.filter(col("user_id") % 3 === 2), Seq("user_id"), Seq("v"))
+        .orderBy("user_id")
+    },
     // J9 — snapshot diff (CDC between table versions): deterministic
     // mutations of the customer dimension (deletes %13, balance
     // updates %7, re-keyed inserts %17) classified insert/delete/
@@ -414,6 +429,10 @@ object CoverageQueries {
     "o8_global_topk" ->
       """SELECT event_id, user_id, value FROM events
         |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin,
+    "k15_incremental_agg" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "j9_snapshot_diff" ->
       """WITH oldt AS (SELECT c_custkey, c_acctbal FROM customer),
         |newt AS (

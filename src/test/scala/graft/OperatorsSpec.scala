@@ -745,6 +745,25 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
+  test("mergeAggState: any batch split folds to the full recompute") {
+    import graft.ops.Merge
+    val rows = (0 until 300).map(i => ((i % 7).toLong, (i * 13 % 101).toLong))
+    val df = rows.toDF("k", "v")
+    val full = Merge.aggState(df, Seq("k"), Seq("v"))
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    // three uneven folds vs two different folds vs one shot
+    def part(p: Int, m: Int) = df.filter(col("v") % m === p)
+    val folded3 = Merge.mergeAggState(
+      Merge.mergeAggState(Merge.aggState(part(0, 3), Seq("k"), Seq("v")),
+        part(1, 3), Seq("k"), Seq("v")),
+      part(2, 3), Seq("k"), Seq("v"))
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    val folded2 = Merge.mergeAggState(Merge.aggState(part(0, 2), Seq("k"), Seq("v")),
+      part(1, 2), Seq("k"), Seq("v"))
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    assert(folded3 == full && folded2 == full)
+  }
+
   test("snapshotDiff: insert/delete/update with null-safe keys and values") {
     val old = Seq((Some(1L), Some(10.0)), (Some(2L), Some(20.0)),
       (Some(3L), Some(30.0)), (None, Some(5.0)), (Some(5L), None))
