@@ -27,8 +27,11 @@ object Urls {
   /** Parameters dropped by [[canonicalize]]: `utm_*`, `ref`, `fbclid`,
     * `gclid` — case-insensitive, with or without a value (`?ref` and
     * `?UTM_SOURCE=x` are both tracking noise); `refresh=1` does NOT
-    * match (the name must END at `=` or end-of-param). */
-  val TrackingParamRe = "(?i)^(utm_[^=]*|ref|fbclid|gclid)(=|$)"
+    * match (the name must END at `=` or end-of-param). `\z`, not `$`:
+    * Java's `$` matches BEFORE a trailing line terminator while RE2's
+    * (the oracle's engine) matches end-of-text only — a param ending
+    * in a stray newline would canonicalize differently per engine. */
+  val TrackingParamRe = "(?i)^(utm_[^=]*|ref|fbclid|gclid)(=|\\z)"
 
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   private val HostPortRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
