@@ -73,5 +73,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => DotFusionRule)
     ext.injectFunction(LongArrayDot.descriptor)
     ext.injectFunction(graft.functions.SortedArrayJaccard.descriptor)
+    ext.injectFunction(graft.functions.WinnowFingerprint.descriptor)
   }
 }

@@ -426,6 +426,17 @@ object LlmQueries {
         batchSize = 8)
         .orderBy("doc_id")
     },
+    // y18 — winnowing fingerprints (rolling-hash local dedup signal):
+    // the native O(n) codegen expression vs the oracle's direct
+    // per-gram polynomial replay; exploded to rows so the compare is
+    // scalar. k=5-byte grams, w=4 windows
+    "y18_winnow_fingerprint" -> { (s, dir) =>
+      graft.functions.WinnowFingerprint.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(call_function("winnowq", col("text"), lit(5), lit(4))).as("fp"))
+        .orderBy("doc_id", "fp")
+    },
     // y15 — mixture sampling: per-language keep rates DERIVED from
     // target mixture weights (en .5 / de .3 / fr .2 of a 400-doc
     // output) and the realized counts; md5-gated membership, so the
@@ -950,6 +961,24 @@ object LlmQueries {
           |  CAST(COALESCE(pd.lp, 0) AS BIGINT) AS logprob_micro
           |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+      "y18_winnow_fingerprint" ->
+        """WITH hs AS (
+          |  SELECT doc_id,
+          |    list_transform(generate_series(1, greatest(len(text) - 4, 0)), i ->
+          |      (ascii(text[i])::BIGINT * 294499921 + ascii(text[i+1])::BIGINT * 2248091 +
+          |       ascii(text[i+2])::BIGINT * 17161 + ascii(text[i+3])::BIGINT * 131 +
+          |       ascii(text[i+4])::BIGINT) % 1000000007) AS h
+          |  FROM documents),
+          |mins AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(h) = 0 THEN []::BIGINT[]
+          |         WHEN len(h) < 4 THEN [list_min(h)]
+          |         ELSE list_transform(generate_series(1, len(h) - 3), i ->
+          |           least(h[i], h[i+1], h[i+2], h[i+3]))
+          |    END AS m
+          |  FROM hs)
+          |SELECT doc_id, unnest(list_sort(list_distinct(m))) AS fp
+          |FROM mins ORDER BY doc_id, fp""".stripMargin,
       "y16_bigram_logprob" ->
         s"""WITH tok AS (
            |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk

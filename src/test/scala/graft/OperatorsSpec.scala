@@ -745,6 +745,37 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
+  test("winnowq: winnowing guarantee, edge cases, SQL surface") {
+    graft.functions.WinnowFingerprint.register(spark)
+    def fps(s: String, k: Int = 5, w: Int = 4): Set[Long] =
+      Seq(s).toDF("t")
+        .select(call_function("winnowq", col("t"), lit(k), lit(w)).as("f"))
+        .as[Seq[Long]].head().toSet
+    // the winnowing guarantee: any shared substring of length >=
+    // w + k - 1 (= 8) yields at least one common fingerprint
+    val shared = "COMMONSEGMENT"
+    val a = fps(s"xxxx$shared yyyy")
+    val b = fps(s"zz qq $shared rr")
+    assert((a intersect b).nonEmpty, "shared >= w+k-1 substring must share a fingerprint")
+    // disjoint alphabets share nothing
+    assert((fps("aaaaabbbbbccccc") intersect fps("111112222233333")).isEmpty)
+    // shorter than k bytes -> empty; exactly k bytes -> its single gram hash
+    assert(fps("abcd").isEmpty)
+    val single = fps("abcde")
+    assert(single.size == 1)
+    // hand-check the k=5 gram hash of "abcde" (base 131 mod 1e9+7)
+    val expect = "abcde".getBytes("UTF-8").foldLeft(0L)((h, c) => (h * 131 + c) % 1000000007L)
+    assert(single == Set(expect))
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(call_function("winnowq", col("t"), lit(5), lit(4)))
+      .collect().head
+    assert(n.isNullAt(0))
+    // extension-injected: callable from pure SQL text
+    Seq("hello winnow world").toDF("t").createOrReplaceTempView("wtmp")
+    assert(spark.sql("SELECT size(winnowq(t, 5, 4)) FROM wtmp").as[Int].head() > 0)
+  }
+
   test("mergeAggState: any batch split folds to the full recompute") {
     import graft.ops.Merge
     val rows = (0 until 300).map(i => ((i % 7).toLong, (i * 13 % 101).toLong))
