@@ -176,6 +176,42 @@ object DedupLsh {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Winnow-fingerprint near-dup pairs: candidate generation by shared
+    * [[graft.functions.WinnowFingerprint]] rolling-hash fingerprints —
+    * the byte-level complement of token-shingle MinHash (winnowing
+    * GUARANTEES a shared fingerprint for any common substring ≥ w+k−1
+    * bytes, where banding is probabilistic). Fingerprints with
+    * document frequency above `maxDf` are dropped first (ubiquitous
+    * phrases would join everything to everything — the same occupancy
+    * cap as the contamination sweep); pairs sharing ≥ `minShared`
+    * surviving fingerprints are emitted with the shared count.
+    *
+    * Scale shape: explode → fp-keyed df cap → fp-keyed self-join — the
+    * cap join and the pair join hash on the SAME key, so the exchange
+    * is reused; per-fp occupancy is bounded by maxDf, so no bucket
+    * goes quadratic. The cap table is fingerprint-vocab-sized and
+    * deliberately NOT broadcast. */
+  def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 12, w: Int = 8,
+                         minShared: Int = 3, maxDf: Long = 20L): DataFrame = {
+    graft.functions.WinnowFingerprint.register(df.sparkSession)
+    val fps = df
+      .select(col(idCol).as("id"),
+        explode(call_function("winnowq", col(textCol), lit(k), lit(w))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val f = fps.join(rare, Seq("fp"))
+    val a = f.select(col("fp"), col("id").as("id_a"))
+    val b = f.select(col("fp"), col("id").as("id_b"))
+    a.join(b.hint("shuffle_hash"), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Near-dup CLUSTER assignment from the pair list: each document in
     * any pair gets the minimum doc id of its connected component —
     * the canonical-representative choice a dedup pipeline needs before

@@ -63,6 +63,33 @@ object LlmQueries {
       |  array_to_string((regexp_split_to_array(text, ' '))[1:len(regexp_split_to_array(text, ' ')) - 1], ' ')
       |FROM documents""".stripMargin
 
+  /** DuckDB replay of the native winnowq rolling-hash fingerprints:
+    * each k-gram hash computed as the direct polynomial (precomputed
+    * base powers — identical values to the rolling recurrence), then
+    * the per-window least() and distinct. Emits two CTE bodies over a
+    * relation exposing (doc_id, text). */
+  private def winnowSql(k: Int, w: Int, from: String): String = {
+    val M = 1000000007L
+    val pows = Seq.iterate(1L, k)(p => p * 131L % M).reverse
+    val terms = (0 until k)
+      .map(j => s"ascii(text[i+$j])::BIGINT * ${pows(j)}")
+      .mkString(" + ")
+    val winTerms = (0 until w).map(j => s"h[i+$j]").mkString(", ")
+    s"""hs AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, greatest(len(text) - ${k - 1}, 0)), i ->
+       |      ($terms) % $M) AS h
+       |  FROM $from),
+       |mins AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(h) = 0 THEN []::BIGINT[]
+       |         WHEN len(h) < $w THEN [list_min(h)]
+       |         ELSE list_transform(generate_series(1, len(h) - ${w - 1}), i ->
+       |           least($winTerms))
+       |    END AS m
+       |  FROM hs)""".stripMargin
+  }
+
   /** DuckDB twin of Similarity.quantize + integer dot. */
   private def qvSql(c: String): String =
     s"list_transform($c, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
@@ -436,6 +463,15 @@ object LlmQueries {
         .select(col("doc_id"),
           explode(call_function("winnowq", col("text"), lit(5), lit(4))).as("fp"))
         .orderBy("doc_id", "fp")
+    },
+    // x18 — winnow-fingerprint near-dup pairs: byte-level complement
+    // of minhash banding with a deterministic guarantee (any shared
+    // substring >= w+k-1 bytes shares a fingerprint); df-capped so
+    // ubiquitous phrases never go quadratic
+    "x18_winnow_neardup" -> { (s, dir) =>
+      DedupLsh.winnowNearDupPairs(corpusNear(s, dir), "doc_id", "text",
+        k = 12, w = 8, minShared = 3, maxDf = 20L)
+        .orderBy("id_a", "id_b")
     },
     // y15 — mixture sampling: per-language keep rates DERIVED from
     // target mixture weights (en .5 / de .3 / fr .2 of a 400-doc
@@ -961,6 +997,17 @@ object LlmQueries {
           |  CAST(COALESCE(pd.lp, 0) AS BIGINT) AS logprob_micro
           |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+      "x18_winnow_neardup" ->
+        s"""WITH corpus AS ($CorpusNearSql),
+           |${winnowSql(12, 8, "corpus")},
+           |fps AS (SELECT doc_id, unnest(list_distinct(m)) AS fp FROM mins),
+           |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 20),
+           |f AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(COUNT(*) AS BIGINT) AS shared_fps
+           |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+           |ORDER BY id_a, id_b""".stripMargin,
       "y18_winnow_fingerprint" ->
         """WITH hs AS (
           |  SELECT doc_id,

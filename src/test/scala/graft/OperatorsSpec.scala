@@ -776,6 +776,23 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.sql("SELECT size(winnowq(t, 5, 4)) FROM wtmp").as[Int].head() > 0)
   }
 
+  test("winnowNearDupPairs: long shared substrings pair; ubiquitous phrases are df-capped") {
+    // docs 1,2 share a 44-byte substring (interior windows are
+    // identical, so >= ceil(26/8) = 4 common fingerprints); docs
+    // 10..30 all carry the SAME phrase with df 21 > maxDf 20 — its
+    // fingerprints drop and the boilerplate docs must not pair
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val common = "all rights reserved to the respective owners"
+    val docs = (Seq((1L, s"alpha $shared beta"), (2L, s"gamma $shared delta")) ++
+      (10L until 31L).map(i => (i, s"doc$i $common tail$i"))).toDF("doc_id", "text")
+    val pairs = graft.llm.DedupLsh.winnowNearDupPairs(docs, "doc_id", "text",
+      k = 12, w = 8, minShared = 2, maxDf = 20L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"shared-substring pair missing: $pairs")
+    assert(pairs.forall { case (x, y) => x < 10 && y < 10 },
+      s"df-capped phrase must not pair the boilerplate docs: $pairs")
+  }
+
   test("mergeAggState: any batch split folds to the full recompute") {
     import graft.ops.Merge
     val rows = (0 until 300).map(i => ((i % 7).toLong, (i * 13 % 101).toLong))
