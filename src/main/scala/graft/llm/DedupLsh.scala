@@ -178,19 +178,25 @@ object DedupLsh {
 
   /** Winnow-fingerprint near-dup pairs: candidate generation by shared
     * [[graft.functions.WinnowFingerprint]] rolling-hash fingerprints —
-    * the byte-level complement of token-shingle MinHash (winnowing
-    * GUARANTEES a shared fingerprint for any common substring ≥ w+k−1
-    * bytes, where banding is probabilistic). Fingerprints with
-    * document frequency above `maxDf` are dropped first (ubiquitous
-    * phrases would join everything to everything — the same occupancy
-    * cap as the contamination sweep); pairs sharing ≥ `minShared`
-    * surviving fingerprints are emitted with the shared count.
+    * the byte-level complement of token-shingle MinHash. Winnowing
+    * yields ≥ ⌈(L−k−w+2)/w⌉ distinct fingerprints for a shared
+    * substring of L bytes, so a pair is DETERMINISTICALLY emitted when
+    * L ≥ k + w·minShared − 1 (35 bytes at the defaults; minShared=1
+    * recovers the bare w+k−1 guarantee) — PROVIDED the shared
+    * fingerprints stay under `maxDf`: the cap drops fingerprints of
+    * phrases occurring in more than maxDf documents (they would join
+    * everything to everything — the contamination sweep's occupancy
+    * rule), trading recall on ubiquitous text for bounded buckets,
+    * exactly the boilerplate a dedup pass should not key on anyway.
+    * Banding's recall is probabilistic at every length; this is exact
+    * above the threshold and zero below it.
     *
     * Scale shape: explode → fp-keyed df cap → fp-keyed self-join — the
     * cap join and the pair join hash on the SAME key, so the exchange
     * is reused; per-fp occupancy is bounded by maxDf, so no bucket
-    * goes quadratic. The cap table is fingerprint-vocab-sized and
-    * deliberately NOT broadcast. */
+    * goes quadratic. The cap table is fingerprint-vocab-sized: the
+    * shuffle_hash hint keeps the planner's exploded-subtree size
+    * underestimate from broadcasting it (same trap as nearDupPairs). */
   def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 12, w: Int = 8,
                          minShared: Int = 3, maxDf: Long = 20L): DataFrame = {
@@ -202,7 +208,7 @@ object DedupLsh {
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("fp"))
-    val f = fps.join(rare, Seq("fp"))
+    val f = fps.join(rare.hint("shuffle_hash"), Seq("fp"))
     val a = f.select(col("fp"), col("id").as("id_a"))
     val b = f.select(col("fp"), col("id").as("id_b"))
     a.join(b.hint("shuffle_hash"), Seq("fp"))

@@ -1009,23 +1009,9 @@ object LlmQueries {
            |GROUP BY 1, 2 HAVING COUNT(*) >= 3
            |ORDER BY id_a, id_b""".stripMargin,
       "y18_winnow_fingerprint" ->
-        """WITH hs AS (
-          |  SELECT doc_id,
-          |    list_transform(generate_series(1, greatest(len(text) - 4, 0)), i ->
-          |      (ascii(text[i])::BIGINT * 294499921 + ascii(text[i+1])::BIGINT * 2248091 +
-          |       ascii(text[i+2])::BIGINT * 17161 + ascii(text[i+3])::BIGINT * 131 +
-          |       ascii(text[i+4])::BIGINT) % 1000000007) AS h
-          |  FROM documents),
-          |mins AS (
-          |  SELECT doc_id,
-          |    CASE WHEN len(h) = 0 THEN []::BIGINT[]
-          |         WHEN len(h) < 4 THEN [list_min(h)]
-          |         ELSE list_transform(generate_series(1, len(h) - 3), i ->
-          |           least(h[i], h[i+1], h[i+2], h[i+3]))
-          |    END AS m
-          |  FROM hs)
-          |SELECT doc_id, unnest(list_sort(list_distinct(m))) AS fp
-          |FROM mins ORDER BY doc_id, fp""".stripMargin,
+        s"""WITH ${winnowSql(5, 4, "documents")}
+           |SELECT doc_id, unnest(list_sort(list_distinct(m))) AS fp
+           |FROM mins ORDER BY doc_id, fp""".stripMargin,
       "y16_bigram_logprob" ->
         s"""WITH tok AS (
            |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk

@@ -777,9 +777,10 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("winnowNearDupPairs: long shared substrings pair; ubiquitous phrases are df-capped") {
-    // docs 1,2 share a 44-byte substring (interior windows are
-    // identical, so >= ceil(26/8) = 4 common fingerprints); docs
-    // 10..30 all carry the SAME phrase with df 21 > maxDf 20 — its
+    // docs 1,2 share a 43-byte substring: 43-12+1 = 32 interior gram
+    // hashes, 32-8+1 = 25 interior windows, all identical across the
+    // two docs, so >= ceil(25/8) = 4 common fingerprints; docs 10..30
+    // all carry the SAME phrase with df 21 > maxDf 20 — its
     // fingerprints drop and the boilerplate docs must not pair
     val shared = "the quick brown fox jumps over the lazy dog"
     val common = "all rights reserved to the respective owners"
