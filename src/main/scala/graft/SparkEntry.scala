@@ -245,6 +245,24 @@ object SparkEntry {
         .select("event_id", "user_id", "roll_sum")
         .orderBy("event_id")
     },
+    // W7 — cumulative distinct users by day (growth analytics): EXACT,
+    // via first-seen-day — per-user min(day) is one hash agg, the
+    // per-day new-user counts are spine-sized, and the running total is
+    // a window over #days rows (documented: spine-sized by
+    // construction, never corpus-sized). A count(DISTINCT) OVER a
+    // growing frame would re-scan the corpus per day.
+    "w7_cumulative_uniques" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .groupBy("user_id").agg(min(col("day")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy("day")
+    },
     "a1_session_merge" -> { (s, dir) =>
       // single hash exchange: user_id partitioning satisfies the 3-col
       // dedup window, session window and merge agg (see Browsing.pipeline)
@@ -382,6 +400,15 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum
         |FROM events ORDER BY event_id""".stripMargin,
+    "w7_cumulative_uniques" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+        |  FROM events GROUP BY user_id),
+        |pd AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM fs GROUP BY day)
+        |SELECT day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM pd ORDER BY day""".stripMargin,
     "a1_session_merge" -> s"SELECT * FROM ($MERGED) ORDER BY user_id, session_id",
     "o1_global_sort" ->
       s"SELECT entry_id, ts, user_id FROM ($BH) ORDER BY ts, entry_id",

@@ -794,6 +794,19 @@ class OperatorsSpec extends SparkSpec {
       s"df-capped phrase must not pair the boilerplate docs: $pairs")
   }
 
+  test("w7 cumulative uniques: monotone, ends at total distinct, counts each user once") {
+    val rows = Seq((1L, "d1"), (1L, "d3"), (2L, "d1"), (3L, "d2"), (3L, "d1"),
+      (4L, "d3")).toDF("user_id", "day")
+    // first-seen: u1→d1, u2→d1, u3→d1, u4→d3 ⇒ new 3,0,1; cum 3,3,4
+    val got = rows.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("day")
+          .rowsBetween(Long.MinValue, 0)))
+      .orderBy("day").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("d1", 3L, 3L), ("d3", 1L, 4L)))
+  }
+
   test("mergeAggState: any batch split folds to the full recompute") {
     import graft.ops.Merge
     val rows = (0 until 300).map(i => ((i % 7).toLong, (i * 13 % 101).toLong))
