@@ -34,43 +34,57 @@ object Bench {
         .orderBy("n_regionkey")
         .write.format("noop").mode("overwrite").save()
     }
-    // median-of-N (default 3): single-shot timings on a shared 32-core
-    // JVM swing up to 5x with no code change (round-3 verdict); every
-    // registered query is idempotent (overwrite-mode scratch sinks,
-    // per-run checkpoint reset), so re-running is safe
+    // min-of-N-SWEEPS (default 3): single-shot timings on a shared 32-core
+    // JVM swing up to 5x with no code change (round-3 verdict), and
+    // back-to-back repeats of ONE query share the same GC/page-cache
+    // pressure left by its predecessor, so a median of them keeps the
+    // interference (round-6 verdict: x15 reported 2.4x and p4 6x over
+    // their isolated cost). Instead the FULL suite runs `runs` times and
+    // each query reports its MIN across sweeps; the order is rotated per
+    // sweep so a query sees different predecessors each time, and the min
+    // picks the least-interfered sample. Every registered query is
+    // idempotent (overwrite-mode scratch sinks, per-run checkpoint
+    // reset), so re-running is safe.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // optional regex filter for targeted perf iteration, e.g.
     // SPARK_GRAFT_BENCH_ONLY='^(t4|x7)' — full sweep when unset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
-      .map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+    val samples = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    for (sweep <- 0 until runs) {
+      // deterministic rotation: sweep k starts len*k/runs further along,
+      // so each query's predecessor differs across sweeps
+      val off = if (queries.isEmpty) 0 else (queries.size.toLong * sweep / runs).toInt
+      val ordered = queries.drop(off) ++ queries.take(off)
+      // settle between sweeps: drop leftover executor-side garbage from
+      // the previous sweep's 140+ queries before timing resumes
+      System.gc()
+      for ((name, fn) <- ordered) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
         } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: $e"); None
+          case e: Throwable => System.err.println(s"[bench] $name failed: $e")
         }
+        // several operators persist at internal fan-out points and cannot
+        // unpersist before returning (the caller still reads the frame);
+        // clearing between queries stops those blocks accumulating across
+        // 100+ queries × N sweeps
+        spark.catalog.clearCache()
       }
-      // several operators persist at internal fan-out points and cannot
-      // unpersist before returning (the caller still reads the frame);
-      // clearing between queries stops those blocks accumulating across
-      // 100+ queries × N runs
-      spark.catalog.clearCache()
-      name -> (if (times.nonEmpty) median(times) else -1.0)
+    }
+    val results = queries.map { case (name, _) =>
+      val xs = samples(name)
+      name -> (if (xs.nonEmpty) xs.min else -1.0)
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min-across-sweeps","queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The full line is >2KB at 100+ queries and the driver keeps only an
     // output TAIL — BENCH_r03/r04 both captured it front-truncated and
