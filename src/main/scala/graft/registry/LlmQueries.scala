@@ -342,9 +342,15 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"), pct(0.5, "p50"), pct(0.95, "p95"), pct(0.99, "p99"))
         .orderBy("lang")
     },
+    // m1 — REAL image decode: genuine PNG bytes (ImageIO.write) flow
+    // through the binary column and javax.imageio parses them back in
+    // the batched mapPartitions; the oracle replays the synthesis
+    // formulas in closed form, so a wrong decode fails the hash match.
+    // n_bytes is excluded (compressed PNG size is encoder-dependent).
     "m1_multimodal_decode" -> { (s, dir) =>
-      Multimodal.decodeExprs(
-        Multimodal.attachPayload(Tables.documents(s, dir), "doc_id", "text"))
+      Multimodal.decodeImageBatched(
+        Multimodal.synthesizePngPayload(Tables.documents(s, dir), "doc_id"))
+        .select("media_id", "width", "height", "channels", "px_sum")
         .orderBy("media_id")
     },
     "m2_frame_sample" -> { (s, dir) =>
@@ -356,20 +362,22 @@ object LlmQueries {
         stride = 7)
         .orderBy("media_id", "frame_idx")
     },
-    // m3 — resize planning (fit-within 224×224, aspect preserved):
-    // exact integer axis selection + floor division, engine-replayable
+    // m3 — resize planning (fit-within 224×224, aspect preserved) over
+    // REAL decoded dimensions: exact integer axis selection + floor
+    // division, engine-replayable
     "m3_resize_plan" -> { (s, dir) =>
       Multimodal.planResize(
-        Multimodal.decodeExprs(
-          Multimodal.attachPayload(Tables.documents(s, dir), "doc_id", "text")),
+        Multimodal.decodeImageBatched(
+          Multimodal.synthesizePngPayload(Tables.documents(s, dir), "doc_id")),
         targetW = 224L, targetH = 224L)
         .orderBy("media_id")
     },
-    // m4 — feature-extraction stub over the payload (digest-derived
-    // vector + L1 norm, same replayable construction as x13)
+    // m4 — pixel-level media features from the REAL javax.imageio
+    // decode: exact min/max and mean luminance in integer milli-units
     "m4_media_features" -> { (s, dir) =>
-      Multimodal.extractFeatures(
-        Multimodal.attachPayload(Tables.documents(s, dir), "doc_id", "text"))
+      Multimodal.pixelFeatures(
+        Multimodal.decodeImageBatched(
+          Multimodal.synthesizePngPayload(Tables.documents(s, dir), "doc_id")))
         .orderBy("media_id")
     },
     // y10 — fixed-window token chunking: the pass that cuts documents
@@ -893,12 +901,17 @@ object LlmQueries {
           |       MIN(CASE WHEN rn = ceil(cnt * 0.99) THEN n_chars END) AS p99
           |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
       "m1_multimodal_decode" ->
-        """SELECT doc_id AS media_id,
-          |  CAST(length(text) AS BIGINT) AS n_bytes,
-          |  CAST(16 + length(text) % 16 AS BIGINT) AS width,
-          |  CAST(16 + ascii(text) % 16 AS BIGINT) AS height,
-          |  md5(text) AS checksum
-          |FROM documents ORDER BY media_id""".stripMargin,
+        """WITH d AS (
+          |  SELECT doc_id AS media_id,
+          |    CAST(16 + doc_id % 17 AS BIGINT) AS w,
+          |    CAST(16 + (3 * doc_id + 5) % 13 AS BIGINT) AS h,
+          |    CAST(doc_id % 256 AS BIGINT) AS a,
+          |    CAST((7 * doc_id + 13) % 256 AS BIGINT) AS b
+          |  FROM documents)
+          |SELECT media_id, w AS width, h AS height,
+          |  CAST(1 AS BIGINT) AS channels,
+          |  CAST(h * ((w // 2) * a + (w - w // 2) * b) AS BIGINT) AS px_sum
+          |FROM d ORDER BY media_id""".stripMargin,
       "m2_frame_sample" ->
         """SELECT media_id, n_frames, unnest(generate_series(0, n_frames - 1, 7)) AS frame_idx
           |FROM (
@@ -908,8 +921,8 @@ object LlmQueries {
       "m3_resize_plan" ->
         """WITH d AS (
           |  SELECT doc_id AS media_id,
-          |    CAST(16 + length(text) % 16 AS BIGINT) AS w,
-          |    CAST(16 + ascii(text) % 16 AS BIGINT) AS h
+          |    CAST(16 + doc_id % 17 AS BIGINT) AS w,
+          |    CAST(16 + (3 * doc_id + 5) % 13 AS BIGINT) AS h
           |  FROM documents)
           |SELECT media_id, w AS src_w, h AS src_h,
           |  CASE WHEN w * 224 <= h * 224
@@ -920,11 +933,18 @@ object LlmQueries {
           |       ELSE CAST((h * 224) // w AS BIGINT) END AS dst_h
           |FROM d ORDER BY media_id""".stripMargin,
       "m4_media_features" ->
-        """SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS n_dim,
-          |  (ascii(substring(md5(text), 1, 1)) % 16) / 8.0 - 1.0 AS f0,
-          |  list_sum(list_transform(generate_series(1, 8),
-          |    j -> abs((ascii(substring(md5(text), j, 1)) % 16) / 8.0 - 1.0))) AS l1_norm
-          |FROM documents ORDER BY media_id""".stripMargin,
+        """WITH d AS (
+          |  SELECT doc_id AS media_id,
+          |    CAST(16 + doc_id % 17 AS BIGINT) AS w,
+          |    CAST(16 + (3 * doc_id + 5) % 13 AS BIGINT) AS h,
+          |    CAST(doc_id % 256 AS BIGINT) AS a,
+          |    CAST((7 * doc_id + 13) % 256 AS BIGINT) AS b
+          |  FROM documents)
+          |SELECT media_id,
+          |  CAST(w * h AS BIGINT) AS n_px,
+          |  least(a, b) AS px_min, greatest(a, b) AS px_max,
+          |  CAST((h * ((w // 2) * a + (w - w // 2) * b) * 1000) // (w * h) AS BIGINT) AS mean_milli
+          |FROM d ORDER BY media_id""".stripMargin,
       "y10_doc_chunks" ->
         """WITH t AS (
           |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),

@@ -870,6 +870,36 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("Multimodal: real PNG bytes round-trip through javax.imageio") {
+    // the payload is a genuine compressed PNG (magic bytes prove it) and
+    // the decoded stats must match the synthesis formulas exactly —
+    // wrong inflate, wrong band order, or a header-only "decode" all fail
+    for (id <- Seq(0L, 1L, 16L, 255L, 256L, 9999L)) {
+      val bytes = Multimodal.PngCodec.encode(id)
+      assert(bytes.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt),
+        s"id=$id: payload is not a PNG container")
+      val r = Multimodal.ImageDecoder.decode(id, bytes)
+      val (w, h) = Multimodal.PngCodec.imageDims(id)
+      val (a, b) = Multimodal.PngCodec.bandValues(id)
+      assert(r.getLong(2) == w && r.getLong(3) == h, s"id=$id dims")
+      assert(r.getLong(4) == 1L, s"id=$id channels")
+      assert(r.getLong(5) == h.toLong * ((w / 2) * a + (w - w / 2) * b), s"id=$id px_sum")
+      assert(r.getLong(6) == math.min(a, b) && r.getLong(7) == math.max(a, b), s"id=$id min/max")
+    }
+    // distributed path: payload synthesis and decode as separate plan
+    // stages with real binary rows crossing between them
+    val decoded = Multimodal.decodeImageBatched(
+      Multimodal.synthesizePngPayload(
+        spark.range(0, 20).withColumnRenamed("id", "doc_id"), "doc_id"))
+    assert(decoded.schema == Multimodal.DecodedImageSchema)
+    assert(decoded.count() == 20)
+    val feats = Multimodal.pixelFeatures(decoded).where(col("media_id") === 3L)
+      .select("n_px", "px_min", "px_max", "mean_milli")
+      .as[(Long, Long, Long, Long)].collect().head
+    // id=3: w=19, h=16+(14%13)=17, a=3, b=34; px_sum=17*(9*3+10*34)=6239
+    assert(feats == ((19L * 17L, 3L, 34L, 6239L * 1000L / (19L * 17L))))
+  }
+
   test("Urls: canonicalization rules on messy fixtures") {
     import graft.ops.Urls
     val cases = Seq(
