@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   * history" at any fpp — fpp trades history-scan output volume, not
   * correctness. Size fpp so fpp·|history| stays broadcast-small
   * (1e-4 on 10^11 rows ⇒ ~10^7 survivors); if the survivor set still
-  * outgrows broadcast, drop the hint and AQE picks a shuffled join
-  * over survivors — still never the full history.
+  * outgrows broadcast, pass `broadcastHint = false` and the planner
+  * picks a shuffled join over survivors — still never the full
+  * history.
   */
 object BloomDedup {
 
@@ -49,13 +50,22 @@ object BloomDedup {
   /** Batch rows whose `keyCol` does not occur in `history` — exact at
     * any `fpp`. `expectedItems` sizes the sketch to the BATCH key
     * count (overestimating costs bits, underestimating costs false
-    * positives, never correctness). */
+    * positives, never correctness).
+    *
+    * `broadcastHint` controls the final survivors ⨝ batch anti-join:
+    * `true` (default) pins a broadcast of the survivor set — right
+    * whenever fpp·|history| is sized broadcast-small; `false` drops
+    * the hint so the planner/AQE picks a shuffled join when the
+    * survivor set outgrows driver memory — the documented overflow
+    * fallback, which still never shuffles the full history (only the
+    * survivors and the batch). */
   def antiJoinBloom(
       batch: DataFrame,
       history: DataFrame,
       keyCol: String,
       expectedItems: Long,
-      fpp: Double = 0.001): DataFrame = {
+      fpp: Double = 0.001,
+      broadcastHint: Boolean = true): DataFrame = {
     require(expectedItems >= 1, "expectedItems must be positive")
     register(batch.sparkSession)
     val bf = batch
@@ -73,6 +83,6 @@ object BloomDedup {
       .filter(call_function("bloom_might_contain",
         lit(bloomBytes), xxhash64(col(keyCol))))
       .distinct()
-    batch.join(broadcast(hits), Seq(keyCol), "left_anti")
+    batch.join(if (broadcastHint) broadcast(hits) else hits, Seq(keyCol), "left_anti")
   }
 }

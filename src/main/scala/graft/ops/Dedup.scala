@@ -20,14 +20,21 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Canonicalize a key column: complex types via to_json, else as-is.
-    * Resolution is case-insensitive (matching the analyzer's default),
-    * and names the top-level schema can't resolve (nested paths like
-    * `meta.domain`) pass through to `col` for the analyzer to handle —
-    * a strict `df.schema(c)` lookup would throw on keys that
-    * `Window.partitionBy(col(c))` accepts. */
+    * Resolution matches the analyzer's: an EXACT name match wins
+    * first, then a case-insensitive match only when the session runs
+    * case-insensitive analysis (`spark.sql.caseSensitive=false`, the
+    * default) — so this never picks a different column than `col(c)`
+    * resolves to. Names the top-level schema can't resolve (nested
+    * paths like `meta.domain`) pass through to `col` for the analyzer
+    * to handle — a strict `df.schema(c)` lookup would throw on keys
+    * that `Window.partitionBy(col(c))` accepts. */
   def canonical(df: DataFrame, c: String): Column = {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    df.schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
+    val field = df.schema.find(_.name == c).orElse {
+      if (df.sparkSession.sessionState.conf.caseSensitiveAnalysis) None
+      else df.schema.find(_.name.equalsIgnoreCase(c))
+    }
+    field.map(_.dataType) match {
       case Some(_: StructType | _: ArrayType | _: MapType) => to_json(col(c))
       case _                                               => col(c)
     }

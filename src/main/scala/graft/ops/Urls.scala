@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
   *
   * Rules (applied by [[canonicalize]]):
   *  - scheme and host lowercase (path/query case is significant);
+  *  - userinfo stripped (`http://user:pw@host/` and `http://host/`
+  *    are the same page for dedup purposes);
   *  - default ports stripped (`:80` for http, `:443` for https;
   *    non-default ports kept);
   *  - fragment dropped;
@@ -44,8 +46,14 @@ object Urls {
 
   def scheme(u: Column): Column = lower(regexp_extract(u, SchemeRe, 1))
 
-  /** Lowercased host with the port still attached (if any). */
-  def hostPort(u: Column): Column = lower(regexp_extract(u, HostPortRe, 1))
+  /** Lowercased host with the port still attached (if any). Userinfo
+    * is stripped (`http://user:pw@Host/` → `host`): the authority's
+    * `[^/?#]*` capture includes any `user@` prefix, and leaving it in
+    * would mis-bucket userinfo URLs under URL-keyed dedup and
+    * per-domain caps (`user@example.com` ≠ `example.com`). Greedy
+    * `^.*@` cuts at the LAST `@` — the host itself can't contain one. */
+  def hostPort(u: Column): Column =
+    regexp_replace(lower(regexp_extract(u, HostPortRe, 1)), "^.*@", "")
 
   /** Lowercased host, any port stripped. */
   def host(u: Column): Column = regexp_replace(hostPort(u), ":[0-9]+$", "")

@@ -256,7 +256,9 @@ object TextQueries {
          |parts AS (
          |  SELECT event_id, u,
          |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
-         |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+         |    regexp_replace(
+         |      lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+         |      '^.*@', '') AS hp,
          |    regexp_replace(regexp_extract(u,
          |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '') AS pth,
          |    array_to_string(list_filter(str_split(regexp_extract(u, '^[^#?]*\\?([^#]*)', 1), '&'),

@@ -194,11 +194,13 @@ object Streams {
     * bound); a key recurring LATER re-emits (spec-asserted), which is
     * the price of bounded state. With `delay` covering the fixture's
     * whole span the sink equals batch DISTINCT, which is what the
-    * oracle checks. */
+    * oracle checks. `tsCol` names the microsecond event-time column
+    * (defaults to the fixtures' `ts_us`). */
   def streamDedupKeysWithinWatermark(events: DataFrame, keys: Seq[String],
-                                     delay: String = "40 days"): DataFrame =
+                                     delay: String = "40 days",
+                                     tsCol: String = "ts_us"): DataFrame =
     events
-      .select(keys.map(col) :+ timestamp_micros(col("ts_us")).as("__ts"): _*)
+      .select(keys.map(col) :+ timestamp_micros(col(tsCol)).as("__ts"): _*)
       .withWatermark("__ts", delay)
       .dropDuplicatesWithinWatermark(keys)
       .select(keys.map(col): _*)

@@ -8,6 +8,19 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Scoped session-conf override, restored even on assertion failure
+    * (the session is shared across suites). */
+  def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   override def afterAll(): Unit = () // session shared across suites
 }
 
