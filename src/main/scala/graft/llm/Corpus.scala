@@ -15,17 +15,16 @@ import org.apache.spark.sql.functions._
   * only windows are per-document (bounded by document vocabulary).
   *
   * ==Caching contract==
-  * [[tfidfTopK]], [[unigramLogProb]] and [[boilerplate]] persist their
-  * (doc, unit) pre-aggregate at `MEMORY_AND_DISK` because it feeds two
-  * plan branches (the per-unit corpus aggregate and the scoring join) —
-  * without it the explode+agg re-runs per branch. The returned plan
-  * holds a reference to that persisted frame, and Spark has no
-  * after-the-caller-materializes hook to release it from inside a lazy
-  * builder, so the CALLER owns the blocks: after materializing the
-  * result, release them with `spark.catalog.clearCache()` (what
-  * `Bench`/`Verify` do between queries) or keep the session short. In a
-  * long-lived session that skips this, each call leaks one cached
-  * intermediate until the LRU store evicts it.
+  * [[tfidfTopK]], [[unigramLogProb]], [[bigramLogProb]] and
+  * [[boilerplate]] persist their (doc, unit) pre-aggregate at
+  * `MEMORY_AND_DISK` because it feeds two plan branches (the per-unit
+  * corpus aggregate and the scoring join) — without it the explode+agg
+  * re-runs per branch. The blocks are released automatically by
+  * [[graft.Caching.releaseAfterFirstUse]]: the first action the caller
+  * runs on the returned frame unpersists the intermediate (a spec pins
+  * this). Re-materializing the same returned frame later recomputes
+  * instead of reading cache — hold your own `.persist()` on the result
+  * if you need repeated reads.
   */
 object Corpus {
 
@@ -46,7 +45,7 @@ object Corpus {
     require(k >= 1, "k must be positive")
     // tf feeds BOTH join sides (as itself and aggregated to df) — keep
     // the explode+agg result instead of re-scanning the corpus twice;
-    // the caller's sweep clears the cache between queries
+    // released on the caller's first materialization (Caching hook)
     val tf = docs
       .select(col(idCol), explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
@@ -60,10 +59,11 @@ object Corpus {
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
-    scored
+    val topk = scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+    graft.Caching.releaseAfterFirstUse(topk, tf)
   }
 
   /** Sequence packing — assign documents to fixed-token-budget training
@@ -167,11 +167,12 @@ object Corpus {
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"), sum(col("lp_micro")).as("logprob_micro"))
     // zero-token docs carry no evidence: 0 tokens, 0 micro-nats
-    docs.select(col(idCol))
+    val out = docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
+    graft.Caching.releaseAfterFirstUse(out, tf)
   }
 
   /** Bigram language-model scoring — the next perplexity-proxy rung
@@ -211,11 +212,12 @@ object Corpus {
       .withColumn("lp_micro", col("tf") * col("lp1"))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_bigrams"), sum(col("lp_micro")).as("logprob_micro"))
-    docs.select(col(idCol))
+    val out = docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
+    graft.Caching.releaseAfterFirstUse(out, tf)
   }
 
   /** Boilerplate detection by corpus-frequent segments (the CCNet /
@@ -266,12 +268,13 @@ object Corpus {
       .withColumn("boiler_frac",
         round(col("n_boiler").cast("double") / col("n_segs"), 6))
     // docs shorter than one segment have no evidence: frac 0, kept
-    docs.select(col(idCol))
+    val out = docs.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_segs"), lit(0L)).as("n_segs"),
         coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
         coalesce(col("boiler_frac"), lit(0.0)).as("boiler_frac"))
       .withColumn("kept", col("boiler_frac") <= maxFrac)
+    graft.Caching.releaseAfterFirstUse(out, segs)
   }
 }

@@ -211,11 +211,14 @@ object DedupLsh {
     val f = fps.join(rare.hint("shuffle_hash"), Seq("fp"))
     val a = f.select(col("fp"), col("id").as("id_a"))
     val b = f.select(col("fp"), col("id").as("id_b"))
-    a.join(b.hint("shuffle_hash"), Seq("fp"))
+    val pairs = a.join(b.hint("shuffle_hash"), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
+    // the fp table's blocks release once the caller materializes —
+    // no caller-side clearCache() needed (graft.Caching contract)
+    graft.Caching.releaseAfterFirstUse(pairs, fps)
   }
 
   /** Near-dup CLUSTER assignment from the pair list: each document in

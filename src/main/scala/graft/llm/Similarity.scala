@@ -302,8 +302,8 @@ object Similarity {
     graft.functions.LongArrayDot.register(corpus.sparkSession)
     // ONE scan+quantize serves training AND the final assignment (the
     // public kmeansCodebook would rebuild the identical projection);
-    // v stays cached under the caller-owns-cache contract (see
-    // Corpus scaladoc) because the returned plan still reads it
+    // v stays cached until the caller's first materialization
+    // (released by the graft.Caching hook on the returned frame)
     val v = spread(corpus)
       .select(col("vec_id"), quantize(col("embedding")).as("nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -325,6 +325,9 @@ object Similarity {
       .filter(cosineQ(col("nv_a"), col("nv_b")) >= threshold)
       .select(col("id_b").as("vec_id"))
       .distinct()
-    assigned.select("vec_id", "cell_id").join(drops, Seq("vec_id"), "left_anti")
+    val kept = assigned.select("vec_id", "cell_id").join(drops, Seq("vec_id"), "left_anti")
+    // both intermediates release once the caller materializes —
+    // no caller-side clearCache() needed (graft.Caching contract)
+    graft.Caching.releaseAfterFirstUse(kept, v, assigned)
   }
 }

@@ -1073,6 +1073,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Caching: internal persists release after the first materialization") {
+    import org.apache.spark.storage.StorageLevel
+    def awaitRelease(check: () => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!check() && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(check(), "cached blocks not released within 30s of the first action")
+    }
+    // mechanism: the hook unpersists exactly after an action that read
+    // the cached frame (listener delivery is async — poll)
+    val c = spark.range(0, 1000).toDF("v").persist(StorageLevel.MEMORY_AND_DISK)
+    val out = graft.Caching.releaseAfterFirstUse(
+      c.groupBy((col("v") % 10).as("g")).count(), c)
+    assert(c.storageLevel != StorageLevel.NONE, "persist marker must be set")
+    assert(out.count() == 10)
+    awaitRelease(() => c.storageLevel == StorageLevel.NONE)
+
+    // integration: a Corpus operator's internal pre-aggregate must not
+    // survive the consumer's first action (the round-5/6 leak), checked
+    // via the session's persistent-RDD registry (suites run
+    // sequentially in the forked test JVM, so no cross-suite noise)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = (0L until 50L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3}"))
+      .toDF("doc_id", "text")
+    val scored = graft.llm.Corpus.tfidfTopK(docs, "doc_id", "text", k = 2)
+    assert(scored.count() > 0)
+    awaitRelease(() => spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before))
+  }
+
   test("Dedup.canonical: exact name wins under case-sensitive analysis") {
     import graft.ops.Dedup
     // two columns differing only by case: 'Key' (struct) and 'key'
