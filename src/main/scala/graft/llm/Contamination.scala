@@ -54,11 +54,14 @@ object Contamination {
     val rare = hits.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("g"))
-    hits.join(broadcast(rare), Seq("g"))
+    val out = hits.join(broadcast(rare), Seq("g"))
       .join(broadcast(eg), Seq("g"))
       .groupBy(col(idCol), col(evalIdCol))
       .agg(count(lit(1)).as("shared_grams"))
       .filter(col("shared_grams") >= minShared)
+    // the restricted gram table releases on the caller's first
+    // materialization (graft.Caching contract)
+    graft.Caching.releaseAfterFirstUse(out, hits)
   }
 
   /** Gopher/C4-style intra-document repetition signal: the fraction of

@@ -90,40 +90,57 @@ object DedupLsh {
   ): DataFrame = {
     val rowsPerBand = numHashes / numBands
     graft.functions.SortedArrayJaccard.register(df.sparkSession)
-    // persist before the self-join: both join sides read this subtree,
-    // and without the cache the whole shingle+minhash pipeline executes
-    // twice (measured 2× wall-clock). MEMORY_AND_DISK so a 100TB corpus
-    // spills instead of OOMing; size ≈ corpus × numBands rows.
-    val withBands = bandedTable(df, idCol, textCol, shingleN, numBands, rowsPerBand)
+    // THIN bands end-to-end (round-7 probe, PROBES.md): the shingle
+    // arrays used to ride through BOTH the band self-join exchange
+    // (corpus × numBands rows) and the pair-dedup exchange; at 1M docs
+    // / 9.5M pairs that plan measured 47.5 s vs 9.2 s for this one
+    // (5.2×). Here the persisted (id, sh) frame stays off the wire —
+    // bands explode to (id, band) only, the self-join and pair-dedup
+    // move ids, and the arrays cross exactly once per side at the
+    // verify join. Both frames persist MEMORY_AND_DISK (spill, not
+    // OOM, at 100 TB): bands would otherwise recompute the minhash
+    // signatures per join side, withSh the tokenize+shingle pass per
+    // verify side. Blocks release on the caller's first
+    // materialization (graft.Caching contract).
+    val withSh = shingleTable(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = withBands.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withBands.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    // shuffle_hash hint: the planner underestimates the exploded banded
-    // corpus (file-size × selectivity heuristics) and tries to BROADCAST
-    // a corpus-sized side — OOM at 50k docs, fatal at real scale. Band
-    // buckets are small, so a shuffled hash join is the right physical
-    // plan at every corpus size.
+    val bands = withSh
+      .withColumn("band", explode(bandKeys(col("sh"), numBands, rowsPerBand)))
+      .select(col("id"), col("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bands.select(col("band"), col("id").as("id_a"))
+    val b = bands.select(col("band"), col("id").as("id_b"))
+    // shuffle_hash hints: the planner underestimates the exploded
+    // banded corpus (file-size × selectivity heuristics) and tries to
+    // BROADCAST a corpus-sized side — OOM at 50k docs, fatal at real
+    // scale. Band buckets are small, so a shuffled hash join is the
+    // right physical plan at every corpus size; same underestimate on
+    // the withSh verify sides.
     // dedup (id_a, id_b) BEFORE the jaccard verify: a pair colliding in
     // k bands would otherwise pay k verifies (the verify is the hot
-    // loop at scale — round-3 verdict). dropDuplicates carries the
-    // shingle arrays along (functionally dependent on the ids).
-    a.join(b.hint("shuffle_hash"), Seq("band"))
+    // loop at scale — round-3 verdict).
+    val verified = a.join(b.hint("shuffle_hash"), Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("shuffle_hash"),
+        Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("shuffle_hash"),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    graft.Caching.releaseAfterFirstUse(verified, withSh, bands)
   }
 
-  /** Shared banded-LSH staging for [[nearDupPairs]] (self-join) and
-    * [[crossNearDupPairs]] (two-sided): the ≥shingleN-token guard runs
+  /** Shared shingle staging for [[nearDupPairs]] (which explodes thin
+    * bands from it) and [[bandedTable]]: the ≥shingleN-token guard runs
     * BEFORE the repartition — a post-shingle `size(sh) > 0` filter
     * would be pushed below the exchange by PushDownPredicates and drag
     * the whole shingle+hash computation onto the (few) input splits
     * (measured 20 s vs 2 s at sf0.1). The repartition spreads the
     * CPU-bound shingle/minhash maps, and is skipped when the input
     * already has ≥ parallelism splits (any real-scale corpus). */
-  private def bandedTable(df: DataFrame, idCol: String, textCol: String,
-                          shingleN: Int, numBands: Int, rowsPerBand: Int): DataFrame = {
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val guarded = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
@@ -131,9 +148,18 @@ object DedupLsh {
     (if (guarded.rdd.getNumPartitions < par) guarded.repartition(par) else guarded)
       .withColumn("tk", split(col("text"), "\\s+"))
       .withColumn("sh", shinglesFromTokens(col("tk"), shingleN))
+      .select(col("id"), col("sh"))
+  }
+
+  /** sh-carrying banded form, used by [[crossNearDupPairs]] only: in
+    * its normal broadcast mode the corpus side never shuffles, so
+    * carrying the arrays is free there (a re-join would ADD corpus
+    * exchanges); the self-join path uses thin bands instead. */
+  private def bandedTable(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int, numBands: Int, rowsPerBand: Int): DataFrame =
+    shingleTable(df, idCol, textCol, shingleN)
       .withColumn("band", explode(bandKeys(col("sh"), numBands, rowsPerBand)))
       .select(col("id"), col("sh"), col("band"))
-  }
 
   /** Incremental (cross-snapshot) near-dup: candidate pairs between a
     * NEW batch and the EXISTING corpus — the production dedup mode,

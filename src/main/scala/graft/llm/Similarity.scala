@@ -250,11 +250,14 @@ object Similarity {
     // minhash twin (nearDupPairs) flips this trade because its
     // sorted-merge jaccard over ~50-shingle string arrays is the
     // dominant cost and measures 2-4x FASTER deduped-first.
-    a.join(b.hint("shuffle_hash"), Seq("bucket"))
+    val out = a.join(b.hint("shuffle_hash"), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosineQ(col("nv_a"), col("nv_b")).as("cosine"))
       .distinct()
       .filter(col("cosine") >= threshold)
+    // the bucketed corpus releases on the caller's first
+    // materialization (graft.Caching contract)
+    graft.Caching.releaseAfterFirstUse(out, v)
   }
 
   /** LSH-bucketed ANN top-k: queries only score corpus vectors that

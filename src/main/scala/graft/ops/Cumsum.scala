@@ -61,6 +61,8 @@ object Cumsum {
         Row.fromSeq(r.toSeq :+ acc)
       }
     }(Encoders.row(outSchema))
-    result.drop("__v")
+    // the range-partitioned sorted frame releases on the caller's
+    // first materialization (graft.Caching contract)
+    graft.Caching.releaseAfterFirstUse(result.drop("__v"), parted)
   }
 }

@@ -83,7 +83,9 @@ object Ingest {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IO.writeJsonLines(sampled, IO.datedPath(landzone, "batch", table, "json", yyyyMMdd, stamp))
     IO.writeParquet(sampled, IO.datedPath(archive, "archives", table, "parquet", yyyyMMdd, stamp))
-    sampled
+    // blocks (built by the sink writes above) release once the caller
+    // materializes the returned frame (graft.Caching contract)
+    graft.Caching.releaseAfterFirstUse(sampled, sampled)
   }
 
   /** QC step shared by E1/E3: single-pass metrics + report file. */

@@ -142,7 +142,12 @@ object Sessionize {
     }
     val bc = spark.sparkContext.broadcast((offsets, carriedPrev))
 
-    val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // typed mapPartitions (not .rdd + createDataFrame): keeps Catalyst
+    // lineage to the persisted frame, so the Caching hook below can
+    // recognize the consumer's first read and release the blocks
+    val outSchema = sorted.schema.add(out, LongType, nullable = false)
+    val result = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
       var running = bc.value._1(pid)
       var prev = bc.value._2(pid)
       it.map { r =>
@@ -151,8 +156,8 @@ object Sessionize {
         prev = Some(t)
         Row.fromSeq(r.toSeq :+ (running + 1L))
       }
-    }
-    spark.createDataFrame(outRdd, sorted.schema.add(out, LongType, nullable = false))
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    graft.Caching.releaseAfterFirstUse(result, sorted)
   }
 
   /** W3 — dwell time: seconds to the next event in the ordered scan;

@@ -66,4 +66,35 @@ val nB = timeIt("ids_only_rejoin") {
     .count
 }
 assert(nA == nB, s"variants disagree: $nA vs $nB")
+
+// variant C -- thin bands end-to-end: persist the pre-explode (id, sh)
+// frame, explode only (id, band), and join the arrays back at verify.
+// This removes the array payload from BOTH the band self-join exchange
+// (corpus x numBands rows) and the pair-dedup exchange; arrays cross
+// the wire exactly once per side at the verify join.
+val withSh = guarded
+  .withColumn("tk", split(col("text"), "\\s+"))
+  .withColumn("sh", graft.llm.DedupLsh.shinglesFromTokens(col("tk"), 3))
+  .select(col("doc_id").as("id0"), col("sh"))
+  .persist(StorageLevel.MEMORY_AND_DISK)
+println("withSh_rows=" + withSh.count)
+val thinBands = withSh
+  .withColumn("band", explode(graft.llm.DedupLsh.bandKeys(col("sh"), 4, 3)))
+  .select(col("id0"), col("band"))
+  .persist(StorageLevel.MEMORY_AND_DISK)
+println("thinBands_rows=" + thinBands.count)
+val aC = thinBands.select(col("band"), col("id0").as("id_a"))
+val bC = thinBands.select(col("band"), col("id0").as("id_b"))
+val nC = timeIt("thin_bands_rejoin") {
+  aC.join(bC.hint("shuffle_hash"), Seq("band"))
+    .filter(col("id_a") < col("id_b"))
+    .dropDuplicates("id_a", "id_b")
+    .join(withSh.select(col("id0").as("id_a"), col("sh").as("sh_a")).hint("shuffle_hash"), Seq("id_a"))
+    .join(withSh.select(col("id0").as("id_b"), col("sh").as("sh_b")).hint("shuffle_hash"), Seq("id_b"))
+    .select(col("id_a"), col("id_b"),
+      graft.llm.DedupLsh.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+    .filter(col("jaccard") >= 0.5)
+    .count
+}
+assert(nA == nC, s"variants disagree: $nA vs $nC")
 System.exit(0)
