@@ -39,12 +39,19 @@ object Bench {
     // back-to-back repeats of ONE query share the same GC/page-cache
     // pressure left by its predecessor, so a median of them keeps the
     // interference (round-6 verdict: x15 reported 2.4x and p4 6x over
-    // their isolated cost). Instead the FULL suite runs `runs` times and
-    // each query reports its MIN across sweeps; the order is rotated per
-    // sweep so a query sees different predecessors each time, and the min
-    // picks the least-interfered sample. Every registered query is
-    // idempotent (overwrite-mode scratch sinks, per-run checkpoint
-    // reset), so re-running is safe.
+    // their isolated cost). Worse, the old shape UNDERSTATED every
+    // operator with an internal persist: repeats 2-3 built a logical
+    // plan identical to repeat 1's, so CacheManager handed them repeat
+    // 1's still-cached blocks and the median reported a warm-cache cost
+    // no fresh pipeline run would see. Now the FULL suite runs `runs`
+    // times with clearCache between queries — every sample is a true
+    // cold run — and each query reports its MIN across sweeps; the
+    // order is rotated per sweep so a query sees different predecessors
+    // each time, and the min picks the least-interfered sample
+    // (round-7 check: sweep values within ~±17% of isolated
+    // SPARK_GRAFT_BENCH_ONLY runs for x17/x5/x2/x15). Every registered
+    // query is idempotent (overwrite-mode scratch sinks, per-run
+    // checkpoint reset), so re-running is safe.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // optional regex filter for targeted perf iteration, e.g.
     // SPARK_GRAFT_BENCH_ONLY='^(t4|x7)' — full sweep when unset

@@ -32,8 +32,12 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *
   * Listener delivery is asynchronous (Spark's execution-listener bus),
   * so release happens shortly after the action completes, not
-  * synchronously inside it; blocks from internal actions the operator
-  * already ran are covered because the builders match those plans too.
+  * synchronously inside it. One benign race: an operator that ran
+  * internal actions on the cached frame BEFORE returning (k-means
+  * training, landzone sink writes) may have those events delivered
+  * after the listener registers, releasing the blocks before the
+  * consumer's first action — the consumer then recomputes instead of
+  * reading cache; results are never affected.
   */
 object Caching {
 
