@@ -1073,6 +1073,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("X2 plan: band self-join and pair-dedup exchanges carry no shingle arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the round-7 probe measured 5.2x for keeping the arrays off the
+    // band and pair-dedup exchanges (PROBES.md); this pins the shape
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val docs = spark.range(0, 200)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 8).map(j =>
+            concat(lit("w"), (col("id") * 3 + j) % 40, lit("t" + j))): _*).as("text"))
+      val out = graft.llm.DedupLsh.nearDupPairs(docs, "doc_id", "text")
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      val bandOrPairEx = exchanges.filter { e =>
+        val p = e.outputPartitioning.toString
+        p.contains("band") || (p.contains("id_a") && p.contains("id_b"))
+      }
+      assert(bandOrPairEx.nonEmpty, "expected band/pair exchanges in the plan")
+      bandOrPairEx.foreach { e =>
+        assert(!e.output.exists(_.name.startsWith("sh")),
+          s"shingle payload rides exchange ${e.outputPartitioning}: ${e.output.map(_.name)}")
+      }
+    }
+  }
+
   test("Caching: internal persists release after the first materialization") {
     import org.apache.spark.storage.StorageLevel
     def awaitRelease(check: () => Boolean): Unit = {
