@@ -69,10 +69,12 @@ object Caching {
     val listener = new QueryExecutionListener {
       private val released = new AtomicBoolean(false)
       private def touchesCache(qe: QueryExecution): Boolean =
-        qe.optimizedPlan.exists {
+        // optimizedPlan is lazy: on an onFailure event from an
+        // analysis-time error, forcing it re-throws — treat as no-match
+        try qe.optimizedPlan.exists {
           case r: InMemoryRelation => builders.exists(_ eq (r.cacheBuilder: AnyRef))
           case _                   => false
-        }
+        } catch { case _: Throwable => false }
       private def fire(qe: QueryExecution): Unit =
         if (touchesCache(qe) && released.compareAndSet(false, true)) {
           cached.foreach(_.unpersist(false))

@@ -275,21 +275,4 @@ object Multimodal {
       .select(col("media_id"), col("width").as("src_w"), col("height").as("src_h"),
         col("dst_w"), col("dst_h"))
 
-  /** Feature extraction stub: an 8-component vector derived from the
-    * payload digest (each component `(ascii(hex_j) % 16) / 8 − 1`, the
-    * same engine-replayable construction the inference stub uses) plus
-    * its L1 norm — exact binary fractions, so sums compare
-    * bit-for-bit. A real extractor (CLIP embedding, mel filterbank)
-    * swaps in behind the same schema. */
-  def extractFeatures(withPayload: DataFrame, dim: Int = 8): DataFrame = {
-    require(dim >= 1 && dim <= 32, "md5 supplies 32 hex digits")
-    val digest = md5(col("payload"))
-    val vec = transform(sequence(lit(1), lit(dim)),
-      j => (ascii(digest.substr(j, lit(1))) % 16).cast("double") / 8.0 - 1.0)
-    withPayload.select(col("media_id"), vec.as("features"))
-      .select(col("media_id"),
-        org.apache.spark.sql.functions.size(col("features")).cast("long").as("n_dim"),
-        element_at(col("features"), 1).as("f0"),
-        aggregate(col("features"), lit(0.0), (a, x) => a + abs(x)).as("l1_norm"))
-  }
 }
