@@ -321,6 +321,12 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell_id"), col("vec_id").as("id_a"), col("nv").as("nv_a"))
     val b = assigned.select(col("cell_id"), col("vec_id").as("id_b"), col("nv").as("nv_b"))
+    // carrying nv through the cell self-join is the RIGHT payload choice
+    // here, unlike nearDupPairs' thin-bands (round-7 probe): each vector
+    // lives in exactly ONE cell, so candidate rows = corpus rows, there
+    // is no multi-band pair duplication to dedup, and a thin join +
+    // nv re-join would ship the same corpus-sized array payload once
+    // per side PLUS two extra pair exchanges.
     // shuffle_hash: cells are bounded buckets, but the planner's size
     // estimate of the assigned table invites a corpus-sized broadcast
     val drops = a.join(b.hint("shuffle_hash"), Seq("cell_id"))
