@@ -40,6 +40,11 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Cosine similarity from quantized vectors (deterministic double). */
+  /** Zero-norm contract: a zero embedding has no direction, so cosine
+    * against it is undefined — under Spark's default ANSI mode this
+    * raises DIVIDE_BY_ZERO with a clear message rather than silently
+    * ranking garbage. Filter zero vectors upstream (they carry no
+    * similarity signal; a curation pipeline drops them at ingest). */
   def cosineQ(a: Column, b: Column): Column =
     dotQ(a, b).cast("double") /
       (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
