@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -35,12 +34,22 @@ object Cumsum {
                    out: String): DataFrame = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
+    // __pid binds each row's range-partition index into the cached
+    // blocks (see Sessionize.sessionIdsDistributed): the second pass
+    // keys the broadcast offsets on the PER-ROW pid, because a narrow
+    // coalesce()/union() above the result reuses one task for many
+    // cached partitions and TaskContext.getPartitionId() would then
+    // mis-index the offsets. (A window keyed on __pid would still be
+    // wrong — the pid column doesn't satisfy the range partitioning,
+    // so the planner would add a second full-data hash exchange.)
     val parted = df
       .withColumn("__v", value.cast("long"))
       .repartitionByRange(par, order: _*)
       .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vIdx = parted.schema.fieldIndex("__v")
+    val pidIdx = parted.schema.fieldIndex("__pid")
     val totals = parted.toDF().rdd
       .mapPartitionsWithIndex { case (pid, it) =>
         var acc = 0L
@@ -54,15 +63,17 @@ object Cumsum {
       totals.map(_._1).zip(offsets).toMap)
     val outSchema = parted.schema.add(out, LongType)
     val result = parted.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var acc = offsetByPid.value.getOrElse(pid, 0L)
+      var curPid = -1
+      var acc = 0L
       it.map { r =>
+        val pid = r.getInt(pidIdx)
+        if (pid != curPid) { curPid = pid; acc = offsetByPid.value.getOrElse(pid, 0L) }
         if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx)
         Row.fromSeq(r.toSeq :+ acc)
       }
     }(Encoders.row(outSchema))
     // the range-partitioned sorted frame releases on the caller's
     // first materialization (graft.Caching contract)
-    graft.Caching.releaseAfterFirstUse(result.drop("__v"), parted)
+    graft.Caching.releaseAfterFirstUse(result.drop("__v", "__pid"), parted)
   }
 }

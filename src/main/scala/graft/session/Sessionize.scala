@@ -103,11 +103,23 @@ object Sessionize {
     import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
     val p = numPartitions.getOrElse(spark.sparkContext.defaultParallelism)
+    // __pid binds each row's range-partition index INTO the cached
+    // blocks (evaluated when the cache materializes, when task pid ==
+    // partition index by construction). The per-row pid — not
+    // TaskContext.getPartitionId() — indexes the broadcast offsets
+    // below: a narrow coalesce()/union() above the result (e.g. a
+    // single-file sink's coalesce(1)) reuses ONE task for many cached
+    // partitions, so the task id stops matching the partition the rows
+    // came from and would silently corrupt every session id (round-7
+    // advice). Recompute after eviction re-evaluates spark_partition_id
+    // inside the same post-exchange stage, so the binding is stable.
     val sorted = df
       .repartitionByRange(p, col(tsSec), col(uniq))
       .sortWithinPartitions(col(tsSec), col(uniq))
+      .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tsIdx = sorted.schema.fieldIndex(tsSec)
+    val pidIdx = sorted.schema.fieldIndex("__pid")
 
     val stats = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -144,20 +156,25 @@ object Sessionize {
 
     // typed mapPartitions (not .rdd + createDataFrame): keeps Catalyst
     // lineage to the persisted frame, so the Caching hook below can
-    // recognize the consumer's first read and release the blocks
+    // recognize the consumer's first read and release the blocks.
+    // State re-seeds whenever the per-row pid changes: one iterator
+    // normally spans exactly one cached partition, but this also stays
+    // correct if a future plan concatenates partitions into one pass.
     val outSchema = sorted.schema.add(out, LongType, nullable = false)
     val result = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var running = bc.value._1(pid)
-      var prev = bc.value._2(pid)
+      var curPid = -1
+      var running = 0L
+      var prev: Option[Long] = None
       it.map { r =>
+        val pid = r.getInt(pidIdx)
+        if (pid != curPid) { curPid = pid; running = bc.value._1(pid); prev = bc.value._2(pid) }
         val t = r.getLong(tsIdx)
         if (prev.isEmpty || t - prev.get > gapSeconds) running += 1
         prev = Some(t)
         Row.fromSeq(r.toSeq :+ (running + 1L))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-    graft.Caching.releaseAfterFirstUse(result, sorted)
+    graft.Caching.releaseAfterFirstUse(result.drop("__pid"), sorted)
   }
 
   /** W3 — dwell time: seconds to the next event in the ordered scan;

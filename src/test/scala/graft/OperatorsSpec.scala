@@ -439,6 +439,20 @@ class OperatorsSpec extends SparkSpec {
       s"expected no hash exchange above the cached range partition, got:\n$plan")
   }
 
+  test("O6 cumsum: values survive a narrow coalesce(1) above the result") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 5000L).map(i => (i, (i % 7) - 3)).toDF("id", "v")
+    val w = Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("cum", sum(col("v")).over(w))
+      .orderBy("id").select("id", "cum").as[(Long, Long)].collect().toSeq
+    // coalesce is narrow: one task iterates many cached partitions, so
+    // only the per-row __pid binding keeps the offsets correctly keyed
+    val got = graft.ops.Cumsum.globalCumsum(df, Seq(col("id")), col("v"), "cum")
+      .coalesce(1)
+      .select("id", "cum").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
   test("K11 compaction: tiny files collapse near the target size, content intact") {
     val p = s"${sys.props("java.io.tmpdir")}/graft_test_k11"
     graft.streaming.Streams.deleteDir(spark, p)

@@ -59,6 +59,26 @@ class SessionizeSpec extends SparkSpec {
     assert(distributed == windowed)
   }
 
+  test("W2 distributed: ids survive a narrow coalesce(1) above the result") {
+    // a single-file sink (IO singleFile, Verify) coalesces the result;
+    // without a shuffle in between, all cached partitions run in ONE
+    // task, so any TaskContext-based pid would mis-index the broadcast
+    // offsets — the per-row __pid binding must keep ids exact
+    val gaps = Gen.listOfN(300, Gen.chooseNum(1L, 4000L))
+    val gs = gaps.apply(Gen.Parameters.default, rng.Seed(7L)).get
+    val df = frame(gs.scanLeft(1700000000L)(_ + _))
+    val windowed = Sessionize
+      .sessionIds(df, col("ts_sec"), Seq.empty, Seq(col("ts_sec"), col("entry_id")))
+      .orderBy("entry_id").select("entry_id", "session_id")
+      .as[(Long, Long)].collect().toSeq
+    val coalesced = Sessionize
+      .sessionIdsDistributed(df, "ts_sec", "entry_id", numPartitions = Some(7))
+      .coalesce(1) // narrow — no shuffle between the mapPartitions and the task merge
+      .select("entry_id", "session_id")
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(coalesced == windowed)
+  }
+
   test("A1: merge preserves total pageview count and event count") {
     val df = Seq(
       (1L, 100L, 1700000000L, 5L), (2L, 100L, 1700000300L, 7L),
