@@ -117,6 +117,40 @@ object LlmQueries {
        |    GROUP BY cell_id, g.pos)
        |  GROUP BY cell_id)""".stripMargin
 
+  /** Oracle for BOTH x7 (train+query in one pass) and x7b (query
+    * against the persisted index): the index round-trip must be
+    * value-invisible, so one SQL body serves both. */
+  private lazy val X7IvfSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, ${qvSql("embedding")} AS nv FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cell_id, nv AS cv FROM v WHERE vec_id < 16),
+       |${kmeansIterSql("c0", "a1", "c1")},
+       |${kmeansIterSql("c1", "a2", "c2")},
+       |members AS (
+       |  SELECT neighbor_id, nv, cell_id FROM (
+       |    SELECT v.vec_id AS neighbor_id, v.nv, c.cell_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosineSql("v.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
+       |    FROM v CROSS JOIN c2 c)
+       |  WHERE cell_rank = 1),
+       |probes AS (
+       |  SELECT query_id, qv, cell_id FROM (
+       |    SELECT q.vec_id AS query_id, q.nv AS qv, c.cell_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql("q.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
+       |    FROM (SELECT * FROM v WHERE vec_id < 5) q CROSS JOIN c2 c)
+       |  WHERE cell_rank <= 2),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine
+       |  FROM members JOIN probes USING (cell_id)
+       |  WHERE neighbor_id != query_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_exact_dedup" -> { (s, dir) =>
       DedupLsh.exactDedup(corpusExact(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -196,6 +230,18 @@ object LlmQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
         numCells = 16, nProbe = 2,
         centroids = Some(Similarity.kmeansCodebook(emb, numCells = 16, iters = 2)))
+        .orderBy("query_id", "rank")
+    },
+    // x7b — the same ANN search against a PERSISTED index: build
+    // writes codebook + cell-partitioned member tables to parquet,
+    // query reads them back with partition pruning on the probed
+    // cells. Same oracle as x7 — the index round-trip must be
+    // value-invisible.
+    "x7b_ann_ivf_prebuilt" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_io/${new java.io.File(dir).getName}/ivf_index"
+      Similarity.buildIvfIndex(emb, idx, numCells = 16, iters = 2)
+      Similarity.ivfTopKPrebuilt(s, idx, emb.filter(col("vec_id") < 5), k = 3, nProbe = 2)
         .orderBy("query_id", "rank")
     },
     "x9_embed_neardup" -> { (s, dir) =>
@@ -721,36 +767,9 @@ object LlmQueries {
            |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
            |  FROM scored)
            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-      "x7_ann_ivf" ->
-        s"""WITH v AS (
-           |  SELECT vec_id, ${qvSql("embedding")} AS nv FROM embeddings),
-           |c0 AS (
-           |  SELECT vec_id AS cell_id, nv AS cv FROM v WHERE vec_id < 16),
-           |${kmeansIterSql("c0", "a1", "c1")},
-           |${kmeansIterSql("c1", "a2", "c2")},
-           |members AS (
-           |  SELECT neighbor_id, nv, cell_id FROM (
-           |    SELECT v.vec_id AS neighbor_id, v.nv, c.cell_id,
-           |      row_number() OVER (PARTITION BY v.vec_id
-           |        ORDER BY ${cosineSql("v.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
-           |    FROM v CROSS JOIN c2 c)
-           |  WHERE cell_rank = 1),
-           |probes AS (
-           |  SELECT query_id, qv, cell_id FROM (
-           |    SELECT q.vec_id AS query_id, q.nv AS qv, c.cell_id,
-           |      row_number() OVER (PARTITION BY q.vec_id
-           |        ORDER BY ${cosineSql("q.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
-           |    FROM (SELECT * FROM v WHERE vec_id < 5) q CROSS JOIN c2 c)
-           |  WHERE cell_rank <= 2),
-           |scored AS (
-           |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine
-           |  FROM members JOIN probes USING (cell_id)
-           |  WHERE neighbor_id != query_id)
-           |SELECT query_id, rank, neighbor_id, cosine FROM (
-           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-           |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-           |  FROM scored)
-           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      "x7_ann_ivf" -> X7IvfSql,
+      // identical semantics through the persisted-index round-trip
+      "x7b_ann_ivf_prebuilt" -> X7IvfSql,
       "x17_semantic_dedup" ->
         s"""WITH corpus AS ($CorpusEmbSql),
            |v AS (SELECT vec_id, ${qvSql("embedding")} AS nv FROM corpus),

@@ -759,6 +759,48 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
+  test("IVF prebuilt: index round-trip is value-invisible; member scan partition-prunes; append assigns without retraining") {
+    val dim = 8
+    def vec(cluster: Int, i: Int): Array[Float] =
+      Array.tabulate(dim)(j =>
+        (if (j == cluster * 2) 10f else 0f) + ((i * 31 + j * 7) % 5) * 0.1f)
+    val rows = for (c <- 0 until 4; i <- 0 until 50) yield ((i * 4 + c).toLong, vec(c, i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 4)
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_test_ivf_index"
+    graft.streaming.Streams.deleteDir(spark, idx)
+
+    Similarity.buildIvfIndex(emb, idx, numCells = 4, iters = 2)
+    val pre = Similarity.ivfTopKPrebuilt(spark, idx, queries, k = 5, nProbe = 1)
+    val inline = Similarity.ivfTopK(emb, queries, k = 5, numCells = 4, nProbe = 1,
+      centroids = Some(Similarity.kmeansCodebook(emb, numCells = 4, iters = 2)))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    assert(rowsOf(pre) == rowsOf(inline), "prebuilt-index query diverged from inline IVF")
+
+    // the member scan must read ONLY the probed cells' partitions
+    val scan = pre.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("members"))
+      .getOrElse(fail("no member file scan in the prebuilt plan"))
+    assert(scan.contains("PartitionFilters: [") && scan.contains("cell_id"),
+      s"expected a cell_id partition filter on the member scan, got:\n$scan")
+
+    // incremental append: build on even ids, append odd ids — results
+    // must equal an inline run over the FULL corpus against the
+    // even-trained codebook (append never retrains)
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    val idx2 = s"${sys.props("java.io.tmpdir")}/graft_test_ivf_index2"
+    graft.streaming.Streams.deleteDir(spark, idx2)
+    Similarity.buildIvfIndex(even, idx2, numCells = 4, iters = 2)
+    Similarity.appendToIvfIndex(odd, idx2)
+    val incr = Similarity.ivfTopKPrebuilt(spark, idx2, queries, k = 5, nProbe = 1)
+    val full = Similarity.ivfTopK(emb, queries, k = 5, numCells = 4, nProbe = 1,
+      centroids = Some(Similarity.kmeansCodebook(even, numCells = 4, iters = 2)))
+    assert(rowsOf(incr) == rowsOf(full), "append path diverged from full assignment")
+  }
+
   test("winnowq: winnowing guarantee, edge cases, SQL surface") {
     graft.functions.WinnowFingerprint.register(spark)
     def fps(s: String, k: Int = 5, w: Int = 4): Set[Long] =
