@@ -11,13 +11,17 @@ import org.apache.spark.sql.types._
   * The IMAGE path is real: [[PngCodec]] writes genuine PNG bytes and
   * [[ImageDecoder]] parses them back with `javax.imageio` (in the JDK
   * — zero extra dependencies), so width/height/channel/pixel stats
-  * come from actual decoded pixel data. Video/audio decode remains
-  * STUBBED (no codec libraries in this environment):
-  * [[FakeDecoder.decode]] derives deterministic "features" from the
-  * raw bytes, standing where a JNI/FFI decoder would plug in. In both
-  * cases the surrounding plumbing — the schema contract, the
-  * mapPartitions batch shape, partition sizing, and the columnar
-  * metadata path — is real and tested.
+  * come from actual decoded pixel data. The AUDIO path is real the
+  * same way: [[WavCodec]] writes genuine RIFF/WAVE containers and
+  * [[AudioDecoder]] parses them back with `javax.sound.sampled` (also
+  * in the JDK), so channel/rate/duration/amplitude stats come from
+  * actual decoded PCM frames. Only VIDEO decode remains STUBBED (no
+  * video codec library in this environment): [[FakeDecoder.decode]]
+  * derives deterministic "features" from the raw bytes, standing
+  * where a JNI/FFI decoder would plug in. In all cases the
+  * surrounding plumbing — the schema contract, the mapPartitions
+  * batch shape, partition sizing, and the columnar metadata path — is
+  * real and tested.
   */
 object Multimodal {
 
@@ -31,9 +35,11 @@ object Multimodal {
     StructField("checksum", StringType, nullable = false)
   ))
 
-  /** STUB decoder: a real implementation would parse the codec
-    * headers; this derives width/height deterministically from the
-    * byte stream so tests and oracles can verify the plumbing. */
+  /** STUB decoder — VIDEO only, as of round 8 (image decode is real
+    * via [[ImageDecoder]], audio via [[AudioDecoder]]): a real
+    * implementation would parse the container/codec headers; this
+    * derives width/height deterministically from the byte stream so
+    * tests and oracles can verify the plumbing. */
   object FakeDecoder {
     def decode(id: Long, bytes: Array[Byte]): Row = {
       val n = bytes.length.toLong
@@ -181,18 +187,26 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Run `cleanup` once when `it` is exhausted (per-partition
-    * writer/reader disposal). */
-  private def disposeAfter[T](it: Iterator[T])(cleanup: => Unit): Iterator[T] =
+  /** Run `cleanup` exactly once — at iterator exhaustion (the common,
+    * earliest point) OR at task completion, whichever comes first. The
+    * completion listener is the one that fires when a consumer stops
+    * pulling early (limit/take, short-circuiting joins) or the task
+    * fails; exhaustion alone would leak the per-partition
+    * writer/reader native caches until GC in those cases. */
+  private def disposeAfter[T](it: Iterator[T])(cleanup: => Unit): Iterator[T] = {
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def runOnce(): Unit = if (done.compareAndSet(false, true)) cleanup
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => runOnce()))
     new Iterator[T] {
-      private var done = false
       def hasNext: Boolean = {
         val h = it.hasNext
-        if (!h && !done) { done = true; cleanup }
+        if (!h) runOnce()
         h
       }
       def next(): T = it.next()
     }
+  }
 
   /** Batched per-partition REAL decode — same mapPartitions shape as
     * [[decodeBatched]], but the body is `javax.imageio` reading actual
@@ -206,6 +220,172 @@ object Multimodal {
       disposeAfter(out)(reader.dispose())
     }
     spark.createDataFrame(rdd, DecodedImageSchema)
+  }
+
+  /** Output schema of the REAL audio decode: everything below comes
+    * from `javax.sound.sampled` parsing genuine RIFF/WAVE bytes and
+    * reading the PCM frames back. */
+  val DecodedAudioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("pcm_bytes", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("amp_sum", LongType, nullable = false),
+    StructField("amp_min", LongType, nullable = false),
+    StructField("amp_max", LongType, nullable = false)
+  ))
+
+  /** Deterministic WAV synthesis — a REAL encoder
+    * (`javax.sound.sampled.AudioSystem.write`) over id-derived PCM,
+    * standing in for fetching audio bytes from object storage (the
+    * same move [[PngCodec]] makes for images). 16-bit signed
+    * little-endian PCM, two amplitude bands: the first `nFrames/2`
+    * frames hold sample `a`, the rest `−b`, identical across
+    * channels — so every decoded statistic (channel count, rate,
+    * frame count, duration, amplitude sum/min/max) has a closed form
+    * an external oracle can replay without an audio library, while
+    * the bytes on the wire are a genuine RIFF/WAVE container only a
+    * real parser can read. */
+  object WavCodec {
+    def channels(id: Long): Int = 1 + Math.floorMod(id, 2L).toInt
+    def sampleRate(id: Long): Int = 8000 * (1 + Math.floorMod(id, 3L).toInt)
+    def numFrames(id: Long): Int = 256 + Math.floorMod(5 * id + 7, 128L).toInt
+    def bandValues(id: Long): (Int, Int) =
+      (Math.floorMod(37 * id + 11, 30000L).toInt, Math.floorMod(53 * id + 29, 30000L).toInt)
+
+    private def pcm(id: Long): Array[Byte] = {
+      val ch = channels(id)
+      val nf = numFrames(id)
+      val (a, b) = bandValues(id)
+      val out = new Array[Byte](nf * ch * 2)
+      var i = 0
+      var off = 0
+      while (i < nf) {
+        val v = if (i < nf / 2) a else -b
+        var c = 0
+        while (c < ch) {
+          out(off) = (v & 0xff).toByte
+          out(off + 1) = ((v >> 8) & 0xff).toByte
+          off += 2; c += 1
+        }
+        i += 1
+      }
+      out
+    }
+
+    /** One-shot convenience (provider lookup per call — fine on the
+      * driver / in specs; the distributed path reuses writers). */
+    def encode(id: Long): Array[Byte] = {
+      import scala.jdk.CollectionConverters._
+      encodeWith(java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala.toSeq, id)
+    }
+
+    /** Per-partition form: `AudioSystem.write` walks the provider
+      * registry on every call (the ImageIO lock-contention lesson,
+      * round 7); loading the writer list once per partition via
+      * ServiceLoader keeps the hot loop off the shared registry. */
+    def encodeWith(writers: Seq[javax.sound.sampled.spi.AudioFileWriter],
+                   id: Long): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+      val fmt = new AudioFormat(sampleRate(id).toFloat, 16, channels(id),
+        true /* signed */, false /* little-endian */)
+      val data = pcm(id)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, numFrames(id).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = writers.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais))
+        .getOrElse(sys.error("no WAVE AudioFileWriter provider on this JVM"))
+      w.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** REAL audio decode via `javax.sound.sampled`: parses the RIFF/WAVE
+    * container, streams the PCM frames, and reduces them to amplitude
+    * stats. Works on any 16-bit PCM payload a registered
+    * AudioFileReader understands — nothing here assumes [[WavCodec]]'s
+    * synthesis. */
+  object AudioDecoder {
+    import javax.sound.sampled.spi.AudioFileReader
+
+    def loadReaders(): Seq[AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[AudioFileReader]).asScala.toSeq
+    }
+
+    /** One-shot generic decode (registry path). */
+    def decode(id: Long, bytes: Array[Byte]): Row =
+      decodeWith(loadReaders(), id, bytes)
+
+    /** Per-partition form (see [[WavCodec.encodeWith]] for why). */
+    def decodeWith(readers: Seq[AudioFileReader], id: Long, bytes: Array[Byte]): Row = {
+      val ais = readers.view
+        .flatMap { r =>
+          try Some(r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+        }
+        .headOption
+        .getOrElse(javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16,
+        s"media $id: amplitude stats need 16-bit PCM, got ${fmt.getSampleSizeInBits}-bit")
+      val ch = fmt.getChannels
+      val rate = fmt.getSampleRate.toLong
+      val nFrames = ais.getFrameLength
+      val big = fmt.isBigEndian
+      val data = ais.readAllBytes()
+      ais.close()
+      var sum = 0L
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var off = 0
+      while (off + 1 < data.length) {
+        val v =
+          if (big) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort.toInt
+          else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort.toInt
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        off += 2
+      }
+      Row(id, nFrames * ch * 2L, ch.toLong, rate, nFrames,
+        nFrames * 1000L / rate, sum, mn.toLong, mx.toLong)
+    }
+  }
+
+  /** Attach a REAL WAV payload column keyed by id — genuine RIFF/WAVE
+    * containers, encoded per partition (same narrow-stage spreading as
+    * the PNG path). */
+  def synthesizeWavPayload(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val ids0 = df.select(col(idCol).cast("long").as("media_id"))
+    val ids = if (ids0.rdd.getNumPartitions < par) ids0.repartition(par) else ids0
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = ids.rdd.mapPartitions { it =>
+      import scala.jdk.CollectionConverters._
+      val writers = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala.toSeq
+      it.map { r =>
+        val id = r.getLong(0); Row(id, WavCodec.encodeWith(writers, id))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Batched per-partition REAL audio decode — the [[decodeImageBatched]]
+    * shape with `javax.sound.sampled` as the body. */
+  def decodeAudioBatched(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select("media_id", "payload").rdd.mapPartitions { it =>
+      val readers = AudioDecoder.loadReaders()
+      it.map(r => AudioDecoder.decodeWith(readers, r.getLong(0), r.getAs[Array[Byte]](1)))
+    }
+    spark.createDataFrame(rdd, DecodedAudioSchema)
   }
 
   /** Pixel-level features from the real decode: pixel count, exact

@@ -426,6 +426,20 @@ object LlmQueries {
           Multimodal.synthesizePngPayload(Tables.documents(s, dir), "doc_id")))
         .orderBy("media_id")
     },
+    // m5 — REAL audio decode: genuine RIFF/WAVE bytes
+    // (AudioSystem.write) flow through the binary column and
+    // javax.sound.sampled parses the PCM frames back in the batched
+    // mapPartitions; the oracle replays the synthesis formulas in
+    // closed form, so a wrong decode fails the hash match. Container
+    // byte size is excluded (header layout is encoder-dependent);
+    // pcm_bytes = frames × channels × 2 is exact.
+    "m5_audio_decode" -> { (s, dir) =>
+      Multimodal.decodeAudioBatched(
+        Multimodal.synthesizeWavPayload(Tables.documents(s, dir), "doc_id"))
+        .select("media_id", "pcm_bytes", "channels", "sample_rate", "n_frames",
+          "duration_ms", "amp_sum", "amp_min", "amp_max")
+        .orderBy("media_id")
+    },
     // y10 — fixed-window token chunking: the pass that cuts documents
     // into training samples (32-token windows, stride 24 → 8-token
     // overlap). Pure per-row explode, no shuffle before the sink.
@@ -963,6 +977,22 @@ object LlmQueries {
           |  CAST(w * h AS BIGINT) AS n_px,
           |  least(a, b) AS px_min, greatest(a, b) AS px_max,
           |  CAST((h * ((w // 2) * a + (w - w // 2) * b) * 1000) // (w * h) AS BIGINT) AS mean_milli
+          |FROM d ORDER BY media_id""".stripMargin,
+      "m5_audio_decode" ->
+        """WITH d AS (
+          |  SELECT doc_id AS media_id,
+          |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+          |    CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sr,
+          |    CAST(256 + (5 * doc_id + 7) % 128 AS BIGINT) AS nf,
+          |    CAST((37 * doc_id + 11) % 30000 AS BIGINT) AS a,
+          |    CAST((53 * doc_id + 29) % 30000 AS BIGINT) AS b
+          |  FROM documents)
+          |SELECT media_id,
+          |  CAST(nf * ch * 2 AS BIGINT) AS pcm_bytes,
+          |  ch AS channels, sr AS sample_rate, nf AS n_frames,
+          |  CAST((nf * 1000) // sr AS BIGINT) AS duration_ms,
+          |  CAST(ch * ((nf // 2) * a - (nf - nf // 2) * b) AS BIGINT) AS amp_sum,
+          |  CAST(-b AS BIGINT) AS amp_min, a AS amp_max
           |FROM d ORDER BY media_id""".stripMargin,
       "y10_doc_chunks" ->
         """WITH t AS (

@@ -956,6 +956,37 @@ class OperatorsSpec extends SparkSpec {
     assert(feats == ((19L * 17L, 3L, 34L, 6239L * 1000L / (19L * 17L))))
   }
 
+  test("Multimodal: real WAV bytes round-trip through javax.sound.sampled") {
+    // the payload is a genuine RIFF/WAVE container (magic bytes prove
+    // it) and the decoded stats must match the synthesis formulas
+    // exactly — wrong endianness, wrong channel interleave, or a
+    // header-only "decode" all fail
+    for (id <- Seq(0L, 1L, 2L, 3L, 17L, 255L, 9999L)) {
+      val bytes = Multimodal.WavCodec.encode(id)
+      assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF" &&
+        new String(bytes.slice(8, 12), "US-ASCII") == "WAVE",
+        s"id=$id: payload is not a RIFF/WAVE container")
+      val r = Multimodal.AudioDecoder.decode(id, bytes)
+      val ch = 1L + id % 2
+      val sr = 8000L * (1 + id % 3)
+      val nf = 256L + (5 * id + 7) % 128
+      val a = (37 * id + 11) % 30000
+      val b = (53 * id + 29) % 30000
+      assert(r.getLong(1) == nf * ch * 2, s"id=$id pcm_bytes")
+      assert(r.getLong(2) == ch && r.getLong(3) == sr && r.getLong(4) == nf, s"id=$id format")
+      assert(r.getLong(5) == nf * 1000 / sr, s"id=$id duration")
+      assert(r.getLong(6) == ch * ((nf / 2) * a - (nf - nf / 2) * b), s"id=$id amp_sum")
+      assert(r.getLong(7) == -b && r.getLong(8) == a, s"id=$id amp_min/max")
+    }
+    // distributed path: synthesis and decode as separate plan stages
+    // with real binary rows crossing between them
+    val decoded = Multimodal.decodeAudioBatched(
+      Multimodal.synthesizeWavPayload(
+        spark.range(0, 20).withColumnRenamed("id", "doc_id"), "doc_id"))
+    assert(decoded.schema == Multimodal.DecodedAudioSchema)
+    assert(decoded.count() == 20)
+  }
+
   test("Urls: canonicalization rules on messy fixtures") {
     import graft.ops.Urls
     val cases = Seq(
