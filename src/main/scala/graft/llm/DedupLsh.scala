@@ -257,32 +257,48 @@ object DedupLsh {
     * makes the iteration count O(log diameter), so even pathological
     * chained-near-dup components converge in a handful of shuffle
     * rounds. */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  /** @param reliableCheckpoints checkpoint durability for the
+    *   iterative loop. `None` (default) = reliable `df.checkpoint()`
+    *   exactly when the SparkContext has a checkpoint dir configured,
+    *   else executor-local checkpoints. Local checkpoints live in
+    *   executor block managers: fastest, right for `local[*]` and
+    *   short jobs, but a LOST EXECUTOR on a real cluster kills the
+    *   job mid-iteration (lineage is truncated, so no recompute is
+    *   possible). A multi-hour 100 TB cluster run sets
+    *   `sc.setCheckpointDir` (HDFS/S3) and gets durable iteration
+    *   state with zero code change here; `Some(true)`/`Some(false)`
+    *   force either mode. Both modes converge to identical labels
+    *   (spec-asserted). */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10,
+                      reliableCheckpoints: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // localCheckpoint the PAIR list before mirroring it: edges is a
+    val reliable = reliableCheckpoints.getOrElse(
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+    def ck(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // checkpoint the PAIR list before mirroring it: edges is a
     // union of two selects over `pairs`, and a merely-persisted pairs
     // plan would still execute the band self-join + verify once per
     // union branch on first materialization (only the banded staging
     // below it is cached — measured 2× the whole candidate+verify
     // phase on x8/x10). Checkpointing materializes the pair list once
     // and both branches read the cached RDD.
-    val pairsCk = pairs.localCheckpoint()
+    val pairsCk = ck(pairs)
     val edges = pairsCk
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairsCk.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint, not persist: a persisted plan still NESTS the
+    // checkpoint, not persist: a persisted plan still NESTS the
     // previous iteration's join, so analysis/codegen time grows with
     // component diameter even though the data is cached. Checkpointing
     // cuts lineage to a LogicalRDD — every iteration's plan is O(1)
     // deep and per-iteration time stays flat (spec: 21-node chain).
-    // localCheckpoint trades fault-tolerance for speed (lost-executor
-    // recomputation is impossible); a reliable checkpoint dir is the
-    // swap-in for long multi-hour cluster runs. Superseded checkpoint
-    // RDDs are released by the ContextCleaner once unreferenced.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    // Durability is the `reliableCheckpoints` contract above.
+    // Superseded checkpoint RDDs are released by the ContextCleaner
+    // once unreferenced (reliable checkpoint FILES additionally honor
+    // spark.cleaner.referenceTracking.cleanCheckpoints).
+    var labels = ck(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     // convergence via Σlabel: labels are component-wise non-increasing
     // (every update takes a least()), so an iteration changed something
     // iff the sum strictly dropped — one cheap aggregate over the
@@ -313,11 +329,10 @@ object DedupLsh {
       // O(d) — the difference between 6 and 1000 shuffle rounds on a
       // chained near-dup component at web scale.
       val lbl = viaNbr.select(col("id").as("pj_id"), col("label").as("pj_label"))
-      val updated = viaNbr
+      val updated = ck(viaNbr
         .join(lbl, viaNbr("label") === lbl("pj_id"), "left")
         .select(viaNbr("id"),
-          least(viaNbr("label"), coalesce(col("pj_label"), viaNbr("label"))).as("label"))
-        .localCheckpoint()
+          least(viaNbr("label"), coalesce(col("pj_label"), viaNbr("label"))).as("label")))
       val newSum = labelSum(updated)
       labels = updated
       converged = newSum.compareTo(prevSum) == 0

@@ -17,21 +17,46 @@ import org.apache.spark.sql.functions._
   *   - lazy iterators end-to-end: a 100 TB corpus streams through in
   *     batch-sized memory, nothing materializes per partition.
   *
-  * The encoder itself is STUBBED (no ML runtime in this sandbox) with a
-  * deterministic md5-derived vector — component j is
-  * `(ascii(h[j]) % 16) / 8 − 1` where h[j] is hex-digit CHARACTER j of
-  * the digest (ascii modulo, NOT the hex digit's numeric value: 'a'..'f'
-  * land on the same residues as '1'..'6', so components span only
-  * [−1, 0.125]) — chosen because any engine with an md5() can replay
-  * the same formula, so the DuckDB oracle verifies the distributed
-  * plumbing end-to-end. Components are exact binary fractions (k/8 − 1),
-  * so derived sums compare bit-for-bit across engines.
+  * The encoder is a REAL text vectorizer — feature hashing ("hashing
+  * trick", Weinberger et al. 2009, arXiv 0902.2206): token unigrams
+  * and bigrams hash into `dim` signed buckets (bucket = first two md5
+  * hex digits mod dim, sign = high bit of the third), the bucket sums
+  * L2-normalize, and components are emitted in 1e-6 FIXED-POINT
+  * (`floor(v·10⁶ / √Σv²)` — the operand longs are exact, so the
+  * double divide and floor are IEEE-stable and any engine with md5()
+  * replays the vector bit-for-bit; the DuckDB oracle does). No ML
+  * runtime, but a genuine, useful projection: cosine over these
+  * vectors approximates n-gram Jaccard similarity, and the same
+  * mapPartitions/batch shape hosts a learned encoder unchanged.
   */
 object Inference {
 
+  private val HexVal = "0123456789abcdef"
+
+  /** The per-document projection, exposed for spec replay: signed
+    * bucket counts over token uni+bigrams, L2-normalized to 1e-6
+    * fixed-point. An all-cancelling (or empty) document yields the
+    * zero vector rather than 0/0. */
+  def featureHashVector(md: java.security.MessageDigest, text: String, dim: Int): Array[Long] = {
+    val tk = text.split("\\s+")
+    val grams = tk.iterator ++
+      tk.iterator.sliding(2).withPartial(false).map(_.mkString(" "))
+    val v = new Array[Long](dim)
+    grams.foreach { g =>
+      val h = md.digest(g.getBytes("UTF-8"))
+      val d0 = (h(0) >> 4) & 0xf
+      val d1 = h(0) & 0xf
+      val d2 = (h(1) >> 4) & 0xf
+      v((d0 * 16 + d1) % dim) += (if (d2 >= 8) 1L else -1L)
+    }
+    val ss = v.foldLeft(0L)((a, x) => a + x * x)
+    if (ss == 0L) v
+    else v.map(x => math.floor(x * 1000000.0 / math.sqrt(ss.toDouble)).toLong)
+  }
+
   def encodeBatched(docs: DataFrame, idCol: String, textCol: String,
-                    dim: Int = 16, batchSize: Int = 64): DataFrame = {
-    require(dim >= 1 && dim <= 32, "md5 supplies 32 hex digits = 32 stub components")
+                    dim: Int = 64, batchSize: Int = 64): DataFrame = {
+    require(dim >= 1 && dim <= 256, "bucket id comes from two hex digits (0-255)")
     require(batchSize >= 1, "batchSize must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -47,10 +72,7 @@ object Inference {
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.grouped(batchSize).flatMap { batch =>
           // a real pipeline hands `batch` to the model as one tensor call
-          batch.map { case (id, text) =>
-            val h = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
-            (id, (0 until dim).map(j => (h.charAt(j).toInt % 16) / 8.0 - 1.0).toArray)
-          }
+          batch.map { case (id, text) => (id, featureHashVector(md, text, dim)) }
         }
       }
       .toDF(idCol, "embedding")

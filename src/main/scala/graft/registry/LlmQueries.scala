@@ -302,15 +302,17 @@ object LlmQueries {
         n = 3, minShared = 2, maxDf = 50L)
         .orderBy("doc_id", "eval_id")
     },
-    // x13 — batched embedding inference (typed mapPartitions plumbing;
-    // the oracle replays the stub encoder and checks flattened scalars)
+    // x13 — batched embedding inference: the REAL feature-hashing
+    // n-gram projection (uni+bigrams → 64 signed buckets → fixed-point
+    // L2 normalize) through the typed mapPartitions batch plumbing;
+    // the oracle recomputes the whole projection from the text
     "x13_embed_inference" -> { (s, dir) =>
       Inference.encodeBatched(Tables.documents(s, dir), "doc_id", "text",
-        dim = 16, batchSize = 64)
+        dim = 64, batchSize = 64)
         .select(col("doc_id"),
           size(col("embedding")).cast("long").as("n_dim"),
           element_at(col("embedding"), 1).as("comp0"),
-          aggregate(col("embedding"), lit(0.0), (a, x) => a + abs(x)).as("l1_norm"))
+          aggregate(col("embedding"), lit(0L), (a, x) => a + abs(x)).as("l1_norm"))
         .orderBy("doc_id")
     },
     // y9 — intra-document repetition filter (Gopher/C4-style signal)
@@ -899,13 +901,44 @@ object LlmQueries {
           |GROUP BY cg.doc_id, eg.eval_id
           |HAVING COUNT(*) >= 2
           |ORDER BY doc_id, eval_id""".stripMargin,
+      // full replay of the feature-hashing projection: tokenize →
+      // uni+bigrams → md5 bucket/sign → signed bucket sums →
+      // fixed-point L2 normalize — the encoder is real enough that an
+      // independent engine can recompute every component from text
       "x13_embed_inference" ->
-        """SELECT doc_id, CAST(16 AS BIGINT) AS n_dim,
-          |  CAST(ascii(substr(md5(text), 1, 1)) % 16 AS DOUBLE) / 8.0 - 1.0 AS comp0,
-          |  list_aggregate(list_transform(generate_series(1, 16),
-          |    j -> abs(CAST(ascii(substr(md5(text), j, 1)) % 16 AS DOUBLE) / 8.0 - 1.0)),
-          |    'sum') AS l1_norm
-          |FROM documents ORDER BY doc_id""".stripMargin,
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+          |g AS (
+          |  SELECT doc_id, unnest(list_concat(tk,
+          |    list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+          |      i -> tk[i] || ' ' || tk[i + 1]))) AS gram
+          |  FROM t),
+          |hb AS (
+          |  SELECT doc_id,
+          |    ((strpos('0123456789abcdef', md5(gram)[1]) - 1) * 16
+          |      + strpos('0123456789abcdef', md5(gram)[2]) - 1) % 64 AS bucket,
+          |    CASE WHEN strpos('0123456789abcdef', md5(gram)[3]) - 1 >= 8
+          |         THEN 1 ELSE -1 END AS sgn
+          |  FROM g),
+          |bs AS (
+          |  SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS val
+          |  FROM hb GROUP BY doc_id, bucket),
+          |filled AS (
+          |  SELECT t.doc_id, j.j, coalesce(bs.val, 0) AS val
+          |  FROM t CROSS JOIN generate_series(0, 63) AS j(j)
+          |  LEFT JOIN bs ON bs.doc_id = t.doc_id AND bs.bucket = j.j),
+          |ss AS (SELECT doc_id, SUM(val * val) AS ss FROM filled GROUP BY doc_id),
+          |vec AS (
+          |  SELECT f.doc_id,
+          |    list(CASE WHEN s.ss = 0 THEN CAST(0 AS BIGINT)
+          |         ELSE CAST(floor(f.val * 1000000 / sqrt(CAST(s.ss AS DOUBLE))) AS BIGINT)
+          |         END ORDER BY f.j) AS embedding
+          |  FROM filled f JOIN ss s USING (doc_id) GROUP BY f.doc_id)
+          |SELECT doc_id, CAST(64 AS BIGINT) AS n_dim,
+          |  embedding[1] AS comp0,
+          |  CAST(list_aggregate(list_transform(embedding, x -> abs(x)), 'sum') AS BIGINT)
+          |    AS l1_norm
+          |FROM vec ORDER BY doc_id""".stripMargin,
       "y9_repetition_filter" ->
         """WITH g AS (
           |  SELECT doc_id,

@@ -256,20 +256,43 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("blocks"))
   }
 
-  test("X13 inference: batch size never changes results; typed path matches Column md5") {
+  test("X13 inference: batch size never changes results; projection matches an independent replay") {
     val docs = (0L until 150L).map(i => (i, s"document number $i with text")).toDF("doc_id", "text")
-    def flat(bs: Int) = graft.llm.Inference.encodeBatched(docs, "doc_id", "text", dim = 8, batchSize = bs)
+    def flat(bs: Int) = graft.llm.Inference.encodeBatched(docs, "doc_id", "text", dim = 64, batchSize = bs)
       .select(col("doc_id"), concat_ws(",", col("embedding").cast("array<string>")).as("e"))
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
     val a = flat(64)
     assert(a == flat(1) && a == flat(1000), "batch boundaries must not affect results")
-    // the stub must equal the declarative md5 construction component-wise
-    val expected = docs.select(col("doc_id"), concat_ws(",",
-        transform(sequence(lit(1), lit(8)),
-          j => (ascii(md5(col("text")).substr(j, lit(1))) % 16).cast("double") / 8.0 - 1.0)
-          .cast("array<string>")).as("e"))
-      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // independent driver-side replay of the feature-hashing projection
+    // (hex-string digits, naive loops — shares no code with the
+    // byte-nibble implementation under test)
+    def replay(text: String): Array[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val tk = text.split("\\s+").toSeq
+      val grams = tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val v = new Array[Long](64)
+      for (g <- grams) {
+        val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        def d(i: Int) = "0123456789abcdef".indexOf(hex.charAt(i))
+        v((d(0) * 16 + d(1)) % 64) += (if (d(2) >= 8) 1 else -1)
+      }
+      val ss = v.map(x => x * x).sum
+      if (ss == 0) v else v.map(x => math.floor(x * 1e6 / math.sqrt(ss.toDouble)).toLong)
+    }
+    val expected = (0L until 150L)
+      .map(i => (i, replay(s"document number $i with text").mkString(",")))
     assert(a == expected)
+    // a vectorizer, not a checksum: near-identical docs land closer
+    // than unrelated ones (cosine over the fixed-point components)
+    def cos(x: Array[Long], y: Array[Long]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      dot / (math.sqrt(x.map(p => p.toDouble * p).sum) * math.sqrt(y.map(q => q.toDouble * q).sum))
+    }
+    val base = replay("the quick brown fox jumps over the lazy dog")
+    val near = replay("the quick brown fox jumps over the lazy cat")
+    val far = replay("completely unrelated words about spark shuffles")
+    assert(cos(base, near) > cos(base, far) + 0.3,
+      s"near-dup cosine ${cos(base, near)} should exceed unrelated ${cos(base, far)}")
   }
 
   test("X12 contamination: shared rare trigrams flag the pair; boilerplate grams df-capped") {
@@ -315,6 +338,28 @@ class OperatorsSpec extends SparkSpec {
     val got = graft.llm.DedupLsh.nearDupClusters(chain)
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(got == (0L to 20L).map(i => i -> 0L))
+  }
+
+  test("Cluster assignment: reliable checkpoints converge to identical labels") {
+    // the durability contract: a cluster run sets a checkpoint dir and
+    // the loop swaps localCheckpoint for executor-loss-safe
+    // df.checkpoint() with NO semantic difference — both modes must
+    // produce the same labels on the same graph
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_ckpt_dir"
+    graft.streaming.Streams.deleteDir(spark, dir)
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val local = graft.llm.DedupLsh
+      .nearDupClusters(pairs, reliableCheckpoints = Some(false))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val reliable = graft.llm.DedupLsh
+      .nearDupClusters(pairs, reliableCheckpoints = Some(true))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(reliable == local)
+    // reliable mode actually wrote checkpoint files
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint data written")
   }
 
   test("Flatten: recursive dotted leaves, odd names, arrays stay leaves") {
