@@ -4,8 +4,8 @@ import java.util.concurrent.atomic.AtomicBoolean
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.execution.QueryExecution
-import org.apache.spark.sql.execution.columnar.InMemoryRelation
 import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.storage.StorageLevel
 
 /** Cache-lifetime helpers for operators that persist an intermediate
   * at an internal fan-out point (the pre-aggregate in [[llm.Corpus]],
@@ -21,23 +21,33 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *    inside it;
   *  - [[releaseAfterFirstUse]] — the default the operators above now
   *    apply: a [[QueryExecutionListener]] watches for the first query
-  *    execution that read any of the operator's cached intermediates
-  *    (matched by their `CachedRDDBuilder` identity in the optimized
-  *    plan — the builder instance is shared by every plan the cache
-  *    manager substitutes it into) and unpersists them all, then
-  *    unregisters itself. Re-materializing the returned frame after
-  *    that recomputes instead of reading cache — correct, just
-  *    uncached — which is the right trade for fire-once pipeline
+  *    execution WHOSE ANALYZED PLAN CONTAINS THE RETURNED FRAME's plan
+  *    (by object identity — every Dataset derived from the returned
+  *    frame embeds that exact plan node) and unpersists the
+  *    intermediates, then unregisters itself. Re-materializing the
+  *    returned frame after that recomputes instead of reading cache —
+  *    correct, just uncached — the right trade for fire-once pipeline
   *    operators.
   *
-  * Listener delivery is asynchronous (Spark's execution-listener bus),
-  * so release happens shortly after the action completes, not
-  * synchronously inside it. One benign race: an operator that ran
+  * Matching the RESULT plan rather than the cached subtrees is what
+  * closes the round-7 early-release race: an operator that ran
   * internal actions on the cached frame BEFORE returning (k-means
-  * training, landzone sink writes) may have those events delivered
-  * after the listener registers, releasing the blocks before the
-  * consumer's first action — the consumer then recomputes instead of
-  * reading cache; results are never affected.
+  * training scans, landzone sink writes) may have those listener
+  * events delivered after registration, but those executions were
+  * built before the result plan existed and cannot contain it, so
+  * they can never release the blocks out from under the consumer.
+  * Operators must not materialize the RETURNED frame internally
+  * (none do; [[pipeline.Ingest.batchFullLoad]] wraps its cached frame
+  * in a fresh projection for exactly this reason).
+  *
+  * Listener delivery is asynchronous (Spark's execution-listener
+  * bus), so release happens shortly after the consumer's first action
+  * completes, not synchronously inside it. If the blocks disappear
+  * some other way first (external `clearCache()`), the listener
+  * notices on the next execution event and unregisters without
+  * releasing — it never outlives the blocks it guards, so it cannot
+  * accumulate per-call traversal cost or pin the cached frames for
+  * the session lifetime.
   */
 object Caching {
 
@@ -48,36 +58,36 @@ object Caching {
     try f
     finally cached.foreach(_.unpersist(false))
 
-  /** Return `result` wired so that the first query execution touching
-    * any of `cached` (normally: the consumer's first action on
-    * `result`) unpersists them all. If nothing in `cached` is actually
-    * registered in the cache manager, `result` is returned unwired. */
+  /** Return `result` wired so that the first query execution that
+    * reads it (or any frame derived from it) unpersists every frame
+    * in `cached`. */
   def releaseAfterFirstUse(result: DataFrame, cached: Dataset[_]*): DataFrame = {
     val spark = result.sparkSession
-    // the cache manager substitutes a copy of the InMemoryRelation into
-    // every plan that matches the cached subtree, but the copy shares
-    // the CachedRDDBuilder instance — identity on it recognizes "this
-    // execution read that cache" across all downstream plans
-    // typed AnyRef: CachedRDDBuilder itself is sql-private, but the
-    // accessor is public and identity is all the match needs
-    val builders: Seq[AnyRef] = cached.flatMap { c =>
-      c.queryExecution.withCachedData.collectFirst {
-        case r: InMemoryRelation => r.cacheBuilder: AnyRef
-      }
-    }
-    if (builders.isEmpty) return result
+    if (cached.isEmpty) return result
+    // the identity anchor: every consumer Dataset wraps this exact
+    // analyzed-plan object (Spark reuses already-analyzed subtrees)
+    val resultPlan = result.queryExecution.analyzed
     val listener = new QueryExecutionListener {
-      private val released = new AtomicBoolean(false)
-      private def touchesCache(qe: QueryExecution): Boolean =
-        // optimizedPlan is lazy: on an onFailure event from an
-        // analysis-time error, forcing it re-throws — treat as no-match
-        try qe.optimizedPlan.exists {
-          case r: InMemoryRelation => builders.exists(_ eq (r.cacheBuilder: AnyRef))
-          case _                   => false
-        } catch { case _: Throwable => false }
+      private val done = new AtomicBoolean(false)
+      // analyzed is already computed by the time an execution event
+      // fires; the try covers exotic failure events where forcing it
+      // re-throws — treat as no-match
+      private def consumerRead(qe: QueryExecution): Boolean =
+        try qe.analyzed.exists(_ eq resultPlan)
+        catch { case _: Throwable => false }
+      private def nothingLeftToRelease: Boolean =
+        try cached.forall(_.storageLevel == StorageLevel.NONE)
+        catch { case _: Throwable => false }
       private def fire(qe: QueryExecution): Unit =
-        if (touchesCache(qe) && released.compareAndSet(false, true)) {
-          cached.foreach(_.unpersist(false))
+        if (consumerRead(qe)) {
+          if (done.compareAndSet(false, true)) {
+            cached.foreach(_.unpersist(false))
+            spark.listenerManager.unregister(this)
+          }
+        } else if (nothingLeftToRelease && done.compareAndSet(false, true)) {
+          // blocks already gone (external clearCache, or another hook
+          // on the same frames): stop watching instead of paying a
+          // plan traversal on every execution forever
           spark.listenerManager.unregister(this)
         }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =

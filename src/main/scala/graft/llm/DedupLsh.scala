@@ -334,6 +334,11 @@ object DedupLsh {
         .select(viaNbr("id"),
           least(viaNbr("label"), coalesce(col("pj_label"), viaNbr("label"))).as("label")))
       val newSum = labelSum(updated)
+      // `updated`'s checkpoint is eager, so the previous labels are
+      // unreferenced now — release their blocks instead of waiting on
+      // the ContextCleaner (reliable-mode checkpoint FILES follow
+      // spark.cleaner.referenceTracking.cleanCheckpoints)
+      labels.unpersist(false)
       labels = updated
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum

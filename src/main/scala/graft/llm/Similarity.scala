@@ -153,6 +153,7 @@ object Similarity {
       .select(col("vec_id").as("cell_id"), col("nv").as("cv"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
+      val prev = cents
       val assigned = v
         .crossJoin(broadcast(cents))
         .withColumn("cell_sim", cosineQ(col("nv"), col("cv")))
@@ -168,6 +169,10 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
           _.getField("comp")).as("cv"))
         .localCheckpoint()
+      // the new checkpoint is EAGER, so the previous iteration's
+      // centroid blocks are unreferenced the moment it returns —
+      // release them now instead of waiting on the ContextCleaner
+      prev.unpersist(false)
     }
     cents
   }

@@ -84,8 +84,17 @@ object Ingest {
     IO.writeJsonLines(sampled, IO.datedPath(landzone, "batch", table, "json", yyyyMMdd, stamp))
     IO.writeParquet(sampled, IO.datedPath(archive, "archives", table, "parquet", yyyyMMdd, stamp))
     // blocks (built by the sink writes above) release once the caller
-    // materializes the returned frame (graft.Caching contract)
-    graft.Caching.releaseAfterFirstUse(sampled, sampled)
+    // materializes the returned frame (graft.Caching contract). The
+    // fresh projection wrapper is LOAD-BEARING: the release hook
+    // matches consumer executions by plan identity, and the two sink
+    // writes' (possibly still-in-flight) listener events reference
+    // sampled's own plan — returning sampled directly would let a late
+    // write event release the cache before the caller's first action.
+    // If the cache is ever gone when the caller acts, the recompute is
+    // value-identical: hashSample's membership is a pure md5 gate, and
+    // seededSample's rand(seed) draw re-splits the CSV scan
+    // identically in local and file-source plans.
+    graft.Caching.releaseAfterFirstUse(sampled.select(col("*")), sampled)
   }
 
   /** QC step shared by E1/E3: single-pass metrics + report file. */

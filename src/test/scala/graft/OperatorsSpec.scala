@@ -1258,6 +1258,61 @@ class OperatorsSpec extends SparkSpec {
     awaitRelease(() => spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before))
   }
 
+  test("Caching: operator-internal actions before registration cannot release early") {
+    import org.apache.spark.storage.StorageLevel
+    // the round-7 race: an action on the cached frame runs BEFORE the
+    // hook registers (k-means training, sink writes); its async
+    // listener event may be delivered AFTER registration. The hook
+    // matches executions by result-plan identity, and this event's
+    // plan predates the result — so the blocks must survive it.
+    val c = spark.range(0, 5000).toDF("v").persist(StorageLevel.MEMORY_AND_DISK)
+    assert(c.count() == 5000) // internal action, pre-registration
+    val out = graft.Caching.releaseAfterFirstUse(
+      c.groupBy((col("v") % 10).as("g")).count(), c)
+    // give the late event every chance to arrive and mis-fire
+    Thread.sleep(2000)
+    assert(c.storageLevel != StorageLevel.NONE,
+      "a pre-registration event released the cache before the consumer's first action")
+    // the consumer's first action READS the cache...
+    assert(out.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "consumer's plan does not read the cached frame")
+    assert(out.count() == 10)
+    // ...and only then do the blocks release
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (c.storageLevel != StorageLevel.NONE && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(c.storageLevel == StorageLevel.NONE, "blocks survived the consumer's action")
+  }
+
+  test("Caching: semanticDedup's consumer reads cache despite training actions") {
+    // verdict-specified closure of the race on the real operator:
+    // k-means training runs several internal actions on the cached
+    // quantized corpus before the hook registers; the consumer's
+    // first action must still find the cache populated (an
+    // InMemoryTableScan in its physical plan), and the blocks must be
+    // gone after it
+    val dim = 8
+    def vec(cluster: Int, i: Int): Array[Float] =
+      Array.tabulate(dim)(j =>
+        (if (j == cluster * 2) 10f else 0f) + ((i * 31 + j * 7) % 5) * 0.1f)
+    val rows = for (c <- 0 until 4; i <- 0 until 30) yield ((i * 4 + c).toLong, vec(c, i))
+    val kept = graft.llm.Similarity
+      .semanticDedup(rows.toDF("vec_id", "embedding"), numCells = 4, iters = 2,
+        threshold = 0.999)
+    assert(kept.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "consumer's first action would recompute instead of reading cache")
+    assert(kept.count() > 0)
+    // released = the CacheManager entries are gone, observable as a
+    // FRESH plan over the same frame no longer substituting the cache
+    // (localCheckpoint RDDs of the tiny centroid tables are owned by
+    // the ContextCleaner and excluded from this contract)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def released() = !kept.select(col("vec_id")).queryExecution
+      .executedPlan.toString.contains("InMemoryTableScan")
+    while (!released() && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(released(), "semanticDedup's internal persists survived the first consumer action")
+  }
+
   test("Dedup.canonical: exact name wins under case-sensitive analysis") {
     import graft.ops.Dedup
     // two columns differing only by case: 'Key' (struct) and 'key'
