@@ -18,13 +18,50 @@ import org.apache.spark.sql.functions._
   * Semantics kept faithful: the watermark only advances on a non-empty
   * batch (ST2), and files/folders at-or-below the watermark are never
   * re-read, i.e. late data is dropped at-most-once (ST3).
+  *
+  * Durability contract (the reference's raw overwrite has none:
+  * a crash mid-rewrite loses every table's watermark): [[writeTable]]
+  * stages the new CSV beside the live one and swaps it in with
+  * directory renames — `live → old`, `staged → live`, drop `old` —
+  * and [[readTable]] completes an interrupted swap from whichever
+  * side survived. A crash at ANY point leaves either the previous or
+  * the new watermark readable, never a torn/absent table; the
+  * previous value merely re-reads one batch (at-least-once, the safe
+  * direction). SINGLE WRITER assumed — concurrent [[update]]s
+  * read-modify-write and can lose each other's rows, same as the
+  * reference's design; one control table belongs to one scheduler.
   */
 object Watermark {
 
   case class Entry(tableName: String, watermarkValue: String, updateColumn: String)
 
-  /** Read the control CSV into memory (it is tiny by construction). */
-  def readTable(spark: SparkSession, path: String): Seq[Entry] =
+  private def stagedPath(path: String) = path.stripSuffix("/") + ".__staged__"
+  private def oldPath(path: String)    = path.stripSuffix("/") + ".__old__"
+
+  /** Complete an interrupted [[writeTable]] swap; returns the live
+    * path's FileSystem for reuse. Idempotent, driver-side, O(1). */
+  private def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(oldPath(path))
+    if (!f.exists(live) && f.exists(old)) {
+      // died between `live → old` and `staged → live`: roll back
+      f.rename(old, live)
+    } else if (f.exists(old)) {
+      // died before dropping `old`: the new table is live, finish
+      f.delete(old, true)
+    }
+    // a leftover staged dir is from a crash before the swap began (or
+    // mid-write): never referenced, safe to drop
+    val staged = new org.apache.hadoop.fs.Path(stagedPath(path))
+    if (f.exists(staged)) f.delete(staged, true)
+  }
+
+  /** Read the control CSV into memory (it is tiny by construction),
+    * completing any interrupted swap first. */
+  def readTable(spark: SparkSession, path: String): Seq[Entry] = {
+    recoverSwap(spark, path)
     IO.readCsv(spark, path)
       .collect()
       .toSeq
@@ -33,6 +70,7 @@ object Watermark {
           r.getAs[Any]("table_name").toString,
           r.getAs[Any]("watermark_value").toString,
           r.getAs[Any]("update_column").toString))
+  }
 
   /** S10 — scalar lookup for one table. */
   def lookup(spark: SparkSession, path: String, table: String): Option[Entry] =
@@ -49,11 +87,24 @@ object Watermark {
       writeTable(spark, path, updated)
     }
 
+  /** Crash-safe overwrite: stage the new CSV, then swap it live with
+    * two directory renames (see the durability contract above). A
+    * plain `SaveMode.Overwrite` deletes the live table before the new
+    * files commit — a crash in that window loses every watermark. */
   def writeTable(spark: SparkSession, path: String, entries: Seq[Entry]): Unit = {
     import spark.implicits._
+    recoverSwap(spark, path)
+    val staged = stagedPath(path)
     IO.writeCsv(
       entries.toDF("table_name", "watermark_value", "update_column"),
-      path, singleFile = true)
+      staged, singleFile = true)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(oldPath(path))
+    if (f.exists(live)) f.rename(live, old)
+    f.rename(new org.apache.hadoop.fs.Path(staged), live)
+    f.delete(old, true)
   }
 
   /** S2/P2 — incremental scan: rows strictly past the watermark. With a

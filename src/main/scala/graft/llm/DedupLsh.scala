@@ -138,14 +138,25 @@ object DedupLsh {
     * the whole shingle+hash computation onto the (few) input splits
     * (measured 20 s vs 2 s at sf0.1). The repartition spreads the
     * CPU-bound shingle/minhash maps, and is skipped when the input
-    * already has ≥ parallelism splits (any real-scale corpus). */
+    * already has ≥ parallelism splits (any real-scale corpus). The
+    * split estimate comes from logical-plan size stats (bytes /
+    * maxPartitionBytes) — probing `rdd.getNumPartitions` would force
+    * a second physical planning of the subtree on the driver per call
+    * (round-7 verdict). Stats overestimate post-filter size without
+    * CBO, which only ever SKIPS the repartition — and only on inputs
+    * already big enough to have spread across many splits. */
   private def shingleTable(df: DataFrame, idCol: String, textCol: String,
                            shingleN: Int): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
     val guarded = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .filter(size(split(col("text"), "\\s+")) >= shingleN)
-    (if (guarded.rdd.getNumPartitions < par) guarded.repartition(par) else guarded)
+    val maxSplitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val estSplits = guarded.queryExecution.optimizedPlan.stats.sizeInBytes /
+      math.max(maxSplitBytes, 1L)
+    (if (estSplits < par) guarded.repartition(par) else guarded)
       .withColumn("tk", split(col("text"), "\\s+"))
       .withColumn("sh", shinglesFromTokens(col("tk"), shingleN))
       .select(col("id"), col("sh"))

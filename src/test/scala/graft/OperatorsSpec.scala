@@ -58,6 +58,34 @@ class OperatorsSpec extends SparkSpec {
     assert(Watermark.lookup(spark, csv, "t").get.watermarkValue == "200")
   }
 
+  test("K6: watermark swap recovers from every crash window") {
+    import org.apache.hadoop.fs.Path
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_wm_swap"
+    val f = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(base), true)
+    val csv = s"$base/wm"
+    Watermark.writeTable(spark, csv, Seq(Watermark.Entry("t", "100", "v")))
+
+    // crash between `live -> old` and `staged -> live`: only old exists
+    f.rename(new Path(csv), new Path(s"$csv.__old__"))
+    assert(Watermark.lookup(spark, csv, "t").get.watermarkValue == "100",
+      "rollback from __old__ failed")
+    assert(f.exists(new Path(csv)) && !f.exists(new Path(s"$csv.__old__")))
+
+    // crash after `staged -> live` but before dropping old: both exist,
+    // live (the NEWER table) must win
+    Watermark.writeTable(spark, csv, Seq(Watermark.Entry("t", "200", "v")))
+    f.mkdirs(new Path(s"$csv.__old__"))
+    assert(Watermark.lookup(spark, csv, "t").get.watermarkValue == "200")
+    assert(!f.exists(new Path(s"$csv.__old__")))
+
+    // crash mid-stage: leftover __staged__ is dropped, live untouched
+    f.mkdirs(new Path(s"$csv.__staged__"))
+    Watermark.update(spark, csv, "t", Some("300"))
+    assert(Watermark.lookup(spark, csv, "t").get.watermarkValue == "300")
+    assert(!f.exists(new Path(s"$csv.__staged__")))
+  }
+
   test("S11: file discovery honors yyyyMMddHHmmss boundaries") {
     val base = s"${sys.props("java.io.tmpdir")}/graft_test_dated"
     graft.streaming.Streams.deleteDir(spark, base)
