@@ -58,6 +58,24 @@ object Caching {
     try f
     finally cached.foreach(_.unpersist(false))
 
+  /** Free a SUPERSEDED checkpoint's storage NOW instead of waiting on
+    * the ContextCleaner. `Dataset.unpersist` is a no-op on
+    * checkpointed frames (it releases CacheManager entries, and a
+    * checkpoint persists its RDD directly without one), so this
+    * reaches the `LogicalRDD` the checkpoint wrapped and unpersists
+    * the RDD itself. DESTRUCTIVE for a local checkpoint: the blocks
+    * are the only copy of the data and lineage is truncated — only
+    * call once nothing can read the frame again (the iterative loops'
+    * previous-iteration state, dead as soon as the next EAGER
+    * checkpoint returns). Reliable-checkpoint FILES are untouched
+    * (the ContextCleaner removes them under
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`). */
+  def dropSupersededCheckpoint(ck: Dataset[_]): Unit =
+    ck.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _                                            => ()
+    }
+
   /** Return `result` wired so that the first query execution that
     * reads it (or any frame derived from it) unpersists every frame
     * in `cached`. */

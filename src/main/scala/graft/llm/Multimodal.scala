@@ -173,9 +173,8 @@ object Multimodal {
     * when the input already has enough splits (any real-scale corpus). */
   def synthesizePngPayload(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val ids0 = df.select(col(idCol).cast("long").as("media_id"))
-    val ids = if (ids0.rdd.getNumPartitions < par) ids0.repartition(par) else ids0
+    val ids = graft.ops.Partitions.spreadForCpu(
+      df.select(col(idCol).cast("long").as("media_id")))
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
@@ -360,9 +359,8 @@ object Multimodal {
     * the PNG path). */
   def synthesizeWavPayload(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val ids0 = df.select(col(idCol).cast("long").as("media_id"))
-    val ids = if (ids0.rdd.getNumPartitions < par) ids0.repartition(par) else ids0
+    val ids = graft.ops.Partitions.spreadForCpu(
+      df.select(col(idCol).cast("long").as("media_id")))
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))

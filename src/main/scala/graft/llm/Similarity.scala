@@ -57,11 +57,10 @@ object Similarity {
     * CPU-bound narrow work (same trap as Text.contentTokens staging).
     * Guarded: a corpus that already has >= parallelism input splits
     * (any real-scale table) skips the full-corpus shuffle the
-    * unconditional repartition would pay. */
-  private def spread(corpus: DataFrame): DataFrame = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
-  }
+    * unconditional repartition would pay (split-count estimate from
+    * plan stats — see [[graft.ops.Partitions.spreadForCpu]]). */
+  private def spread(corpus: DataFrame): DataFrame =
+    graft.ops.Partitions.spreadForCpu(corpus)
 
   /** Exact two-stage per-query top-k over `(query_id, neighbor_id,
     * cosine)` candidates, ranked by (cosine desc, neighbor_id).
@@ -172,7 +171,8 @@ object Similarity {
       // the new checkpoint is EAGER, so the previous iteration's
       // centroid blocks are unreferenced the moment it returns —
       // release them now instead of waiting on the ContextCleaner
-      prev.unpersist(false)
+      // (Dataset.unpersist is a no-op on checkpointed frames)
+      graft.Caching.dropSupersededCheckpoint(prev)
     }
     cents
   }

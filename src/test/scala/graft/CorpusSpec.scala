@@ -255,8 +255,30 @@ class CorpusSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     // the band join must not re-shuffle either side by the band key —
-    // broadcast is the whole point of the incremental mode
+    // broadcast is the whole point of the incremental mode. (Range
+    // fixtures carry RangePartitioning, so even the post-verify pair
+    // dedup plans exchange-free here.)
     assert(!plan.contains("Exchange hashpartitioning"), plan)
+
+    // a REAL corpus arrives with unknown partitioning (parquet), so
+    // the pair dedup does exchange — that exchange must be THIN: the
+    // shingle arrays stay map-side, only (id_new, id_base, jaccard)
+    // survivors ride it (verify-then-dedup; a dedup-before-verify
+    // would ship every candidate's arrays)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val dfU = graft.llm.DedupLsh.crossNearDupPairs(
+        batch.repartition(3), base.repartition(3), "doc_id", "text")
+      val hashEx = dfU.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("id_") => e
+      }
+      assert(hashEx.nonEmpty, "expected a pair-dedup exchange on unknown partitioning")
+      hashEx.foreach { e =>
+        assert(!e.output.exists(_.name.startsWith("sh")),
+          s"shingle payload rides exchange: ${e.output.map(_.name)}")
+      }
+    }
   }
 
   test("bucketed upsert: untouched buckets survive; batch replay is a no-op") {

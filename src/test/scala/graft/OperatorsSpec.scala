@@ -1286,6 +1286,24 @@ class OperatorsSpec extends SparkSpec {
     awaitRelease(() => spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before))
   }
 
+  test("Caching.dropSupersededCheckpoint frees local-checkpoint blocks now") {
+    // Dataset.unpersist is a CacheManager call and a NO-OP on
+    // checkpointed frames — the helper must reach the LogicalRDD and
+    // unpersist the RDD itself, synchronously removing it from the
+    // persistent-RDD registry (block deletion is async, the registry
+    // entry is not)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ck = spark.range(0, 10000).toDF("v").localCheckpoint()
+    assert(!spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before),
+      "localCheckpoint should register a persistent RDD")
+    ck.unpersist(false) // documents the no-op this helper exists for
+    assert(!spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before),
+      "Dataset.unpersist unexpectedly freed the checkpoint (helper obsolete?)")
+    graft.Caching.dropSupersededCheckpoint(ck)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before),
+      "dropSupersededCheckpoint left the checkpoint RDD registered")
+  }
+
   test("Caching: operator-internal actions before registration cannot release early") {
     import org.apache.spark.storage.StorageLevel
     // the round-7 race: an action on the cached frame runs BEFORE the
