@@ -402,12 +402,13 @@ object LlmQueries {
         .orderBy("media_id")
     },
     "m2_frame_sample" -> { (s, dir) =>
-      // exercises the batched mapPartitions decode stub, then the
-      // columnar frame-sampling explode
+      // frame sampling over the REAL video decode: the frame counts
+      // come from parsing actual AVI containers, then the columnar
+      // explode emits every stride-th frame index
       Multimodal.sampleFrames(
-        Multimodal.decodeBatched(
-          Multimodal.attachPayload(Tables.documents(s, dir), "doc_id", "text")),
-        stride = 7)
+        Multimodal.decodeVideoBatched(
+          Multimodal.synthesizeAviPayload(Tables.documents(s, dir), "doc_id")),
+        stride = 2)
         .orderBy("media_id", "frame_idx")
     },
     // m3 — resize planning (fit-within 224×224, aspect preserved) over
@@ -440,6 +441,19 @@ object LlmQueries {
         Multimodal.synthesizeWavPayload(Tables.documents(s, dir), "doc_id"))
         .select("media_id", "pcm_bytes", "channels", "sample_rate", "n_frames",
           "duration_ms", "amp_sum", "amp_min", "amp_max")
+        .orderBy("media_id")
+    },
+    // m6 — REAL video decode: genuine RIFF/AVI containers of
+    // Motion-PNG frames flow through the binary column; the decoder
+    // walks the chunk tree per the public AVI spec and ImageIO-decodes
+    // EVERY frame (band values vary per frame, so a first-frame-only
+    // or header-only decode fails the px oracle). The oracle replays
+    // the synthesis formulas in closed form.
+    "m6_video_decode" -> { (s, dir) =>
+      Multimodal.decodeVideoBatched(
+        Multimodal.synthesizeAviPayload(Tables.documents(s, dir), "doc_id"))
+        .select("media_id", "n_frames", "width", "height", "fps",
+          "duration_ms", "px_sum", "px_min", "px_max")
         .orderBy("media_id")
     },
     // y10 — fixed-window token chunking: the pass that cuts documents
@@ -979,9 +993,9 @@ object LlmQueries {
           |  CAST(h * ((w // 2) * a + (w - w // 2) * b) AS BIGINT) AS px_sum
           |FROM d ORDER BY media_id""".stripMargin,
       "m2_frame_sample" ->
-        """SELECT media_id, n_frames, unnest(generate_series(0, n_frames - 1, 7)) AS frame_idx
+        """SELECT media_id, n_frames, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
           |FROM (
-          |  SELECT doc_id AS media_id, CAST(length(text) % 64 + 1 AS BIGINT) AS n_frames
+          |  SELECT doc_id AS media_id, CAST(3 + doc_id % 4 AS BIGINT) AS n_frames
           |  FROM documents)
           |ORDER BY media_id, frame_idx""".stripMargin,
       "m3_resize_plan" ->
@@ -1027,6 +1041,34 @@ object LlmQueries {
           |  CAST(ch * ((nf // 2) * a - (nf - nf // 2) * b) AS BIGINT) AS amp_sum,
           |  CAST(-b AS BIGINT) AS amp_min, a AS amp_max
           |FROM d ORDER BY media_id""".stripMargin,
+      // closed-form replay of the AVI synthesis: per-frame band values
+      // summed over every frame — a decoder that skips frames or reads
+      // only headers diverges
+      "m6_video_decode" ->
+        """WITH d AS (
+          |  SELECT doc_id AS media_id,
+          |    CAST(3 + doc_id % 4 AS BIGINT) AS nf,
+          |    CAST(5 + doc_id % 3 AS BIGINT) AS fps,
+          |    CAST(16 + doc_id % 9 AS BIGINT) AS w,
+          |    CAST(16 + (3 * doc_id + 5) % 7 AS BIGINT) AS h
+          |  FROM documents),
+          |f AS (
+          |  SELECT media_id, nf, fps, w, h, unnest(generate_series(0, nf - 1)) AS fr
+          |  FROM d),
+          |fb AS (
+          |  SELECT *, (31 * media_id + 17 * fr + 3) % 256 AS a,
+          |    (53 * media_id + 29 * fr + 7) % 256 AS b
+          |  FROM f),
+          |agg AS (
+          |  SELECT media_id,
+          |    SUM(h * ((w // 2) * a + (w - w // 2) * b)) AS px_sum,
+          |    MIN(LEAST(a, b)) AS px_min, MAX(GREATEST(a, b)) AS px_max
+          |  FROM fb GROUP BY media_id)
+          |SELECT d.media_id, nf AS n_frames, w AS width, h AS height, fps,
+          |  CAST((nf * (1000000 // fps)) // 1000 AS BIGINT) AS duration_ms,
+          |  CAST(px_sum AS BIGINT) AS px_sum,
+          |  CAST(px_min AS BIGINT) AS px_min, CAST(px_max AS BIGINT) AS px_max
+          |FROM d JOIN agg USING (media_id) ORDER BY media_id""".stripMargin,
       "y10_doc_chunks" ->
         """WITH t AS (
           |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
