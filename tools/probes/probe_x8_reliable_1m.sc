@@ -29,13 +29,20 @@ val edges = (spark.range(0L, 1000000L).toDF("id")
 
 val local = timed("clusters-localCheckpoint") {
   (graft.llm.DedupLsh.nearDupClusters(edges, reliableCheckpoints = Some(false))
-    .select(countDistinct(col("label"))).head().getLong(0))
+    .select(countDistinct(col("cluster"))).head().getLong(0))
 }
 
 val ckDir = "/tmp/probe_x8_reliable_ckpt"
 spark.sparkContext.setCheckpointDir(ckDir)
 val reliable = timed("clusters-reliableCheckpoint") {
   (graft.llm.DedupLsh.nearDupClusters(edges, reliableCheckpoints = Some(true))
-    .select(countDistinct(col("label"))).head().getLong(0))
+    .select(countDistinct(col("cluster"))).head().getLong(0))
 }
-println("PROBE components match=" + (local == reliable) + " (expect 50000)")
+// a second local-mode run: the first pays JVM/codegen warmup, so the
+// honest premium comparison is warm-local vs warm-reliable
+val localWarm = timed("clusters-local-warm") {
+  (graft.llm.DedupLsh.nearDupClusters(edges, reliableCheckpoints = Some(false))
+    .select(countDistinct(col("cluster"))).head().getLong(0))
+}
+println("PROBE components match=" + (local == reliable && reliable == localWarm) +
+  " (expect 50000)")
