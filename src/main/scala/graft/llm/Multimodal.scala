@@ -307,8 +307,10 @@ object Multimodal {
     def decode(id: Long, bytes: Array[Byte]): Row =
       decodeWith(loadReaders(), id, bytes)
 
-    /** Per-partition form (see [[WavCodec.encodeWith]] for why). */
-    def decodeWith(readers: Seq[AudioFileReader], id: Long, bytes: Array[Byte]): Row = {
+    /** Shared parse step: container → (channels, rate, frames,
+      * endianness, raw 16-bit PCM bytes). */
+    private def pcm16(readers: Seq[AudioFileReader], id: Long,
+                      bytes: Array[Byte]): (Int, Long, Long, Boolean, Array[Byte]) = {
       val ais = readers.view
         .flatMap { r =>
           try Some(r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
@@ -320,25 +322,63 @@ object Multimodal {
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16,
         s"media $id: amplitude stats need 16-bit PCM, got ${fmt.getSampleSizeInBits}-bit")
-      val ch = fmt.getChannels
-      val rate = fmt.getSampleRate.toLong
-      val nFrames = ais.getFrameLength
-      val big = fmt.isBigEndian
       val data = ais.readAllBytes()
       ais.close()
+      (fmt.getChannels, fmt.getSampleRate.toLong, ais.getFrameLength, fmt.isBigEndian, data)
+    }
+
+    @inline private def sample16(data: Array[Byte], off: Int, big: Boolean): Int =
+      if (big) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort.toInt
+      else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort.toInt
+
+    /** Per-partition form (see [[WavCodec.encodeWith]] for why). */
+    def decodeWith(readers: Seq[AudioFileReader], id: Long, bytes: Array[Byte]): Row = {
+      val (ch, rate, nFrames, big, data) = pcm16(readers, id, bytes)
       var sum = 0L
       var mn = Int.MaxValue
       var mx = Int.MinValue
       var off = 0
       while (off + 1 < data.length) {
-        val v =
-          if (big) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort.toInt
-          else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort.toInt
+        val v = sample16(data, off, big)
         sum += v; if (v < mn) mn = v; if (v > mx) mx = v
         off += 2
       }
       Row(id, nFrames * ch * 2L, ch.toLong, rate, nFrames,
         nFrames * 1000L / rate, sum, mn.toLong, mx.toLong)
+    }
+
+    /** Fixed-window energy features: window w covers frames
+      * [w·windowFrames, min((w+1)·windowFrames, n_frames)); energy is
+      * the exact Σ sample² over every channel in the window. The last
+      * window is partial, never padded — n_samples says how much
+      * signal backed each row. */
+    def energyWindowsWith(readers: Seq[AudioFileReader], id: Long, bytes: Array[Byte],
+                          windowFrames: Int): Iterator[Row] = {
+      val (ch, _, _, big, data) = pcm16(readers, id, bytes)
+      val frameBytes = ch * 2
+      val nFrames = data.length / frameBytes
+      new Iterator[Row] {
+        private var f = 0
+        def hasNext: Boolean = f < nFrames
+        def next(): Row = {
+          val wIdx = (f / windowFrames).toLong
+          val end = math.min(f + windowFrames, nFrames)
+          var energy = 0L
+          var n = 0L
+          while (f < end) {
+            var off = f * frameBytes
+            val stop = off + frameBytes
+            while (off < stop) {
+              val v = sample16(data, off, big)
+              energy += v.toLong * v
+              n += 1
+              off += 2
+            }
+            f += 1
+          }
+          Row(id, wIdx, n, energy)
+        }
+      }
     }
   }
 
@@ -372,6 +412,36 @@ object Multimodal {
       it.map(r => AudioDecoder.decodeWith(readers, r.getLong(0), r.getAs[Array[Byte]](1)))
     }
     spark.createDataFrame(rdd, DecodedAudioSchema)
+  }
+
+  /** Output schema of the windowed audio-energy features: one row per
+    * fixed-length frame window, energy = Σ sample² across all channels
+    * in the window (exact integer — the VAD/segmentation signal an
+    * audio curation pipeline thresholds on). */
+  val AudioWindowSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("window_idx", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false)
+  ))
+
+  /** Windowed audio FEATURE EXTRACTION over the real decode — the
+    * audio analog of [[sampleFrames]]: each clip's PCM stream is cut
+    * into `windowFrames`-frame windows (last window partial) and
+    * reduced to exact integer energy. One input row fans out to
+    * ceil(n_frames / windowFrames) feature rows inside the same
+    * batched mapPartitions pass — decode happens ONCE per clip, not
+    * once per window, and nothing shuffles. */
+  def audioEnergyWindows(withPayload: DataFrame, windowFrames: Int): DataFrame = {
+    require(windowFrames >= 1, "windowFrames must be positive")
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select("media_id", "payload").rdd.mapPartitions { it =>
+      val readers = AudioDecoder.loadReaders()
+      it.flatMap(r =>
+        AudioDecoder.energyWindowsWith(readers, r.getLong(0),
+          r.getAs[Array[Byte]](1), windowFrames))
+    }
+    spark.createDataFrame(rdd, AudioWindowSchema)
   }
 
   /** Output schema of the REAL video decode: container fields from

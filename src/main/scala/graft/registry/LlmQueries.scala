@@ -443,6 +443,17 @@ object LlmQueries {
           "duration_ms", "amp_sum", "amp_min", "amp_max")
         .orderBy("media_id")
     },
+    // m7 — windowed audio FEATURE EXTRACTION over the real decode
+    // (the VAD/segmentation energy signal): each clip's PCM cuts into
+    // 100-frame windows inside the same batched mapPartitions pass —
+    // one decode per clip, a per-window fan-out, zero shuffles. The
+    // oracle replays the exact integer window energies in closed form.
+    "m7_audio_windows" -> { (s, dir) =>
+      Multimodal.audioEnergyWindows(
+        Multimodal.synthesizeWavPayload(Tables.documents(s, dir), "doc_id"),
+        windowFrames = 100)
+        .orderBy("media_id", "window_idx")
+    },
     // m6 — REAL video decode: genuine RIFF/AVI containers of
     // Motion-PNG frames flow through the binary column; the decoder
     // walks the chunk tree per the public AVI spec and ImageIO-decodes
@@ -1041,6 +1052,32 @@ object LlmQueries {
           |  CAST(ch * ((nf // 2) * a - (nf - nf // 2) * b) AS BIGINT) AS amp_sum,
           |  CAST(-b AS BIGINT) AS amp_min, a AS amp_max
           |FROM d ORDER BY media_id""".stripMargin,
+      // closed-form replay of the windowed energies: window w covers
+      // frames [w*100, min(nf, w*100+100)); the first nf//2 frames
+      // hold sample a, the rest -b, identical across channels, so
+      // window energy = ch*(na*a^2 + nb*b^2) exactly
+      "m7_audio_windows" ->
+        """WITH d AS (
+          |  SELECT doc_id AS media_id,
+          |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+          |    CAST(256 + (5 * doc_id + 7) % 128 AS BIGINT) AS nf,
+          |    CAST((37 * doc_id + 11) % 30000 AS BIGINT) AS a,
+          |    CAST((53 * doc_id + 29) % 30000 AS BIGINT) AS b
+          |  FROM documents),
+          |w AS (
+          |  SELECT *, unnest(generate_series(0, (nf - 1) // 100)) AS widx FROM d),
+          |c AS (
+          |  SELECT media_id, ch, a, b, widx, widx * 100 AS lo,
+          |    least(nf, widx * 100 + 100) AS hi, nf // 2 AS half
+          |  FROM w),
+          |e AS (
+          |  SELECT media_id, widx, ch * (hi - lo) AS n_samples,
+          |    ch * (greatest(0, least(hi, half) - lo) * a * a +
+          |      (hi - lo - greatest(0, least(hi, half) - lo)) * b * b) AS energy
+          |  FROM c)
+          |SELECT media_id, CAST(widx AS BIGINT) AS window_idx,
+          |  CAST(n_samples AS BIGINT) AS n_samples, CAST(energy AS BIGINT) AS energy
+          |FROM e ORDER BY media_id, window_idx""".stripMargin,
       // closed-form replay of the AVI synthesis: per-frame band values
       // summed over every frame — a decoder that skips frames or reads
       // only headers diverges

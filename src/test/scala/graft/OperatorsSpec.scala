@@ -991,6 +991,28 @@ class OperatorsSpec extends SparkSpec {
       s"every clone must drop, every distinct vector survive; got $kept")
   }
 
+  test("Multimodal: windowed audio energy partitions the exact sample energy") {
+    import scala.jdk.CollectionConverters._
+    val readers = Multimodal.AudioDecoder.loadReaders()
+    for (id <- Seq(0L, 1L, 5L, 1234L)) {
+      val bytes = Multimodal.WavCodec.encode(id)
+      val rows = Multimodal.AudioDecoder
+        .energyWindowsWith(readers, id, bytes, windowFrames = 100).toSeq
+      val ch = Multimodal.WavCodec.channels(id)
+      val nf = Multimodal.WavCodec.numFrames(id)
+      val (a, b) = Multimodal.WavCodec.bandValues(id)
+      // windows tile the clip: indices 0..ceil(nf/100)-1, samples sum to nf*ch
+      assert(rows.map(_.getLong(1)) == (0L until ((nf + 99) / 100).toLong))
+      assert(rows.map(_.getLong(2)).sum == nf.toLong * ch)
+      // energies are exact and sum to the closed-form total
+      val half = nf / 2
+      val expTotal = ch.toLong * (half.toLong * a * a + (nf - half).toLong * b * b)
+      assert(rows.map(_.getLong(3)).sum == expTotal)
+      // per-window closed form (first window is all-a for these params)
+      assert(rows.head.getLong(3) == ch.toLong * 100L * a * a)
+    }
+  }
+
   test("Multimodal: real AVI bytes round-trip through the RIFF walker + ImageIO") {
     // the payload is a genuine RIFF/AVI container (magic fourccs prove
     // it) and the decoded stats must match the synthesis formulas
