@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
   * direction). SINGLE WRITER assumed — concurrent [[update]]s
   * read-modify-write and can lose each other's rows, same as the
   * reference's design; one control table belongs to one scheduler.
+  * Readers participate in recovery ([[readTable]] completes an
+  * interrupted swap), so a reader racing a LIVE writer could roll
+  * back its in-flight swap — serialize reads with writes under that
+  * same scheduler; recovery is for crash remains, not concurrency.
   */
 object Watermark {
 

@@ -159,7 +159,11 @@ object Multimodal {
       StructField("payload", BinaryType, nullable = false)))
     val rdd = ids.rdd.mapPartitions { it =>
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
-      val out = it.map { r => val id = r.getLong(0); Row(id, PngCodec.encodeWith(writer, id)) }
+      val out = it.map { r =>
+        require(!r.isNullAt(0),
+          "synthesizePngPayload: media id is NULL — repair ids before the encode")
+        val id = r.getLong(0); Row(id, PngCodec.encodeWith(writer, id))
+      }
       disposeAfter(out)(writer.dispose())
     }
     spark.createDataFrame(rdd, schema)
@@ -397,6 +401,8 @@ object Multimodal {
       val writers = java.util.ServiceLoader
         .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala.toSeq
       it.map { r =>
+        require(!r.isNullAt(0),
+          "synthesizeWavPayload: media id is NULL — repair ids before the encode")
         val id = r.getLong(0); Row(id, WavCodec.encodeWith(writers, id))
       }
     }
@@ -673,6 +679,8 @@ object Multimodal {
     val rdd = ids.rdd.mapPartitions { it =>
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
       disposeAfter(it.map { r =>
+        require(!r.isNullAt(0),
+          "synthesizeAviPayload: media id is NULL — repair ids before the encode")
         val id = r.getLong(0); Row(id, AviCodec.encodeWith(writer, id))
       })(writer.dispose())
     }

@@ -324,6 +324,40 @@ object LlmQueries {
         .withColumn("kept", col("rep_ratio") <= 0.2)
         .orderBy("doc_id")
     },
+    // e4 — the multimodal curation MANIFEST, the whole engine in one
+    // plan: score (lang-ID, quality, tokens) → threshold filter →
+    // exact content dedup keeping the min-id canonical (one digest
+    // exchange) → REAL image + audio decode branches over the
+    // survivors (narrow mapPartitions each) → thin id-keyed feature
+    // joins. The survivor table persists across its three consumers
+    // and releases on the caller's first action (Caching contract).
+    "e4_curation_manifest" -> { (s, dir) =>
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("score"),
+          TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens"))
+        .filter(col("lang_pred") =!= "und" && col("score") > 0.2 && col("n_tokens") >= 5L)
+      val survivors = scored
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(
+          min_by(struct(col("doc_id"), col("lang_pred"), col("score"), col("n_tokens")),
+            col("doc_id")).as("m"),
+          count(lit(1)).as("n_copies"))
+        .select(col("m.doc_id").as("doc_id"), col("m.lang_pred").as("lang_pred"),
+          col("m.score").as("score"), col("m.n_tokens").as("n_tokens"), col("n_copies"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val img = Multimodal
+        .decodeImageBatched(Multimodal.synthesizePngPayload(survivors, "doc_id"))
+        .select(col("media_id").as("doc_id"),
+          expr("px_sum * 1000 DIV (width * height)").as("img_mean_milli"))
+      val aud = Multimodal
+        .decodeAudioBatched(Multimodal.synthesizeWavPayload(survivors, "doc_id"))
+        .select(col("media_id").as("doc_id"), col("duration_ms").as("audio_ms"))
+      val manifest = survivors.join(img, Seq("doc_id")).join(aud, Seq("doc_id"))
+        .orderBy("doc_id")
+      graft.Caching.releaseAfterFirstUse(manifest, survivors)
+    },
     "y5_curation_funnel" -> { (s, dir) =>
       // the full curation path a training pipeline runs end-to-end:
       // score (lang-ID, quality, token count) → threshold filter →
@@ -856,6 +890,50 @@ object LlmQueries {
            |  SELECT doc_id, ${langHits(de)} AS hd, ${langHits(en)} AS he, ${langHits(fr)} AS hf
            |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents))
            |ORDER BY doc_id""".stripMargin,
+      // full-replay of the e4 composition: same scoring CTEs as y5,
+      // dedup keyed on md5(text) (all copies share text, so arg_min
+      // carries the canonical row's scores), media features in the
+      // m4/m5 closed forms keyed by the surviving ids
+      "e4_curation_manifest" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ts FROM documents),
+           |h AS (
+           |  SELECT doc_id, text, ts, ${langHits(de)} AS hd, ${langHits(en)} AS he,
+           |    ${langHits(fr)} AS hf
+           |  FROM t),
+           |scored AS (
+           |  SELECT doc_id, text,
+           |    CASE WHEN hd >= he AND hd >= hf AND hd > 0 THEN 'de'
+           |         WHEN he >= hf AND he > 0 THEN 'en'
+           |         WHEN hf > 0 THEN 'fr'
+           |         ELSE 'und' END AS lang_pred,
+           |    least(CAST(len(ts) AS DOUBLE) / 50.0, 1.0) *
+           |    (1.0 - CAST(len(list_filter(ts, t -> list_contains($StopSql, t))) AS DOUBLE)
+           |           / CAST(len(ts) AS DOUBLE)) AS score,
+           |    CAST(len(ts) AS BIGINT) AS n_tokens
+           |  FROM h),
+           |filtered AS (
+           |  SELECT * FROM scored
+           |  WHERE lang_pred != 'und' AND score > 0.2 AND n_tokens >= 5),
+           |survivors AS (
+           |  SELECT min(doc_id) AS doc_id, arg_min(lang_pred, doc_id) AS lang_pred,
+           |    arg_min(score, doc_id) AS score, arg_min(n_tokens, doc_id) AS n_tokens,
+           |    CAST(COUNT(*) AS BIGINT) AS n_copies
+           |  FROM filtered GROUP BY md5(text)),
+           |media AS (
+           |  SELECT doc_id,
+           |    CAST(16 + doc_id % 17 AS BIGINT) AS w,
+           |    CAST(16 + (3 * doc_id + 5) % 13 AS BIGINT) AS h,
+           |    CAST(doc_id % 256 AS BIGINT) AS a,
+           |    CAST((7 * doc_id + 13) % 256 AS BIGINT) AS b,
+           |    CAST(256 + (5 * doc_id + 7) % 128 AS BIGINT) AS nf,
+           |    CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sr
+           |  FROM survivors)
+           |SELECT s.doc_id, s.lang_pred, s.score, s.n_tokens, s.n_copies,
+           |  CAST((m.h * ((m.w // 2) * m.a + (m.w - m.w // 2) * m.b) * 1000)
+           |    // (m.w * m.h) AS BIGINT) AS img_mean_milli,
+           |  CAST((m.nf * 1000) // m.sr AS BIGINT) AS audio_ms
+           |FROM survivors s JOIN media m USING (doc_id) ORDER BY s.doc_id""".stripMargin,
       "y5_curation_funnel" ->
         s"""WITH scored AS (
            |  SELECT doc_id,
