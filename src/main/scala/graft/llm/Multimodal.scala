@@ -190,9 +190,8 @@ object Multimodal {
     }
   }
 
-  /** Batched per-partition REAL decode — same mapPartitions shape as
-    * [[decodeBatched]], but the body is `javax.imageio` reading actual
-    * pixel data instead of the digest stub. */
+  /** Batched per-partition REAL image decode — one reused reader per
+    * partition, `javax.imageio` inflating actual pixel data. */
   def decodeImageBatched(withPayload: DataFrame): DataFrame = {
     val spark = withPayload.sparkSession
     val rdd = withPayload.select("media_id", "payload").rdd.mapPartitions { it =>
@@ -722,9 +721,9 @@ object Multimodal {
       .select("media_id", "n_frames", "frame_idx")
 
   /** Resize planning: fit-within (targetW, targetH) preserving aspect
-    * ratio. The DIMENSION math is the real operator (it decides batch
-    * shapes and memory downstream); the pixel resample itself is the
-    * stubbed decoder's job. Pure integer arithmetic — `tw·h ≤ th·w`
+    * ratio. The DIMENSION math is the operator (it decides batch
+    * shapes and memory downstream); the pixel resample itself belongs
+    * in the decode body. Pure integer arithmetic — `tw·h ≤ th·w`
     * picks the binding axis and the other dimension scales by an exact
     * integer floor-division, so any engine replays it bit-for-bit
     * (double-based scale factors differ in the last ulp). */
