@@ -199,4 +199,20 @@ object Rows {
     * (py:197). */
   def truncateCell(c: Column, maxChars: Int = 10000): Column =
     substring(c, 1, maxChars)
+
+  /** Semi-structured payload handling via Spark 4's VARIANT type —
+    * the modern engine path for the reference's free-form JSON
+    * property bags (`props` on browsing events): `parse_json` once
+    * into the binary-encoded variant (no per-access re-parse, unlike
+    * `get_json_object` on strings), then typed `variant_get`
+    * extraction. Both are codegen scalar expressions, so the whole
+    * parse+extract stays a narrow stage; with variant shredding the
+    * parquet scan can serve extracted paths columnar. `path` is a
+    * JSON-path like `$.k`; a missing path yields NULL (variant_get's
+    * lenient mode), matching JSON-extraction semantics elsewhere. */
+  def variantExtract(df: DataFrame, jsonCol: String, path: String,
+                     targetType: String, out: String): DataFrame =
+    df.withColumn("__v", parse_json(col(jsonCol)))
+      .withColumn(out, try_variant_get(col("__v"), path, targetType))
+      .drop("__v")
 }

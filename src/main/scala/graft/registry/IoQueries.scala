@@ -124,6 +124,15 @@ object IoQueries {
         .select("doc_id", "lang", "split")
         .orderBy("doc_id")
     },
+    "p12_variant_extract" -> { (s, dir) =>
+      // the events table's free-form JSON property bag through Spark
+      // 4's VARIANT type: one binary parse, typed path extraction,
+      // filter on the extracted value — all codegen, all narrow
+      Rows.variantExtract(Tables.events(s, dir), "props", "$.k", "bigint", "k")
+        .filter(col("k") % 7L === 0L)
+        .select("event_id", "k")
+        .orderBy("event_id")
+    },
     "p5_bool_coercion" -> { (s, dir) =>
       val withStr = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"),
@@ -374,6 +383,13 @@ object IoQueries {
         |WHERE md5(CAST(doc_id AS VARCHAR)) <
         |  (CASE WHEN lang = 'en' THEN '33' WHEN lang = 'de' THEN '0d' ELSE '80' END)
         |ORDER BY doc_id""".stripMargin,
+    // the oracle replays the JSON-path extraction on the raw string —
+    // a wrong variant parse, path walk, or cast diverges
+    "p12_variant_extract" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0
+        |ORDER BY event_id""".stripMargin,
     "p11_split_assign" ->
       """SELECT doc_id, lang,
         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0ccc' THEN 'val'

@@ -722,6 +722,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter(col("k").isNull).count() == 0)
   }
 
+  test("P12: variant extract types the path, nulls missing paths, stays narrow") {
+    val df = Seq((1L, """{"k": 7}"""), (2L, """{"other": 1}"""), (3L, """{"k": 14}"""))
+      .toDF("event_id", "props")
+    val out = graft.ops.Rows.variantExtract(df, "props", "$.k", "bigint", "k")
+    assert(out.orderBy("event_id").select("k").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq ==
+      Seq(Some(7L), None, Some(14L)))
+    // parse + extract are scalar expressions: a single narrow stage
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "variant parse/extract must not shuffle")
+  }
+
   test("P10: stratified hash sample honors per-stratum fractions incl. keep-all") {
     val df = spark.range(6000)
       .withColumn("g", when(col("id") % 2 === 0, "a").otherwise("b"))
