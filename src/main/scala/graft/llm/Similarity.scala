@@ -392,16 +392,21 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("nv"))
     val q = queries
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
-    val candidates = allPlanes
+    // score per bucket hit and dedup AFTER: a pair colliding in both
+    // tables recomputes one cosine (≤ `tables` map-side evaluations),
+    // and the pair-dedup exchange then carries only (ids, cosine) —
+    // deduping the candidates first would ship BOTH vectors through
+    // it (the crossNearDupPairs lesson, round 8).
+    val scored = allPlanes
       .map { pls =>
         c.withColumn("bucket", lshBucket(col("nv"), pls))
           .join(broadcast(q.withColumn("bucket", lshBucket(col("qv"), pls))), Seq("bucket"))
           .filter(col("neighbor_id") =!= col("query_id"))
-          .select("query_id", "neighbor_id", "qv", "nv")
+          .select(col("query_id"), col("neighbor_id"),
+            cosineQ(col("qv"), col("nv")).as("cosine"))
       }
       .reduce(_.unionByName(_))
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = candidates.withColumn("cosine", cosineQ(col("qv"), col("nv")))
     topKPerQuery(scored, k)
   }
 
