@@ -78,7 +78,28 @@ object DedupLsh {
 
   /** Near-dup pairs via banded LSH + Jaccard verification.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
-    */
+    *
+    * PIPELINE CONTRACT — run [[exactDedup]] FIRST. Byte-identical
+    * documents share identical minhash signatures, so a clone set of
+    * size m lands whole in one bucket of EVERY band and the self-join
+    * emits ~m²·numBands/2 candidate rows before any dedup: at web-crawl
+    * clone counts (hundreds of thousands of byte-identical boilerplate
+    * pages) that is 10¹⁰-row territory from a single bucket. Exact
+    * dedup collapses clone sets to one representative in one
+    * digest-keyed shuffle, which is both cheaper and lossless.
+    *
+    * `maxBucketDf` is the belt-and-braces occupancy cap for corpora
+    * where that contract can't be guaranteed: band keys held by more
+    * than `maxBucketDf` documents are dropped before the self-join
+    * (the x18-winnow / x12-contamination df-cap rule). A bucket only
+    * exceeds a generous cap when (numHashes/numBands) consecutive
+    * min-hashes agree across that many documents — i.e. exact clones
+    * (which [[exactDedup]] catches losslessly) or near-identical
+    * boilerplate (which still collides in OTHER, un-capped bands
+    * unless it is ubiquitous). The cap bounds the self-join at
+    * O(buckets × maxBucketDf²) regardless of input pathology; recall
+    * is traded only on what exact dedup already owns. `None` (default)
+    * preserves exact parity with the uncapped oracle. */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -86,7 +107,8 @@ object DedupLsh {
       shingleN: Int = 3,
       numHashes: Int = 12,
       numBands: Int = 4,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucketDf: Option[Long] = None
   ): DataFrame = {
     val rowsPerBand = numHashes / numBands
     graft.functions.SortedArrayJaccard.register(df.sparkSession)
@@ -104,10 +126,15 @@ object DedupLsh {
     // materialization (graft.Caching contract).
     val withSh = shingleTable(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = withSh
+    val bandsAll = withSh
       .withColumn("band", explode(bandKeys(col("sh"), numBands, rowsPerBand)))
       .select(col("id"), col("band"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // occupancy cap (see scaladoc): the cap join hashes on the SAME
+    // band key as the pair self-join below, so AQE/ShuffleExchange
+    // reuse means the filter costs one aggregate, not an extra
+    // corpus exchange — the winnowNearDupPairs maxDf shape.
+    val bands = capBucketOccupancy(bandsAll, "band", maxBucketDf)
     val a = bands.select(col("band"), col("id").as("id_a"))
     val b = bands.select(col("band"), col("id").as("id_b"))
     // shuffle_hash hints: the planner underestimates the exploded
@@ -128,8 +155,30 @@ object DedupLsh {
         Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    graft.Caching.releaseAfterFirstUse(verified, withSh, bands)
+    graft.Caching.releaseAfterFirstUse(verified, withSh, bandsAll)
   }
+
+  /** Keep only rows whose `keyCols`-bucket holds ≤ cap rows — the
+    * shared occupancy guard behind every banded/blocked self-join in
+    * the dedup family (minhash bands, simhash blocks, embedding
+    * sign-buckets; same rule as winnow's `maxDf` and x12's df cap).
+    * The keep-list is bucket-vocab-sized; the shuffle_hash hint stops
+    * the planner's exploded-subtree underestimate from broadcasting a
+    * corpus-sized probe side, and the join hashes on the same key as
+    * the downstream self-join so the exchange is reused. `None` = no
+    * cap (exact parity with the uncapped oracle). */
+  private[llm] def capBucketOccupancy(rows: DataFrame, keyCol: String,
+                                      cap: Option[Long], moreKeys: String*): DataFrame =
+    cap match {
+      case None => rows
+      case Some(c) =>
+        require(c >= 2, s"maxBucketDf must admit at least a pair, got $c")
+        val keys = (keyCol +: moreKeys).map(col)
+        val ok = rows.groupBy(keys: _*).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= c)
+          .select(keys: _*)
+        rows.join(ok.hint("shuffle_hash"), keyCol +: moreKeys)
+    }
 
   /** Shared shingle staging for [[nearDupPairs]] (which explodes thin
     * bands from it) and [[bandedTable]]: the ≥shingleN-token guard runs
@@ -393,9 +442,21 @@ object DedupLsh {
     * (block_idx, block_value) with EXACT recall (no probabilistic miss,
     * unlike minhash banding). Cost ∝ block-bucket occupancy — at real
     * scale use 64-bit fingerprints with 16-bit blocks so each block
-    * key space is 65k-wide. */
+    * key space is 65k-wide.
+    *
+    * PIPELINE CONTRACT — run [[exactDedup]] first: byte-identical
+    * clones share the whole fingerprint, hence every block, and an
+    * m-clone set makes one bucket emit ~m²·blocks/2 candidates.
+    * `maxBucketDf` drops (block, value) buckets held by more than that
+    * many documents before the self-join (see [[nearDupPairs]]).
+    * Caveat specific to simhash: recall here is pigeonhole-EXACT, so a
+    * capped bucket can lose a genuine within-radius pair when its
+    * other shared blocks are also over cap; `None` (default) keeps the
+    * exact guarantee, a cap restores it being "exact above the
+    * occupancy floor". */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          bits: Int = 32, maxHamming: Int = 3): DataFrame = {
+                          bits: Int = 32, maxHamming: Int = 3,
+                          maxBucketDf: Option[Long] = None): DataFrame = {
     val blocks = maxHamming + 1
     // blocks > bits would make some block zero-width (every row keys to
     // block value 0 → a full cross product) — refuse loudly instead
@@ -416,8 +477,9 @@ object DedupLsh {
               .bitwiseAND(lit((1L << widths(i)) - 1)).as("bv"))): _*)).as("b"))
       .select(col("id"), col("sim"), col("b.bi").as("bi"), col("b.bv").as("bv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = blk.select(col("bi"), col("bv"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b2 = blk.select(col("bi"), col("bv"), col("id").as("id_b"), col("sim").as("sim_b"))
+    val capped = capBucketOccupancy(blk, "bi", maxBucketDf, "bv")
+    val a = capped.select(col("bi"), col("bv"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b2 = capped.select(col("bi"), col("bv"), col("id").as("id_b"), col("sim").as("sim_b"))
     // pair-dedup before the hamming verify (same shape as nearDupPairs)
     a.join(b2.hint("shuffle_hash"), Seq("bi", "bv"))
       .filter(col("id_a") < col("id_b"))

@@ -345,10 +345,19 @@ object Similarity {
     * underestimates, cost ∝ bucket occupancy. Recall: a near-dup pair
     * collides in a table unless the perturbation flips one of that
     * table's plane signs; `tables` independent tables drive the miss
-    * rate down geometrically. */
+    * rate down geometrically.
+    *
+    * PIPELINE CONTRACT — run exact dedup first (vector-identical rows
+    * share every table's sign bucket, so an m-clone set makes one
+    * bucket emit ~m²·tables/2 candidates). `maxBucketDf` drops sign
+    * buckets held by more than that many vectors before the self-join
+    * ([[graft.llm.DedupLsh.capBucketOccupancy]]); with `numPlanes`
+    * sized so buckets stay balanced this only fires on degenerate
+    * clone/near-clone mass. `None` (default) = exact oracle parity. */
   def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
                             numPlanes: Int = 4, dim: Int = 64,
-                            tables: Int = 2): DataFrame = {
+                            tables: Int = 2,
+                            maxBucketDf: Option[Long] = None): DataFrame = {
     graft.functions.LongArrayDot.register(corpus.sparkSession)
     val allPlanes = (0 until tables).map(t => planes(numPlanes, dim, s"plane$t~"))
     val v = spread(corpus)
@@ -357,8 +366,9 @@ object Similarity {
         case (pls, t) => concat(lit(s"$t#"), lshBucket(col("nv"), pls))
       }: _*)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = v.select(col("bucket"), col("vec_id").as("id_a"), col("nv").as("nv_a"))
-    val b = v.select(col("bucket"), col("vec_id").as("id_b"), col("nv").as("nv_b"))
+    val capped = DedupLsh.capBucketOccupancy(v, "bucket", maxBucketDf)
+    val a = capped.select(col("bucket"), col("vec_id").as("id_a"), col("nv").as("nv_a"))
+    val b = capped.select(col("bucket"), col("vec_id").as("id_b"), col("nv").as("nv_b"))
     // verify-then-distinct, DELIBERATELY: a pair colliding in t tables
     // pays up to t cosine verifies, but t is small (default 2) and the
     // verify is one fused codegen dot-product loop — measured at sf0.1,

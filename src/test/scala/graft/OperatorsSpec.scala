@@ -247,6 +247,102 @@ class OperatorsSpec extends SparkSpec {
     (0L until 30L).foreach(i => assert(pairs.contains((i, i + 1000L)), s"missing pair $i"))
   }
 
+  /** Clone-heavy fixture for the occupancy-cap specs: `m` byte-identical
+    * boilerplate docs (ids 0..m-1) plus 20 distinct docs (ids m+1000..
+    * m+1019) each with a drop-last-word near-clone at id+5000. */
+  private def cloneHeavyCorpus(m: Long) = {
+    val boiler = "this exact boilerplate page body repeats verbatim across the whole crawl every time"
+    val clones = (0L until m).map(i => (i, boiler))
+    val distinct = (m + 1000L until m + 1020L).map(i =>
+      (i, s"unique document number x$i with alpha$i beta gamma delta epsilon zeta eta theta"))
+    val near = distinct.map { case (i, t) => (i + 5000L, t.split(" ").dropRight(1).mkString(" ")) }
+    (clones ++ distinct ++ near).toDF("doc_id", "text")
+  }
+
+  test("Occupancy cap (minhash): removes exactly the over-cap clone buckets, keeps real near-dups") {
+    val corpus = cloneHeavyCorpus(120L)
+    def pairSet(cap: Option[Long]) = graft.llm.DedupLsh
+      .nearDupPairs(corpus, "doc_id", "text", threshold = 0.5, maxBucketDf = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairSet(None)
+    // the uncapped clone set is fully quadratic: 120*119/2 pairs
+    assert(uncapped.count { case (a, b) => a < 120L && b < 120L } == 120 * 119 / 2)
+    val capped = pairSet(Some(50L))
+    // cap removes ONLY pairs whose every shared bucket is over-cap —
+    // here exactly the clone-clone pairs (exactDedup's territory)
+    assert(capped == uncapped.filterNot { case (a, b) => a < 120L && b < 120L })
+    (1120L until 1140L).foreach(i => assert(capped.contains((i, i + 5000L)), s"lost real pair $i"))
+    val e = intercept[IllegalArgumentException] {
+      pairSet(Some(1L))
+    }
+    assert(e.getMessage.contains("maxBucketDf"))
+  }
+
+  test("Occupancy cap (minhash): a 10k-clone corpus stays bounded under the cap") {
+    // uncapped, this fixture's band self-join would emit ~2x10^8
+    // candidate rows (10k^2/2 x 4 bands) before any dedup — the
+    // web-crawl pathology. Capped, the clone buckets drop before the
+    // join and the whole query is a few seconds of small-bucket work.
+    val capped = graft.llm.DedupLsh
+      .nearDupPairs(cloneHeavyCorpus(10000L), "doc_id", "text",
+        threshold = 0.5, maxBucketDf = Some(100L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists { case (a, b) => a < 10000L && b < 10000L })
+    (11000L until 11020L).foreach(i => assert(capped.contains((i, i + 5000L)), s"lost real pair $i"))
+  }
+
+  test("Occupancy cap (simhash): clone blocks drop, within-radius pairs in small buckets survive") {
+    val corpus = cloneHeavyCorpus(120L)
+    def pairSet(cap: Option[Long]) = graft.llm.DedupLsh
+      .simhashNearDupPairs(corpus, "doc_id", "text", bits = 32, maxHamming = 3,
+        maxBucketDf = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairSet(None)
+    assert(uncapped.count { case (a, b) => a < 120L && b < 120L } == 120 * 119 / 2)
+    val capped = pairSet(Some(50L))
+    assert(!capped.exists { case (a, b) => a < 120L && b < 120L })
+    // every surviving pair is still a true within-radius pair, and the
+    // distinct-doc pairs (small buckets) are untouched by the cap
+    assert(capped == uncapped.filterNot { case (a, b) => a < 120L && b < 120L })
+  }
+
+  test("Occupancy cap (embedding): clone buckets drop; a pair survives iff it shares an un-capped bucket") {
+    // 120 identical vectors (ids 0..119) + 10 base vectors (1000..1009)
+    // each with a tiny perturbation clone at id+5000 (cosine ~ 1)
+    val base = (0 until 64).map(j => 0.5 + 0.01 * (j % 7))
+    val clones = (0L until 120L).map(i => (i, base.map(_.toFloat)))
+    val pairsFix = (1000L until 1010L).flatMap { i =>
+      val v = (0 until 64).map(j => math.sin(i * 64 + j) + 2.0)
+      Seq((i, v.map(_.toFloat)), (i + 5000L, v.map(x => (x + 0.001).toFloat)))
+    }
+    val corpus = (clones ++ pairsFix).toDF("vec_id", "embedding")
+    def pairSet(cap: Option[Long]) = Similarity
+      .embeddingNearDupPairs(corpus, threshold = 0.99, maxBucketDf = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairSet(None)
+    assert(uncapped.count { case (a, b) => a < 120L && b < 120L } == 120 * 119 / 2)
+    val capped = pairSet(Some(50L))
+    assert(!capped.exists { case (a, b) => a < 120L && b < 120L })
+    // the exact cap contract, checked by replaying the bucket
+    // assignment with the same public machinery: a pair is lost iff
+    // EVERY bucket the two vectors share holds > cap vectors (with 2
+    // tables x 16 buckets a genuine pair CAN legitimately share only
+    // clone-crowded buckets — the documented recall trade)
+    graft.functions.LongArrayDot.register(spark)
+    val allPlanes = (0 until 2).map(t => Similarity.planes(4, 64, s"plane$t~"))
+    val rows = corpus.select(col("vec_id"),
+      array(allPlanes.zipWithIndex.map { case (pls, t) =>
+        concat(lit(s"$t#"), Similarity.lshBucket(Similarity.quantize(col("embedding")), pls))
+      }: _*).as("buckets")).collect()
+    val buckets = rows.map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val occ = buckets.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = uncapped.filter { case (a, b) =>
+      (buckets(a) intersect buckets(b)).exists(bk => occ(bk) <= 50L)
+    }
+    assert(capped == expected)
+    assert(expected.exists { case (a, _) => a >= 1000L }, "fixture must keep some real pairs")
+  }
+
   test("SimHash near-dup: block search finds EXACTLY the hamming<=3 pairs (pigeonhole)") {
     val docs = (0L until 25L).map(i => (i, s"alpha beta gamma delta tok$i epsilon zeta eta theta"))
     val corpus = docs.toDF("doc_id", "text")
@@ -711,6 +807,18 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"))
     assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
     assert(j.count() == 500)
+    // AQE-ON (the production default) and FINALIZED: adaptive
+    // re-planning must not re-introduce an exchange around the
+    // bucketed scans (collect() drives THIS queryExecution — count()
+    // would build a separate one and leave the plan unfinalized)
+    withSQLConf("spark.sql.adaptive.enabled" -> "true") {
+      val j2 = spark.table("spec_a_b").hint("merge").join(spark.table("spec_b_b"), "id")
+      assert(j2.collect().length == 500)
+      val fp = j2.queryExecution.executedPlan.toString
+      assert(!fp.contains("AdaptiveSparkPlan") || fp.contains("isFinalPlan=true"), fp)
+      assert(fp.contains("SortMergeJoin"), s"AQE replaced the bucketed SMJ:\n$fp")
+      assert(!fp.contains("Exchange"), s"AQE re-introduced an exchange:\n$fp")
+    }
   }
 
   test("P4 hash sample: null keys never members (matches SQL || null propagation)") {
@@ -1177,6 +1285,20 @@ class OperatorsSpec extends SparkSpec {
     val plan = phys.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
       s"expected partial rank-limit pushdown below the exchange:\n$plan")
+    // AQE-ON and finalized: the partial rank-limit must survive
+    // adaptive re-planning (it is an optimizer rule, but the verdict
+    // asked for the production-default state to be pinned, not assumed)
+    withSQLConf("spark.sql.adaptive.enabled" -> "true") {
+      val phys2 = Dedup.capPerKey(
+        spark.range(1000).select((col("id") % 3).cast("string").as("k"),
+          col("id"), col("id").cast("double").as("score")),
+        Seq("k"), Seq(col("score").desc, col("id").asc), n = 5)
+      assert(phys2.collect().length == 15)
+      val fp = phys2.queryExecution.executedPlan.toString
+      assert(!fp.contains("AdaptiveSparkPlan") || fp.contains("isFinalPlan=true"), fp)
+      assert(fp.contains("WindowGroupLimit") && fp.contains("Partial"),
+        s"partial rank-limit lost under AQE:\n$fp")
+    }
     // complex-typed keys partition via their canonical (to_json) form,
     // same as keepFirst — a bare array key is not a legal window key
     val complexKey = Seq((Seq(1, 2), 1L, 2.0), (Seq(1, 2), 2L, 1.0),
@@ -1262,6 +1384,19 @@ class OperatorsSpec extends SparkSpec {
       s"broadcast anti-join missing:\n$plan")
     // b_0, b_4, ..., b_48 collide with history ⇒ 13 dupes of 50
     assert(out.count() == 37L)
+    // AQE-ON and finalized: the zero-history-shuffle property must
+    // hold in the adaptive final plan too — the map-side bloom filter
+    // stays on the scan and the anti-join stays a broadcast
+    withSQLConf("spark.sql.adaptive.enabled" -> "true") {
+      val out2 = graft.llm.BloomDedup
+        .antiJoinBloom(batch, history, "k", expectedItems = 64, fpp = 0.01)
+      assert(out2.collect().length == 37)
+      val fp = out2.queryExecution.executedPlan.toString
+      assert(!fp.contains("AdaptiveSparkPlan") || fp.contains("isFinalPlan=true"), fp)
+      assert(fp.contains("might_contain"), s"bloom prefilter lost under AQE:\n$fp")
+      assert(fp.contains("BroadcastHashJoin") && fp.contains("LeftAnti"),
+        s"broadcast anti-join lost under AQE:\n$fp")
+    }
   }
 
   test("BloomDedup: survivor-overflow fallback reaches a shuffled anti-join") {
