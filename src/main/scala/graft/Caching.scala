@@ -87,12 +87,31 @@ object Caching {
     val resultPlan = result.queryExecution.analyzed
     val listener = new QueryExecutionListener {
       private val done = new AtomicBoolean(false)
+      private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+      // The identity anchor assumes the analyzer NEVER copies an
+      // already-analyzed subtree. That holds today, but
+      // DeduplicateRelations (self-join shapes) or a future Spark
+      // could hand the consumer a rewritten COPY — identity would
+      // then never match and the cache would pin for the session.
+      // Two bounded fallbacks close that leak mode:
+      //  - after `IdentityMissLimit` non-matching executions, accept a
+      //    STRUCTURALLY identical plan too (`sameResult` canonicalizes
+      //    — too costly for every execution, cheap as a fallback);
+      //  - after `HardReleaseLimit`, release unconditionally. A
+      //    premature release only costs the consumer a recompute
+      //    (persist is a cache, lineage is intact — performance, not
+      //    correctness), strictly better than pinning blocks forever.
+      private val IdentityMissLimit = 32
+      private val HardReleaseLimit = 256
       // analyzed is already computed by the time an execution event
       // fires; the try covers exotic failure events where forcing it
       // re-throws — treat as no-match
       private def consumerRead(qe: QueryExecution): Boolean =
-        try qe.analyzed.exists(_ eq resultPlan)
-        catch { case _: Throwable => false }
+        try {
+          qe.analyzed.exists(_ eq resultPlan) ||
+            (misses.get >= IdentityMissLimit &&
+              qe.analyzed.exists(_.sameResult(resultPlan)))
+        } catch { case _: Throwable => false }
       private def nothingLeftToRelease: Boolean =
         try cached.forall(_.storageLevel == StorageLevel.NONE)
         catch { case _: Throwable => false }
@@ -106,6 +125,13 @@ object Caching {
           // blocks already gone (external clearCache, or another hook
           // on the same frames): stop watching instead of paying a
           // plan traversal on every execution forever
+          spark.listenerManager.unregister(this)
+        } else if (misses.incrementAndGet() >= HardReleaseLimit &&
+            done.compareAndSet(false, true)) {
+          // identity AND structural match both failed for this many
+          // executions: assume the anchor is unreachable and release
+          // (see the leak-mode note above — recompute, never pin)
+          cached.foreach(_.unpersist(false))
           spark.listenerManager.unregister(this)
         }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =

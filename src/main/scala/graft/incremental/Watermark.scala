@@ -50,8 +50,11 @@ object Watermark {
     val live = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(oldPath(path))
     if (!f.exists(live) && f.exists(old)) {
-      // died between `live → old` and `staged → live`: roll back
-      f.rename(old, live)
+      // died between `live → old` and `staged → live`: roll back.
+      // Hadoop rename reports most failures by RETURNING FALSE, not
+      // throwing — an unchecked false here would leave no live table
+      // and the caller none the wiser.
+      require(f.rename(old, live), s"watermark recovery rename failed: $old -> $live")
     } else if (f.exists(old)) {
       // died before dropping `old`: the new table is live, finish
       f.delete(old, true)
@@ -106,8 +109,17 @@ object Watermark {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(oldPath(path))
-    if (f.exists(live)) f.rename(live, old)
-    f.rename(new org.apache.hadoop.fs.Path(staged), live)
+    // Hadoop rename reports most failures by RETURNING FALSE, not
+    // throwing. Unchecked, a failed `staged -> live` after `live ->
+    // old` succeeded would let the delete below destroy the LAST copy
+    // of every table's watermark — the exact loss this swap protocol
+    // exists to prevent. So: require each rename, and delete `old`
+    // only after confirming the live path actually exists.
+    if (f.exists(live))
+      require(f.rename(live, old), s"watermark swap rename failed: $live -> $old")
+    require(f.rename(new org.apache.hadoop.fs.Path(staged), live),
+      s"watermark swap rename failed: $staged -> $live")
+    require(f.exists(live), s"watermark swap left no live table at $live")
     f.delete(old, true)
   }
 

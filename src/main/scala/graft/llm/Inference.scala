@@ -56,7 +56,14 @@ object Inference {
 
   def encodeBatched(docs: DataFrame, idCol: String, textCol: String,
                     dim: Int = 64, batchSize: Int = 64): DataFrame = {
-    require(dim >= 1 && dim <= 256, "bucket id comes from two hex digits (0-255)")
+    // divisors of 256 only: the bucket is (two hex digits) % dim, and
+    // a non-divisor dim (e.g. 100) would systematically overload the
+    // low buckets (values 0..255 wrap 2x into buckets < 56) — silent
+    // projection skew. 256's divisors are exactly the powers of two,
+    // which is also what feature-hashing deployments use in practice.
+    require(dim >= 1 && dim <= 256 && 256 % dim == 0,
+      s"dim must be a power of two <= 256 (bucket = 2 hex digits mod dim, " +
+        s"non-divisors bias the low buckets); got $dim")
     require(batchSize >= 1, "batchSize must be positive")
     val spark = docs.sparkSession
     import spark.implicits._

@@ -11,11 +11,17 @@ import org.apache.spark.sql.DataFrame
   * The "is the input already wide?" test must not construct the
   * frame's RDD — `df.rdd` physically plans the subtree a second time
   * on the driver per call (round-7 verdict). Instead estimate the
-  * split count from logical-plan size stats over
-  * `spark.sql.files.maxPartitionBytes`. Without CBO the stats only
-  * ever OVERestimate a filtered subtree's size, which only ever SKIPS
-  * the repartition — and only on inputs already big enough to have
-  * spread across many splits.
+  * split count from size stats over
+  * `spark.sql.files.maxPartitionBytes` — taken from the LEAF
+  * relations, not the top of the optimized plan: SizeInBytesOnly
+  * stats rescale a Project by output/input row width, so a 2-narrow-
+  * column selection over a wide table can UNDERestimate by large
+  * factors and trigger a gratuitous full repartition of an already-
+  * wide corpus (round-8 advice). Leaf stats are the raw scan size,
+  * which is what actually determines the scan's split count (filters
+  * thin rows per split, not splits); they only ever overestimate,
+  * which only ever SKIPS the repartition — and only on inputs already
+  * big enough to have spread across many splits.
   */
 object Partitions {
 
@@ -31,16 +37,17 @@ object Partitions {
   def spreadForCpu(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val plan = df.queryExecution.optimizedPlan
-    val fileBacked = plan.collectLeaves().exists {
-      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
-      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
-      case _ => false
+    val fileLeafBytes = plan.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.stats.sizeInBytes
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.stats.sizeInBytes
     }
-    if (!fileBacked) return df
+    if (fileLeafBytes.isEmpty) return df
     val par = spark.sparkContext.defaultParallelism
     val maxSplitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    val estSplits = plan.stats.sizeInBytes / math.max(maxSplitBytes, 1L)
+    val estSplits = fileLeafBytes.sum / math.max(maxSplitBytes, 1L)
     if (estSplits < par) df.repartition(par) else df
   }
 }

@@ -281,6 +281,52 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("E5 composition: exact+near dedup stages keep history and corpus off every exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the e5 pipeline's first two stages composed exactly as the
+    // registry query builds them: bloom anti-join vs history, then
+    // the broadcast cross-band sweep vs the corpus. The 100 TB
+    // property: no shuffle anywhere in the composition carries
+    // document text or shingle arrays — history filters map-side
+    // (bloom), corpus bands stream map-side (broadcast batch).
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val mk = (n: Int, off: Long) => spark.range(n)
+        .select((col("id") + off).as("doc_id"),
+          concat(lit("alpha beta gamma delta epsilon zeta eta theta w"),
+            col("id").cast("string")).as("text"))
+      val corpus = mk(200, 0L)
+      // near-clones, not byte-clones: they must PASS the digest stage
+      // (new digests) and be caught by the band sweep (stage 2).
+      // Whitespace-only variation makes that DETERMINISTIC: the md5
+      // digest changes but \s+ tokenization yields the identical
+      // shingle set, so the minhash signature matches in EVERY band
+      // and the verify jaccard is exactly 1.0 — no probabilistic
+      // recall in the assertion (appending a token gives jaccard 7/8,
+      // which deterministically misses all 4 bands for some ids)
+      val batch = mk(30, 10000L)
+        .withColumn("text", regexp_replace(col("text"), " ", "  "))
+        .withColumn("digest", md5(col("text")))
+      val history = corpus.select(md5(col("text")).as("digest"))
+      val exactNew = graft.llm.BloomDedup.antiJoinBloom(batch, history, "digest",
+        expectedItems = 64, fpp = 0.01)
+      val hits = graft.llm.DedupLsh.crossNearDupPairs(exactNew, corpus, "doc_id", "text")
+      val survivors = exactNew.join(hits.select(col("id_new").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val plan = survivors.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), s"bloom prefilter missing:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"band join must broadcast the batch:\n$plan")
+      val fat = survivors.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.output.exists(a =>
+          a.name == "text" || a.name.startsWith("sh")) => e
+      }
+      assert(fat.isEmpty,
+        s"history/corpus payload rides an exchange: ${fat.map(_.output.map(_.name))}")
+      // and the composition is semantically right: every batch doc is
+      // a near-dup of its corpus original here, so nothing survives
+      assert(survivors.count() == 0L)
+    }
+  }
+
   test("bucketed upsert: untouched buckets survive; batch replay is a no-op") {
     val p = s"${sys.props("java.io.tmpdir")}/graft_test_st12"
     graft.streaming.Streams.deleteDir(spark, p)
