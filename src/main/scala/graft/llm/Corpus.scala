@@ -92,6 +92,56 @@ object Corpus {
           .cast("long").as("pack_id"))
   }
 
+  /** Token-balanced corpus sharding — assign each document to one of
+    * `nShards` output shards of near-equal total TOKEN mass (the file
+    * layout a data-parallel training job reads: each worker streams
+    * one shard, and the straggler is the worker with the most tokens,
+    * not the most documents — count-balanced sharding skews token
+    * mass badly on heavy-tailed length distributions).
+    *
+    * Deterministic and engine-replayable: documents are laid out in
+    * `md5(id)` order (a fixed pseudo-random permutation, so shard
+    * contents are length-representative, not ingest-order runs) and
+    * cut into contiguous runs of `budget = ceil(total/nShards)`
+    * tokens: `shard = min(exclusive_prefix DIV budget, nShards-1)`.
+    * All arithmetic is integral (`DIV`, ceil via `(total+n-1)/n`) so
+    * any SQL engine reproduces the exact assignment. Every shard's
+    * token mass lands within one max-document of the budget — the
+    * tight bound for any contiguous cut of an indivisible sequence.
+    *
+    * Scale: the prefix sum is [[graft.ops.Cumsum.globalCumsum]] — ONE
+    * range exchange of (id, n_tokens, hash), never the single-task
+    * global window; the total is a driver scalar from a map-side
+    * partial aggregate. The text column never shuffles — callers join
+    * the assignment back by id (thin) or feed it straight to a
+    * `partitionBy(shard)` sink.
+    */
+  def tokenBalancedShards(docs: DataFrame, idCol: String, textCol: String,
+                          nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    // cache the NARROW projection before the total: tokenizing the
+    // text column is the expensive part, and both the budget agg and
+    // the prefix sum need the counts — one text scan, not two
+    val base = docs.select(
+        col(idCol),
+        TextAnalysis.tokenCountWhitespace(col(textCol)).as("n_tokens"))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalRow = base.agg(sum(col("n_tokens"))).first()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    val budget = math.max(1L, (total + nShards - 1) / nShards)
+    val cum = graft.ops.Cumsum.globalCumsum(
+      base, Seq(col("__h"), col(idCol)), col("n_tokens"), "__cum")
+    // DIV, not `/`: long `/` is DOUBLE division (exact only below
+    // 2^53 — fine even at 100 TB, but DIV keeps the contract integral
+    // at ANY scale and replays bit-exactly in the SQL oracle)
+    val out = cum.select(col(idCol), col("n_tokens"),
+      least(
+        expr(s"CAST((__cum - n_tokens) DIV ${budget}L AS BIGINT)"),
+        lit(nShards - 1L)).as("shard_id"))
+    graft.Caching.releaseAfterFirstUse(out, base)
+  }
+
   /** Fixed-size overlapping token windows — the chunking pass that
     * turns documents into training samples. Chunk i covers tokens
     * [i·stride, i·stride + size); a document with n ≤ size tokens is

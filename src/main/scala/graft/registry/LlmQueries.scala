@@ -767,6 +767,15 @@ object LlmQueries {
       Corpus.packSequences(Tables.documents(s, dir), "doc_id", "text",
         "lang", budget = 512)
         .orderBy("doc_id")
+    },
+    // y19 — token-balanced sharding: 8 training shards of near-equal
+    // token MASS (y14's complement: global layout across workers, not
+    // per-group bin fill). md5 layout + contiguous budget cuts via the
+    // distributed two-pass prefix sum — never a single-task window
+    "y19_token_shards" -> { (s, dir) =>
+      Corpus.tokenBalancedShards(Tables.documents(s, dir), "doc_id", "text",
+        nShards = 8)
+        .orderBy("doc_id")
     }
   )
 
@@ -1555,7 +1564,28 @@ object LlmQueries {
           |    SELECT doc_id, lang,
           |      CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
           |    FROM documents))
-          |ORDER BY doc_id""".stripMargin
+          |ORDER BY doc_id""".stripMargin,
+      // y19 — the whole assignment is integral arithmetic over an
+      // exclusive prefix sum in md5 layout, so the window replays the
+      // two-pass distributed cumsum bit-exactly
+      "y19_token_shards" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+          |    md5(CAST(doc_id AS VARCHAR)) AS h
+          |  FROM documents),
+          |b AS (
+          |  SELECT GREATEST(1, CAST((SUM(n_tokens) + 7) // 8 AS BIGINT)) AS budget
+          |  FROM t),
+          |c AS (
+          |  SELECT doc_id, n_tokens,
+          |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS excl
+          |  FROM t)
+          |SELECT c.doc_id, c.n_tokens,
+          |  CAST(LEAST(excl // budget, 7) AS BIGINT) AS shard_id
+          |FROM c, b
+          |ORDER BY c.doc_id""".stripMargin
     )
   }
 }

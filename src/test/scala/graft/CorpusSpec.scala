@@ -155,6 +155,45 @@ class CorpusSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("tokenBalancedShards: budget-tight shards, all used, never a global window") {
+    // heavy-tailed lengths — the case count-balanced sharding gets
+    // wrong: a few docs carry most of the token mass
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("tok "),
+        // doc 0 mod 97 is ~100 tokens, the rest 2-9
+        when(col("id") % 97 === 0,
+          concat_ws(" ", (0 until 100).map(i => lit(s"w$i")): _*))
+          .otherwise(concat_ws(" ",
+            lit("a b"), lit("c d e f g h i").substr(lit(1), (col("id") % 8 * 2).cast("int")))))
+        .as("text"))
+    val n = 6
+    val out = graft.llm.Corpus.tokenBalancedShards(docs, "doc_id", "text", n)
+      .persist()
+    val sums = out.groupBy("shard_id").agg(sum("n_tokens").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = sums.values.sum
+    val budget = (total + n - 1) / n
+    val maxDoc = out.agg(max("n_tokens")).first().getLong(0)
+    // every shard id in [0, n) used, and contiguous-cut tightness:
+    // a shard closes within one document of its budget
+    assert(sums.keySet == (0L until n.toLong).toSet, sums)
+    sums.foreach { case (sid, t) =>
+      assert(t <= budget + maxDoc, s"shard $sid overfull: $t > $budget + $maxDoc")
+    }
+    // deterministic: a second independent run assigns identically
+    val again = graft.llm.Corpus.tokenBalancedShards(docs, "doc_id", "text", n)
+    assert(out.select("doc_id", "shard_id").exceptAll(
+      again.select("doc_id", "shard_id")).isEmpty)
+    // scale shape: the prefix sum is the two-pass cumsum — range
+    // exchange only, never an unpartitioned window (one task) and
+    // never a SinglePartition exchange of doc rows
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window leaked in:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("corpus operators never funnel the corpus into one partition") {
     // windows are keyed per doc / per group and totals arrive as
     // broadcast 1-row aggregates — a SinglePartition exchange anywhere
