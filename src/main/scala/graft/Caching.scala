@@ -51,6 +51,8 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caching {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Run `f`, then unpersist every frame in `cached` — for consumers
     * that materialize the result inside the scope. Non-blocking
     * unpersist; safe on frames that never materialized. */
@@ -131,6 +133,10 @@ object Caching {
           // identity AND structural match both failed for this many
           // executions: assume the anchor is unreachable and release
           // (see the leak-mode note above — recompute, never pin)
+          log.warn(
+            s"releaseAfterFirstUse hard-released ${cached.size} cached frame(s) after " +
+              s"$HardReleaseLimit executions without observing the consumer plan; " +
+              "a later materialization of the operator result will recompute instead of reading cache")
           cached.foreach(_.unpersist(false))
           spark.listenerManager.unregister(this)
         }

@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * mapping (FIXTURES.md §mapping): `events` plays browsinghistory /
   * ProblemLog, `customer` plays users, `part` the exercise dim.
   *
-  * The events parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-  * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read the column
-  * as raw nanos (`spark.sql.legacy.parquet.nanosAsLong`) and convert to
-  * a microsecond TimestampType with integer arithmetic — `ts div 1000`
-  * stays exact on Long where a double division would lose precision
-  * above 2^53 ns. DuckDB truncates ns→us the same way, so derived
-  * values hash-match the oracle.
+  * The events parquet has shipped with TWO physical `ts` encodings
+  * across testdata generations: TIMESTAMP(NANOS) — which Spark's
+  * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]) — and
+  * plain TIMESTAMP(MICROS). We enable
+  * `spark.sql.legacy.parquet.nanosAsLong` (a no-op on MICROS files) and
+  * branch on the resolved type: a Long `ts` is raw nanos and converts
+  * via integer `ts div 1000` (exact where a double division would lose
+  * precision above 2^53 ns; DuckDB truncates ns→us the same way), a
+  * TimestampType `ts` is already microseconds and passes through. Both
+  * paths land on the identical µs TimestampType the oracles hash.
   */
 object Tables {
 
@@ -23,12 +26,23 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
 
-  /** events with `ts` as a proper microsecond timestamp. */
+  /** events with `ts` as a proper microsecond timestamp, whichever
+    * physical encoding the file carries (see the class scaladoc). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(path(dir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(path(dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // pandas writes tz-naive µs timestamps, which Spark reads as
+        // NTZ; the session timezone is pinned to UTC everywhere, so the
+        // NTZ→LTZ cast reinterprets the same wall-clock as the same
+        // epoch instant DuckDB's naive read produces — downstream
+        // unix_micros/casts then match the oracle bit-for-bit
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** events mapped onto the reference's browsinghistory shape

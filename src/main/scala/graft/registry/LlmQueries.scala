@@ -171,6 +171,20 @@ object LlmQueries {
         shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
+    // x2b — the occupancy-capped twin of x2, so the cap's SEMANTICS
+    // (drop bands whose bucket exceeds maxBucketDf BEFORE the
+    // self-join) are oracle-pinned, not just spec-asserted. cap=3
+    // genuinely binds on this corpus (sf0.01: 79 buckets at df 4-6;
+    // sf0.1: 781 at df 4-8 — measured, probe_x2b_occupancy.sc), so a
+    // cap implementation that silently stopped filtering would
+    // hash-mismatch. The oracle replays it as HAVING count(*) <= 3 on
+    // the band CTE.
+    "x2b_minhash_capped" -> { (s, dir) =>
+      DedupLsh.nearDupPairs(corpusNear(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5,
+        maxBucketDf = Some(3L))
+        .orderBy("id_a", "id_b")
+    },
     "x8_dedup_clusters" -> { (s, dir) =>
       DedupLsh
         .nearDupClusters(
@@ -821,7 +835,16 @@ object LlmQueries {
     }
     val Seq(de, en, fr) = TextAnalysis.LangWords.map(_._2)
 
-    val x2Core =
+    // `cap` replays nearDupPairs' maxBucketDf: band buckets holding
+    // more than `cap` ids are dropped before the pair join.
+    def x2CoreSql(cap: Option[Long]): String = {
+      val bucketFilter = cap match {
+        case None => "bands"
+        case Some(c) =>
+          s"""(SELECT b.* FROM bands b JOIN (
+             |    SELECT band FROM bands GROUP BY band HAVING count(*) <= $c
+             |  ) ok USING (band))""".stripMargin
+      }
       s"""WITH corpus AS ($CorpusNearSql),
          |sh AS (
          |  SELECT doc_id AS id, $shSql AS sh
@@ -835,14 +858,17 @@ object LlmQueries {
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id)
+         |  FROM $bucketFilter a JOIN $bucketFilter b ON a.band = b.band AND a.id < b.id)
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
+    }
+    val x2Core = x2CoreSql(None)
 
     Map(
       "x1_exact_dedup" ->
         s"""SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
            |FROM ($CorpusExactSql) GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
       "x2_minhash_neardup" -> s"$x2Core\nORDER BY id_a, id_b",
+      "x2b_minhash_capped" -> s"${x2CoreSql(Some(3L))}\nORDER BY id_a, id_b",
       "y15_mixture_sample" ->
         """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
           |cuts AS (

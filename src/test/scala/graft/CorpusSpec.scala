@@ -321,14 +321,19 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("E5 composition: exact+near dedup stages keep history and corpus off every exchange") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     // the e5 pipeline's first two stages composed exactly as the
     // registry query builds them: bloom anti-join vs history, then
     // the broadcast cross-band sweep vs the corpus. The 100 TB
     // property: no shuffle anywhere in the composition carries
     // document text or shingle arrays — history filters map-side
     // (bloom), corpus bands stream map-side (broadcast batch).
-    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+    // Checked AQE-OFF (deterministic planner output) AND AQE-ON
+    // finalized (the production default — adaptive re-planning must
+    // not trade the broadcast for a corpus-wide shuffle).
+    def mkSurvivors() = {
       val mk = (n: Int, off: Long) => spark.range(n)
         .select((col("id") + off).as("doc_id"),
           concat(lit("alpha beta gamma delta epsilon zeta eta theta w"),
@@ -349,20 +354,43 @@ class CorpusSpec extends SparkSpec {
       val exactNew = graft.llm.BloomDedup.antiJoinBloom(batch, history, "digest",
         expectedItems = 64, fpp = 0.01)
       val hits = graft.llm.DedupLsh.crossNearDupPairs(exactNew, corpus, "doc_id", "text")
-      val survivors = exactNew.join(hits.select(col("id_new").as("doc_id")).distinct(),
+      exactNew.join(hits.select(col("id_new").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
-      val plan = survivors.queryExecution.executedPlan.toString
+    }
+    // AQE wraps materialized stages in LEAF QueryStageExec nodes, so a
+    // plain collect() never reaches their exchanges — recurse through
+    // both wrapper kinds to enumerate every physical node
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec        => allNodes(q.plan)
+      case other                    => other.children.flatMap(allNodes)
+    })
+    def assertShape(df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("might_contain"), s"bloom prefilter missing:\n$plan")
       assert(plan.contains("BroadcastHashJoin"), s"band join must broadcast the batch:\n$plan")
-      val fat = survivors.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec if e.output.exists(a =>
+      val fat = allNodes(df.queryExecution.executedPlan).collect {
+        case e: ShuffleExchangeLike if e.output.exists(a =>
           a.name == "text" || a.name.startsWith("sh")) => e
       }
       assert(fat.isEmpty,
         s"history/corpus payload rides an exchange: ${fat.map(_.output.map(_.name))}")
+    }
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val survivors = mkSurvivors()
+      assertShape(survivors)
       // and the composition is semantically right: every batch doc is
       // a near-dup of its corpus original here, so nothing survives
       assert(survivors.count() == 0L)
+    }
+    withSQLConf("spark.sql.adaptive.enabled" -> "true") {
+      val survivors = mkSurvivors()
+      // collect() drives THIS queryExecution to the finalized adaptive
+      // plan (count() would build a separate one, leaving it unfinal)
+      assert(survivors.collect().isEmpty)
+      val fp = survivors.queryExecution.executedPlan.toString
+      assert(!fp.contains("AdaptiveSparkPlan") || fp.contains("isFinalPlan=true"), fp)
+      assertShape(survivors)
     }
   }
 

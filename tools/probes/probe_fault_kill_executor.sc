@@ -1,0 +1,131 @@
+// Probe: executor-loss recovery under a REAL multi-JVM cluster.
+// Claims under test (the last unproven 100 TB durability story, queued
+// by the round-8 and round-9 verdicts):
+//   (a) nearDupClusters(reliableCheckpoints=Some(true)) converges to the
+//       IDENTICAL clustering when one of two executor JVMs is kill -9'd
+//       mid-iteration -- lost persisted blocks recompute from lineage,
+//       lost checkpointed state re-reads the durable checkpoint files,
+//       and the standalone master relaunches the executor;
+//   (b) the st12 bucketed upsert (upsertBucketedBatch) commits the same
+//       table contents when an executor dies mid-write -- task retries
+//       plus the file commit protocol keep partial task output invisible.
+// Mode: local-cluster[2,4,4096] -- two SEPARATE executor JVMs (not
+// local[] threads), so kill -9 of one is a faithful executor-loss event.
+// Run: /opt/spark/bin/spark-shell --master 'local-cluster[2,4,4096]' \
+//   --conf spark.ui.enabled=false --conf spark.sql.shuffle.partitions=32 \
+//   --conf spark.sql.session.timeZone=UTC \
+//   --conf spark.executor.extraClassPath=/root/repo/target/scala-2.13/classes \
+//   --driver-memory 4g --driver-class-path target/scala-2.13/classes \
+//   -i tools/probes/probe_fault_kill_executor.sc -e ':quit'
+import org.apache.spark.sql.functions._
+import scala.sys.process._
+
+spark.sparkContext.setLogLevel("WARN")
+
+def timed[T](label: String)(f: => T): T = {
+  val t0 = System.nanoTime
+  val r = f
+  println(f"PROBE $label%-34s ${(System.nanoTime - t0) / 1e9}%8.1f s")
+  r
+}
+
+// kill -9 one CoarseGrainedExecutorBackend JVM (never the driver; the
+// driver is SparkSubmit / Main). Returns the pid killed, -1 if none up.
+def killOneExecutor(): Long = {
+  val pids = (try { Seq("pgrep", "-f", "CoarseGrainedExecutorBackend").!! }
+              catch { case _: Exception => "" })
+    .trim.split("\n").filter(_.nonEmpty).map(_.toLong)
+  if (pids.isEmpty) -1L
+  else { val p = pids.max; Seq("kill", "-9", p.toString).!; p }
+}
+
+// fire `killOneExecutor` once `armed` is set and `ready()` holds
+@volatile var armed = false
+def killWhen(label: String)(ready: () => Boolean): Thread = {
+  val t = new Thread(() => {
+    while (!armed || !ready()) Thread.sleep(200)
+    Thread.sleep(1500) // land INSIDE the running stage, not at its edge
+    val pid = killOneExecutor()
+    println(s"PROBE $label killed executor pid=$pid at ${System.nanoTime}")
+  })
+  t.setDaemon(true); t.start(); t
+}
+
+// ---- (a) nearDupClusters under executor loss ------------------------
+// fixture: probe_x8_reliable's shape -- 1M docs, 50k chained components
+// of 20 members (worst-case propagation depth)
+val edges = (spark.range(0L, 1000000L).toDF("id")
+  .filter(col("id") % 20L =!= 19L)
+  .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"),
+    lit(1.0).as("jaccard")))
+
+val ckDir = "/tmp/probe_fault_ckpt"
+Seq("rm", "-rf", ckDir).!
+spark.sparkContext.setCheckpointDir(ckDir)
+
+def clusterChecksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+  val r = (df.agg(
+    countDistinct(col("cluster")),
+    sum(xxhash64(col("id"), col("cluster")))).head)
+  (r.getLong(0), r.getLong(1))
+}
+
+val baseline = timed("clusters-baseline-no-kill") {
+  clusterChecksum(graft.llm.DedupLsh.nearDupClusters(
+    edges, reliableCheckpoints = Some(true)))
+}
+
+// re-run with a kill once the SECOND checkpoint dir entry exists (i.e.
+// the label loop is mid-flight, past its first iteration)
+val ckPath = new java.io.File(ckDir)
+def ckEntries(): Int = {
+  val apps = Option(ckPath.listFiles()).getOrElse(Array.empty)
+  apps.flatMap(a => Option(a.listFiles()).getOrElse(Array.empty)).length
+}
+val before = ckEntries()
+val killer = killWhen("clusters")(() => ckEntries() >= before + 2)
+armed = true
+val survived = timed("clusters-kill-mid-iteration") {
+  clusterChecksum(graft.llm.DedupLsh.nearDupClusters(
+    edges, reliableCheckpoints = Some(true)))
+}
+killer.join(5000)
+armed = false
+println(s"PROBE clusters baseline=$baseline survived=$survived " +
+  s"match=${baseline == survived} (expect (50000, <same checksum>))")
+
+// ---- (b) st12 bucketed upsert under executor loss -------------------
+val root = "/tmp/probe_fault_st12"
+Seq("rm", "-rf", root).!
+val tbl = root + "/table"
+
+// seed 2M rows / 64 buckets, no kill
+timed("st12-seed-2M") {
+  val seed = (spark.range(0L, 2000000L).toDF("id")
+    .withColumn("v", col("id") * 2L).withColumn("ts", lit(0L)))
+  graft.streaming.Streams.upsertBucketedBatch(
+    spark, tbl, seed, Seq("id"), Seq("ts"), 64)
+}
+
+// upsert 1M rows touching ALL buckets while an executor dies mid-write.
+// ready(): the write job has started (tasks running) -- poll active
+// stage count via the status tracker.
+val tracker = spark.sparkContext.statusTracker
+val killer2 = killWhen("st12")(() => tracker.getActiveStageIds().nonEmpty)
+armed = true
+timed("st12-upsert-1M-kill-mid-write") {
+  val batch = (spark.range(0L, 1000000L).toDF("id")
+    .withColumn("v", lit(-1L)).withColumn("ts", lit(1L)))
+  graft.streaming.Streams.upsertBucketedBatch(
+    spark, tbl, batch, Seq("id"), Seq("ts"), 64)
+}
+killer2.join(5000)
+armed = false
+
+val t = spark.read.parquet(tbl)
+val rows = t.count()
+val updated = t.filter(col("v") === -1L).count()
+val stale = t.filter(col("id") < 1000000L && col("v") =!= -1L).count()
+println(s"PROBE st12 rows=$rows (expect 2000000) updated=$updated " +
+  s"(expect 1000000) stale=$stale (expect 0) " +
+  s"ok=${rows == 2000000L && updated == 1000000L && stale == 0L}")
