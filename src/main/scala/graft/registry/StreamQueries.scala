@@ -70,14 +70,19 @@ object StreamQueries {
         .orderBy("user_id", "session_start_us")
     },
     "st4_session_window_append" -> { (s, dir) =>
-      // production-mode twin: Append output + watermark eviction; one
-      // file per trigger forces real cross-batch state + watermark
-      // progression (sessions spanning files merge before emission)
+      // production-mode twin: Append output + watermark eviction; two
+      // files per trigger still forces real cross-batch state +
+      // watermark progression (sessions spanning the trigger boundary
+      // merge in state before emission) at half the per-trigger fixed
+      // cost — state-store commits, offset/commit log writes, and
+      // micro-batch planning dominate these replays, not data
+      // (round-9 verdict #3; results are batch-boundary independent,
+      // which the unchanged oracle pins)
       val glob = writeMicroBatches(s, dir)
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st4a_ckpt"),
           df => Streams.sessionWindowAppend(df), OutputMode.Append(),
-          maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
+          maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
         .orderBy("user_id", "session_start_us")
     },
     "st6_tumbling_window" -> { (s, dir) =>
@@ -85,7 +90,7 @@ object StreamQueries {
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st6_ckpt"),
           df => Streams.tumblingAgg(df), OutputMode.Append(),
-          maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
+          maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
         .orderBy("window_start_us")
     },
     "st7_sliding_window" -> { (s, dir) =>
@@ -93,19 +98,21 @@ object StreamQueries {
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st7_ckpt"),
           df => Streams.slidingAgg(df), OutputMode.Append(),
-          maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
+          maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
         .orderBy("window_start_us")
     },
     "st8_stream_join" -> { (s, dir) =>
       val glob = writeMicroBatches(s, dir)
       // 4 state partitions: the join holds 4-5 state stores/partition
-      // and replays 5 micro-batches — at 32 partitions the store-commit
-      // machinery, not the data, dominates (16s → 5.3s at sf0.1;
-      // results partition-independent)
+      // — at 32 partitions the store-commit machinery, not the data,
+      // dominates (16s → 5.3s at sf0.1; results partition-independent).
+      // 2 files/trigger: 3 replay triggers instead of 5, same
+      // cross-batch join matches (inner join emits each match once
+      // whatever the batching — oracle-pinned)
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st8_ckpt"),
           df => Streams.streamSelfJoinPairs(df), OutputMode.Append(),
-          maxFilesPerTrigger = Some(1), shufflePartitions = Some(4))
+          maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
         .orderBy("a_id", "b_id")
     },
     "st9_stream_dedup" -> { (s, dir) =>
@@ -113,7 +120,7 @@ object StreamQueries {
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st9_ckpt"),
           df => Streams.streamDedupKeys(df, Seq("user_id", "event_type")),
-          OutputMode.Append(), maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
+          OutputMode.Append(), maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
         .orderBy("user_id", "event_type")
     },
     // st13 — bounded-state dedup twin of st9: state evicts at the
@@ -126,7 +133,7 @@ object StreamQueries {
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st13_ckpt"),
           df => Streams.streamDedupKeysWithinWatermark(df, Seq("user_id", "event_type")),
-          OutputMode.Append(), maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
+          OutputMode.Append(), maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
         .orderBy("user_id", "event_type")
     },
     "st5_stream_stitch" -> { (s, dir) =>
@@ -134,7 +141,7 @@ object StreamQueries {
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st5_ckpt"),
           df => Streams.stitchDwell(s, df), OutputMode.Append(),
-          maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
+          maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
         .orderBy("entry_id")
     },
     // st11 — stream-STATIC join: per-row broadcast enrichment of the
@@ -189,7 +196,7 @@ object StreamQueries {
       try Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st5tws_ckpt"),
           df => Streams.stitchDwellTws(s, df), OutputMode.Append(),
-          maxFilesPerTrigger = Some(1), shufflePartitions = Some(8))
+          maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
         .orderBy("entry_id")
       finally prev match {
         case Some(v) => s.conf.set(key, v)

@@ -325,12 +325,17 @@ object Streams {
       tablePath: String,
       keys: Seq[String],
       order: Seq[String],
-      nBuckets: Int
+      nBuckets: Int,
+      maxFilesPerTrigger: Int = 2
   ): DataFrame = {
     deleteDir(spark, checkpoint)
     deleteDir(spark, tablePath)
+    // ≥2 batches keeps the replay genuinely incremental (merge-into-
+    // existing, not a single bulk load) at half the per-trigger fixed
+    // cost of one-file batches; keep-latest is associative, so the end
+    // state is batching-independent (oracle + replay specs pin it)
     val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(path)
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -369,14 +374,15 @@ object Streams {
       checkpoint: String,
       tablePath: String,
       keys: Seq[String],
-      order: Seq[String]
+      order: Seq[String],
+      maxFilesPerTrigger: Int = 2
   ): DataFrame = {
     deleteDir(spark, checkpoint)
     deleteDir(spark, tablePath)
     deleteDir(spark, s"$tablePath.__swap_old")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(path)
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>

@@ -63,11 +63,12 @@ val ckDir = "/tmp/probe_fault_ckpt"
 Seq("rm", "-rf", ckDir).!
 spark.sparkContext.setCheckpointDir(ckDir)
 
-def clusterChecksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+// decimal sum: xxhash64 is full-range, a long sum overflows under ANSI
+def clusterChecksum(df: org.apache.spark.sql.DataFrame): (Long, String) = {
   val r = (df.agg(
     countDistinct(col("cluster")),
-    sum(xxhash64(col("id"), col("cluster")))).head)
-  (r.getLong(0), r.getLong(1))
+    sum(xxhash64(col("id"), col("cluster")).cast("decimal(38,0)"))).head)
+  (r.getLong(0), r.getDecimal(1).toString)
 }
 
 val baseline = timed("clusters-baseline-no-kill") {

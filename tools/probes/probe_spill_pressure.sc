@@ -68,6 +68,8 @@ val emb = spark.range(1000000L).select(col("id").as("vec_id"), vecExpr.as("embed
 // exact member set, not just its size
 timed("x17_semdedup_1m") {
   graft.llm.Similarity.semanticDedup(emb, numCells = 16, iters = 2, threshold = 0.99)
-    .agg(count(lit(1)) + abs(sum(xxhash64(col("vec_id")))) % 1000000L).head().getLong(0)
+    .agg((count(lit(1)).cast("decimal(38,0)") +
+      abs(sum(xxhash64(col("vec_id")).cast("decimal(38,0)"))) % 1000000L).cast("decimal(38,0)"))
+    .head().getDecimal(0).longValue()
 }
 spark.catalog.clearCache()
