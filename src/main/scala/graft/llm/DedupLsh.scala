@@ -137,21 +137,30 @@ object DedupLsh {
     val bands = capBucketOccupancy(bandsAll, "band", maxBucketDf)
     val a = bands.select(col("band"), col("id").as("id_a"))
     val b = bands.select(col("band"), col("id").as("id_b"))
-    // shuffle_hash hints: the planner underestimates the exploded
+    // join strategy hints: the planner underestimates the exploded
     // banded corpus (file-size × selectivity heuristics) and tries to
     // BROADCAST a corpus-sized side — OOM at 50k docs, fatal at real
-    // scale. Band buckets are small, so a shuffled hash join is the
-    // right physical plan at every corpus size; same underestimate on
-    // the withSh verify sides.
+    // scale. The band self-join stays shuffle_hash (its build side is
+    // thin (band, id) rows — small at any corpus size). The two
+    // VERIFY joins are merge, not shuffle_hash: their build side is
+    // the full corpus shingle table, and a ShuffledHashJoin's hash
+    // relation is quota-tracked but NOT spillable — under memory
+    // pressure it aborts with "Can't acquire N bytes to build hash
+    // relation" where a sort-merge spills and finishes (round-10
+    // probe, PROBES.md: 1M docs at 3 GB/8-core heap — merge completes
+    // with 240-435 MB disk spill and the identical pair set; the SHJ
+    // form dies). The merge form is ALSO faster when memory is ample
+    // (13.9 s vs 24.3 s warm at 1M/16 GB): sorting longs + streaming
+    // beats allocating a million-entry hash map of array payloads.
     // dedup (id_a, id_b) BEFORE the jaccard verify: a pair colliding in
     // k bands would otherwise pay k verifies (the verify is the hot
     // loop at scale — round-3 verdict).
     val verified = a.join(b.hint("shuffle_hash"), Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("shuffle_hash"),
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("merge"),
         Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("shuffle_hash"),
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("merge"),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

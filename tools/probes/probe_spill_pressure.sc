@@ -42,11 +42,16 @@ def timed(label: String)(f: => Long): Unit = {
 }
 
 // ---- x2 shape: MinHash near-dup at 1M docs -------------------------
-// the round-7/9 healthy 1M corpus: 500k distinct + 500k near-clones;
-// the persisted banded staging (shingle arrays ~10x the text bytes) is
-// the MEMORY_AND_DISK working set whose spill path is under test
+// 500k UNIQUE docs (id baked into every token, so no two base docs
+// share a shingle -- the spill pressure must land on the persisted
+// banded staging, NOT on a candidate blowup, which is the separately
+// probed occupancy-cap pathology) + 500k drop-nothing near-clones
+// (one appended token: jaccard 18/19, caught in every band). The
+// persisted MEMORY_AND_DISK staging (1M docs of shingle arrays,
+// ~10x the text bytes) is the working set whose spill path is under
+// test as the heap shrinks.
 val text = concat_ws(" ", (0 until 20).map(j =>
-  concat(lit("w"), (col("id") * 7 + j) % 50000, lit("t" + j))): _*)
+  concat(lit("w"), col("id") * 20L + j)): _*)
 val base = spark.range(500000L).select(col("id").as("doc_id"), text.as("text"))
 val near = spark.range(500000L).select((col("id") + 1000000L).as("doc_id"),
   concat(text, lit(" extra")).as("text"))
@@ -57,17 +62,20 @@ timed("x2_neardup_1m") {
 }
 spark.catalog.clearCache()
 
-// ---- x17 shape: SemDeDup at 1M vectors -----------------------------
-// 64-dim float vectors; clone pairs (i, i+500k) share a vector so the
-// kept/dropped answer is deterministic under any cell split
+// ---- x17 shape: SemDeDup at 250k vectors, 256 cells ----------------
+// SemDeDup's verify cost is Sum|cell|^2 -- cells must be bounded relative
+// to the corpus (numCells ~= N/1000 is the scale guidance; 16 cells
+// over a uniform million would be a quadratic cell self-join, the
+// anti-pattern, not the spill path). Duplicate pairs (i, i+125k)
+// share a vector, so the kept set is deterministic under any split.
 val vecExpr = array((0 until 64).map(j =>
-  (hash(pmod(col("id"), lit(500000L)) * 64 + j) % 1000).cast("float") / 1000f): _*)
-val emb = spark.range(1000000L).select(col("id").as("vec_id"), vecExpr.as("embedding"))
+  (hash(pmod(col("id"), lit(125000L)) * 64 + j) % 1000).cast("float") / 1000f): _*)
+val emb = spark.range(250000L).select(col("id").as("vec_id"), vecExpr.as("embedding"))
 
-// semanticDedup returns the SURVIVING rows; xor of kept ids pins the
-// exact member set, not just its size
-timed("x17_semdedup_1m") {
-  graft.llm.Similarity.semanticDedup(emb, numCells = 16, iters = 2, threshold = 0.99)
+// semanticDedup returns the SURVIVING rows; a hash over kept ids pins
+// the exact member set, not just its size
+timed("x17_semdedup_250k") {
+  graft.llm.Similarity.semanticDedup(emb, numCells = 256, iters = 2, threshold = 0.99)
     .agg((count(lit(1)).cast("decimal(38,0)") +
       abs(sum(xxhash64(col("vec_id")).cast("decimal(38,0)"))) % 1000000L).cast("decimal(38,0)"))
     .head().getDecimal(0).longValue()
