@@ -1451,6 +1451,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("X2 plan: shingle verify joins are sort-merge (spillable), never hash-built") {
+    // the round-10 memory-pressure probe (PROBES.md): a shuffled hash
+    // join's build is quota-tracked but NOT spillable, and the verify
+    // joins build the corpus-sized shingle table — the one build in
+    // the family with no occupancy bound. SMJ spills and finishes
+    // (and measured faster at 1M). Pinned AQE-off and AQE-ON final.
+    val docs = spark.range(0, 200)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 8).map(j =>
+          concat(lit("w"), (col("id") * 3 + j) % 40, lit("t" + j))): _*).as("text"))
+    def verifyJoinShapes(plan: String): Unit = {
+      // the verify joins key on id_a/id_b; they must appear as SMJ.
+      // shuffle_hash remains ONLY on the thin band self-join.
+      assert(plan.contains("SortMergeJoin [id_a"),
+        s"id_a verify join is not sort-merge:\n$plan")
+      assert(plan.contains("SortMergeJoin [id_b"),
+        s"id_b verify join is not sort-merge:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"planner broadcast a corpus-sized side:\n$plan")
+    }
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val out = graft.llm.DedupLsh.nearDupPairs(docs, "doc_id", "text")
+      verifyJoinShapes(out.queryExecution.executedPlan.toString)
+    }
+    withSQLConf("spark.sql.adaptive.enabled" -> "true") {
+      val out = graft.llm.DedupLsh.nearDupPairs(docs, "doc_id", "text")
+      out.collect() // finalize THIS queryExecution's adaptive plan
+      val fp = out.queryExecution.executedPlan.toString
+      assert(!fp.contains("AdaptiveSparkPlan") || fp.contains("isFinalPlan=true"), fp)
+      verifyJoinShapes(fp)
+    }
+  }
+
   test("Caching: internal persists release after the first materialization") {
     import org.apache.spark.storage.StorageLevel
     def awaitRelease(check: () => Boolean): Unit = {
