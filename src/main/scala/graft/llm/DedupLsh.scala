@@ -251,9 +251,16 @@ object DedupLsh {
       .select(col("band"), col("id").as("id_new"), col("sh").as("sh_new"))
     val bb = bandedTable(baseDf, idCol, textCol, shingleN, numBands, rowsPerBand)
       .select(col("band"), col("id").as("id_base"), col("sh").as("sh_base"))
+    // merge, not shuffle_hash, on the non-broadcast fallback: this
+    // path exists precisely when the batch is too large to broadcast,
+    // which is also when a ShuffledHashJoin build of the sh-carrying
+    // batch bands can exceed its non-spillable memory quota and abort
+    // (the round-10 pressure probe's failure mode on the self-join
+    // verify, PROBES.md). Sort-merge spills; both sides already
+    // exchange on band here, so the sorts are the only addition.
     val joined =
       if (broadcastNew) bb.join(broadcast(nb), Seq("band"))
-      else bb.join(nb.hint("shuffle_hash"), Seq("band"))
+      else bb.join(nb.hint("merge"), Seq("band"))
     // verify per band-hit, dedup AFTER the jaccard filter: a
     // dedup-before-verify would hash-exchange every candidate WITH its
     // shingle arrays (dropDuplicates keeps all columns — the fat
