@@ -326,16 +326,20 @@ object Streams {
       keys: Seq[String],
       order: Seq[String],
       nBuckets: Int,
-      maxFilesPerTrigger: Int = 2
+      maxFilesPerTrigger: Option[Int] = Some(2)
   ): DataFrame = {
     deleteDir(spark, checkpoint)
     deleteDir(spark, tablePath)
-    // ≥2 batches keeps the replay genuinely incremental (merge-into-
-    // existing, not a single bulk load) at half the per-trigger fixed
-    // cost of one-file batches; keep-latest is associative, so the end
-    // state is batching-independent (oracle + replay specs pin it)
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    // Some(2) default: ≥2 batches keeps the replay genuinely
+    // incremental (merge-into-existing, not a single bulk load) at
+    // half the per-trigger fixed cost of one-file batches; keep-latest
+    // is associative, so the end state is batching-independent (oracle
+    // + replay specs pin it). None = no per-trigger limit, the same
+    // spelling as runFileStream's knob.
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader)
       .json(path)
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -375,14 +379,16 @@ object Streams {
       tablePath: String,
       keys: Seq[String],
       order: Seq[String],
-      maxFilesPerTrigger: Int = 2
+      maxFilesPerTrigger: Option[Int] = Some(2)
   ): DataFrame = {
     deleteDir(spark, checkpoint)
     deleteDir(spark, tablePath)
     deleteDir(spark, s"$tablePath.__swap_old")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader)
       .json(path)
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>

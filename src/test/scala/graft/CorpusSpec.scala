@@ -321,8 +321,6 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("E5 composition: exact+near dedup stages keep history and corpus off every exchange") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     // the e5 pipeline's first two stages composed exactly as the
     // registry query builds them: bloom anti-join vs history, then
@@ -357,19 +355,15 @@ class CorpusSpec extends SparkSpec {
       exactNew.join(hits.select(col("id_new").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
     }
-    // AQE wraps materialized stages in LEAF QueryStageExec nodes, so a
-    // plain collect() never reaches their exchanges — recurse through
-    // both wrapper kinds to enumerate every physical node
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
-      case q: QueryStageExec        => allNodes(q.plan)
-      case other                    => other.children.flatMap(allNodes)
-    })
+    // allPhysicalNodes (SparkSpec) descends through AQE wrappers, leaf
+    // query stages, AND subquery plans — the bloom build aggregate
+    // lives in a subquery of the might_contain filter, invisible to a
+    // plain plan collect()
     def assertShape(df: org.apache.spark.sql.DataFrame): Unit = {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("might_contain"), s"bloom prefilter missing:\n$plan")
       assert(plan.contains("BroadcastHashJoin"), s"band join must broadcast the batch:\n$plan")
-      val fat = allNodes(df.queryExecution.executedPlan).collect {
+      val fat = allPhysicalNodes(df.queryExecution.executedPlan).collect {
         case e: ShuffleExchangeLike if e.output.exists(a =>
           a.name == "text" || a.name.startsWith("sh")) => e
       }
@@ -385,11 +379,8 @@ class CorpusSpec extends SparkSpec {
     }
     withSQLConf("spark.sql.adaptive.enabled" -> "true") {
       val survivors = mkSurvivors()
-      // collect() drives THIS queryExecution to the finalized adaptive
-      // plan (count() would build a separate one, leaving it unfinal)
-      assert(survivors.collect().isEmpty)
-      val fp = survivors.queryExecution.executedPlan.toString
-      assert(!fp.contains("AdaptiveSparkPlan") || fp.contains("isFinalPlan=true"), fp)
+      val (rows, _) = finalizedPlan(survivors)
+      assert(rows.isEmpty)
       assertShape(survivors)
     }
   }

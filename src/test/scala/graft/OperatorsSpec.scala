@@ -813,9 +813,8 @@ class OperatorsSpec extends SparkSpec {
     // would build a separate one and leave the plan unfinalized)
     withSQLConf("spark.sql.adaptive.enabled" -> "true") {
       val j2 = spark.table("spec_a_b").hint("merge").join(spark.table("spec_b_b"), "id")
-      assert(j2.collect().length == 500)
-      val fp = j2.queryExecution.executedPlan.toString
-      assert(!fp.contains("AdaptiveSparkPlan") || fp.contains("isFinalPlan=true"), fp)
+      val (rows2, fp) = finalizedPlan(j2)
+      assert(rows2.length == 500)
       assert(fp.contains("SortMergeJoin"), s"AQE replaced the bucketed SMJ:\n$fp")
       assert(!fp.contains("Exchange"), s"AQE re-introduced an exchange:\n$fp")
     }
@@ -1293,9 +1292,8 @@ class OperatorsSpec extends SparkSpec {
         spark.range(1000).select((col("id") % 3).cast("string").as("k"),
           col("id"), col("id").cast("double").as("score")),
         Seq("k"), Seq(col("score").desc, col("id").asc), n = 5)
-      assert(phys2.collect().length == 15)
-      val fp = phys2.queryExecution.executedPlan.toString
-      assert(!fp.contains("AdaptiveSparkPlan") || fp.contains("isFinalPlan=true"), fp)
+      val (rows2, fp) = finalizedPlan(phys2)
+      assert(rows2.length == 15)
       assert(fp.contains("WindowGroupLimit") && fp.contains("Partial"),
         s"partial rank-limit lost under AQE:\n$fp")
     }
@@ -1390,9 +1388,8 @@ class OperatorsSpec extends SparkSpec {
     withSQLConf("spark.sql.adaptive.enabled" -> "true") {
       val out2 = graft.llm.BloomDedup
         .antiJoinBloom(batch, history, "k", expectedItems = 64, fpp = 0.01)
-      assert(out2.collect().length == 37)
-      val fp = out2.queryExecution.executedPlan.toString
-      assert(!fp.contains("AdaptiveSparkPlan") || fp.contains("isFinalPlan=true"), fp)
+      val (rows2, fp) = finalizedPlan(out2)
+      assert(rows2.length == 37)
       assert(fp.contains("might_contain"), s"bloom prefilter lost under AQE:\n$fp")
       assert(fp.contains("BroadcastHashJoin") && fp.contains("LeftAnti"),
         s"broadcast anti-join lost under AQE:\n$fp")
@@ -1477,9 +1474,7 @@ class OperatorsSpec extends SparkSpec {
     }
     withSQLConf("spark.sql.adaptive.enabled" -> "true") {
       val out = graft.llm.DedupLsh.nearDupPairs(docs, "doc_id", "text")
-      out.collect() // finalize THIS queryExecution's adaptive plan
-      val fp = out.queryExecution.executedPlan.toString
-      assert(!fp.contains("AdaptiveSparkPlan") || fp.contains("isFinalPlan=true"), fp)
+      val (_, fp) = finalizedPlan(out)
       verifyJoinShapes(fp)
     }
   }

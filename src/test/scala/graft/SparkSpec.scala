@@ -21,6 +21,33 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Materialize `df` via collect() (driving THIS queryExecution — a
+    * count() would build a separate one and leave the adaptive plan
+    * unfinalized), assert the adaptive plan is final if AQE produced
+    * one, and return (rows, finalized plan string). The shared idiom
+    * behind every AQE-ON plan pin. */
+  def finalizedPlan(df: org.apache.spark.sql.DataFrame): (Array[org.apache.spark.sql.Row], String) = {
+    val rows = df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(!fp.contains("AdaptiveSparkPlan") || fp.contains("isFinalPlan=true"), fp)
+    (rows, fp)
+  }
+
+  /** Every physical node reachable from `p`, descending through the
+    * wrappers a plain collect() stops at: AQE's finalized plan, LEAF
+    * QueryStageExec nodes, and SUBQUERY plans hanging off expressions
+    * (e.g. a bloom-filter build aggregate inside might_contain). */
+  def allPhysicalNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => allPhysicalNodes(a.executedPlan)
+      case q: QueryStageExec        => allPhysicalNodes(q.plan)
+      case other                    => other.children.flatMap(allPhysicalNodes)
+    }
+    (p +: below) ++ p.subqueries.flatMap(allPhysicalNodes)
+  }
+
   override def afterAll(): Unit = () // session shared across suites
 }
 

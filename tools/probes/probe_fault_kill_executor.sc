@@ -39,16 +39,24 @@ def killOneExecutor(): Long = {
   else { val p = pids.max; Seq("kill", "-9", p.toString).!; p }
 }
 
-// fire `killOneExecutor` once `armed` is set and `ready()` holds
-@volatile var armed = false
-def killWhen(label: String)(ready: () => Boolean): Thread = {
+// fire `killOneExecutor` once this killer's OWN trigger holds. Each
+// phase gets its own AtomicBoolean trigger + fired flag: a shared
+// `armed` would let a never-fired phase-(a) thread linger and fire a
+// spurious second kill when phase (b) arms. The fired flag feeds the
+// final ok= line -- a run where the kill never landed mid-flight must
+// FAIL, not silently degrade to a second baseline.
+import java.util.concurrent.atomic.AtomicBoolean
+case class Killer(thread: Thread, fired: AtomicBoolean)
+def killWhen(label: String, trigger: AtomicBoolean)(ready: () => Boolean): Killer = {
+  val fired = new AtomicBoolean(false)
   val t = new Thread(() => {
-    while (!armed || !ready()) Thread.sleep(200)
+    while (!trigger.get() || !ready()) Thread.sleep(200)
     Thread.sleep(1500) // land INSIDE the running stage, not at its edge
     val pid = killOneExecutor()
+    if (pid > 0) fired.set(true)
     println(s"PROBE $label killed executor pid=$pid at ${System.nanoTime}")
   })
-  t.setDaemon(true); t.start(); t
+  t.setDaemon(true); t.start(); Killer(t, fired)
 }
 
 // ---- (a) nearDupClusters under executor loss ------------------------
@@ -84,16 +92,21 @@ def ckEntries(): Int = {
   apps.flatMap(a => Option(a.listFiles()).getOrElse(Array.empty)).length
 }
 val before = ckEntries()
-val killer = killWhen("clusters")(() => ckEntries() >= before + 2)
-armed = true
+val trigA = new AtomicBoolean(false)
+val killer = killWhen("clusters", trigA)(() => ckEntries() >= before + 2)
+trigA.set(true)
 val survived = timed("clusters-kill-mid-iteration") {
   clusterChecksum(graft.llm.DedupLsh.nearDupClusters(
     edges, reliableCheckpoints = Some(true)))
 }
-killer.join(5000)
-armed = false
+killer.thread.join(5000)
+trigA.set(false)
+// killFired gates ok=: a run where the executor was never lost proves
+// nothing and must not read as a pass
 println(s"PROBE clusters baseline=$baseline survived=$survived " +
-  s"match=${baseline == survived} (expect (50000, <same checksum>))")
+  s"killFired=${killer.fired.get()} " +
+  s"ok=${baseline == survived && killer.fired.get()} " +
+  "(expect (50000, <same checksum>), killFired=true)")
 
 // ---- (b) st12 bucketed upsert under executor loss -------------------
 val root = "/tmp/probe_fault_st12"
@@ -108,20 +121,27 @@ timed("st12-seed-2M") {
     spark, tbl, seed, Seq("id"), Seq("ts"), 64)
 }
 
-// upsert 1M rows touching ALL buckets while an executor dies mid-write.
-// ready(): the write job has started (tasks running) -- poll active
-// stage count via the status tracker.
+// upsert 1M rows touching ALL buckets while an executor dies mid-job.
+// ready(): a SECOND stage of the upsert has started -- the first job
+// inside upsertBucketedBatch is the small touched-buckets collect; the
+// kill should land past it, in the merge/write work (the 1500 ms
+// post-trigger sleep then lands inside that stage, not at its edge)
 val tracker = spark.sparkContext.statusTracker
-val killer2 = killWhen("st12")(() => tracker.getActiveStageIds().nonEmpty)
-armed = true
+@volatile var stagesSeen = Set.empty[Int]
+val trigB = new AtomicBoolean(false)
+val killer2 = killWhen("st12", trigB)(() => {
+  stagesSeen = stagesSeen ++ tracker.getActiveStageIds()
+  stagesSeen.size >= 2 && tracker.getActiveStageIds().nonEmpty
+})
+trigB.set(true)
 timed("st12-upsert-1M-kill-mid-write") {
   val batch = (spark.range(0L, 1000000L).toDF("id")
     .withColumn("v", lit(-1L)).withColumn("ts", lit(1L)))
   graft.streaming.Streams.upsertBucketedBatch(
     spark, tbl, batch, Seq("id"), Seq("ts"), 64)
 }
-killer2.join(5000)
-armed = false
+killer2.thread.join(5000)
+trigB.set(false)
 
 val t = spark.read.parquet(tbl)
 val rows = t.count()
@@ -129,4 +149,5 @@ val updated = t.filter(col("v") === -1L).count()
 val stale = t.filter(col("id") < 1000000L && col("v") =!= -1L).count()
 println(s"PROBE st12 rows=$rows (expect 2000000) updated=$updated " +
   s"(expect 1000000) stale=$stale (expect 0) " +
-  s"ok=${rows == 2000000L && updated == 1000000L && stale == 0L}")
+  s"killFired=${killer2.fired.get()} " +
+  s"ok=${rows == 2000000L && updated == 1000000L && stale == 0L && killer2.fired.get()}")

@@ -30,7 +30,7 @@ spark.sparkContext.addSparkListener(Spills)
 
 val heap = Runtime.getRuntime.maxMemory() / (1 << 20)
 
-def timed(label: String)(f: => Long): Unit = {
+def timed(label: String)(f: => Any): Unit = {
   Spills.reset()
   val t0 = System.nanoTime
   val n = f
@@ -72,12 +72,13 @@ val vecExpr = array((0 until 64).map(j =>
   (hash(pmod(col("id"), lit(125000L)) * 64 + j) % 1000).cast("float") / 1000f): _*)
 val emb = spark.range(250000L).select(col("id").as("vec_id"), vecExpr.as("embedding"))
 
-// semanticDedup returns the SURVIVING rows; a hash over kept ids pins
-// the exact member set, not just its size
+// semanticDedup returns the SURVIVING rows; the FULL decimal sum of
+// per-row hashes pins the exact member set (a truncated/modular form
+// would let different survivor sets of the same size collide)
 timed("x17_semdedup_250k") {
-  graft.llm.Similarity.semanticDedup(emb, numCells = 256, iters = 2, threshold = 0.99)
-    .agg((count(lit(1)).cast("decimal(38,0)") +
-      abs(sum(xxhash64(col("vec_id")).cast("decimal(38,0)"))) % 1000000L).cast("decimal(38,0)"))
-    .head().getDecimal(0).longValue()
+  val r = graft.llm.Similarity.semanticDedup(emb, numCells = 256, iters = 2, threshold = 0.99)
+    .agg(count(lit(1)),
+      sum(xxhash64(col("vec_id")).cast("decimal(38,0)"))).head()
+  s"${r.getLong(0)}_${r.getDecimal(1)}"
 }
 spark.catalog.clearCache()

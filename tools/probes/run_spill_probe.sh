@@ -24,6 +24,17 @@ for cfg in "16g 32" "4g 8" "3g 8" "2g 4"; do
 done
 echo "=== summary ==="
 cat "$out"
-n_results=$(grep -o "x2_neardup_1m result=[0-9]*" "$out" | sort -u | wc -l)
-n_results17=$(grep -o "x17_semdedup_250k result=[0-9]*" "$out" | sort -u | wc -l)
-echo "distinct x2 results: $n_results (expect 1), distinct x17 results: $n_results17 (expect 1)"
+# every config must EMIT a result line (a config that OOM-aborts emits
+# none — counting only distinct values among survivors would let the
+# exact failure this probe exists to catch read as a pass)
+n_cfg=4
+n_x2=$(grep -c "x2_neardup_1m result=" "$out")
+n_x17=$(grep -c "x17_semdedup_250k result=" "$out")
+d_x2=$(grep -o "x2_neardup_1m result=[0-9_-]*" "$out" | sort -u | wc -l)
+d_x17=$(grep -o "x17_semdedup_250k result=[0-9_-]*" "$out" | sort -u | wc -l)
+echo "x2 runs: $n_x2/$n_cfg distinct: $d_x2 | x17 runs: $n_x17/$n_cfg distinct: $d_x17"
+if [ "$n_x2" -eq $n_cfg ] && [ "$n_x17" -eq $n_cfg ] && [ "$d_x2" -eq 1 ] && [ "$d_x17" -eq 1 ]; then
+  echo "SPILL_PROBE PASS"
+else
+  echo "SPILL_PROBE FAIL (a config aborted or results diverged)"; exit 1
+fi
