@@ -41,7 +41,13 @@ object Tables {
         // epoch instant DuckDB's naive read produces — downstream
         // unix_micros/casts then match the oracle bit-for-bit
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      // the testdata generator has already switched ts encodings once
+      // (round 10: NANOS-as-long → µs NTZ); an unrecognized third
+      // encoding must fail HERE, at the loader, not as obscure value
+      // mismatches in every events-derived query downstream
+      case other => sys.error(s"unexpected events.ts type: $other " +
+        "(known encodings: long nanos, timestamp_ntz micros, timestamp)")
     }
   }
 

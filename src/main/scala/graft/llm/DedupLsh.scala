@@ -137,30 +137,42 @@ object DedupLsh {
     val bands = capBucketOccupancy(bandsAll, "band", maxBucketDf)
     val a = bands.select(col("band"), col("id").as("id_a"))
     val b = bands.select(col("band"), col("id").as("id_b"))
-    // join strategy hints: the planner underestimates the exploded
-    // banded corpus (file-size × selectivity heuristics) and tries to
-    // BROADCAST a corpus-sized side — OOM at 50k docs, fatal at real
-    // scale. The band self-join stays shuffle_hash (its build side is
-    // thin (band, id) rows — small at any corpus size). The two
-    // VERIFY joins are merge, not shuffle_hash: their build side is
-    // the full corpus shingle table, and a ShuffledHashJoin's hash
-    // relation is quota-tracked but NOT spillable — under memory
-    // pressure it aborts with "Can't acquire N bytes to build hash
-    // relation" where a sort-merge spills and finishes (round-10
-    // probe, PROBES.md: 1M docs at 3 GB/8-core heap — merge completes
-    // with 240-435 MB disk spill and the identical pair set; the SHJ
-    // form dies). The merge form is ALSO faster when memory is ample
-    // (13.9 s vs 24.3 s warm at 1M/16 GB): sorting longs + streaming
-    // beats allocating a million-entry hash map of array payloads.
+    // join strategy: the BAND self-join stays hinted shuffle_hash —
+    // the planner underestimates the exploded banded corpus (file-size
+    // × selectivity heuristics) and would BROADCAST a corpus-sized
+    // side (OOM at 50k docs, fatal at real scale); the hint's build
+    // side is thin (band, id) rows, small at any corpus size. The two
+    // VERIFY joins carry NO hint (round-11 A/B,
+    // probe_x2_verify_join*.sc): un-hinted, the static planner picks
+    // sort-merge (both sides' estimates exceed the broadcast
+    // threshold: the pairs side is a join output, whose estimate can
+    // only OVERshoot, and the shingle side is scan-derived, which
+    // scales with the files) and AQE then converts to broadcast-hash
+    // at runtime exactly when the measured shingle table is genuinely
+    // small — 1.7 s vs the pinned-merge 3.1 s at sf0.1, bit-identical.
+    // Under pressure the conversion simply never fires and the
+    // sort-merge spills and finishes: 1M docs at 3 GB/8-core AND
+    // 2 GB/4-core heap complete with the identical pair checksum and
+    // ~270-306 MB disk spill, matching the round-10 merge-pin numbers
+    // (a pinned shuffle_hash build is quota-tracked but NOT spillable
+    // and aborts there — why the pin was merge, never hash). The
+    // round-10 merge pin traded 1.4 s at bench scale for that safety;
+    // hint-free keeps the safety and returns the 1.4 s.
     // dedup (id_a, id_b) BEFORE the jaccard verify: a pair colliding in
     // k bands would otherwise pay k verifies (the verify is the hot
     // loop at scale — round-3 verdict).
+    // overridable for A/B measurement (system property
+    // graft.dedup.verifyJoin = none | merge | shuffle_hash); "none"
+    // is the shipping default per the probes above
+    val verifyHint = sys.props.getOrElse("graft.dedup.verifyJoin", "none")
+    def hinted(df: DataFrame): DataFrame =
+      if (verifyHint == "none") df else df.hint(verifyHint)
     val verified = a.join(b.hint("shuffle_hash"), Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("merge"),
+      .join(hinted(withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))),
         Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("merge"),
+      .join(hinted(withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -358,8 +370,17 @@ object DedupLsh {
     // union branch on first materialization (only the banded staging
     // below it is cached — measured 2× the whole candidate+verify
     // phase on x8/x10). Checkpointing materializes the pair list once
-    // and both branches read the cached RDD.
-    val pairsCk = ck(pairs)
+    // and both branches read the cached RDD. EXCEPT when pairs is
+    // already a bare file scan (the staged-artifact path, x8b/x15b):
+    // the parquet IS the materialization — both union branches read a
+    // columnar, pruned scan, and re-copying it into block storage
+    // would cost an extra job at any scale for nothing.
+    val alreadyMaterialized = pairs.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+      case _ => false
+    }
+    val pairsCk = if (alreadyMaterialized) pairs else ck(pairs)
     val edges = pairsCk
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairsCk.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -387,7 +408,13 @@ object DedupLsh {
       val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
-    var prevSum = labelSum(labels)
+    // no initial labelSum job: iteration 1 strictly decreases Σlabel
+    // whenever the edge list is non-empty (every labeled vertex has a
+    // neighbor, and each component's non-min members take a least()),
+    // so the first convergence compare can only fire from iteration 2
+    // on — null stands for "no previous sum yet" and saves one action
+    // per call (empty input pays one harmless extra no-op iteration)
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -416,7 +443,7 @@ object DedupLsh {
       // checkpointed frame; see Caching.dropSupersededCheckpoint)
       graft.Caching.dropSupersededCheckpoint(labels)
       labels = updated
-      converged = newSum.compareTo(prevSum) == 0
+      converged = prevSum != null && newSum.compareTo(prevSum) == 0
       prevSum = newSum
       i += 1
     }

@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions._
   */
 object Inference {
 
+  /** Canonical name of the encoder implementation, stamped into x13/e4
+    * manifests as `encoder_impl` so the sandbox stub boundary is
+    * observable IN DATA: a deployment that swaps a learned model into
+    * `encodeBatched` must change this constant, and every consumer of
+    * the manifest sees which encoder produced its vectors. */
+  val EncoderImpl = "feature-hash-md5-stub-v1"
+
   private val HexVal = "0123456789abcdef"
 
   /** The per-document projection, exposed for spec replay: signed

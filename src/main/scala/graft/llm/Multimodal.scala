@@ -29,6 +29,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Canonical name of the media-payload source, stamped into the e4
+    * manifest as `encoder_impl` (the Inference.EncoderImpl convention):
+    * the decoders are real, the PAYLOADS are synthesized in-sandbox —
+    * a deployment reading crawl media swaps the synthesize* producers
+    * and this constant with them, making the swap visible in data. */
+  val PayloadImpl = "synthetic-png-wav-payloads-v1"
+
   /** Output schema of the REAL image decode: everything below comes
     * from `javax.imageio` reading actual PNG bytes. */
   val DecodedImageSchema: StructType = StructType(Seq(

@@ -25,6 +25,55 @@ object LlmQueries {
   private val seededDocTables =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** (sessionUUID|pairsDir) staged pair artifacts this JVM already
+    * wrote — the x7b build-once contract applied to the dedup family. */
+  private val stagedPairTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The near-dup pair list as a STAGED ARTIFACT: production dedup
+    * materializes shingle→band→verify ONCE per corpus snapshot and
+    * every downstream consumer — clustering (x8b), canonical selection
+    * (x15b), audits — reads the parquet instead of re-deriving pairs
+    * from raw text. Same memoization shape as the x7b IVF index: first
+    * call in a JVM (re)builds, so the artifact is always derived from
+    * the current corpus and stale leftovers can't leak in; repeated
+    * invocations (bench sweeps, interactive reuse) time the READ path,
+    * which is the steady-state production cost. The artifact is thin
+    * (id_a, id_b, jaccard) rows — at 100 TB corpus scale it is the
+    * verified-pair set only (corpus-fraction sized, not corpus sized),
+    * and each consumer's first shuffle keys on an id column, so
+    * re-reading it is strictly cheaper than re-verifying. */
+  /** x15's canonical-representative pick, shared with its staged twin
+    * x15b: join each cluster member's quality score, then ONE window
+    * pass computes both the representative rank and the member count —
+    * evaluating the scored frame twice (rep + groupBy) would re-run
+    * the cluster join and quality scoring and add a join. */
+  private def canonicalByQuality(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = clusters
+      .join(docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("score")),
+        clusters("id") === col("doc_id"))
+      .select(col("cluster"), col("id"), col("score"))
+    val w = Window.partitionBy("cluster").orderBy(col("score").desc, col("id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("n_members"), col("id").as("rep_id"))
+      .orderBy("cluster")
+  }
+
+  private def stagedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_io/${new java.io.File(dir).getName}/neardup_pairs"
+    if (stagedPairTables.add(s"${System.identityHashCode(s)}|$path"))
+      DedupLsh.nearDupPairs(corpusNear(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5)
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** documents ∪ exact clone at doc_id+10000. */
   private def corpusExact(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
@@ -192,6 +241,13 @@ object LlmQueries {
             shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5))
         .orderBy("id")
     },
+    // x8b — x8 against the STAGED pair artifact (see
+    // stagedNearDupPairs): label propagation reads the materialized
+    // pair list, never the raw text. Same oracle as x8 — the staging
+    // round-trip must be value-invisible.
+    "x8b_clusters_staged" -> { (s, dir) =>
+      DedupLsh.nearDupClusters(stagedNearDupPairs(s, dir)).orderBy("id")
+    },
     "x10_dedup_apply" -> { (s, dir) =>
       // end-to-end dedup application: pairs → connected components →
       // drop non-canonical members (label ≠ id) via left_anti — the
@@ -341,12 +397,18 @@ object LlmQueries {
     // L2 normalize) through the typed mapPartitions batch plumbing;
     // the oracle recomputes the whole projection from the text
     "x13_embed_inference" -> { (s, dir) =>
+      // encoder_impl stamps the STUB BOUNDARY into the data itself: the
+      // sandbox has no ML runtime, so the "model" is deterministic md5
+      // feature hashing (Inference.featureHashVector). A deployment that
+      // swaps in a real encoder changes this value, making the swap
+      // observable in every downstream consumer — not just in scaladoc.
       Inference.encodeBatched(Tables.documents(s, dir), "doc_id", "text",
         dim = 64, batchSize = 64)
         .select(col("doc_id"),
           size(col("embedding")).cast("long").as("n_dim"),
           element_at(col("embedding"), 1).as("comp0"),
-          aggregate(col("embedding"), lit(0L), (a, x) => a + abs(x)).as("l1_norm"))
+          aggregate(col("embedding"), lit(0L), (a, x) => a + abs(x)).as("l1_norm"),
+          lit(Inference.EncoderImpl).as("encoder_impl"))
         .orderBy("doc_id")
     },
     // y9 — intra-document repetition filter (Gopher/C4-style signal)
@@ -388,7 +450,13 @@ object LlmQueries {
       val aud = Multimodal
         .decodeAudioBatched(Multimodal.synthesizeWavPayload(survivors, "doc_id"))
         .select(col("media_id").as("doc_id"), col("duration_ms").as("audio_ms"))
+      // encoder_impl marks the sandbox stub boundary in the manifest
+      // itself (the x13 convention): the image/audio DECODERS are real
+      // (javax.imageio / javax.sound), what's synthetic here is the
+      // payload source — a deployment reading real crawl media swaps
+      // synthesizePng/WavPayload out and this stamp with it.
       val manifest = survivors.join(img, Seq("doc_id")).join(aud, Seq("doc_id"))
+        .withColumn("encoder_impl", lit(Multimodal.PayloadImpl))
         .orderBy("doc_id")
       graft.Caching.releaseAfterFirstUse(manifest, survivors)
     },
@@ -674,26 +742,17 @@ object LlmQueries {
     // quality score → per-cluster (score desc, id asc) pick. The only
     // window is per-cluster (bounded by cluster size).
     "x15_canonical_quality" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = corpusNear(s, dir)
-      val clusters = DedupLsh.nearDupClusters(
-        DedupLsh.nearDupPairs(docs, "doc_id", "text"))
-      val scored = clusters
-        .join(docs.select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("score")),
-          clusters("id") === col("doc_id"))
-        .select(col("cluster"), col("id"), col("score"))
-      // ONE window pass computes both the representative rank and the
-      // member count — evaluating `scored` twice (rep + groupBy) would
-      // re-run the cluster join and quality scoring and add a join
-      val w = Window.partitionBy("cluster").orderBy(col("score").desc, col("id").asc)
-      scored
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n_members",
-          count(lit(1)).over(Window.partitionBy("cluster")))
-        .filter(col("rn") === 1)
-        .select(col("cluster"), col("n_members"), col("id").as("rep_id"))
-        .orderBy("cluster")
+      canonicalByQuality(docs, DedupLsh.nearDupClusters(
+        DedupLsh.nearDupPairs(docs, "doc_id", "text")))
+    },
+    // x15b — x15 against the STAGED pair artifact: clusters + canonical
+    // pick read `neardup_pairs` parquet instead of re-deriving pairs
+    // from raw text. Same oracle as x15 — staging must be
+    // value-invisible.
+    "x15b_canonical_staged" -> { (s, dir) =>
+      canonicalByQuality(corpusNear(s, dir),
+        DedupLsh.nearDupClusters(stagedNearDupPairs(s, dir)))
     },
     // y16 — bigram-LM scoring: MLE conditional P(w2|w1) in fixed-point
     // micro-nats; the denominator joins are vocabulary-sized, so the
@@ -863,6 +922,47 @@ object LlmQueries {
     }
     val x2Core = x2CoreSql(None)
 
+    // shared by x8/x8b and x15/x15b: the staged-artifact twins must be
+    // value-invisible, so each pair replays ONE oracle text
+    val x8ClustersSql =
+      s"""WITH RECURSIVE np AS ($x2Core),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM np
+         |  UNION SELECT id_b, id_a FROM np),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+         |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
+    val x15CanonicalSql =
+      s"""WITH RECURSIVE np AS ($x2Core),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM np
+         |  UNION SELECT id_b, id_a FROM np),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         |clusters AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |corpus AS ($CorpusNearSql),
+         |scored AS (
+         |  SELECT c.cluster, c.id,
+         |    least(CAST(len(ts) AS DOUBLE) / 50.0, 1.0) *
+         |    (1.0 - CAST(len(list_filter(ts, t -> list_contains($StopSql, t))) AS DOUBLE)
+         |           / CAST(len(ts) AS DOUBLE)) AS score
+         |  FROM clusters c JOIN (
+         |    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM corpus) d
+         |    ON c.id = d.doc_id),
+         |rep AS (
+         |  SELECT cluster, id, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY score DESC, id ASC) AS rn
+         |  FROM scored)
+         |SELECT m.cluster, m.n_members, r.rep_id
+         |FROM (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+         |      FROM scored GROUP BY cluster) m
+         |JOIN (SELECT cluster, id AS rep_id FROM rep WHERE rn = 1) r USING (cluster)
+         |ORDER BY m.cluster""".stripMargin
+
     Map(
       "x1_exact_dedup" ->
         s"""SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -957,16 +1057,8 @@ object LlmQueries {
            |       st.lang_docs, st.lang_tokens
            |FROM survivors s JOIN cells c USING (doc_id) JOIN state st USING (lang)
            |ORDER BY s.doc_id""".stripMargin,
-      "x8_dedup_clusters" ->
-        s"""WITH RECURSIVE np AS ($x2Core),
-           |edges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM np
-           |  UNION SELECT id_b, id_a FROM np),
-           |reach AS (
-           |  SELECT src AS id, src AS r FROM edges
-           |  UNION
-           |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
-           |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+      "x8_dedup_clusters" -> x8ClustersSql,
+      "x8b_clusters_staged" -> x8ClustersSql,
       "x10_dedup_apply" ->
         s"""WITH RECURSIVE np AS ($x2Core),
            |edges AS (
@@ -1148,7 +1240,8 @@ object LlmQueries {
            |SELECT s.doc_id, s.lang_pred, s.score, s.n_tokens, s.n_copies,
            |  CAST((m.h * ((m.w // 2) * m.a + (m.w - m.w // 2) * m.b) * 1000)
            |    // (m.w * m.h) AS BIGINT) AS img_mean_milli,
-           |  CAST((m.nf * 1000) // m.sr AS BIGINT) AS audio_ms
+           |  CAST((m.nf * 1000) // m.sr AS BIGINT) AS audio_ms,
+           |  '${graft.llm.Multimodal.PayloadImpl}' AS encoder_impl
            |FROM survivors s JOIN media m USING (doc_id) ORDER BY s.doc_id""".stripMargin,
       "y5_curation_funnel" ->
         s"""WITH scored AS (
@@ -1225,7 +1318,7 @@ object LlmQueries {
       // fixed-point L2 normalize — the encoder is real enough that an
       // independent engine can recompute every component from text
       "x13_embed_inference" ->
-        """WITH t AS (
+        ("""WITH t AS (
           |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
           |g AS (
           |  SELECT doc_id, unnest(list_concat(tk,
@@ -1256,8 +1349,9 @@ object LlmQueries {
           |SELECT doc_id, CAST(64 AS BIGINT) AS n_dim,
           |  embedding[1] AS comp0,
           |  CAST(list_aggregate(list_transform(embedding, x -> abs(x)), 'sum') AS BIGINT)
-          |    AS l1_norm
-          |FROM vec ORDER BY doc_id""".stripMargin,
+          |    AS l1_norm,
+          |  '""".stripMargin + Inference.EncoderImpl + """' AS encoder_impl
+          |FROM vec ORDER BY doc_id""".stripMargin),
       "y9_repetition_filter" ->
         """WITH g AS (
           |  SELECT doc_id,
@@ -1517,34 +1611,8 @@ object LlmQueries {
           |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
           |  FROM documents)
           |ORDER BY doc_id""".stripMargin,
-      "x15_canonical_quality" ->
-        s"""WITH RECURSIVE np AS ($x2Core),
-           |edges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM np
-           |  UNION SELECT id_b, id_a FROM np),
-           |reach AS (
-           |  SELECT src AS id, src AS r FROM edges
-           |  UNION
-           |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-           |clusters AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
-           |corpus AS ($CorpusNearSql),
-           |scored AS (
-           |  SELECT c.cluster, c.id,
-           |    least(CAST(len(ts) AS DOUBLE) / 50.0, 1.0) *
-           |    (1.0 - CAST(len(list_filter(ts, t -> list_contains($StopSql, t))) AS DOUBLE)
-           |           / CAST(len(ts) AS DOUBLE)) AS score
-           |  FROM clusters c JOIN (
-           |    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM corpus) d
-           |    ON c.id = d.doc_id),
-           |rep AS (
-           |  SELECT cluster, id, row_number() OVER (PARTITION BY cluster
-           |    ORDER BY score DESC, id ASC) AS rn
-           |  FROM scored)
-           |SELECT m.cluster, m.n_members, r.rep_id
-           |FROM (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
-           |      FROM scored GROUP BY cluster) m
-           |JOIN (SELECT cluster, id AS rep_id FROM rep WHERE rn = 1) r USING (cluster)
-           |ORDER BY m.cluster""".stripMargin,
+      "x15_canonical_quality" -> x15CanonicalSql,
+      "x15b_canonical_staged" -> x15CanonicalSql,
       "sql2_dotq_sql" ->
         s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings)
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1448,34 +1448,50 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("X2 plan: shingle verify joins are sort-merge (spillable), never hash-built") {
-    // the round-10 memory-pressure probe (PROBES.md): a shuffled hash
-    // join's build is quota-tracked but NOT spillable, and the verify
-    // joins build the corpus-sized shingle table — the one build in
-    // the family with no occupancy bound. SMJ spills and finishes
-    // (and measured faster at 1M). Pinned AQE-off and AQE-ON final.
+  test("X2 plan: un-hinted verify joins stay sort-merge at scale, broadcast-convert when small") {
+    // round-11 contract (probe_x2_verify_join*.sc): the verify joins
+    // carry NO hint. Above the broadcast threshold (every real-scale
+    // corpus — emulated here with threshold -1) the planner must pick
+    // sort-merge, NEVER a shuffled-hash build: an SHJ build is
+    // quota-tracked but not spillable and the verify joins build the
+    // corpus-sized shingle table, the one build in the family with no
+    // occupancy bound (round-10 pressure probe). Below the threshold
+    // AQE converts to broadcast at runtime — the small-scale win that
+    // the round-10 merge pin gave away.
     val docs = spark.range(0, 200)
       .select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 8).map(j =>
           concat(lit("w"), (col("id") * 3 + j) % 40, lit("t" + j))): _*).as("text"))
     def verifyJoinShapes(plan: String): Unit = {
-      // the verify joins key on id_a/id_b; they must appear as SMJ.
-      // shuffle_hash remains ONLY on the thin band self-join.
       assert(plan.contains("SortMergeJoin [id_a"),
         s"id_a verify join is not sort-merge:\n$plan")
       assert(plan.contains("SortMergeJoin [id_b"),
         s"id_b verify join is not sort-merge:\n$plan")
+      assert(!plan.contains("ShuffledHashJoin [id_a") &&
+        !plan.contains("ShuffledHashJoin [id_b"),
+        s"verify join took a non-spillable hash build:\n$plan")
       assert(!plan.contains("BroadcastHashJoin"),
         s"planner broadcast a corpus-sized side:\n$plan")
     }
-    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+    withSQLConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val out = graft.llm.DedupLsh.nearDupPairs(docs, "doc_id", "text")
       verifyJoinShapes(out.queryExecution.executedPlan.toString)
     }
-    withSQLConf("spark.sql.adaptive.enabled" -> "true") {
+    withSQLConf("spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
       val out = graft.llm.DedupLsh.nearDupPairs(docs, "doc_id", "text")
       val (_, fp) = finalizedPlan(out)
       verifyJoinShapes(fp)
+    }
+    // default thresholds + tiny actual data: AQE must seize the
+    // runtime win and broadcast-convert the verify joins
+    withSQLConf("spark.sql.adaptive.enabled" -> "true") {
+      val out = graft.llm.DedupLsh.nearDupPairs(docs, "doc_id", "text")
+      val (_, fp) = finalizedPlan(out)
+      assert(fp.contains("BroadcastHashJoin"),
+        s"AQE did not broadcast-convert a tiny verify join:\n$fp")
     }
   }
 

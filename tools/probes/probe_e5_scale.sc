@@ -1,0 +1,140 @@
+// Probe: the e5 incremental-pipeline COMPOSITION above bench scale
+// (round-11 verdict task 4: components are probed at 1M, the chained
+// flagship is not). Replays the registered e5 chain -- bloom exact
+// dedup vs history, broadcast band sweep vs corpus, IVF codebook
+// build-once + O(batch) append, aggregate-state fold, bucketed
+// keep-latest upsert + manifest read-back -- against a synthetic
+// corpus of GRAFT_E5_N docs (default 1M) with a production-shaped
+// batch of N/100 (1/3 exact dupes, 1/3 one-token near-clones, 1/3
+// novel). Each stage is timed separately; run at N=1M and N=10M and
+// compare per-stage ratios (linear-ish expected -- every stage is a
+// bounded number of corpus-linear scans/shuffles; the two build-once
+// bootstraps are timed apart from the per-batch loop).
+// Corpus + batch are STAGED as parquet first: stages read file-backed
+// columnar data with real stats, like the accumulated production
+// corpus they model.
+// Run: GRAFT_E5_N=10000000 /opt/spark/bin/spark-shell --master 'local[32]' \
+//   --conf spark.ui.enabled=false --conf spark.sql.shuffle.partitions=32 \
+//   --conf spark.sql.session.timeZone=UTC --driver-memory 24g \
+//   --driver-class-path target/scala-2.13/classes \
+//   -i tools/probes/probe_e5_scale.sc -e ':quit'
+import org.apache.spark.sql.functions._
+
+spark.sparkContext.setLogLevel("WARN")
+
+val N = sys.env.getOrElse("GRAFT_E5_N", "1000000").toLong
+val B = N / 100L
+val root = s"/tmp/probe_e5_scale_$N"
+val idxDir = s"$root/ivf_index"
+val tableDir = s"$root/doc_table"
+graft.streaming.Streams.deleteDir(spark, root)
+
+def timed[T](label: String)(f: => T): T = {
+  val t0 = System.nanoTime
+  val r = f
+  println(f"E5SCALE n=$N $label%-26s ${(System.nanoTime - t0) / 1e9}%8.1f s")
+  r
+}
+
+// ---- staging: unique-shingle 20-token docs (the spill-probe corpus
+// texture), 3 langs, 16-dim deterministic embeddings
+val text20 = concat_ws(" ", (0 until 20).map(j =>
+  concat(lit("w"), col("id") * 20L + j)): _*)
+val langCol = element_at(array(lit("en"), lit("de"), lit("fr")),
+  (col("id") % 3L).cast("int") + 1)
+val embCol = array((0 until 16).map(j =>
+  (hash(col("id") * 16L + j) % 1000).cast("float") / 1000f): _*)
+
+timed("setup_write_corpus") {
+  spark.range(N).select(col("id").as("doc_id"), text20.as("text"), langCol.as("lang"))
+    .write.mode("overwrite").parquet(s"$root/corpus")
+  spark.range(N).select(col("id").as("vec_id"), embCol.as("embedding"))
+    .write.mode("overwrite").parquet(s"$root/emb")
+}
+val docs = spark.read.parquet(s"$root/corpus")
+val emb = spark.read.parquet(s"$root/emb")
+
+timed("setup_write_batch") {
+  val novel = concat_ws(" ", (0 until 20).map(j =>
+    concat(lit("n"), col("doc_id") * 20L + j)): _*)
+  val mutated = when(col("doc_id") % 3 === 0, col("text"))
+    .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" v2")))
+    .otherwise(novel)
+  docs.filter(col("doc_id") < B)
+    .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+    .select((col("doc_id") + N * 10L).as("doc_id"), mutated.as("text"),
+      col("lang"), col("embedding"))
+    .withColumn("digest", md5(col("text")))
+    .write.mode("overwrite").parquet(s"$root/batch")
+}
+val batch = spark.read.parquet(s"$root/batch")
+
+// ---- stage 1: bloom-prefiltered exact dedup vs history digests
+val exactNew = timed("s1_bloom_exact_dedup") {
+  val history = docs.select(md5(col("text")).as("digest"))
+  val r = graft.llm.BloomDedup.antiJoinBloom(batch, history, "digest",
+    expectedItems = N, fpp = 0.001)
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  println(s"E5SCALE n=$N   s1 exact_new=${r.count()} (expect ~${2 * B / 3})")
+  r
+}
+
+// ---- stage 2: banded near-dup sweep vs the corpus (batch broadcasts)
+val survivors = timed("s2_band_sweep") {
+  val hits = graft.llm.DedupLsh.crossNearDupPairs(exactNew, docs, "doc_id", "text")
+  val r = exactNew
+    .join(hits.select(col("id_new").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    .withColumn("n_tokens", graft.llm.TextAnalysis.tokenCountWhitespace(col("text")))
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  println(s"E5SCALE n=$N   s2 survivors=${r.count()} (expect ~${B / 3} + band misses)")
+  r
+}
+
+// ---- stage 3: IVF -- build-once codebook (bootstrap), O(batch) append
+timed("s3_ivf_build_once") {
+  graft.llm.Similarity.buildIvfIndex(emb, idxDir, numCells = 16, iters = 2)
+}
+val cells = timed("s3_ivf_append_readback") {
+  graft.llm.Similarity.appendToIvfIndex(
+    survivors.select(col("doc_id").as("vec_id"), col("embedding")), idxDir)
+  val c = spark.read.parquet(s"$idxDir/members")
+    .filter(col("vec_id") >= N * 10L)
+    .select(col("vec_id").as("doc_id"), col("cell_id").cast("long").as("cell_id"))
+    .distinct()
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  println(s"E5SCALE n=$N   s3 appended_cells_rows=${c.count()}")
+  c
+}
+
+// ---- stage 4: per-language aggregate-state fold
+val state = timed("s4_agg_state_fold") {
+  val corpusState = graft.ops.Merge.aggState(
+    docs.select(col("lang"), graft.llm.TextAnalysis.tokenCountWhitespace(col("text")).as("tok")),
+    Seq("lang"), Seq("tok"))
+  val st = graft.ops.Merge.mergeAggState(corpusState,
+    survivors.select(col("lang"), col("n_tokens").as("tok")), Seq("lang"), Seq("tok"))
+    .select(col("lang"), col("cnt").as("lang_docs"), col("tok").as("lang_tokens"))
+  println(s"E5SCALE n=$N   s4 state_rows=${st.count()}")
+  st
+}
+
+// ---- stage 5: bucketed upsert -- seed-once bootstrap, then the batch
+timed("s5_seed_table_once") {
+  graft.streaming.Streams.upsertBucketedBatch(spark, tableDir,
+    docs.select(col("doc_id"), md5(col("text")).as("digest"), col("lang"),
+      graft.llm.TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens")),
+    keys = Seq("doc_id"), order = Seq("n_tokens"), nBuckets = 16)
+}
+val manifestRows = timed("s5_upsert_and_manifest") {
+  graft.streaming.Streams.upsertBucketedBatch(spark, tableDir,
+    survivors.select("doc_id", "digest", "lang", "n_tokens"),
+    keys = Seq("doc_id"), order = Seq("n_tokens"), nBuckets = 16)
+  val tbl = spark.read.parquet(tableDir)
+    .filter(col("doc_id") >= N * 10L)
+    .select("doc_id", "digest", "lang", "n_tokens")
+  tbl.join(cells, Seq("doc_id"))
+    .join(broadcast(state), Seq("lang"))
+    .count()
+}
+println(s"E5SCALE n=$N manifest_rows=$manifestRows " +
+  s"ok=${manifestRows > 0 && manifestRows == cells.count()}")

@@ -29,12 +29,25 @@ def timed[T](label: String)(f: => T): T = {
   r
 }
 
-// kill -9 one CoarseGrainedExecutorBackend JVM (never the driver; the
-// driver is SparkSubmit / Main). Returns the pid killed, -1 if none up.
+// kill -9 one CoarseGrainedExecutorBackend JVM belonging to THIS
+// probe's cluster (never the driver; the driver is SparkSubmit/Main).
+// pgrep is machine-wide and orphaned Spark JVMs on this shared box are
+// a known condition -- an unscoped pids.max could SIGKILL another
+// cluster's executor and report a vacuous pass while this cluster
+// never lost one. Executor command lines carry `--app-id <appId>`, so
+// filter on this driver's applicationId: every surviving candidate
+// provably belongs to this app. Returns the pid killed, -1 if none up.
+val probeAppId = spark.sparkContext.applicationId
 def killOneExecutor(): Long = {
   val pids = (try { Seq("pgrep", "-f", "CoarseGrainedExecutorBackend").!! }
               catch { case _: Exception => "" })
     .trim.split("\n").filter(_.nonEmpty).map(_.toLong)
+    .filter { p =>
+      try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"/proc/$p/cmdline")), "UTF-8")
+        .contains(probeAppId)
+      catch { case _: Exception => false } // pid exited between pgrep and read
+    }
   if (pids.isEmpty) -1L
   else { val p = pids.max; Seq("kill", "-9", p.toString).!; p }
 }

@@ -55,7 +55,12 @@ def runStream(label: String): Boolean = {
     .trigger(Trigger.AvailableNow())
     .start()
   try { q.awaitTermination(); true }
-  catch { case e: Exception => false }
+  catch { case e: Exception =>
+    // surface WHY this incarnation died: the injected batch-1 crash is
+    // expected for the first run, anything else must be diagnosable
+    // from the output, not a bare ok=false
+    println(s"PROBE_RESUME $label terminated: ${e.getMessage}")
+    false }
   finally { if (q.isActive) q.stop() }
 }
 
