@@ -1,0 +1,444 @@
+package graft.registry
+
+import graft.Tables
+import graft.llm.{BloomDedup, Contamination, Corpus, DedupLsh, Inference, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import LlmFixtures._
+import TextQueries.{StopSql, tokSql, ngramSql}
+
+/** y-family: text analysis, corpus statistics, TF-IDF / LM scoring,
+  * chunking / packing / sharding, sampling. Extracted verbatim from
+  * LlmQueries (round-11 mechanical split); shared fixtures in
+  * [[LlmFixtures]]. */
+object CorpusAnalysisQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "y1_langid" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    "y2_quality_score" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("score"))
+        .orderBy("doc_id")
+    },
+    "y3_token_count" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWhitespace(col("text")).as("n_ws"),
+          TextAnalysis.tokenCountRegex(col("text")).as("n_re"))
+        .orderBy("doc_id")
+    },
+    "y4_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("tk", split(col("text"), "\\s+"))
+        .withColumn("sh", DedupLsh.shinglesFromTokens(col("tk"), 3))
+        .select(col("doc_id"),
+          TextAnalysis.md5Fingerprint(col("text")).as("fp_exact"),
+          TextAnalysis.minShingleFromShingles(col("sh"), col("text")).as("fp_shingle"))
+        .orderBy("doc_id")
+    },
+    // y9 — intra-document repetition filter (Gopher/C4-style signal)
+    "y9_repetition_filter" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
+        .select(col("doc_id"),
+          Contamination.repetitionRatio(col("tk"), 3).as("rep_ratio"))
+        .withColumn("kept", col("rep_ratio") <= 0.2)
+        .orderBy("doc_id")
+    },
+    "y5_curation_funnel" -> { (s, dir) =>
+      // the full curation path a training pipeline runs end-to-end:
+      // score (lang-ID, quality, token count) → threshold filter →
+      // per-language stratified downsample (en 50%, rest kept). All
+      // narrow per-row work until the final sample filter — one scan,
+      // zero shuffles before the output sort.
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("score"),
+          TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens"))
+      val filtered = scored.filter(
+        col("lang_pred") =!= "und" && col("score") > 0.2 && col("n_tokens") >= 5L)
+      graft.ops.Rows
+        .stratifiedHashSample(filtered, "lang_pred", Seq("doc_id"),
+          Map("en" -> 0.5), default = 1.0)
+        .select("doc_id", "lang_pred", "score")
+        .orderBy("doc_id")
+    },
+    "y6_vocab_topk" -> { (s, dir) =>
+      // vocabulary building: global token frequencies, top 200 —
+      // explode → hash agg (map-side partial combine carries the
+      // corpus-scale load) → one small top-k sort. The op that seeds a
+      // tokenizer/BPE vocab over the whole corpus.
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(TextAnalysis.regexTokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(200)
+    },
+    "y7_corpus_stats" -> { (s, dir) =>
+      // one-pass corpus summary: doc/token/char volumes and per-lang
+      // spread — the report row a curation run logs per snapshot
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"),
+          TextAnalysis.tokenCountWhitespace(col("text")).as("n_tok"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("lang")).as("n_langs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_chars").cast("long")).as("total_chars"),
+          (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens"))
+    },
+    // y8 — per-language length distribution (p50/p95/p99): the report a
+    // curation run uses to pick truncation cutoffs. DISCRETE percentiles
+    // (value at rank ceil(p·n) under (n_chars, doc_id) order): integer-
+    // exact and engine-portable — continuous-interpolation percentiles
+    // differ between engines in the last ulp and break hash compare.
+    // Scale: one window keyed by lang (distributed across languages),
+    // then a hash agg; never a driver-side sort.
+    "y8_length_percentiles" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      val cw = Window.partitionBy(col("lang"))
+      val ranked = Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(cw))
+      def pct(p: Double, name: String) =
+        min(when(col("rn") === ceil(col("cnt") * p), col("n_chars"))).as(name)
+      ranked.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), pct(0.5, "p50"), pct(0.95, "p95"), pct(0.99, "p99"))
+        .orderBy("lang")
+    },
+    // y10 — fixed-window token chunking: the pass that cuts documents
+    // into training samples (32-token windows, stride 24 → 8-token
+    // overlap). Pure per-row explode, no shuffle before the sink.
+    "y10_doc_chunks" -> { (s, dir) =>
+      Corpus.chunk(Tables.documents(s, dir), "doc_id", "text", size = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    },
+    // y11 — corpus-frequent-segment boilerplate scoring (CCNet-style
+    // at 2-token segment granularity; fixture docs are short random
+    // draws over a small vocabulary, so real segment collisions exist)
+    "y11_boilerplate" -> { (s, dir) =>
+      Corpus.boilerplate(Tables.documents(s, dir), "doc_id", "text",
+        segLen = 2, minDf = 8L, maxFrac = 0.5)
+        .orderBy("doc_id")
+    },
+    // y12 — TF-IDF top-5 terms per document over the regex tokenizer
+    "y12_tfidf_topk" -> { (s, dir) =>
+      Corpus.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    },
+    // y13 — unigram-LM document scoring in fixed-point micro-nats
+    // (double sums are order-sensitive; integer sums compare exactly)
+    "y13_unigram_logprob" -> { (s, dir) =>
+      Corpus.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    // y16 — bigram-LM scoring: MLE conditional P(w2|w1) in fixed-point
+    // micro-nats; the denominator joins are vocabulary-sized, so the
+    // Zipf-head first token never skews a corpus-sized shuffle
+    "y16_bigram_logprob" -> { (s, dir) =>
+      Corpus.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    // y17 — length-aware inference batching: equal-token-count batches
+    // pad zero tokens; assignment is a pure (n_tokens, id-order)
+    // function, replayable cross-engine
+    "y17_inference_batches" -> { (s, dir) =>
+      Inference.inferenceBatches(Tables.documents(s, dir), "doc_id", "text",
+        batchSize = 8)
+        .orderBy("doc_id")
+    },
+    // y18 — winnowing fingerprints (rolling-hash local dedup signal):
+    // the native O(n) codegen expression vs the oracle's direct
+    // per-gram polynomial replay; exploded to rows so the compare is
+    // scalar. k=5-byte grams, w=4 windows
+    "y18_winnow_fingerprint" -> { (s, dir) =>
+      graft.functions.WinnowFingerprint.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(call_function("winnowq", col("text"), lit(5), lit(4))).as("fp"))
+        .orderBy("doc_id", "fp")
+    },
+    // y15 — mixture sampling: per-language keep rates DERIVED from
+    // target mixture weights (en .5 / de .3 / fr .2 of a 400-doc
+    // output) and the realized counts; md5-gated membership, so the
+    // mix replays in any engine. One O(#langs) count agg, then a pure
+    // row filter — the data itself never shuffles.
+    "y15_mixture_sample" -> { (s, dir) =>
+      graft.ops.Rows.mixtureSample(Tables.documents(s, dir), "lang", Seq("doc_id"),
+        Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), totalOut = 400L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    // y14 — sequence packing into 512-token training bins, parallel by
+    // language (true first-fit is sequential; the contiguous-fill rule
+    // is arithmetic, so it distributes AND replays cross-engine)
+    "y14_sequence_packing" -> { (s, dir) =>
+      Corpus.packSequences(Tables.documents(s, dir), "doc_id", "text",
+        "lang", budget = 512)
+        .orderBy("doc_id")
+    },
+    // y19 — token-balanced sharding: 8 training shards of near-equal
+    // token MASS (y14's complement: global layout across workers, not
+    // per-group bin fill). md5 layout + contiguous budget cuts via the
+    // distributed two-pass prefix sum — never a single-task window
+    "y19_token_shards" -> { (s, dir) =>
+      Corpus.tokenBalancedShards(Tables.documents(s, dir), "doc_id", "text",
+        nShards = 8)
+        .orderBy("doc_id")
+    },
+  )
+
+  def oracles: Map[String, String] = Map(
+      "y15_mixture_sample" ->
+        """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+          |cuts AS (
+          |  SELECT lang, CASE WHEN r >= 65536 THEN 'g' ELSE printf('%04x', r) END AS cut
+          |  FROM (
+          |    SELECT lang, CAST(floor(LEAST(1.0,
+          |      ((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3 WHEN 'fr' THEN 0.2
+          |        ELSE 0.0 END) * 400) / n) * 65536) AS BIGINT) AS r
+          |    FROM counts))
+          |SELECT d.doc_id, d.lang
+          |FROM documents d JOIN cuts c ON d.lang = c.lang
+          |WHERE md5(CAST(d.doc_id AS VARCHAR)) < c.cut
+          |ORDER BY d.doc_id""".stripMargin,
+      "y1_langid" ->
+        s"""SELECT doc_id,
+           |  CASE WHEN hd >= he AND hd >= hf AND hd > 0 THEN 'de'
+           |       WHEN he >= hf AND he > 0 THEN 'en'
+           |       WHEN hf > 0 THEN 'fr'
+           |       ELSE 'und' END AS lang_pred
+           |FROM (
+           |  SELECT doc_id, ${langHits(de)} AS hd, ${langHits(en)} AS he, ${langHits(fr)} AS hf
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents))
+           |ORDER BY doc_id""".stripMargin,
+      "y5_curation_funnel" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id,
+           |    CASE WHEN hd >= he AND hd >= hf AND hd > 0 THEN 'de'
+           |         WHEN he >= hf AND he > 0 THEN 'en'
+           |         WHEN hf > 0 THEN 'fr'
+           |         ELSE 'und' END AS lang_pred,
+           |    least(CAST(len(ts) AS DOUBLE) / 50.0, 1.0) *
+           |    (1.0 - CAST(len(list_filter(ts, t -> list_contains($StopSql, t))) AS DOUBLE)
+           |           / CAST(len(ts) AS DOUBLE)) AS score,
+           |    CAST(len(ts) AS BIGINT) AS n_tokens
+           |  FROM (
+           |    SELECT doc_id, ${langHits(de)} AS hd, ${langHits(en)} AS he,
+           |           ${langHits(fr)} AS hf, ts
+           |    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents)))
+           |SELECT doc_id, lang_pred, score FROM scored
+           |WHERE lang_pred != 'und' AND score > 0.2 AND n_tokens >= 5
+           |  AND md5(CAST(doc_id AS VARCHAR)) <
+           |      (CASE WHEN lang_pred = 'en' THEN '80' ELSE 'g' END)
+           |ORDER BY doc_id""".stripMargin,
+      "y2_quality_score" ->
+        s"""SELECT doc_id,
+           |  least(CAST(len(ts) AS DOUBLE) / 50.0, 1.0) *
+           |  (1.0 - CAST(len(list_filter(ts, t -> list_contains($StopSql, t))) AS DOUBLE)
+           |         / CAST(len(ts) AS DOUBLE)) AS score
+           |FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+      "y3_token_count" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws,
+          |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "y4_fingerprint" ->
+        s"""SELECT doc_id, md5(text) AS fp_exact,
+           |  CASE WHEN len($shSql) > 0
+           |       THEN list_aggregate(list_transform($shSql, x -> md5(x)), 'min')
+           |       ELSE md5(text) END AS fp_shingle
+           |FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+      "y6_vocab_topk" ->
+        """SELECT token, COUNT(*) AS cnt
+          |FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
+          |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 200""".stripMargin,
+      "y7_corpus_stats" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+          |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+          |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |       CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens
+          |FROM (SELECT lang, n_chars,
+          |             len(regexp_split_to_array(text, '\s+')) AS n_tok
+          |      FROM documents)""".stripMargin,
+      "y9_repetition_filter" ->
+        """WITH g AS (
+          |  SELECT doc_id,
+          |         CASE WHEN len(t) >= 3
+          |              THEN list_transform(generate_series(1, len(t) - 2),
+          |                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+          |              ELSE []::VARCHAR[] END AS gs
+          |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)),
+          |r AS (
+          |  SELECT doc_id,
+          |         CASE WHEN len(gs) > 0
+          |              THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+          |              ELSE CAST(0 AS DOUBLE) END AS rep_ratio
+          |  FROM g)
+          |SELECT doc_id, rep_ratio, rep_ratio <= 0.2 AS kept
+          |FROM r ORDER BY doc_id""".stripMargin,
+      "y8_length_percentiles" ->
+        """WITH r AS (
+          |  SELECT lang, n_chars,
+          |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+          |         COUNT(*) OVER (PARTITION BY lang) AS cnt
+          |  FROM documents)
+          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       MIN(CASE WHEN rn = ceil(cnt * 0.5) THEN n_chars END) AS p50,
+          |       MIN(CASE WHEN rn = ceil(cnt * 0.95) THEN n_chars END) AS p95,
+          |       MIN(CASE WHEN rn = ceil(cnt * 0.99) THEN n_chars END) AS p99
+          |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+      "y10_doc_chunks" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+          |n AS (
+          |  SELECT doc_id, tk,
+          |    CAST(1 + floor((greatest(len(tk) - 32, 0) + 23) / 24.0) AS BIGINT) AS n_chunks
+          |  FROM t),
+          |c AS (
+          |  SELECT doc_id, tk, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM n)
+          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+          |  CAST(len(tk[(chunk_idx*24 + 1):(chunk_idx*24 + 32)]) AS BIGINT) AS n_tokens,
+          |  array_to_string(tk[(chunk_idx*24 + 1):(chunk_idx*24 + 32)], ' ') AS chunk_text
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+      "y11_boilerplate" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+          |s AS (
+          |  SELECT doc_id, array_to_string(tk[((i-1)*2+1):((i-1)*2+2)], ' ') AS seg
+          |  FROM (SELECT doc_id, tk,
+          |          unnest(generate_series(1, CAST(floor(len(tk)/2.0) AS BIGINT))) AS i
+          |        FROM t)),
+          |df AS (
+          |  SELECT seg, COUNT(*) AS seg_df
+          |  FROM (SELECT DISTINCT doc_id, seg FROM s) GROUP BY seg),
+          |pd AS (
+          |  SELECT s.doc_id, COUNT(*) AS n_segs,
+          |         SUM(CASE WHEN df.seg_df >= 8 THEN 1 ELSE 0 END) AS n_boiler
+          |  FROM s JOIN df USING (seg) GROUP BY s.doc_id)
+          |SELECT d.doc_id,
+          |  CAST(COALESCE(pd.n_segs, 0) AS BIGINT) AS n_segs,
+          |  CAST(COALESCE(pd.n_boiler, 0) AS BIGINT) AS n_boiler,
+          |  COALESCE(round(CAST(pd.n_boiler AS DOUBLE) / pd.n_segs, 6), 0.0) AS boiler_frac,
+          |  COALESCE(round(CAST(pd.n_boiler AS DOUBLE) / pd.n_segs, 6), 0.0) <= 0.5 AS kept
+          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+      "y12_tfidf_topk" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+          |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+          |  FROM tf JOIN df USING (term) CROSS JOIN n),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY score DESC, term ASC) AS rn
+          |  FROM scored)
+          |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+          |FROM ranked WHERE rn <= 5
+          |ORDER BY doc_id, score DESC, term""".stripMargin,
+      "y13_unigram_logprob" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+          |  FROM documents),
+          |counts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+          |tot AS (SELECT SUM(cnt) AS total FROM counts),
+          |scored AS (
+          |  SELECT tok.doc_id,
+          |         CAST(floor(ln(CAST(counts.cnt AS DOUBLE) / tot.total) * 1e6)
+          |              AS BIGINT) AS lp_micro
+          |  FROM tok JOIN counts USING (term) CROSS JOIN tot),
+          |pd AS (
+          |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp_micro) AS lp
+          |  FROM scored GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+          |  CAST(COALESCE(pd.lp, 0) AS BIGINT) AS logprob_micro
+          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+      "y18_winnow_fingerprint" ->
+        s"""WITH ${winnowSql(5, 4, "documents")}
+           |SELECT doc_id, unnest(list_sort(list_distinct(m))) AS fp
+           |FROM mins ORDER BY doc_id, fp""".stripMargin,
+      "y16_bigram_logprob" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk
+           |  FROM documents),
+           |bgs AS (SELECT doc_id, unnest(${ngramSql("tk", 2)}) AS bg FROM tok),
+           |tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bgs GROUP BY doc_id, bg),
+           |counts AS (
+           |  SELECT bg, split_part(bg, ' ', 1) AS w1, SUM(tf) AS cnt
+           |  FROM tf GROUP BY bg),
+           |w1tot AS (SELECT w1, SUM(cnt) AS cnt1 FROM counts GROUP BY w1),
+           |pd AS (
+           |  SELECT tf.doc_id, SUM(tf.tf) AS n_bigrams,
+           |    SUM(tf.tf * CAST(floor(ln(CAST(c.cnt AS DOUBLE) / w.cnt1) * 1e6)
+           |        AS BIGINT)) AS lp
+           |  FROM tf JOIN counts c USING (bg) JOIN w1tot w ON c.w1 = w.w1
+           |  GROUP BY tf.doc_id)
+           |SELECT d.doc_id,
+           |  CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |  CAST(COALESCE(pd.lp, 0) AS BIGINT) AS logprob_micro
+           |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+      "y17_inference_batches" ->
+        """SELECT doc_id, n_tokens,
+          |  CAST(floor((row_number() OVER (PARTITION BY n_tokens ORDER BY doc_id) - 1)
+          |       / 8.0) AS BIGINT) AS batch_seq
+          |FROM (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin,
+      "y14_sequence_packing" ->
+        """SELECT doc_id, lang, n_tokens,
+          |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+          |FROM (
+          |  SELECT doc_id, lang, n_tokens,
+          |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM (
+          |    SELECT doc_id, lang,
+          |      CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+          |    FROM documents))
+          |ORDER BY doc_id""".stripMargin,
+      // y19 — the whole assignment is integral arithmetic over an
+      // exclusive prefix sum in md5 layout, so the window replays the
+      // two-pass distributed cumsum bit-exactly
+      "y19_token_shards" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+          |    md5(CAST(doc_id AS VARCHAR)) AS h
+          |  FROM documents),
+          |b AS (
+          |  SELECT GREATEST(1, CAST((SUM(n_tokens) + 7) // 8 AS BIGINT)) AS budget
+          |  FROM t),
+          |c AS (
+          |  SELECT doc_id, n_tokens,
+          |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS excl
+          |  FROM t)
+          |SELECT c.doc_id, c.n_tokens,
+          |  CAST(LEAST(excl // budget, 7) AS BIGINT) AS shard_id
+          |FROM c, b
+          |ORDER BY c.doc_id""".stripMargin,
+  )
+}

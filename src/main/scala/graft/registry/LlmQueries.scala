@@ -12,1674 +12,14 @@ import org.apache.spark.sql.functions._
   * so the dedup queries have real work at every scale factor. */
 object LlmQueries {
 
-  import TextQueries.{StopSql, tokSql, ngramSql}
+  /** All LLM-pipeline query families, one registry surface (the
+    * pre-split shape): x = dedup/similarity, y = corpus analysis,
+    * m = multimodal, e = composed pipelines. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    DedupSimQueries.queries ++ CorpusAnalysisQueries.queries ++
+      MultimodalQueries.queries ++ PipelineQueries.queries
 
-  /** (sessionUUID|indexDir) pairs whose IVF index this JVM already
-    * built — see the x7b entry for the build-once contract. */
-  private val builtIvfIndexes =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** (sessionUUID|tablePath) doc tables this JVM already seeded with
-    * the corpus — the e5 upsert then only writes the batch's touched
-    * buckets, the O(touched-buckets) property the operator exists for. */
-  private val seededDocTables =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** (sessionUUID|pairsDir) staged pair artifacts this JVM already
-    * wrote — the x7b build-once contract applied to the dedup family. */
-  private val stagedPairTables =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** The near-dup pair list as a STAGED ARTIFACT: production dedup
-    * materializes shingle→band→verify ONCE per corpus snapshot and
-    * every downstream consumer — clustering (x8b), canonical selection
-    * (x15b), audits — reads the parquet instead of re-deriving pairs
-    * from raw text. Same memoization shape as the x7b IVF index: first
-    * call in a JVM (re)builds, so the artifact is always derived from
-    * the current corpus and stale leftovers can't leak in; repeated
-    * invocations (bench sweeps, interactive reuse) time the READ path,
-    * which is the steady-state production cost. The artifact is thin
-    * (id_a, id_b, jaccard) rows — at 100 TB corpus scale it is the
-    * verified-pair set only (corpus-fraction sized, not corpus sized),
-    * and each consumer's first shuffle keys on an id column, so
-    * re-reading it is strictly cheaper than re-verifying. */
-  /** x15's canonical-representative pick, shared with its staged twin
-    * x15b: join each cluster member's quality score, then ONE window
-    * pass computes both the representative rank and the member count —
-    * evaluating the scored frame twice (rep + groupBy) would re-run
-    * the cluster join and quality scoring and add a join. */
-  private def canonicalByQuality(docs: DataFrame, clusters: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = clusters
-      .join(docs.select(col("doc_id"),
-        TextAnalysis.qualityScore(col("text")).as("score")),
-        clusters("id") === col("doc_id"))
-      .select(col("cluster"), col("id"), col("score"))
-    val w = Window.partitionBy("cluster").orderBy(col("score").desc, col("id").asc)
-    scored
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy("cluster")))
-      .filter(col("rn") === 1)
-      .select(col("cluster"), col("n_members"), col("id").as("rep_id"))
-      .orderBy("cluster")
-  }
-
-  private def stagedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_io/${new java.io.File(dir).getName}/neardup_pairs"
-    if (stagedPairTables.add(s"${System.identityHashCode(s)}|$path"))
-      DedupLsh.nearDupPairs(corpusNear(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5)
-        .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
-
-  /** documents ∪ exact clone at doc_id+10000. */
-  private def corpusExact(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select("doc_id", "text")
-    d.unionByName(d.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
-  }
-
-  /** documents ∪ last-word-dropped clone at doc_id+10000. */
-  private def corpusNear(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select("doc_id", "text")
-    val toks = split(col("text"), " ")
-    d.unionByName(d.select((col("doc_id") + 10000L).as("doc_id"),
-      concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text")))
-  }
-
-  /** embeddings ∪ deterministically-perturbed clone at vec_id+10000:
-    * component j gets +0.01·(((vec_id+j) mod 3) − 1) — replayable
-    * noise, cosine to the original ≈ 0.999. */
-  private def corpusEmb(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
-    // perturb FIRST, re-key second: with both in one select list the
-    // lambda's col("vec_id") resolves to the lateral alias (+10000),
-    // silently shifting the noise pattern (caught by the oracle diff)
-    e.unionByName(
-      e.select(col("vec_id"),
-        transform(col("embedding"), (x, j) =>
-          x + lit(0.01) * (((col("vec_id") + j) % 3) - 1)).as("embedding"))
-        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
-  }
-
-  private val CorpusEmbSql =
-    """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
-      |FROM embeddings
-      |UNION ALL
-      |SELECT vec_id + 10000,
-      |  list_transform(generate_series(1, 64),
-      |    i -> CAST(embedding[i] AS DOUBLE) + 0.01 * (((vec_id + i - 1) % 3) - 1))
-      |FROM embeddings""".stripMargin
-
-  private val CorpusExactSql =
-    """SELECT doc_id, text FROM documents
-      |UNION ALL SELECT doc_id + 10000, text FROM documents""".stripMargin
-
-  private val CorpusNearSql =
-    """SELECT doc_id, text FROM documents
-      |UNION ALL SELECT doc_id + 10000,
-      |  array_to_string((regexp_split_to_array(text, ' '))[1:len(regexp_split_to_array(text, ' ')) - 1], ' ')
-      |FROM documents""".stripMargin
-
-  /** DuckDB replay of the native winnowq rolling-hash fingerprints:
-    * each k-gram hash computed as the direct polynomial (precomputed
-    * base powers — identical values to the rolling recurrence), then
-    * the per-window least() and distinct. Emits two CTE bodies over a
-    * relation exposing (doc_id, text). */
-  private def winnowSql(k: Int, w: Int, from: String): String = {
-    val M = 1000000007L
-    val pows = Seq.iterate(1L, k)(p => p * 131L % M).reverse
-    val terms = (0 until k)
-      .map(j => s"ascii(text[i+$j])::BIGINT * ${pows(j)}")
-      .mkString(" + ")
-    val winTerms = (0 until w).map(j => s"h[i+$j]").mkString(", ")
-    s"""hs AS (
-       |  SELECT doc_id,
-       |    list_transform(generate_series(1, greatest(len(text) - ${k - 1}, 0)), i ->
-       |      ($terms) % $M) AS h
-       |  FROM $from),
-       |mins AS (
-       |  SELECT doc_id,
-       |    CASE WHEN len(h) = 0 THEN []::BIGINT[]
-       |         WHEN len(h) < $w THEN [list_min(h)]
-       |         ELSE list_transform(generate_series(1, len(h) - ${w - 1}), i ->
-       |           least($winTerms))
-       |    END AS m
-       |  FROM hs)""".stripMargin
-  }
-
-  /** DuckDB twin of Similarity.quantize + integer dot. */
-  private def qvSql(c: String): String =
-    s"list_transform($c, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
-  private def dotSql(a: String, b: String): String =
-    s"CAST(list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i])) AS DOUBLE)"
-  private def cosineSql(a: String, b: String): String =
-    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
-
-  /** One k-means iteration (assign → integer-mean update), the DuckDB
-    * twin of a Similarity.kmeansCodebook loop body. `prev` is the
-    * incoming centroid CTE; emits CTEs `assignName` and `centsName`. */
-  private def kmeansIterSql(prev: String, assignName: String, centsName: String): String =
-    s"""$assignName AS (
-       |  SELECT cell_id, nv FROM (
-       |    SELECT v.vec_id, v.nv, c.cell_id,
-       |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY ${cosineSql("v.nv", "c.cv")} DESC, c.cell_id) AS rnk
-       |    FROM v CROSS JOIN $prev c)
-       |  WHERE rnk = 1),
-       |$centsName AS (
-       |  SELECT cell_id, list(comp ORDER BY pos) AS cv FROM (
-       |    SELECT cell_id, g.pos,
-       |      CAST(floor(CAST(SUM(nv[g.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
-       |    FROM $assignName CROSS JOIN generate_series(1, 64) AS g(pos)
-       |    GROUP BY cell_id, g.pos)
-       |  GROUP BY cell_id)""".stripMargin
-
-  /** Oracle for BOTH x7 (train+query in one pass) and x7b (query
-    * against the persisted index): the index round-trip must be
-    * value-invisible, so one SQL body serves both. */
-  private lazy val X7IvfSql: String =
-    s"""WITH v AS (
-       |  SELECT vec_id, ${qvSql("embedding")} AS nv FROM embeddings),
-       |c0 AS (
-       |  SELECT vec_id AS cell_id, nv AS cv FROM v WHERE vec_id < 16),
-       |${kmeansIterSql("c0", "a1", "c1")},
-       |${kmeansIterSql("c1", "a2", "c2")},
-       |members AS (
-       |  SELECT neighbor_id, nv, cell_id FROM (
-       |    SELECT v.vec_id AS neighbor_id, v.nv, c.cell_id,
-       |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY ${cosineSql("v.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
-       |    FROM v CROSS JOIN c2 c)
-       |  WHERE cell_rank = 1),
-       |probes AS (
-       |  SELECT query_id, qv, cell_id FROM (
-       |    SELECT q.vec_id AS query_id, q.nv AS qv, c.cell_id,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${cosineSql("q.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
-       |    FROM (SELECT * FROM v WHERE vec_id < 5) q CROSS JOIN c2 c)
-       |  WHERE cell_rank <= 2),
-       |scored AS (
-       |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine
-       |  FROM members JOIN probes USING (cell_id)
-       |  WHERE neighbor_id != query_id)
-       |SELECT query_id, rank, neighbor_id, cosine FROM (
-       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-       |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-       |  FROM scored)
-       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x1_exact_dedup" -> { (s, dir) =>
-      DedupLsh.exactDedup(corpusExact(s, dir), "doc_id", "text").orderBy("doc_id")
-    },
-    "x2_minhash_neardup" -> { (s, dir) =>
-      DedupLsh.nearDupPairs(corpusNear(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5)
-        .orderBy("id_a", "id_b")
-    },
-    // x2b — the occupancy-capped twin of x2, so the cap's SEMANTICS
-    // (drop bands whose bucket exceeds maxBucketDf BEFORE the
-    // self-join) are oracle-pinned, not just spec-asserted. cap=3
-    // genuinely binds on this corpus (sf0.01: 79 buckets at df 4-6;
-    // sf0.1: 781 at df 4-8 — measured, probe_x2b_occupancy.sc), so a
-    // cap implementation that silently stopped filtering would
-    // hash-mismatch. The oracle replays it as HAVING count(*) <= 3 on
-    // the band CTE.
-    "x2b_minhash_capped" -> { (s, dir) =>
-      DedupLsh.nearDupPairs(corpusNear(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5,
-        maxBucketDf = Some(3L))
-        .orderBy("id_a", "id_b")
-    },
-    "x8_dedup_clusters" -> { (s, dir) =>
-      DedupLsh
-        .nearDupClusters(
-          DedupLsh.nearDupPairs(corpusNear(s, dir), "doc_id", "text",
-            shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5))
-        .orderBy("id")
-    },
-    // x8b — x8 against the STAGED pair artifact (see
-    // stagedNearDupPairs): label propagation reads the materialized
-    // pair list, never the raw text. Same oracle as x8 — the staging
-    // round-trip must be value-invisible.
-    "x8b_clusters_staged" -> { (s, dir) =>
-      DedupLsh.nearDupClusters(stagedNearDupPairs(s, dir)).orderBy("id")
-    },
-    "x10_dedup_apply" -> { (s, dir) =>
-      // end-to-end dedup application: pairs → connected components →
-      // drop non-canonical members (label ≠ id) via left_anti — the
-      // corpus a training pipeline actually keeps. Anti-join shuffles
-      // on doc_id only (drop-list is cluster members, not the corpus).
-      val corpus = corpusNear(s, dir)
-      val clusters = DedupLsh.nearDupClusters(
-        DedupLsh.nearDupPairs(corpus, "doc_id", "text",
-          shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5))
-      val drop = clusters.filter(col("id") =!= col("cluster"))
-        .select(col("id").as("doc_id"))
-      corpus.join(drop, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), md5(col("text")).as("digest"))
-        .orderBy("doc_id")
-    },
-    "x3_simhash" -> { (s, dir) =>
-      DedupLsh.simhash(Tables.documents(s, dir), "doc_id", "text", bits = 16)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
-    },
-    // maxHamming=1 → two 16-bit blocks: the documented at-scale config.
-    // At radius 3 (8-bit blocks, 256 bucket values) this fixture's
-    // template-heavy text collapses to 6.4k distinct 32-bit
-    // fingerprints and the TRUE hamming<=3 pair set is 1.6M rows at
-    // sf0.1 (163 pairs/doc) — the radius, not the search, is what
-    // stops discriminating; specs keep radius-3 coverage on small
-    // fixtures where it is meaningful.
-    "x11_simhash_neardup" -> { (s, dir) =>
-      DedupLsh.simhashNearDupPairs(corpusNear(s, dir), "doc_id", "text",
-        bits = 32, maxHamming = 1)
-        .orderBy("id_a", "id_b")
-    },
-    "x4_ngram_jaccard" -> { (s, dir) =>
-      // n-gram Jaccard with banded-LSH candidate generation: 4 bands ×
-      // 2 rows, exact Jaccard verify at a low 0.05 threshold. Bucket
-      // occupancy is bounded by minhash-agreement, not by corpus share —
-      // the earlier (lang, len_bucket) bucket self-join held a constant
-      // fraction of the corpus in one bucket and went O(bucket²) at
-      // scale. Recall bound (documented tradeoff): a pair with true
-      // Jaccard s is a candidate with P = 1-(1-s²)⁴.
-      DedupLsh.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.05)
-        .orderBy("id_a", "id_b")
-    },
-    "x5_cosine_topk" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
-        .orderBy("query_id", "rank")
-    },
-    "x6_ann_lsh" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      // 4 planes ⇒ 16 buckets: coarse enough for real recall on a
-      // 500-vector corpus (8 planes left most buckets near-empty)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3, numPlanes = 4)
-        .orderBy("query_id", "rank")
-    },
-    "x7_ann_ivf" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      // real IVF: 2-iteration deterministic k-means codebook (fixed
-      // init = ids < 16), then the probe path against trained cells
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
-        numCells = 16, nProbe = 2,
-        centroids = Some(Similarity.kmeansCodebook(emb, numCells = 16, iters = 2)))
-        .orderBy("query_id", "rank")
-    },
-    // x7b — the same ANN search against a PERSISTED index: build
-    // writes codebook + cell-partitioned member tables to parquet,
-    // query reads them back with partition pruning on the probed
-    // cells. Same oracle as x7 — the index round-trip must be
-    // value-invisible.
-    "x7b_ann_ivf_prebuilt" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_io/${new java.io.File(dir).getName}/ivf_index"
-      // Build-once-query-many is the operator's whole point: memoize
-      // the build per (session, dir) so repeated invocations (bench
-      // sweeps, interactive reuse) time the partition-pruned QUERY
-      // path, not a fresh training run — a production deployment
-      // builds the index in an ingest job and queries it for weeks.
-      // First call in a JVM always (re)builds, so the oracle is still
-      // self-contained and stale on-disk leftovers can't leak in.
-      val key = s"${System.identityHashCode(s)}|$idx"
-      if (builtIvfIndexes.add(key))
-        Similarity.buildIvfIndex(emb, idx, numCells = 16, iters = 2)
-      Similarity.ivfTopKPrebuilt(s, idx, emb.filter(col("vec_id") < 5), k = 3, nProbe = 2)
-        .orderBy("query_id", "rank")
-    },
-    "x9_embed_neardup" -> { (s, dir) =>
-      // vector-space dedup: LSH-bucketed candidates (4 planes × 2
-      // tables here for test-corpus recall; production raises numPlanes
-      // so 2^p buckets keep per-bucket quadratic cost bounded), exact
-      // cosine verify at 0.99 over the perturbed-clone corpus
-      Similarity.embeddingNearDupPairs(corpusEmb(s, dir), threshold = 0.99)
-        .orderBy("id_a", "id_b")
-    },
-    // x17 — SemDeDup semantic dedup: k-means cells (the trained x7
-    // codebook machinery) bound the pairwise comparison, cosine ≥ 0.99
-    // drops the higher id of each similar cell-mate pair — keeps one
-    // representative per semantic group without any LSH recall gamble
-    "x17_semantic_dedup" -> { (s, dir) =>
-      Similarity.semanticDedup(corpusEmb(s, dir), numCells = 16, iters = 2,
-        threshold = 0.99)
-        .orderBy("vec_id")
-    },
-    "y1_langid" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id")
-    },
-    "y2_quality_score" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("score"))
-        .orderBy("doc_id")
-    },
-    "y3_token_count" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          TextAnalysis.tokenCountWhitespace(col("text")).as("n_ws"),
-          TextAnalysis.tokenCountRegex(col("text")).as("n_re"))
-        .orderBy("doc_id")
-    },
-    "y4_fingerprint" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("tk", split(col("text"), "\\s+"))
-        .withColumn("sh", DedupLsh.shinglesFromTokens(col("tk"), 3))
-        .select(col("doc_id"),
-          TextAnalysis.md5Fingerprint(col("text")).as("fp_exact"),
-          TextAnalysis.minShingleFromShingles(col("sh"), col("text")).as("fp_shingle"))
-        .orderBy("doc_id")
-    },
-    // x12 — benchmark-contamination sweep: docs with doc_id % 97 == 0
-    // stand in for the eval/benchmark set; every other doc sharing >= 2
-    // rare (corpus-df <= 50) trigrams with an eval doc is flagged. The
-    // clone families in the fixture guarantee real hits.
-    "x12_contamination" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      Contamination.overlapPairs(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0)
-          .select(col("doc_id").as("eval_id"), col("text")),
-        "doc_id", "text", "eval_id",
-        n = 3, minShared = 2, maxDf = 50L)
-        .orderBy("doc_id", "eval_id")
-    },
-    // x13 — batched embedding inference: the REAL feature-hashing
-    // n-gram projection (uni+bigrams → 64 signed buckets → fixed-point
-    // L2 normalize) through the typed mapPartitions batch plumbing;
-    // the oracle recomputes the whole projection from the text
-    "x13_embed_inference" -> { (s, dir) =>
-      // encoder_impl stamps the STUB BOUNDARY into the data itself: the
-      // sandbox has no ML runtime, so the "model" is deterministic md5
-      // feature hashing (Inference.featureHashVector). A deployment that
-      // swaps in a real encoder changes this value, making the swap
-      // observable in every downstream consumer — not just in scaladoc.
-      Inference.encodeBatched(Tables.documents(s, dir), "doc_id", "text",
-        dim = 64, batchSize = 64)
-        .select(col("doc_id"),
-          size(col("embedding")).cast("long").as("n_dim"),
-          element_at(col("embedding"), 1).as("comp0"),
-          aggregate(col("embedding"), lit(0L), (a, x) => a + abs(x)).as("l1_norm"),
-          lit(Inference.EncoderImpl).as("encoder_impl"))
-        .orderBy("doc_id")
-    },
-    // y9 — intra-document repetition filter (Gopher/C4-style signal)
-    "y9_repetition_filter" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
-        .select(col("doc_id"),
-          Contamination.repetitionRatio(col("tk"), 3).as("rep_ratio"))
-        .withColumn("kept", col("rep_ratio") <= 0.2)
-        .orderBy("doc_id")
-    },
-    // e4 — the multimodal curation MANIFEST, the whole engine in one
-    // plan: score (lang-ID, quality, tokens) → threshold filter →
-    // exact content dedup keeping the min-id canonical (one digest
-    // exchange) → REAL image + audio decode branches over the
-    // survivors (narrow mapPartitions each) → thin id-keyed feature
-    // joins. The survivor table persists across its three consumers
-    // and releases on the caller's first action (Caching contract).
-    "e4_curation_manifest" -> { (s, dir) =>
-      val scored = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"),
-          TextAnalysis.langId(col("text")).as("lang_pred"),
-          TextAnalysis.qualityScore(col("text")).as("score"),
-          TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens"))
-        .filter(col("lang_pred") =!= "und" && col("score") > 0.2 && col("n_tokens") >= 5L)
-      val survivors = scored
-        .groupBy(md5(col("text")).as("digest"))
-        .agg(
-          min_by(struct(col("doc_id"), col("lang_pred"), col("score"), col("n_tokens")),
-            col("doc_id")).as("m"),
-          count(lit(1)).as("n_copies"))
-        .select(col("m.doc_id").as("doc_id"), col("m.lang_pred").as("lang_pred"),
-          col("m.score").as("score"), col("m.n_tokens").as("n_tokens"), col("n_copies"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val img = Multimodal
-        .decodeImageBatched(Multimodal.synthesizePngPayload(survivors, "doc_id"))
-        .select(col("media_id").as("doc_id"),
-          expr("px_sum * 1000 DIV (width * height)").as("img_mean_milli"))
-      val aud = Multimodal
-        .decodeAudioBatched(Multimodal.synthesizeWavPayload(survivors, "doc_id"))
-        .select(col("media_id").as("doc_id"), col("duration_ms").as("audio_ms"))
-      // encoder_impl marks the sandbox stub boundary in the manifest
-      // itself (the x13 convention): the image/audio DECODERS are real
-      // (javax.imageio / javax.sound), what's synthetic here is the
-      // payload source — a deployment reading real crawl media swaps
-      // synthesizePng/WavPayload out and this stamp with it.
-      val manifest = survivors.join(img, Seq("doc_id")).join(aud, Seq("doc_id"))
-        .withColumn("encoder_impl", lit(Multimodal.PayloadImpl))
-        .orderBy("doc_id")
-      graft.Caching.releaseAfterFirstUse(manifest, survivors)
-    },
-    // e5 — the INCREMENTAL flagship: the per-ingest production loop as
-    // one oracle-checked query, the incremental twin of e4. A new
-    // batch (1/5 of the corpus re-keyed +20000, arriving WITH its
-    // embedding column from the upstream inference stage; 1/3 exact
-    // dupes, 1/3 near-clones, 1/3 genuinely new) flows through:
-    //  (1) bloom-prefiltered exact dedup vs the corpus digests (x16 —
-    //      the history scan filters map-side, ZERO history shuffle);
-    //  (2) banded near-dup sweep vs the corpus (x14 — the batch
-    //      broadcasts, corpus bands never shuffle);
-    //  (3) IVF cell routing + index APPEND for the survivors (x7b —
-    //      codebook built once per JVM, append is O(batch), existing
-    //      members untouched; e5 owns its index dir so x7b's stays
-    //      pristine);
-    //  (4) per-language aggregate-state fold (k15 — corpus state
-    //      bootstrapped once, batch folded in associatively);
-    //  (5) bucketed keep-latest upsert into the accumulated doc table
-    //      (st12's batch path — corpus seeded once per JVM, the batch
-    //      write touches O(batch buckets)), whose READ-BACK feeds the
-    //      output manifest — a silently-failed stage visibly breaks it.
-    // Repeated invocations (bench sweeps) are idempotent: the index
-    // rebuild-on-first-call wipes stale appends, re-appending the same
-    // vectors re-asserts the same cells (read distinct), and re-merging
-    // the same batch is a keep-latest no-op (the st12 replay property).
-    "e5_incremental_pipeline" -> { (s, dir) =>
-      val scratchBase = s"${sys.props("java.io.tmpdir")}/graft_io/${new java.io.File(dir).getName}"
-      val idxDir = s"$scratchBase/e5_ivf_index"
-      val tableDir = s"$scratchBase/e5_doc_table"
-      val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
-      val emb = Tables.embeddings(s, dir)
-      // batch synthesis: mutate text FIRST, re-key second (the corpusEmb
-      // lateral-alias lesson); the embeddings join defines which docs
-      // are "embeddable" — the batch arrives embedding-attached
-      val batch0 = docs.join(emb.select("vec_id", "embedding"), col("doc_id") === col("vec_id"))
-        .filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"),
-          expr("CASE (doc_id DIV 5) % 3 WHEN 0 THEN text WHEN 1 THEN text || ' v2' " +
-            "ELSE 'fresh entry ' || CAST(doc_id AS STRING) || ' carries wholly novel content alpha' " +
-            "|| CAST(doc_id AS STRING) || ' beta gamma delta' END").as("text"),
-          col("lang"), col("embedding"))
-      val batch = batch0
-        .select((col("doc_id") + 20000L).as("doc_id"), col("text"), col("lang"), col("embedding"))
-        .withColumn("digest", md5(col("text")))
-      // (1) exact dedup vs history — bloom prefilter, zero history shuffle
-      val history = docs.select(md5(col("text")).as("digest"))
-      val exactNew = BloomDedup.antiJoinBloom(batch, history, "digest",
-        expectedItems = 8192L, fpp = 0.001)
-      // (2) near-dup sweep vs the corpus — broadcast batch bands
-      val hits = DedupLsh.crossNearDupPairs(exactNew, docs, "doc_id", "text")
-      val survivors = exactNew
-        .join(hits.select(col("id_new").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-        .withColumn("n_tokens", TextAnalysis.tokenCountWhitespace(col("text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // (3) IVF index: build-once codebook over the embedding corpus,
-      // then O(batch) append of the survivors; cells read back pruned
-      if (builtIvfIndexes.add(s"${System.identityHashCode(s)}|$idxDir"))
-        Similarity.buildIvfIndex(emb, idxDir, numCells = 16, iters = 2)
-      Similarity.appendToIvfIndex(
-        survivors.select(col("doc_id").as("vec_id"), col("embedding")), idxDir)
-      val cells = s.read.parquet(s"$idxDir/members")
-        .filter(col("vec_id") >= 20000L)
-        .select(col("vec_id").as("doc_id"), col("cell_id").cast("long").as("cell_id"))
-        .distinct()
-      // (4) per-language aggregate state: bootstrap + associative fold
-      val corpusState = graft.ops.Merge.aggState(
-        docs.select(col("lang"), TextAnalysis.tokenCountWhitespace(col("text")).as("tok")),
-        Seq("lang"), Seq("tok"))
-      val state = graft.ops.Merge.mergeAggState(corpusState,
-        survivors.select(col("lang"), col("n_tokens").as("tok")), Seq("lang"), Seq("tok"))
-        .select(col("lang"), col("cnt").as("lang_docs"), col("tok").as("lang_tokens"))
-      // (5) bucketed upsert into the accumulated doc table; read-back
-      // (filtered to the batch id space) feeds the manifest
-      if (seededDocTables.add(s"${System.identityHashCode(s)}|$tableDir")) {
-        // fresh rebuild per JVM: keepLatest has no source precedence,
-        // so table remains from an older fixture version must not
-        // outrank this run's rows (within-JVM sweeps stay incremental)
-        graft.streaming.Streams.deleteDir(s, tableDir)
-        graft.streaming.Streams.upsertBucketedBatch(s, tableDir,
-          docs.select(col("doc_id"), md5(col("text")).as("digest"), col("lang"),
-            TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens")),
-          keys = Seq("doc_id"), order = Seq("n_tokens"), nBuckets = 16)
-      }
-      graft.streaming.Streams.upsertBucketedBatch(s, tableDir,
-        survivors.select("doc_id", "digest", "lang", "n_tokens"),
-        keys = Seq("doc_id"), order = Seq("n_tokens"), nBuckets = 16)
-      val tbl = s.read.parquet(tableDir)
-        .filter(col("doc_id") >= 20000L)
-        .select("doc_id", "digest", "lang", "n_tokens")
-      val manifest = tbl
-        .join(cells, Seq("doc_id"))
-        .join(broadcast(state), Seq("lang"))
-        .select("doc_id", "lang", "n_tokens", "digest", "cell_id", "lang_docs", "lang_tokens")
-        .orderBy("doc_id")
-      graft.Caching.releaseAfterFirstUse(manifest, survivors)
-    },
-    "y5_curation_funnel" -> { (s, dir) =>
-      // the full curation path a training pipeline runs end-to-end:
-      // score (lang-ID, quality, token count) → threshold filter →
-      // per-language stratified downsample (en 50%, rest kept). All
-      // narrow per-row work until the final sample filter — one scan,
-      // zero shuffles before the output sort.
-      val scored = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          TextAnalysis.langId(col("text")).as("lang_pred"),
-          TextAnalysis.qualityScore(col("text")).as("score"),
-          TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens"))
-      val filtered = scored.filter(
-        col("lang_pred") =!= "und" && col("score") > 0.2 && col("n_tokens") >= 5L)
-      graft.ops.Rows
-        .stratifiedHashSample(filtered, "lang_pred", Seq("doc_id"),
-          Map("en" -> 0.5), default = 1.0)
-        .select("doc_id", "lang_pred", "score")
-        .orderBy("doc_id")
-    },
-    "y6_vocab_topk" -> { (s, dir) =>
-      // vocabulary building: global token frequencies, top 200 —
-      // explode → hash agg (map-side partial combine carries the
-      // corpus-scale load) → one small top-k sort. The op that seeds a
-      // tokenizer/BPE vocab over the whole corpus.
-      Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(explode(TextAnalysis.regexTokens(col("text"))).as("token"))
-        .groupBy("token")
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token").asc)
-        .limit(200)
-    },
-    "y7_corpus_stats" -> { (s, dir) =>
-      // one-pass corpus summary: doc/token/char volumes and per-lang
-      // spread — the report row a curation run logs per snapshot
-      Tables.documents(s, dir)
-        .select(col("lang"), col("n_chars"),
-          TextAnalysis.tokenCountWhitespace(col("text")).as("n_tok"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          count_distinct(col("lang")).as("n_langs"),
-          sum(col("n_tok")).as("total_tokens"),
-          sum(col("n_chars").cast("long")).as("total_chars"),
-          (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens"))
-    },
-    // y8 — per-language length distribution (p50/p95/p99): the report a
-    // curation run uses to pick truncation cutoffs. DISCRETE percentiles
-    // (value at rank ceil(p·n) under (n_chars, doc_id) order): integer-
-    // exact and engine-portable — continuous-interpolation percentiles
-    // differ between engines in the last ulp and break hash compare.
-    // Scale: one window keyed by lang (distributed across languages),
-    // then a hash agg; never a driver-side sort.
-    "y8_length_percentiles" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
-      val cw = Window.partitionBy(col("lang"))
-      val ranked = Tables.documents(s, dir)
-        .select(col("lang"), col("n_chars"), col("doc_id"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("cnt", count(lit(1)).over(cw))
-      def pct(p: Double, name: String) =
-        min(when(col("rn") === ceil(col("cnt") * p), col("n_chars"))).as(name)
-      ranked.groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), pct(0.5, "p50"), pct(0.95, "p95"), pct(0.99, "p99"))
-        .orderBy("lang")
-    },
-    // m1 — REAL image decode: genuine PNG bytes (ImageIO.write) flow
-    // through the binary column and javax.imageio parses them back in
-    // the batched mapPartitions; the oracle replays the synthesis
-    // formulas in closed form, so a wrong decode fails the hash match.
-    // n_bytes is excluded (compressed PNG size is encoder-dependent).
-    "m1_multimodal_decode" -> { (s, dir) =>
-      Multimodal.decodeImageBatched(
-        Multimodal.synthesizePngPayload(Tables.documents(s, dir), "doc_id"))
-        .select("media_id", "width", "height", "channels", "px_sum")
-        .orderBy("media_id")
-    },
-    "m2_frame_sample" -> { (s, dir) =>
-      // frame sampling over the REAL video decode: the frame counts
-      // come from parsing actual AVI containers, then the columnar
-      // explode emits every stride-th frame index
-      Multimodal.sampleFrames(
-        Multimodal.decodeVideoBatched(
-          Multimodal.synthesizeAviPayload(Tables.documents(s, dir), "doc_id")),
-        stride = 2)
-        .orderBy("media_id", "frame_idx")
-    },
-    // m3 — resize planning (fit-within 224×224, aspect preserved) over
-    // REAL decoded dimensions: exact integer axis selection + floor
-    // division, engine-replayable
-    "m3_resize_plan" -> { (s, dir) =>
-      Multimodal.planResize(
-        Multimodal.decodeImageBatched(
-          Multimodal.synthesizePngPayload(Tables.documents(s, dir), "doc_id")),
-        targetW = 224L, targetH = 224L)
-        .orderBy("media_id")
-    },
-    // m4 — pixel-level media features from the REAL javax.imageio
-    // decode: exact min/max and mean luminance in integer milli-units
-    "m4_media_features" -> { (s, dir) =>
-      Multimodal.pixelFeatures(
-        Multimodal.decodeImageBatched(
-          Multimodal.synthesizePngPayload(Tables.documents(s, dir), "doc_id")))
-        .orderBy("media_id")
-    },
-    // m5 — REAL audio decode: genuine RIFF/WAVE bytes
-    // (AudioSystem.write) flow through the binary column and
-    // javax.sound.sampled parses the PCM frames back in the batched
-    // mapPartitions; the oracle replays the synthesis formulas in
-    // closed form, so a wrong decode fails the hash match. Container
-    // byte size is excluded (header layout is encoder-dependent);
-    // pcm_bytes = frames × channels × 2 is exact.
-    "m5_audio_decode" -> { (s, dir) =>
-      Multimodal.decodeAudioBatched(
-        Multimodal.synthesizeWavPayload(Tables.documents(s, dir), "doc_id"))
-        .select("media_id", "pcm_bytes", "channels", "sample_rate", "n_frames",
-          "duration_ms", "amp_sum", "amp_min", "amp_max")
-        .orderBy("media_id")
-    },
-    // m7 — windowed audio FEATURE EXTRACTION over the real decode
-    // (the VAD/segmentation energy signal): each clip's PCM cuts into
-    // 100-frame windows inside the same batched mapPartitions pass —
-    // one decode per clip, a per-window fan-out, zero shuffles. The
-    // oracle replays the exact integer window energies in closed form.
-    "m7_audio_windows" -> { (s, dir) =>
-      Multimodal.audioEnergyWindows(
-        Multimodal.synthesizeWavPayload(Tables.documents(s, dir), "doc_id"),
-        windowFrames = 100)
-        .orderBy("media_id", "window_idx")
-    },
-    // m6 — REAL video decode: genuine RIFF/AVI containers of
-    // Motion-PNG frames flow through the binary column; the decoder
-    // walks the chunk tree per the public AVI spec and ImageIO-decodes
-    // EVERY frame (band values vary per frame, so a first-frame-only
-    // or header-only decode fails the px oracle). The oracle replays
-    // the synthesis formulas in closed form.
-    "m6_video_decode" -> { (s, dir) =>
-      Multimodal.decodeVideoBatched(
-        Multimodal.synthesizeAviPayload(Tables.documents(s, dir), "doc_id"))
-        .select("media_id", "n_frames", "width", "height", "fps",
-          "duration_ms", "px_sum", "px_min", "px_max")
-        .orderBy("media_id")
-    },
-    // y10 — fixed-window token chunking: the pass that cuts documents
-    // into training samples (32-token windows, stride 24 → 8-token
-    // overlap). Pure per-row explode, no shuffle before the sink.
-    "y10_doc_chunks" -> { (s, dir) =>
-      Corpus.chunk(Tables.documents(s, dir), "doc_id", "text", size = 32, stride = 24)
-        .orderBy("doc_id", "chunk_idx")
-    },
-    // y11 — corpus-frequent-segment boilerplate scoring (CCNet-style
-    // at 2-token segment granularity; fixture docs are short random
-    // draws over a small vocabulary, so real segment collisions exist)
-    "y11_boilerplate" -> { (s, dir) =>
-      Corpus.boilerplate(Tables.documents(s, dir), "doc_id", "text",
-        segLen = 2, minDf = 8L, maxFrac = 0.5)
-        .orderBy("doc_id")
-    },
-    // y12 — TF-IDF top-5 terms per document over the regex tokenizer
-    "y12_tfidf_topk" -> { (s, dir) =>
-      Corpus.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", k = 5)
-        .orderBy(col("doc_id"), col("score").desc, col("term"))
-    },
-    // y13 — unigram-LM document scoring in fixed-point micro-nats
-    // (double sums are order-sensitive; integer sums compare exactly)
-    "y13_unigram_logprob" -> { (s, dir) =>
-      Corpus.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id")
-    },
-    // x14 — incremental dedup: each ingest batch (every 10th doc,
-    // last-word-dropped, re-keyed) checked against the EXISTING corpus
-    // via a two-sided band join — the batch side broadcasts, so the
-    // corpus bands never shuffle
-    "x14_incremental_neardup" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val toks = split(col("text"), " ")
-      val newBatch = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 20000L).as("doc_id"),
-          concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
-      DedupLsh.crossNearDupPairs(newBatch, docs, "doc_id", "text")
-        .orderBy("id_new", "id_base")
-    },
-    // x15 — canonical-representative selection by QUALITY: real
-    // curation keeps each near-dup cluster's best-quality member, not
-    // its min-id. Composition: pairs → connected components → join the
-    // quality score → per-cluster (score desc, id asc) pick. The only
-    // window is per-cluster (bounded by cluster size).
-    "x15_canonical_quality" -> { (s, dir) =>
-      val docs = corpusNear(s, dir)
-      canonicalByQuality(docs, DedupLsh.nearDupClusters(
-        DedupLsh.nearDupPairs(docs, "doc_id", "text")))
-    },
-    // x15b — x15 against the STAGED pair artifact: clusters + canonical
-    // pick read `neardup_pairs` parquet instead of re-deriving pairs
-    // from raw text. Same oracle as x15 — staging must be
-    // value-invisible.
-    "x15b_canonical_staged" -> { (s, dir) =>
-      canonicalByQuality(corpusNear(s, dir),
-        DedupLsh.nearDupClusters(stagedNearDupPairs(s, dir)))
-    },
-    // y16 — bigram-LM scoring: MLE conditional P(w2|w1) in fixed-point
-    // micro-nats; the denominator joins are vocabulary-sized, so the
-    // Zipf-head first token never skews a corpus-sized shuffle
-    "y16_bigram_logprob" -> { (s, dir) =>
-      Corpus.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id")
-    },
-    // y17 — length-aware inference batching: equal-token-count batches
-    // pad zero tokens; assignment is a pure (n_tokens, id-order)
-    // function, replayable cross-engine
-    "y17_inference_batches" -> { (s, dir) =>
-      Inference.inferenceBatches(Tables.documents(s, dir), "doc_id", "text",
-        batchSize = 8)
-        .orderBy("doc_id")
-    },
-    // y18 — winnowing fingerprints (rolling-hash local dedup signal):
-    // the native O(n) codegen expression vs the oracle's direct
-    // per-gram polynomial replay; exploded to rows so the compare is
-    // scalar. k=5-byte grams, w=4 windows
-    "y18_winnow_fingerprint" -> { (s, dir) =>
-      graft.functions.WinnowFingerprint.register(s)
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(call_function("winnowq", col("text"), lit(5), lit(4))).as("fp"))
-        .orderBy("doc_id", "fp")
-    },
-    // x18 — winnow-fingerprint near-dup pairs: byte-level complement
-    // of minhash banding with a deterministic guarantee (any shared
-    // substring >= w+k-1 bytes shares a fingerprint); df-capped so
-    // ubiquitous phrases never go quadratic
-    "x18_winnow_neardup" -> { (s, dir) =>
-      DedupLsh.winnowNearDupPairs(corpusNear(s, dir), "doc_id", "text",
-        k = 12, w = 8, minShared = 3, maxDf = 20L)
-        .orderBy("id_a", "id_b")
-    },
-    // y15 — mixture sampling: per-language keep rates DERIVED from
-    // target mixture weights (en .5 / de .3 / fr .2 of a 400-doc
-    // output) and the realized counts; md5-gated membership, so the
-    // mix replays in any engine. One O(#langs) count agg, then a pure
-    // row filter — the data itself never shuffles.
-    "y15_mixture_sample" -> { (s, dir) =>
-      graft.ops.Rows.mixtureSample(Tables.documents(s, dir), "lang", Seq("doc_id"),
-        Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), totalOut = 400L)
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-    },
-    // x16 — bloom-prefilter incremental exact dedup: new-batch rows
-    // whose digest is absent from the accumulated corpus, with ZERO
-    // corpus shuffle — the corpus scan carries a map-side codegen
-    // might_contain(bloom-of-batch) filter and only suspected dupes
-    // reach the exact verify join. Exact at any fpp (false positives
-    // add history keys that match no batch row). Every 5th doc forms
-    // the batch; every 10th keeps its text (a true dupe), the rest
-    // are perturbed (genuinely new).
-    "x16_bloom_dedup" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val batch = docs.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"),
-          md5(when(col("doc_id") % 10 === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" v2")))).as("digest"))
-      val history = docs.select(md5(col("text")).as("digest"))
-      graft.llm.BloomDedup.antiJoinBloom(batch, history, "digest",
-        expectedItems = 8192L, fpp = 0.001)
-        .orderBy("doc_id")
-    },
-    // sql2 — the extension-injected native `dotq` function driven from
-    // the pure SQL surface: quantized-vector dot products over a temp
-    // view, proving SparkSessionExtensions functions reach SQL users
-    "sql2_dotq_sql" -> { (s, dir) =>
-      graft.functions.LongArrayDot.register(s)
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
-        .createOrReplaceTempView("emb_q")
-      s.sql(
-        """SELECT a.vec_id AS id_a, b.vec_id AS id_b, dotq(a.q, b.q) AS dot
-          |FROM emb_q a JOIN emb_q b ON b.vec_id = a.vec_id + 100
-          |WHERE a.vec_id < 100
-          |ORDER BY id_a""".stripMargin)
-    },
-    // y14 — sequence packing into 512-token training bins, parallel by
-    // language (true first-fit is sequential; the contiguous-fill rule
-    // is arithmetic, so it distributes AND replays cross-engine)
-    "y14_sequence_packing" -> { (s, dir) =>
-      Corpus.packSequences(Tables.documents(s, dir), "doc_id", "text",
-        "lang", budget = 512)
-        .orderBy("doc_id")
-    },
-    // y19 — token-balanced sharding: 8 training shards of near-equal
-    // token MASS (y14's complement: global layout across workers, not
-    // per-group bin fill). md5 layout + contiguous budget cuts via the
-    // distributed two-pass prefix sum — never a single-task window
-    "y19_token_shards" -> { (s, dir) =>
-      Corpus.tokenBalancedShards(Tables.documents(s, dir), "doc_id", "text",
-        nShards = 8)
-        .orderBy("doc_id")
-    }
-  )
-
-  def oracles: Map[String, String] = {
-    def bucketSql(v: String, prefix: String): String =
-      Similarity.planes(4, 64, prefix).map { plane =>
-        val terms = plane.zipWithIndex.map { case (sign, j) =>
-          if (sign > 0) s"+$v[${j + 1}]" else s"-$v[${j + 1}]"
-        }.mkString
-        s"CASE WHEN ($terms) > 0 THEN '1' ELSE '0' END"
-      }.mkString(" || ")
-
-    val shSql = {
-      val tk = "regexp_split_to_array(text, '\\s+')"
-      s"list_distinct(${ngramSql("tk", 3)})"
-    }
-    val simhash32Bits = (0 until 32).map { j =>
-      s"SUM(CASE WHEN substring(md5(tok), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"
-    }.mkString(", ")
-    val sim32 = (0 until 32).map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-
-    val simhashBits = (0 until 16).map { j =>
-      s"SUM(CASE WHEN substring(md5(tok), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"
-    }.mkString(", ")
-    val simhashConcat = (0 until 16).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
-
-    val minhash12 = (0 until 12).map { s =>
-      s"list_aggregate(list_transform(sh, x -> md5('$s|' || x)), 'min')"
-    }.mkString("[", ", ", "]")
-    val bands4 = (0 until 4).map { b =>
-      s"'$b#' || sig[${b * 3 + 1}] || '#' || sig[${b * 3 + 2}] || '#' || sig[${b * 3 + 3}]"
-    }.mkString("[", ", ", "]")
-    val minhash8 = (0 until 8).map { s =>
-      s"list_aggregate(list_transform(sh, x -> md5('$s|' || x)), 'min')"
-    }.mkString("[", ", ", "]")
-    val bands4x2 = (0 until 4).map { b =>
-      s"'$b#' || sig[${b * 2 + 1}] || '#' || sig[${b * 2 + 2}]"
-    }.mkString("[", ", ", "]")
-
-    def langHits(ws: Seq[String]): String = {
-      val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
-      s"len(list_filter($arr, w -> list_contains(ts, w)))"
-    }
-    val Seq(de, en, fr) = TextAnalysis.LangWords.map(_._2)
-
-    // `cap` replays nearDupPairs' maxBucketDf: band buckets holding
-    // more than `cap` ids are dropped before the pair join.
-    def x2CoreSql(cap: Option[Long]): String = {
-      val bucketFilter = cap match {
-        case None => "bands"
-        case Some(c) =>
-          s"""(SELECT b.* FROM bands b JOIN (
-             |    SELECT band FROM bands GROUP BY band HAVING count(*) <= $c
-             |  ) ok USING (band))""".stripMargin
-      }
-      s"""WITH corpus AS ($CorpusNearSql),
-         |sh AS (
-         |  SELECT doc_id AS id, $shSql AS sh
-         |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM corpus)
-         |  WHERE len($shSql) > 0
-         |), sig AS (
-         |  SELECT id, sh, $minhash12 AS sig FROM sh
-         |), bands AS (
-         |  SELECT id, sh, unnest($bands4) AS band FROM sig
-         |), pairs AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-         |  FROM $bucketFilter a JOIN $bucketFilter b ON a.band = b.band AND a.id < b.id)
-         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
-    }
-    val x2Core = x2CoreSql(None)
-
-    // shared by x8/x8b and x15/x15b: the staged-artifact twins must be
-    // value-invisible, so each pair replays ONE oracle text
-    val x8ClustersSql =
-      s"""WITH RECURSIVE np AS ($x2Core),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM np
-         |  UNION SELECT id_b, id_a FROM np),
-         |reach AS (
-         |  SELECT src AS id, src AS r FROM edges
-         |  UNION
-         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
-         |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
-    val x15CanonicalSql =
-      s"""WITH RECURSIVE np AS ($x2Core),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM np
-         |  UNION SELECT id_b, id_a FROM np),
-         |reach AS (
-         |  SELECT src AS id, src AS r FROM edges
-         |  UNION
-         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-         |clusters AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
-         |corpus AS ($CorpusNearSql),
-         |scored AS (
-         |  SELECT c.cluster, c.id,
-         |    least(CAST(len(ts) AS DOUBLE) / 50.0, 1.0) *
-         |    (1.0 - CAST(len(list_filter(ts, t -> list_contains($StopSql, t))) AS DOUBLE)
-         |           / CAST(len(ts) AS DOUBLE)) AS score
-         |  FROM clusters c JOIN (
-         |    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM corpus) d
-         |    ON c.id = d.doc_id),
-         |rep AS (
-         |  SELECT cluster, id, row_number() OVER (PARTITION BY cluster
-         |    ORDER BY score DESC, id ASC) AS rn
-         |  FROM scored)
-         |SELECT m.cluster, m.n_members, r.rep_id
-         |FROM (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
-         |      FROM scored GROUP BY cluster) m
-         |JOIN (SELECT cluster, id AS rep_id FROM rep WHERE rn = 1) r USING (cluster)
-         |ORDER BY m.cluster""".stripMargin
-
-    Map(
-      "x1_exact_dedup" ->
-        s"""SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
-           |FROM ($CorpusExactSql) GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
-      "x2_minhash_neardup" -> s"$x2Core\nORDER BY id_a, id_b",
-      "x2b_minhash_capped" -> s"${x2CoreSql(Some(3L))}\nORDER BY id_a, id_b",
-      "y15_mixture_sample" ->
-        """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
-          |cuts AS (
-          |  SELECT lang, CASE WHEN r >= 65536 THEN 'g' ELSE printf('%04x', r) END AS cut
-          |  FROM (
-          |    SELECT lang, CAST(floor(LEAST(1.0,
-          |      ((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3 WHEN 'fr' THEN 0.2
-          |        ELSE 0.0 END) * 400) / n) * 65536) AS BIGINT) AS r
-          |    FROM counts))
-          |SELECT d.doc_id, d.lang
-          |FROM documents d JOIN cuts c ON d.lang = c.lang
-          |WHERE md5(CAST(d.doc_id AS VARCHAR)) < c.cut
-          |ORDER BY d.doc_id""".stripMargin,
-      "x16_bloom_dedup" ->
-        """WITH batch AS (
-          |  SELECT doc_id,
-          |    md5(CASE WHEN doc_id % 10 = 0 THEN text ELSE text || ' v2' END) AS digest
-          |  FROM documents WHERE doc_id % 5 = 0)
-          |SELECT digest, doc_id FROM batch b
-          |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = b.digest)
-          |ORDER BY doc_id""".stripMargin,
-      // e5 — every stage of the incremental pipeline replayed: batch
-      // synthesis, digest anti-join (bloom is exact), banded near-dup
-      // sweep (x14's CTEs), k-means cell routing (x7's CTEs), and the
-      // per-language state fold; the upserted-table read-back equals
-      // the survivor set by keep-latest idempotence.
-      "e5_incremental_pipeline" ->
-        s"""WITH v AS (
-           |  SELECT vec_id, ${qvSql("embedding")} AS nv FROM embeddings),
-           |c0 AS (SELECT vec_id AS cell_id, nv AS cv FROM v WHERE vec_id < 16),
-           |${kmeansIterSql("c0", "a1", "c1")},
-           |${kmeansIterSql("c1", "a2", "c2")},
-           |batch0 AS (
-           |  SELECT d.doc_id,
-           |    CASE (d.doc_id // 5) % 3 WHEN 0 THEN d.text WHEN 1 THEN d.text || ' v2'
-           |      ELSE 'fresh entry ' || CAST(d.doc_id AS VARCHAR) || ' carries wholly novel content alpha' || CAST(d.doc_id AS VARCHAR) || ' beta gamma delta' END AS text,
-           |    d.lang
-           |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
-           |  WHERE d.doc_id % 5 = 0),
-           |batch AS (
-           |  SELECT doc_id + 20000 AS doc_id, text, lang, md5(text) AS digest FROM batch0),
-           |exact_new AS (
-           |  SELECT * FROM batch b
-           |  WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = b.digest)),
-           |nsh AS (
-           |  SELECT doc_id AS id, $shSql AS sh
-           |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM exact_new)
-           |  WHERE len($shSql) > 0),
-           |bsh AS (
-           |  SELECT doc_id AS id, $shSql AS sh
-           |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
-           |  WHERE len($shSql) > 0),
-           |nbands AS (
-           |  SELECT id, sh, unnest($bands4) AS band
-           |  FROM (SELECT id, sh, $minhash12 AS sig FROM nsh)),
-           |bbands AS (
-           |  SELECT id, sh, unnest($bands4) AS band
-           |  FROM (SELECT id, sh, $minhash12 AS sig FROM bsh)),
-           |ndhits AS (
-           |  SELECT DISTINCT n.id FROM nbands n JOIN bbands b USING (band)
-           |  WHERE CAST(len(list_intersect(n.sh, b.sh)) AS DOUBLE) /
-           |        CAST(len(list_distinct(list_concat(n.sh, b.sh))) AS DOUBLE) >= 0.5),
-           |survivors AS (
-           |  SELECT doc_id, lang, digest,
-           |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
-           |  FROM exact_new WHERE doc_id NOT IN (SELECT id FROM ndhits)),
-           |cells AS (
-           |  SELECT doc_id, cell_id FROM (
-           |    SELECT sq.doc_id, c.cell_id,
-           |      row_number() OVER (PARTITION BY sq.doc_id
-           |        ORDER BY ${cosineSql("sq.nv", "c.cv")} DESC, c.cell_id) AS rnk
-           |    FROM (SELECT s.doc_id, vv.nv FROM survivors s
-           |          JOIN v vv ON vv.vec_id = s.doc_id - 20000) sq
-           |    CROSS JOIN c2 c)
-           |  WHERE rnk = 1),
-           |state AS (
-           |  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS lang_docs,
-           |         CAST(SUM(tok) AS BIGINT) AS lang_tokens FROM (
-           |    SELECT lang, COUNT(*) AS cnt,
-           |      SUM(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)) AS tok
-           |    FROM documents GROUP BY lang
-           |    UNION ALL
-           |    SELECT lang, COUNT(*), SUM(n_tokens) FROM survivors GROUP BY lang)
-           |  GROUP BY lang)
-           |SELECT s.doc_id, s.lang, s.n_tokens, s.digest, c.cell_id,
-           |       st.lang_docs, st.lang_tokens
-           |FROM survivors s JOIN cells c USING (doc_id) JOIN state st USING (lang)
-           |ORDER BY s.doc_id""".stripMargin,
-      "x8_dedup_clusters" -> x8ClustersSql,
-      "x8b_clusters_staged" -> x8ClustersSql,
-      "x10_dedup_apply" ->
-        s"""WITH RECURSIVE np AS ($x2Core),
-           |edges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM np
-           |  UNION SELECT id_b, id_a FROM np),
-           |reach AS (
-           |  SELECT src AS id, src AS r FROM edges
-           |  UNION
-           |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-           |clusters AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
-           |allc AS ($CorpusNearSql)
-           |SELECT doc_id, md5(text) AS digest FROM allc
-           |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster)
-           |ORDER BY doc_id""".stripMargin,
-      "x3_simhash" ->
-        s"""SELECT id AS doc_id, $simhashConcat AS simhash
-           |FROM (
-           |  SELECT id, $simhashBits
-           |  FROM (
-           |    SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
-           |    FROM documents) t
-           |  GROUP BY id)
-           |ORDER BY doc_id""".stripMargin,
-      "x11_simhash_neardup" ->
-        s"""WITH corpus AS ($CorpusNearSql),
-           |fp AS (
-           |  SELECT id, CAST($sim32 AS BIGINT) AS sim FROM (
-           |    SELECT id, $simhash32Bits
-           |    FROM (SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
-           |          FROM corpus) t
-           |    GROUP BY id)),
-           |blk AS (
-           |  SELECT id, sim, g.bi, (sim >> (g.bi * 16)) & 65535 AS bv
-           |  FROM fp CROSS JOIN generate_series(0, 1) AS g(bi)),
-           |pairs AS (
-           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-           |    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
-           |  FROM blk a JOIN blk b ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
-           |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
-           |ORDER BY id_a, id_b""".stripMargin,
-      "x4_ngram_jaccard" ->
-        s"""WITH sh AS (
-           |  SELECT doc_id AS id, $shSql AS sh
-           |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
-           |  WHERE len($shSql) > 0
-           |), sig AS (
-           |  SELECT id, sh, $minhash8 AS sig FROM sh
-           |), bands AS (
-           |  SELECT id, sh, unnest($bands4x2) AS band FROM sig
-           |), pairs AS (
-           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-           |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-           |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-           |  FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id)
-           |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.05
-           |ORDER BY id_a, id_b""".stripMargin,
-      "x5_cosine_topk" ->
-        s"""WITH c AS (SELECT vec_id AS neighbor_id, ${qvSql("embedding")} AS nv FROM embeddings),
-           |q AS (SELECT vec_id AS query_id, ${qvSql("embedding")} AS qv FROM embeddings WHERE vec_id < 5),
-           |scored AS (
-           |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine
-           |  FROM c, q WHERE neighbor_id != query_id)
-           |SELECT query_id, rank, neighbor_id, cosine FROM (
-           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-           |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-           |  FROM scored)
-           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-      "x6_ann_lsh" ->
-        s"""WITH c AS (
-           |  SELECT vec_id AS neighbor_id, nv,
-           |         ${bucketSql("nv", "plane0~")} AS bucket0,
-           |         ${bucketSql("nv", "plane1~")} AS bucket1
-           |  FROM (SELECT vec_id, ${qvSql("embedding")} AS nv FROM embeddings)),
-           |q AS (
-           |  SELECT vec_id AS query_id, qv,
-           |         ${bucketSql("qv", "plane0~")} AS bucket0,
-           |         ${bucketSql("qv", "plane1~")} AS bucket1
-           |  FROM (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings WHERE vec_id < 5)),
-           |cand AS (
-           |  SELECT query_id, neighbor_id, qv, nv
-           |  FROM c JOIN q ON c.bucket0 = q.bucket0 WHERE neighbor_id != query_id
-           |  UNION
-           |  SELECT query_id, neighbor_id, qv, nv
-           |  FROM c JOIN q ON c.bucket1 = q.bucket1 WHERE neighbor_id != query_id),
-           |scored AS (
-           |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine FROM cand)
-           |SELECT query_id, rank, neighbor_id, cosine FROM (
-           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-           |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-           |  FROM scored)
-           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-      "x7_ann_ivf" -> X7IvfSql,
-      // identical semantics through the persisted-index round-trip
-      "x7b_ann_ivf_prebuilt" -> X7IvfSql,
-      "x17_semantic_dedup" ->
-        s"""WITH corpus AS ($CorpusEmbSql),
-           |v AS (SELECT vec_id, ${qvSql("embedding")} AS nv FROM corpus),
-           |c0 AS (SELECT vec_id AS cell_id, nv AS cv FROM v WHERE vec_id < 16),
-           |${kmeansIterSql("c0", "a1", "c1")},
-           |${kmeansIterSql("c1", "a2", "c2")},
-           |members AS (
-           |  SELECT vec_id, nv, cell_id FROM (
-           |    SELECT v.vec_id, v.nv, c.cell_id,
-           |      row_number() OVER (PARTITION BY v.vec_id
-           |        ORDER BY ${cosineSql("v.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
-           |    FROM v CROSS JOIN c2 c)
-           |  WHERE cell_rank = 1),
-           |drops AS (
-           |  SELECT DISTINCT b.vec_id
-           |  FROM members a JOIN members b
-           |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-           |  WHERE ${cosineSql("a.nv", "b.nv")} >= 0.99)
-           |SELECT vec_id, cell_id FROM members
-           |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
-           |ORDER BY vec_id""".stripMargin,
-      "x9_embed_neardup" ->
-        s"""WITH corpus AS ($CorpusEmbSql),
-           |v AS (SELECT vec_id, ${qvSql("embedding")} AS nv FROM corpus),
-           |b AS (
-           |  SELECT vec_id, nv, unnest([
-           |    '0#' || ${bucketSql("nv", "plane0~")},
-           |    '1#' || ${bucketSql("nv", "plane1~")}]) AS bucket
-           |  FROM v),
-           |pairs AS (
-           |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
-           |    ${cosineSql("a.nv", "b2.nv")} AS cosine
-           |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-           |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
-           |ORDER BY id_a, id_b""".stripMargin,
-      "y1_langid" ->
-        s"""SELECT doc_id,
-           |  CASE WHEN hd >= he AND hd >= hf AND hd > 0 THEN 'de'
-           |       WHEN he >= hf AND he > 0 THEN 'en'
-           |       WHEN hf > 0 THEN 'fr'
-           |       ELSE 'und' END AS lang_pred
-           |FROM (
-           |  SELECT doc_id, ${langHits(de)} AS hd, ${langHits(en)} AS he, ${langHits(fr)} AS hf
-           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents))
-           |ORDER BY doc_id""".stripMargin,
-      // full-replay of the e4 composition: same scoring CTEs as y5,
-      // dedup keyed on md5(text) (all copies share text, so arg_min
-      // carries the canonical row's scores), media features in the
-      // m4/m5 closed forms keyed by the surviving ids
-      "e4_curation_manifest" ->
-        s"""WITH t AS (
-           |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ts FROM documents),
-           |h AS (
-           |  SELECT doc_id, text, ts, ${langHits(de)} AS hd, ${langHits(en)} AS he,
-           |    ${langHits(fr)} AS hf
-           |  FROM t),
-           |scored AS (
-           |  SELECT doc_id, text,
-           |    CASE WHEN hd >= he AND hd >= hf AND hd > 0 THEN 'de'
-           |         WHEN he >= hf AND he > 0 THEN 'en'
-           |         WHEN hf > 0 THEN 'fr'
-           |         ELSE 'und' END AS lang_pred,
-           |    least(CAST(len(ts) AS DOUBLE) / 50.0, 1.0) *
-           |    (1.0 - CAST(len(list_filter(ts, t -> list_contains($StopSql, t))) AS DOUBLE)
-           |           / CAST(len(ts) AS DOUBLE)) AS score,
-           |    CAST(len(ts) AS BIGINT) AS n_tokens
-           |  FROM h),
-           |filtered AS (
-           |  SELECT * FROM scored
-           |  WHERE lang_pred != 'und' AND score > 0.2 AND n_tokens >= 5),
-           |survivors AS (
-           |  SELECT min(doc_id) AS doc_id, arg_min(lang_pred, doc_id) AS lang_pred,
-           |    arg_min(score, doc_id) AS score, arg_min(n_tokens, doc_id) AS n_tokens,
-           |    CAST(COUNT(*) AS BIGINT) AS n_copies
-           |  FROM filtered GROUP BY md5(text)),
-           |media AS (
-           |  SELECT doc_id,
-           |    CAST(16 + doc_id % 17 AS BIGINT) AS w,
-           |    CAST(16 + (3 * doc_id + 5) % 13 AS BIGINT) AS h,
-           |    CAST(doc_id % 256 AS BIGINT) AS a,
-           |    CAST((7 * doc_id + 13) % 256 AS BIGINT) AS b,
-           |    CAST(256 + (5 * doc_id + 7) % 128 AS BIGINT) AS nf,
-           |    CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sr
-           |  FROM survivors)
-           |SELECT s.doc_id, s.lang_pred, s.score, s.n_tokens, s.n_copies,
-           |  CAST((m.h * ((m.w // 2) * m.a + (m.w - m.w // 2) * m.b) * 1000)
-           |    // (m.w * m.h) AS BIGINT) AS img_mean_milli,
-           |  CAST((m.nf * 1000) // m.sr AS BIGINT) AS audio_ms,
-           |  '${graft.llm.Multimodal.PayloadImpl}' AS encoder_impl
-           |FROM survivors s JOIN media m USING (doc_id) ORDER BY s.doc_id""".stripMargin,
-      "y5_curation_funnel" ->
-        s"""WITH scored AS (
-           |  SELECT doc_id,
-           |    CASE WHEN hd >= he AND hd >= hf AND hd > 0 THEN 'de'
-           |         WHEN he >= hf AND he > 0 THEN 'en'
-           |         WHEN hf > 0 THEN 'fr'
-           |         ELSE 'und' END AS lang_pred,
-           |    least(CAST(len(ts) AS DOUBLE) / 50.0, 1.0) *
-           |    (1.0 - CAST(len(list_filter(ts, t -> list_contains($StopSql, t))) AS DOUBLE)
-           |           / CAST(len(ts) AS DOUBLE)) AS score,
-           |    CAST(len(ts) AS BIGINT) AS n_tokens
-           |  FROM (
-           |    SELECT doc_id, ${langHits(de)} AS hd, ${langHits(en)} AS he,
-           |           ${langHits(fr)} AS hf, ts
-           |    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents)))
-           |SELECT doc_id, lang_pred, score FROM scored
-           |WHERE lang_pred != 'und' AND score > 0.2 AND n_tokens >= 5
-           |  AND md5(CAST(doc_id AS VARCHAR)) <
-           |      (CASE WHEN lang_pred = 'en' THEN '80' ELSE 'g' END)
-           |ORDER BY doc_id""".stripMargin,
-      "y2_quality_score" ->
-        s"""SELECT doc_id,
-           |  least(CAST(len(ts) AS DOUBLE) / 50.0, 1.0) *
-           |  (1.0 - CAST(len(list_filter(ts, t -> list_contains($StopSql, t))) AS DOUBLE)
-           |         / CAST(len(ts) AS DOUBLE)) AS score
-           |FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents)
-           |ORDER BY doc_id""".stripMargin,
-      "y3_token_count" ->
-        """SELECT doc_id,
-          |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws,
-          |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re
-          |FROM documents ORDER BY doc_id""".stripMargin,
-      "y4_fingerprint" ->
-        s"""SELECT doc_id, md5(text) AS fp_exact,
-           |  CASE WHEN len($shSql) > 0
-           |       THEN list_aggregate(list_transform($shSql, x -> md5(x)), 'min')
-           |       ELSE md5(text) END AS fp_shingle
-           |FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
-           |ORDER BY doc_id""".stripMargin,
-      "y6_vocab_topk" ->
-        """SELECT token, COUNT(*) AS cnt
-          |FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
-          |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 200""".stripMargin,
-      "y7_corpus_stats" ->
-        """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-          |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-          |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-          |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-          |       CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens
-          |FROM (SELECT lang, n_chars,
-          |             len(regexp_split_to_array(text, '\s+')) AS n_tok
-          |      FROM documents)""".stripMargin,
-      "x12_contamination" ->
-        """WITH tk AS (
-          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
-          |g AS (
-          |  SELECT doc_id, UNNEST(list_distinct(
-          |    CASE WHEN len(t) >= 3
-          |         THEN list_transform(generate_series(1, len(t) - 2),
-          |                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-          |         ELSE []::VARCHAR[] END)) AS g
-          |  FROM tk),
-          |cg AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
-          |eg AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 97 = 0),
-          |rare AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) <= 50)
-          |SELECT cg.doc_id, eg.eval_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
-          |FROM cg JOIN rare USING (g) JOIN eg USING (g)
-          |GROUP BY cg.doc_id, eg.eval_id
-          |HAVING COUNT(*) >= 2
-          |ORDER BY doc_id, eval_id""".stripMargin,
-      // full replay of the feature-hashing projection: tokenize →
-      // uni+bigrams → md5 bucket/sign → signed bucket sums →
-      // fixed-point L2 normalize — the encoder is real enough that an
-      // independent engine can recompute every component from text
-      "x13_embed_inference" ->
-        ("""WITH t AS (
-          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
-          |g AS (
-          |  SELECT doc_id, unnest(list_concat(tk,
-          |    list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
-          |      i -> tk[i] || ' ' || tk[i + 1]))) AS gram
-          |  FROM t),
-          |hb AS (
-          |  SELECT doc_id,
-          |    ((strpos('0123456789abcdef', md5(gram)[1]) - 1) * 16
-          |      + strpos('0123456789abcdef', md5(gram)[2]) - 1) % 64 AS bucket,
-          |    CASE WHEN strpos('0123456789abcdef', md5(gram)[3]) - 1 >= 8
-          |         THEN 1 ELSE -1 END AS sgn
-          |  FROM g),
-          |bs AS (
-          |  SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS val
-          |  FROM hb GROUP BY doc_id, bucket),
-          |filled AS (
-          |  SELECT t.doc_id, j.j, coalesce(bs.val, 0) AS val
-          |  FROM t CROSS JOIN generate_series(0, 63) AS j(j)
-          |  LEFT JOIN bs ON bs.doc_id = t.doc_id AND bs.bucket = j.j),
-          |ss AS (SELECT doc_id, SUM(val * val) AS ss FROM filled GROUP BY doc_id),
-          |vec AS (
-          |  SELECT f.doc_id,
-          |    list(CASE WHEN s.ss = 0 THEN CAST(0 AS BIGINT)
-          |         ELSE CAST(floor(f.val * 1000000 / sqrt(CAST(s.ss AS DOUBLE))) AS BIGINT)
-          |         END ORDER BY f.j) AS embedding
-          |  FROM filled f JOIN ss s USING (doc_id) GROUP BY f.doc_id)
-          |SELECT doc_id, CAST(64 AS BIGINT) AS n_dim,
-          |  embedding[1] AS comp0,
-          |  CAST(list_aggregate(list_transform(embedding, x -> abs(x)), 'sum') AS BIGINT)
-          |    AS l1_norm,
-          |  '""".stripMargin + Inference.EncoderImpl + """' AS encoder_impl
-          |FROM vec ORDER BY doc_id""".stripMargin),
-      "y9_repetition_filter" ->
-        """WITH g AS (
-          |  SELECT doc_id,
-          |         CASE WHEN len(t) >= 3
-          |              THEN list_transform(generate_series(1, len(t) - 2),
-          |                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-          |              ELSE []::VARCHAR[] END AS gs
-          |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)),
-          |r AS (
-          |  SELECT doc_id,
-          |         CASE WHEN len(gs) > 0
-          |              THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
-          |              ELSE CAST(0 AS DOUBLE) END AS rep_ratio
-          |  FROM g)
-          |SELECT doc_id, rep_ratio, rep_ratio <= 0.2 AS kept
-          |FROM r ORDER BY doc_id""".stripMargin,
-      "y8_length_percentiles" ->
-        """WITH r AS (
-          |  SELECT lang, n_chars,
-          |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
-          |         COUNT(*) OVER (PARTITION BY lang) AS cnt
-          |  FROM documents)
-          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-          |       MIN(CASE WHEN rn = ceil(cnt * 0.5) THEN n_chars END) AS p50,
-          |       MIN(CASE WHEN rn = ceil(cnt * 0.95) THEN n_chars END) AS p95,
-          |       MIN(CASE WHEN rn = ceil(cnt * 0.99) THEN n_chars END) AS p99
-          |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
-      "m1_multimodal_decode" ->
-        """WITH d AS (
-          |  SELECT doc_id AS media_id,
-          |    CAST(16 + doc_id % 17 AS BIGINT) AS w,
-          |    CAST(16 + (3 * doc_id + 5) % 13 AS BIGINT) AS h,
-          |    CAST(doc_id % 256 AS BIGINT) AS a,
-          |    CAST((7 * doc_id + 13) % 256 AS BIGINT) AS b
-          |  FROM documents)
-          |SELECT media_id, w AS width, h AS height,
-          |  CAST(1 AS BIGINT) AS channels,
-          |  CAST(h * ((w // 2) * a + (w - w // 2) * b) AS BIGINT) AS px_sum
-          |FROM d ORDER BY media_id""".stripMargin,
-      "m2_frame_sample" ->
-        """SELECT media_id, n_frames, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
-          |FROM (
-          |  SELECT doc_id AS media_id, CAST(3 + doc_id % 4 AS BIGINT) AS n_frames
-          |  FROM documents)
-          |ORDER BY media_id, frame_idx""".stripMargin,
-      "m3_resize_plan" ->
-        """WITH d AS (
-          |  SELECT doc_id AS media_id,
-          |    CAST(16 + doc_id % 17 AS BIGINT) AS w,
-          |    CAST(16 + (3 * doc_id + 5) % 13 AS BIGINT) AS h
-          |  FROM documents)
-          |SELECT media_id, w AS src_w, h AS src_h,
-          |  CASE WHEN w * 224 <= h * 224
-          |       THEN CAST((w * 224) // h AS BIGINT)
-          |       ELSE 224 END AS dst_w,
-          |  CASE WHEN w * 224 <= h * 224
-          |       THEN 224
-          |       ELSE CAST((h * 224) // w AS BIGINT) END AS dst_h
-          |FROM d ORDER BY media_id""".stripMargin,
-      "m4_media_features" ->
-        """WITH d AS (
-          |  SELECT doc_id AS media_id,
-          |    CAST(16 + doc_id % 17 AS BIGINT) AS w,
-          |    CAST(16 + (3 * doc_id + 5) % 13 AS BIGINT) AS h,
-          |    CAST(doc_id % 256 AS BIGINT) AS a,
-          |    CAST((7 * doc_id + 13) % 256 AS BIGINT) AS b
-          |  FROM documents)
-          |SELECT media_id,
-          |  CAST(w * h AS BIGINT) AS n_px,
-          |  least(a, b) AS px_min, greatest(a, b) AS px_max,
-          |  CAST((h * ((w // 2) * a + (w - w // 2) * b) * 1000) // (w * h) AS BIGINT) AS mean_milli
-          |FROM d ORDER BY media_id""".stripMargin,
-      "m5_audio_decode" ->
-        """WITH d AS (
-          |  SELECT doc_id AS media_id,
-          |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
-          |    CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sr,
-          |    CAST(256 + (5 * doc_id + 7) % 128 AS BIGINT) AS nf,
-          |    CAST((37 * doc_id + 11) % 30000 AS BIGINT) AS a,
-          |    CAST((53 * doc_id + 29) % 30000 AS BIGINT) AS b
-          |  FROM documents)
-          |SELECT media_id,
-          |  CAST(nf * ch * 2 AS BIGINT) AS pcm_bytes,
-          |  ch AS channels, sr AS sample_rate, nf AS n_frames,
-          |  CAST((nf * 1000) // sr AS BIGINT) AS duration_ms,
-          |  CAST(ch * ((nf // 2) * a - (nf - nf // 2) * b) AS BIGINT) AS amp_sum,
-          |  CAST(-b AS BIGINT) AS amp_min, a AS amp_max
-          |FROM d ORDER BY media_id""".stripMargin,
-      // closed-form replay of the windowed energies: window w covers
-      // frames [w*100, min(nf, w*100+100)); the first nf//2 frames
-      // hold sample a, the rest -b, identical across channels, so
-      // window energy = ch*(na*a^2 + nb*b^2) exactly
-      "m7_audio_windows" ->
-        """WITH d AS (
-          |  SELECT doc_id AS media_id,
-          |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
-          |    CAST(256 + (5 * doc_id + 7) % 128 AS BIGINT) AS nf,
-          |    CAST((37 * doc_id + 11) % 30000 AS BIGINT) AS a,
-          |    CAST((53 * doc_id + 29) % 30000 AS BIGINT) AS b
-          |  FROM documents),
-          |w AS (
-          |  SELECT *, unnest(generate_series(0, (nf - 1) // 100)) AS widx FROM d),
-          |c AS (
-          |  SELECT media_id, ch, a, b, widx, widx * 100 AS lo,
-          |    least(nf, widx * 100 + 100) AS hi, nf // 2 AS half
-          |  FROM w),
-          |e AS (
-          |  SELECT media_id, widx, ch * (hi - lo) AS n_samples,
-          |    ch * (greatest(0, least(hi, half) - lo) * a * a +
-          |      (hi - lo - greatest(0, least(hi, half) - lo)) * b * b) AS energy
-          |  FROM c)
-          |SELECT media_id, CAST(widx AS BIGINT) AS window_idx,
-          |  CAST(n_samples AS BIGINT) AS n_samples, CAST(energy AS BIGINT) AS energy
-          |FROM e ORDER BY media_id, window_idx""".stripMargin,
-      // closed-form replay of the AVI synthesis: per-frame band values
-      // summed over every frame — a decoder that skips frames or reads
-      // only headers diverges
-      "m6_video_decode" ->
-        """WITH d AS (
-          |  SELECT doc_id AS media_id,
-          |    CAST(3 + doc_id % 4 AS BIGINT) AS nf,
-          |    CAST(5 + doc_id % 3 AS BIGINT) AS fps,
-          |    CAST(16 + doc_id % 9 AS BIGINT) AS w,
-          |    CAST(16 + (3 * doc_id + 5) % 7 AS BIGINT) AS h
-          |  FROM documents),
-          |f AS (
-          |  SELECT media_id, nf, fps, w, h, unnest(generate_series(0, nf - 1)) AS fr
-          |  FROM d),
-          |fb AS (
-          |  SELECT *, (31 * media_id + 17 * fr + 3) % 256 AS a,
-          |    (53 * media_id + 29 * fr + 7) % 256 AS b
-          |  FROM f),
-          |agg AS (
-          |  SELECT media_id,
-          |    SUM(h * ((w // 2) * a + (w - w // 2) * b)) AS px_sum,
-          |    MIN(LEAST(a, b)) AS px_min, MAX(GREATEST(a, b)) AS px_max
-          |  FROM fb GROUP BY media_id)
-          |SELECT d.media_id, nf AS n_frames, w AS width, h AS height, fps,
-          |  CAST((nf * (1000000 // fps)) // 1000 AS BIGINT) AS duration_ms,
-          |  CAST(px_sum AS BIGINT) AS px_sum,
-          |  CAST(px_min AS BIGINT) AS px_min, CAST(px_max AS BIGINT) AS px_max
-          |FROM d JOIN agg USING (media_id) ORDER BY media_id""".stripMargin,
-      "y10_doc_chunks" ->
-        """WITH t AS (
-          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
-          |n AS (
-          |  SELECT doc_id, tk,
-          |    CAST(1 + floor((greatest(len(tk) - 32, 0) + 23) / 24.0) AS BIGINT) AS n_chunks
-          |  FROM t),
-          |c AS (
-          |  SELECT doc_id, tk, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM n)
-          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-          |  CAST(len(tk[(chunk_idx*24 + 1):(chunk_idx*24 + 32)]) AS BIGINT) AS n_tokens,
-          |  array_to_string(tk[(chunk_idx*24 + 1):(chunk_idx*24 + 32)], ' ') AS chunk_text
-          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
-      "y11_boilerplate" ->
-        """WITH t AS (
-          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
-          |s AS (
-          |  SELECT doc_id, array_to_string(tk[((i-1)*2+1):((i-1)*2+2)], ' ') AS seg
-          |  FROM (SELECT doc_id, tk,
-          |          unnest(generate_series(1, CAST(floor(len(tk)/2.0) AS BIGINT))) AS i
-          |        FROM t)),
-          |df AS (
-          |  SELECT seg, COUNT(*) AS seg_df
-          |  FROM (SELECT DISTINCT doc_id, seg FROM s) GROUP BY seg),
-          |pd AS (
-          |  SELECT s.doc_id, COUNT(*) AS n_segs,
-          |         SUM(CASE WHEN df.seg_df >= 8 THEN 1 ELSE 0 END) AS n_boiler
-          |  FROM s JOIN df USING (seg) GROUP BY s.doc_id)
-          |SELECT d.doc_id,
-          |  CAST(COALESCE(pd.n_segs, 0) AS BIGINT) AS n_segs,
-          |  CAST(COALESCE(pd.n_boiler, 0) AS BIGINT) AS n_boiler,
-          |  COALESCE(round(CAST(pd.n_boiler AS DOUBLE) / pd.n_segs, 6), 0.0) AS boiler_frac,
-          |  COALESCE(round(CAST(pd.n_boiler AS DOUBLE) / pd.n_segs, 6), 0.0) <= 0.5 AS kept
-          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
-          |ORDER BY d.doc_id""".stripMargin,
-      "y12_tfidf_topk" ->
-        """WITH tok AS (
-          |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
-          |  FROM documents),
-          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
-          |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-          |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-          |scored AS (
-          |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-          |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
-          |  FROM tf JOIN df USING (term) CROSS JOIN n),
-          |ranked AS (
-          |  SELECT *, row_number() OVER (PARTITION BY doc_id
-          |    ORDER BY score DESC, term ASC) AS rn
-          |  FROM scored)
-          |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
-          |FROM ranked WHERE rn <= 5
-          |ORDER BY doc_id, score DESC, term""".stripMargin,
-      "y13_unigram_logprob" ->
-        """WITH tok AS (
-          |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
-          |  FROM documents),
-          |counts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
-          |tot AS (SELECT SUM(cnt) AS total FROM counts),
-          |scored AS (
-          |  SELECT tok.doc_id,
-          |         CAST(floor(ln(CAST(counts.cnt AS DOUBLE) / tot.total) * 1e6)
-          |              AS BIGINT) AS lp_micro
-          |  FROM tok JOIN counts USING (term) CROSS JOIN tot),
-          |pd AS (
-          |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp_micro) AS lp
-          |  FROM scored GROUP BY doc_id)
-          |SELECT d.doc_id,
-          |  CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
-          |  CAST(COALESCE(pd.lp, 0) AS BIGINT) AS logprob_micro
-          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
-          |ORDER BY d.doc_id""".stripMargin,
-      "x18_winnow_neardup" ->
-        s"""WITH corpus AS ($CorpusNearSql),
-           |${winnowSql(12, 8, "corpus")},
-           |fps AS (SELECT doc_id, unnest(list_distinct(m)) AS fp FROM mins),
-           |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 20),
-           |f AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
-           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |  CAST(COUNT(*) AS BIGINT) AS shared_fps
-           |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
-           |GROUP BY 1, 2 HAVING COUNT(*) >= 3
-           |ORDER BY id_a, id_b""".stripMargin,
-      "y18_winnow_fingerprint" ->
-        s"""WITH ${winnowSql(5, 4, "documents")}
-           |SELECT doc_id, unnest(list_sort(list_distinct(m))) AS fp
-           |FROM mins ORDER BY doc_id, fp""".stripMargin,
-      "y16_bigram_logprob" ->
-        s"""WITH tok AS (
-           |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk
-           |  FROM documents),
-           |bgs AS (SELECT doc_id, unnest(${ngramSql("tk", 2)}) AS bg FROM tok),
-           |tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bgs GROUP BY doc_id, bg),
-           |counts AS (
-           |  SELECT bg, split_part(bg, ' ', 1) AS w1, SUM(tf) AS cnt
-           |  FROM tf GROUP BY bg),
-           |w1tot AS (SELECT w1, SUM(cnt) AS cnt1 FROM counts GROUP BY w1),
-           |pd AS (
-           |  SELECT tf.doc_id, SUM(tf.tf) AS n_bigrams,
-           |    SUM(tf.tf * CAST(floor(ln(CAST(c.cnt AS DOUBLE) / w.cnt1) * 1e6)
-           |        AS BIGINT)) AS lp
-           |  FROM tf JOIN counts c USING (bg) JOIN w1tot w ON c.w1 = w.w1
-           |  GROUP BY tf.doc_id)
-           |SELECT d.doc_id,
-           |  CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           |  CAST(COALESCE(pd.lp, 0) AS BIGINT) AS logprob_micro
-           |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
-           |ORDER BY d.doc_id""".stripMargin,
-      "y17_inference_batches" ->
-        """SELECT doc_id, n_tokens,
-          |  CAST(floor((row_number() OVER (PARTITION BY n_tokens ORDER BY doc_id) - 1)
-          |       / 8.0) AS BIGINT) AS batch_seq
-          |FROM (
-          |  SELECT doc_id,
-          |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
-          |  FROM documents)
-          |ORDER BY doc_id""".stripMargin,
-      "x15_canonical_quality" -> x15CanonicalSql,
-      "x15b_canonical_staged" -> x15CanonicalSql,
-      "sql2_dotq_sql" ->
-        s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings)
-           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           |  CAST(list_sum(list_transform(generate_series(1, 64),
-           |       i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot
-           |FROM q a JOIN q b ON b.vec_id = a.vec_id + 100
-           |WHERE a.vec_id < 100
-           |ORDER BY id_a""".stripMargin,
-      "x14_incremental_neardup" ->
-        s"""WITH newsrc AS (
-           |  SELECT doc_id + 20000 AS doc_id,
-           |    array_to_string((regexp_split_to_array(text, ' '))[1:len(regexp_split_to_array(text, ' ')) - 1], ' ') AS text
-           |  FROM documents WHERE doc_id % 10 = 0),
-           |nsh AS (
-           |  SELECT doc_id AS id, $shSql AS sh
-           |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM newsrc)
-           |  WHERE len($shSql) > 0),
-           |bsh AS (
-           |  SELECT doc_id AS id, $shSql AS sh
-           |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
-           |  WHERE len($shSql) > 0),
-           |nbands AS (
-           |  SELECT id, sh, unnest($bands4) AS band
-           |  FROM (SELECT id, sh, $minhash12 AS sig FROM nsh)),
-           |bbands AS (
-           |  SELECT id, sh, unnest($bands4) AS band
-           |  FROM (SELECT id, sh, $minhash12 AS sig FROM bsh)),
-           |pairs AS (
-           |  SELECT DISTINCT n.id AS id_new, b.id AS id_base,
-           |    CAST(len(list_intersect(n.sh, b.sh)) AS DOUBLE) /
-           |    CAST(len(list_distinct(list_concat(n.sh, b.sh))) AS DOUBLE) AS jaccard
-           |  FROM nbands n JOIN bbands b USING (band))
-           |SELECT id_new, id_base, jaccard FROM pairs WHERE jaccard >= 0.5
-           |ORDER BY id_new, id_base""".stripMargin,
-      "y14_sequence_packing" ->
-        """SELECT doc_id, lang, n_tokens,
-          |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
-          |FROM (
-          |  SELECT doc_id, lang, n_tokens,
-          |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-          |  FROM (
-          |    SELECT doc_id, lang,
-          |      CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
-          |    FROM documents))
-          |ORDER BY doc_id""".stripMargin,
-      // y19 — the whole assignment is integral arithmetic over an
-      // exclusive prefix sum in md5 layout, so the window replays the
-      // two-pass distributed cumsum bit-exactly
-      "y19_token_shards" ->
-        """WITH t AS (
-          |  SELECT doc_id,
-          |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
-          |    md5(CAST(doc_id AS VARCHAR)) AS h
-          |  FROM documents),
-          |b AS (
-          |  SELECT GREATEST(1, CAST((SUM(n_tokens) + 7) // 8 AS BIGINT)) AS budget
-          |  FROM t),
-          |c AS (
-          |  SELECT doc_id, n_tokens,
-          |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS excl
-          |  FROM t)
-          |SELECT c.doc_id, c.n_tokens,
-          |  CAST(LEAST(excl // budget, 7) AS BIGINT) AS shard_id
-          |FROM c, b
-          |ORDER BY c.doc_id""".stripMargin
-    )
-  }
+  def oracles: Map[String, String] =
+    DedupSimQueries.oracles ++ CorpusAnalysisQueries.oracles ++
+      MultimodalQueries.oracles ++ PipelineQueries.oracles
 }
