@@ -13,9 +13,6 @@ import TextQueries.{StopSql, tokSql, ngramSql}
   * LlmQueries in the round-11 mechanical split. */
 private[registry] object LlmFixtures {
 
-
-  import TextQueries.{StopSql, tokSql, ngramSql}
-
   /** (sessionUUID|indexDir) pairs whose IVF index this JVM already
     * built — see the x7b entry for the build-once contract. */
   val builtIvfIndexes =
@@ -32,19 +29,6 @@ private[registry] object LlmFixtures {
   val stagedPairTables =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** The near-dup pair list as a STAGED ARTIFACT: production dedup
-    * materializes shingle→band→verify ONCE per corpus snapshot and
-    * every downstream consumer — clustering (x8b), canonical selection
-    * (x15b), audits — reads the parquet instead of re-deriving pairs
-    * from raw text. Same memoization shape as the x7b IVF index: first
-    * call in a JVM (re)builds, so the artifact is always derived from
-    * the current corpus and stale leftovers can't leak in; repeated
-    * invocations (bench sweeps, interactive reuse) time the READ path,
-    * which is the steady-state production cost. The artifact is thin
-    * (id_a, id_b, jaccard) rows — at 100 TB corpus scale it is the
-    * verified-pair set only (corpus-fraction sized, not corpus sized),
-    * and each consumer's first shuffle keys on an id column, so
-    * re-reading it is strictly cheaper than re-verifying. */
   /** x15's canonical-representative pick, shared with its staged twin
     * x15b: join each cluster member's quality score, then ONE window
     * pass computes both the representative rank and the member count —
@@ -67,6 +51,19 @@ private[registry] object LlmFixtures {
       .orderBy("cluster")
   }
 
+  /** The near-dup pair list as a STAGED ARTIFACT: production dedup
+    * materializes shingle→band→verify ONCE per corpus snapshot and
+    * every downstream consumer — clustering (x8b), canonical selection
+    * (x15b), audits — reads the parquet instead of re-deriving pairs
+    * from raw text. Same memoization shape as the x7b IVF index: first
+    * call in a JVM (re)builds, so the artifact is always derived from
+    * the current corpus and stale leftovers can't leak in; repeated
+    * invocations (bench sweeps, interactive reuse) time the READ path,
+    * which is the steady-state production cost. The artifact is thin
+    * (id_a, id_b, jaccard) rows — at 100 TB corpus scale it is the
+    * verified-pair set only (corpus-fraction sized, not corpus sized),
+    * and each consumer's first shuffle keys on an id column, so
+    * re-reading it is strictly cheaper than re-verifying. */
   def stagedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val path = s"${sys.props("java.io.tmpdir")}/graft_io/${new java.io.File(dir).getName}/neardup_pairs"
     if (stagedPairTables.add(s"${System.identityHashCode(s)}|$path"))
