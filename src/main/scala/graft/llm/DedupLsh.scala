@@ -157,16 +157,33 @@ object DedupLsh {
     // (a pinned shuffle_hash build is quota-tracked but NOT spillable
     // and aborts there — why the pin was merge, never hash). The
     // round-10 merge pin traded 1.4 s at bench scale for that safety;
-    // hint-free keeps the safety and returns the 1.4 s.
+    // hint-free keeps the safety and returns the 1.4 s. One carve-out:
+    // when the shingle estimate sits in the STATIC-BROADCAST danger
+    // band (under the threshold on paper, far over it for real —
+    // [[verifyJoinStaticRisk]]), merge is pinned back.
     // dedup (id_a, id_b) BEFORE the jaccard verify: a pair colliding in
     // k bands would otherwise pay k verifies (the verify is the hot
     // loop at scale — round-3 verdict).
     // overridable for A/B measurement (system property
     // graft.dedup.verifyJoin = none | merge | shuffle_hash); "none"
-    // is the shipping default per the probes above
+    // is the shipping default per the probes above. Fail fast on any
+    // other value: the analyzer DROPS unrecognized hints with only a
+    // log warning, so a typo'd A/B run would silently measure the
+    // un-hinted plan while reporting the requested mode.
     val verifyHint = sys.props.getOrElse("graft.dedup.verifyJoin", "none")
-    def hinted(df: DataFrame): DataFrame =
-      if (verifyHint == "none") df else df.hint(verifyHint)
+    require(Set("none", "merge", "shuffle_hash").contains(verifyHint),
+      s"graft.dedup.verifyJoin must be none|merge|shuffle_hash, got '$verifyHint'")
+    // ...except in the STATIC-BROADCAST danger band, where hint-free
+    // planning is pinned back to merge (see verifyJoinStaticRisk)
+    val sessConf = df.sparkSession.sessionState.conf
+    val staticRisk = verifyJoinStaticRisk(
+      withSh.queryExecution.optimizedPlan.stats.sizeInBytes,
+      sessConf.autoBroadcastJoinThreshold)
+    def hinted(frame: DataFrame): DataFrame = verifyHint match {
+      case "none" if staticRisk => frame.hint("merge")
+      case "none"               => frame
+      case h                    => frame.hint(h)
+    }
     val verified = a.join(b.hint("shuffle_hash"), Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -178,6 +195,33 @@ object DedupLsh {
       .filter(col("jaccard") >= threshold)
     graft.Caching.releaseAfterFirstUse(verified, withSh, bandsAll)
   }
+
+  /** Measured expansion of the shingle relation over its scan-derived
+    * optimizer estimate: 27.4× at sf0.1 (13.9 MB cached vs 0.51 MB
+    * estimated — compressed file bytes vs exploded string-array rows),
+    * rounded up. */
+  private[graft] val ShingleExpansion = 32L
+
+  /** Largest shingle relation worth building as a broadcast: beyond
+    * this, the driver copy + per-executor hash relation (2-3× more
+    * transient during the build) threaten lean executors, and a
+    * spillable sort-merge is the right plan anyway. */
+  private[graft] val MaxSafeVerifyBroadcast: Long = 128L << 20
+
+  /** The STATIC-BROADCAST danger band for the un-hinted verify joins
+    * (round-11 review finding): the planner broadcasts a side whose
+    * ESTIMATE is under `spark.sql.autoBroadcastJoinThreshold`, but the
+    * shingle table's estimate derives from compressed file bytes while
+    * the relation materializes ~[[ShingleExpansion]]× larger — an
+    * estimate just under the 10 MB default can be a ~300 MB broadcast
+    * build. When the estimate is under the threshold AND its projected
+    * real size exceeds [[MaxSafeVerifyBroadcast]], pin merge; below
+    * that band a static broadcast is genuinely small (the sf0.1 win —
+    * 14 MB real), and above the threshold the static plan is already
+    * sort-merge with AQE converting only on MEASURED shuffle bytes. */
+  private[graft] def verifyJoinStaticRisk(estimate: BigInt, staticThreshold: Long): Boolean =
+    staticThreshold > 0 && estimate <= staticThreshold &&
+      estimate * ShingleExpansion > MaxSafeVerifyBroadcast
 
   /** Keep only rows whose `keyCols`-bucket holds ≤ cap rows — the
     * shared occupancy guard behind every banded/blocked self-join in

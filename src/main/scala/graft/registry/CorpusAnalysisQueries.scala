@@ -1,11 +1,11 @@
 package graft.registry
 
 import graft.Tables
-import graft.llm.{BloomDedup, Contamination, Corpus, DedupLsh, Inference, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Contamination, Corpus, DedupLsh, Inference, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import LlmFixtures._
-import TextQueries.{StopSql, tokSql, ngramSql}
+import TextQueries.{StopSql, ngramSql}
 
 /** y-family: text analysis, corpus statistics, TF-IDF / LM scoring,
   * chunking / packing / sharding, sampling. Extracted verbatim from

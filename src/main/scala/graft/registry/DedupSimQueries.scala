@@ -1,11 +1,10 @@
 package graft.registry
 
 import graft.Tables
-import graft.llm.{BloomDedup, Contamination, Corpus, DedupLsh, Inference, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{BloomDedup, Contamination, DedupLsh, Inference, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import LlmFixtures._
-import TextQueries.{StopSql, tokSql, ngramSql}
 
 /** x-family: dedup (exact, MinHash-LSH, SimHash, winnow, bloom,
   * incremental) and vector similarity (brute-force / LSH / IVF ANN,
@@ -123,7 +122,7 @@ object DedupSimQueries {
     // value-invisible.
     "x7b_ann_ivf_prebuilt" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_io/${new java.io.File(dir).getName}/ivf_index"
+      val idx = s"${corpusScratch(dir)}/ivf_index"
       // Build-once-query-many is the operator's whole point: memoize
       // the build per (session, dir) so repeated invocations (bench
       // sweeps, interactive reuse) time the partition-pruned QUERY

@@ -13,6 +13,21 @@ import TextQueries.{StopSql, tokSql, ngramSql}
   * LlmQueries in the round-11 mechanical split. */
 private[registry] object LlmFixtures {
 
+  /** Per-corpus scratch root for MEMOIZED build-once artifacts (staged
+    * pair lists, IVF indexes, seeded doc tables): basename for
+    * readability plus a short absolute-path digest, because two
+    * corpora sharing a basename (/data/a/sf0.01 vs /data/b/sf0.01)
+    * must never share a memoized artifact — the memo key includes the
+    * path, so a basename-only path would silently hand corpus B the
+    * artifact built from corpus A. Per-call overwrite sinks don't need
+    * the digest (they rewrite on every invocation). */
+  def corpusScratch(dir: String): String = {
+    val f = new java.io.File(dir).getAbsoluteFile
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(f.getPath.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_io/${f.getName}-$tag"
+  }
+
   /** (sessionUUID|indexDir) pairs whose IVF index this JVM already
     * built — see the x7b entry for the build-once contract. */
   val builtIvfIndexes =
@@ -65,7 +80,7 @@ private[registry] object LlmFixtures {
     * and each consumer's first shuffle keys on an id column, so
     * re-reading it is strictly cheaper than re-verifying. */
   def stagedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_io/${new java.io.File(dir).getName}/neardup_pairs"
+    val path = s"${corpusScratch(dir)}/neardup_pairs"
     if (stagedPairTables.add(s"${System.identityHashCode(s)}|$path"))
       DedupLsh.nearDupPairs(corpusNear(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5)

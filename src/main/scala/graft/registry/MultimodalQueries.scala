@@ -1,11 +1,9 @@
 package graft.registry
 
 import graft.Tables
-import graft.llm.{BloomDedup, Contamination, Corpus, DedupLsh, Inference, Multimodal, Similarity, TextAnalysis}
+import graft.llm.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import LlmFixtures._
-import TextQueries.{StopSql, tokSql, ngramSql}
 
 /** m-family: multimodal decode / feature plumbing over opaque binary
   * payloads. Extracted verbatim from LlmQueries (round-11 mechanical

@@ -1,11 +1,11 @@
 package graft.registry
 
 import graft.Tables
-import graft.llm.{BloomDedup, Contamination, Corpus, DedupLsh, Inference, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{BloomDedup, DedupLsh, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import LlmFixtures._
-import TextQueries.{StopSql, tokSql, ngramSql}
+import TextQueries.StopSql
 
 /** e-family: the composed end-to-end pipelines (e4 curation manifest,
   * e5 incremental flagship). Extracted verbatim from LlmQueries
@@ -77,7 +77,7 @@ object PipelineQueries {
     // vectors re-asserts the same cells (read distinct), and re-merging
     // the same batch is a keep-latest no-op (the st12 replay property).
     "e5_incremental_pipeline" -> { (s, dir) =>
-      val scratchBase = s"${sys.props("java.io.tmpdir")}/graft_io/${new java.io.File(dir).getName}"
+      val scratchBase = corpusScratch(dir)
       val idxDir = s"$scratchBase/e5_ivf_index"
       val tableDir = s"$scratchBase/e5_doc_table"
       val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")

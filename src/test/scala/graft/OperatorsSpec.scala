@@ -1485,13 +1485,38 @@ class OperatorsSpec extends SparkSpec {
       val (_, fp) = finalizedPlan(out)
       verifyJoinShapes(fp)
     }
-    // default thresholds + tiny actual data: AQE must seize the
-    // runtime win and broadcast-convert the verify joins
-    withSQLConf("spark.sql.adaptive.enabled" -> "true") {
+    // the static-broadcast danger band (estimate under the broadcast
+    // threshold but projected real size beyond the safe bound) pins
+    // merge; both edges of the band and the disabled-threshold case
+    // behave
+    locally {
+      import graft.llm.DedupLsh.{verifyJoinStaticRisk, ShingleExpansion, MaxSafeVerifyBroadcast}
+      val thresh = 10L << 20
+      val inBand = BigInt(MaxSafeVerifyBroadcast / ShingleExpansion + 1)
+      assert(verifyJoinStaticRisk(inBand, thresh),
+        "estimate just over the safe-bound edge must pin merge")
+      assert(!verifyJoinStaticRisk(BigInt(MaxSafeVerifyBroadcast / ShingleExpansion - 1), thresh),
+        "genuinely-small estimate must stay un-hinted (static broadcast is fine)")
+      assert(!verifyJoinStaticRisk(BigInt(thresh) + 1, thresh),
+        "estimate over the threshold never static-broadcasts - no pin needed")
+      assert(!verifyJoinStaticRisk(inBand, -1L),
+        "broadcast disabled (threshold -1) means no static risk")
+    }
+    // RUNTIME conversion, isolated from static planning: static
+    // broadcast disabled (threshold -1, so the initial plan is
+    // sort-merge — a statically-planned BHJ would satisfy a naive
+    // assert without AQE doing anything) while the ADAPTIVE threshold
+    // stays permissive; a BroadcastHashJoin in the final plan can then
+    // only come from AQE's measured-shuffle-size conversion — the
+    // mechanism the shipping hint-free default's small-scale win and
+    // pressure fallback both rely on
+    withSQLConf("spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB") {
       val out = graft.llm.DedupLsh.nearDupPairs(docs, "doc_id", "text")
       val (_, fp) = finalizedPlan(out)
       assert(fp.contains("BroadcastHashJoin"),
-        s"AQE did not broadcast-convert a tiny verify join:\n$fp")
+        s"AQE did not broadcast-convert a tiny verify join at runtime:\n$fp")
     }
   }
 
