@@ -317,21 +317,82 @@ object DedupLsh {
     val joined =
       if (broadcastNew) bb.join(broadcast(nb), Seq("band"))
       else bb.join(nb.hint("merge"), Seq("band"))
-    // verify per band-hit, dedup AFTER the jaccard filter: a
-    // dedup-before-verify would hash-exchange every candidate WITH its
-    // shingle arrays (dropDuplicates keeps all columns — the fat
-    // exchange the self-join path eliminated with thin bands, hidden
-    // at test scale by Range fixtures whose RangePartitioning elides
-    // the exchange entirely). Each duplicate band hit recomputes the
-    // same jaccard (≤ numBands map-side evaluations per pair, no
-    // shuffle), and the dedup then exchanges only the post-threshold
-    // survivors as (id_new, id_base, jaccard) — arrays never ride an
-    // exchange in EITHER join mode.
+    crossVerify(joined, threshold)
+  }
+
+  /** Shared verify tail of the two-sided (batch × corpus) band join:
+    * verify per band-hit, dedup AFTER the jaccard filter. A
+    * dedup-before-verify would hash-exchange every candidate WITH its
+    * shingle arrays (dropDuplicates keeps all columns — the fat
+    * exchange the self-join path eliminated with thin bands, hidden
+    * at test scale by Range fixtures whose RangePartitioning elides
+    * the exchange entirely). Each duplicate band hit recomputes the
+    * same jaccard (≤ numBands map-side evaluations per pair, no
+    * shuffle), and the dedup then exchanges only the post-threshold
+    * survivors as (id_new, id_base, jaccard) — arrays never ride an
+    * exchange in ANY join mode. */
+  private def crossVerify(joined: DataFrame, threshold: Double): DataFrame =
     joined
       .select(col("id_new"), col("id_base"),
         jaccardSorted(col("sh_new"), col("sh_base")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .dropDuplicates("id_new", "id_base")
+
+  /** The corpus's LSH state in its MATERIALIZE-ONCE form: one row per
+    * doc carrying (id, sh, bands) — the shingle set plus the
+    * `numBands` band keys, both pure functions of the corpus text.
+    * This is the table a production pipeline writes to storage once
+    * per corpus snapshot and reuses for every ingest batch: the 10M-doc
+    * e5 composition probe (PROBES.md) measured the per-batch corpus
+    * re-shingle + re-minhash as the ONLY corpus-linear per-batch term
+    * in the flagship chain, and this artifact is exactly what removes
+    * it. Stored unexploded (bands as one array per doc, sh stored
+    * once) so the artifact is O(|corpus|) rows; the read path explodes
+    * bands map-side — a narrow transform, no shuffle. The artifact
+    * bakes in (shingleN, numHashes, numBands): a consumer must sweep
+    * batches with the SAME parameters or band keys cannot collide —
+    * [[crossNearDupPairsStaged]] documents the contract. */
+  def corpusBandSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, numBands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    shingleTable(df, idCol, textCol, shingleN)
+      .select(col("id"), col("sh"),
+        bandKeys(col("sh"), numBands, rowsPerBand).as("bands"))
+  }
+
+  /** Incremental near-dup against a PRE-MATERIALIZED corpus band table
+    * (the output of [[corpusBandSignatures]], typically re-read from
+    * parquet): identical semantics to [[crossNearDupPairs]], but the
+    * corpus side is a scan + map-side explode instead of a full
+    * re-shingle/re-minhash per batch. `shingleN`/`numHashes`/`numBands`
+    * MUST match the values the artifact was built with (they determine
+    * the batch side's band keys; a mismatch yields zero collisions,
+    * not an error — the x14b oracle pins the matched-parameter case).
+    * Join shape is unchanged: batch bands broadcast, corpus rows
+    * stream map-side through the join with zero corpus shuffle; the
+    * non-broadcast fallback is sort-merge for the same spill-safety
+    * reason as [[crossNearDupPairs]]. */
+  def crossNearDupPairsStaged(
+      newDf: DataFrame,
+      corpusSigs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 12,
+      numBands: Int = 4,
+      threshold: Double = 0.5,
+      broadcastNew: Boolean = true
+  ): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    graft.functions.SortedArrayJaccard.register(newDf.sparkSession)
+    val nb = bandedTable(newDf, idCol, textCol, shingleN, numBands, rowsPerBand)
+      .select(col("band"), col("id").as("id_new"), col("sh").as("sh_new"))
+    val bb = corpusSigs.select(explode(col("bands")).as("band"),
+      col("id").as("id_base"), col("sh").as("sh_base"))
+    val joined =
+      if (broadcastNew) bb.join(broadcast(nb), Seq("band"))
+      else bb.join(nb.hint("merge"), Seq("band"))
+    crossVerify(joined, threshold)
   }
 
   /** Winnow-fingerprint near-dup pairs: candidate generation by shared

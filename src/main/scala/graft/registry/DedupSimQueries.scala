@@ -199,6 +199,22 @@ object DedupSimQueries {
       DedupLsh.crossNearDupPairs(newBatch, docs, "doc_id", "text")
         .orderBy("id_new", "id_base")
     },
+    // x14b — x14 against the STAGED corpus band table: the batch sweep
+    // reads the (id, sh, bands) parquet artifact and explodes bands
+    // map-side instead of re-shingling + re-minhashing the corpus per
+    // batch — the corpus-linear per-batch term the 10M e5 probe
+    // measured, removed. Same oracle as x14: staging must be
+    // value-invisible.
+    "x14b_incremental_staged_bands" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val toks = split(col("text"), " ")
+      val newBatch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+      DedupLsh.crossNearDupPairsStaged(newBatch, stagedCorpusBands(s, dir),
+        "doc_id", "text")
+        .orderBy("id_new", "id_base")
+    },
     // x15 — canonical-representative selection by QUALITY: real
     // curation keeps each near-dup cluster's best-quality member, not
     // its min-id. Composition: pairs → connected components → join the
@@ -484,7 +500,14 @@ object DedupSimQueries {
            |FROM q a JOIN q b ON b.vec_id = a.vec_id + 100
            |WHERE a.vec_id < 100
            |ORDER BY id_a""".stripMargin,
-      "x14_incremental_neardup" ->
+      "x14_incremental_neardup" -> x14IncrementalSql,
+      "x14b_incremental_staged_bands" -> x14IncrementalSql,
+  )
+
+  // shared by x14/x14b: the staged-band twin must be value-invisible,
+  // so both replay one oracle text. lazy: referenced from the map
+  // literal above, which the object initializer builds first.
+  private lazy val x14IncrementalSql =
         s"""WITH newsrc AS (
            |  SELECT doc_id + 20000 AS doc_id,
            |    array_to_string((regexp_split_to_array(text, ' '))[1:len(regexp_split_to_array(text, ' ')) - 1], ' ') AS text
@@ -509,6 +532,5 @@ object DedupSimQueries {
            |    CAST(len(list_distinct(list_concat(n.sh, b.sh))) AS DOUBLE) AS jaccard
            |  FROM nbands n JOIN bbands b USING (band))
            |SELECT id_new, id_base, jaccard FROM pairs WHERE jaccard >= 0.5
-           |ORDER BY id_new, id_base""".stripMargin,
-  )
+           |ORDER BY id_new, id_base""".stripMargin
 }

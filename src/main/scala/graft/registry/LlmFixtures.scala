@@ -44,6 +44,11 @@ private[registry] object LlmFixtures {
   val stagedPairTables =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** (sessionUUID|bandsDir) staged corpus band tables this JVM already
+    * wrote — same build-once contract, for the incremental sweep. */
+  val stagedBandTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** x15's canonical-representative pick, shared with its staged twin
     * x15b: join each cluster member's quality score, then ONE window
     * pass computes both the representative rank and the member count —
@@ -84,6 +89,29 @@ private[registry] object LlmFixtures {
     if (stagedPairTables.add(s"${System.identityHashCode(s)}|$path"))
       DedupLsh.nearDupPairs(corpusNear(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5)
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** The corpus LSH band table as a STAGED ARTIFACT: the incremental
+    * sweep's corpus side — (id, sh, bands), one row per doc — written
+    * once per corpus snapshot and re-read per ingest batch, instead of
+    * re-shingling and re-minhashing the corpus on every call. This is
+    * the deployment shape the 10M e5 composition probe pointed at: the
+    * band sweep's per-batch corpus scan was the only corpus-linear
+    * per-batch term, and it was linear in corpus TEXT; against this
+    * artifact the per-batch cost is a scan of signature-sized rows
+    * (12 md5 hex strings + 4 band keys + the shingle set) with a
+    * map-side explode, no text tokenization, no md5 sweeps. Same
+    * memoization contract as [[stagedNearDupPairs]]: first call in a
+    * JVM (re)builds from the current corpus, later calls time the
+    * steady-state read path. */
+  def stagedCorpusBands(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${corpusScratch(dir)}/corpus_bands"
+    if (stagedBandTables.add(s"${System.identityHashCode(s)}|$path"))
+      DedupLsh.corpusBandSignatures(
+        Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, numHashes = 12, numBands = 4)
         .write.mode("overwrite").parquet(path)
     s.read.parquet(path)
   }

@@ -320,6 +320,45 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("X14b staged bands: value-identical to the direct sweep; corpus side is a scan, not a recompute") {
+    val mk = (n: Int, off: Long) => spark.range(n)
+      .select((col("id") + off).as("doc_id"),
+        concat(lit("alpha beta gamma delta epsilon zeta eta theta w"),
+          col("id").cast("string")).as("text"))
+    val base = mk(200, 0L)
+    // whitespace-doubled clones: new bytes, identical \s+ shingle set,
+    // so every clone hits all bands and verifies at jaccard 1.0 —
+    // deterministic recall, same trick as the E5 composition spec
+    val batch = mk(20, 10000L)
+      .withColumn("text", regexp_replace(col("text"), " ", "  "))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands").toString
+    graft.llm.DedupLsh.corpusBandSignatures(base, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val sigs = spark.read.parquet(dir)
+    val staged = graft.llm.DedupLsh
+      .crossNearDupPairsStaged(batch, sigs, "doc_id", "text")
+      .orderBy("id_new", "id_base")
+    val direct = graft.llm.DedupLsh
+      .crossNearDupPairs(batch, base, "doc_id", "text")
+      .orderBy("id_new", "id_base")
+    val got = staged.collect().toSeq
+    assert(got.nonEmpty && got == direct.collect().toSeq)
+    val plan = staged.queryExecution.executedPlan.toString
+    // batch broadcasts; the corpus side is the parquet artifact scan +
+    // map-side explode — no corpus tokenization/md5 sweep in the plan
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.toLowerCase.contains("parquet"), plan)
+    // the parquet corpus arrives with unknown partitioning, so the
+    // pair dedup exchanges — but THIN: shingle arrays never ride it
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    staged.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.exists(_.name.startsWith("sh")),
+        s"shingle payload rides exchange: ${e.output.map(_.name)}")
+    }
+  }
+
   test("E5 composition: exact+near dedup stages keep history and corpus off every exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     // the e5 pipeline's first two stages composed exactly as the
