@@ -60,8 +60,12 @@ object PipelineQueries {
     // dupes, 1/3 near-clones, 1/3 genuinely new) flows through:
     //  (1) bloom-prefiltered exact dedup vs the corpus digests (x16 —
     //      the history scan filters map-side, ZERO history shuffle);
-    //  (2) banded near-dup sweep vs the corpus (x14 — the batch
-    //      broadcasts, corpus bands never shuffle);
+    //  (2) banded near-dup sweep vs the corpus's STAGED band artifact
+    //      (x14b — the batch broadcasts; the corpus side is the
+    //      (id, sh, bands) parquet built once per JVM/snapshot, like
+    //      the IVF codebook — not a per-batch re-shingle, which the
+    //      10M probe measured as the chain's only corpus-linear
+    //      per-batch term);
     //  (3) IVF cell routing + index APPEND for the survivors (x7b —
     //      codebook built once per JVM, append is O(batch), existing
     //      members untouched; e5 owns its index dir so x7b's stays
@@ -99,8 +103,10 @@ object PipelineQueries {
       val history = docs.select(md5(col("text")).as("digest"))
       val exactNew = BloomDedup.antiJoinBloom(batch, history, "digest",
         expectedItems = 8192L, fpp = 0.001)
-      // (2) near-dup sweep vs the corpus — broadcast batch bands
-      val hits = DedupLsh.crossNearDupPairs(exactNew, docs, "doc_id", "text")
+      // (2) near-dup sweep vs the staged corpus band artifact —
+      // broadcast batch bands, corpus side is a scan + map-side explode
+      val hits = DedupLsh.crossNearDupPairsStaged(exactNew,
+        stagedCorpusBands(s, dir), "doc_id", "text")
       val survivors = exactNew
         .join(hits.select(col("id_new").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         .withColumn("n_tokens", TextAnalysis.tokenCountWhitespace(col("text")))
