@@ -114,6 +114,8 @@ object SortedArrayJaccard {
         "null elements are skipped in the intersection but counted in the " +
         "union denominator. Returns NaN for two empty arrays, NULL for a " +
         "NULL array.",
-      "> SELECT jaccardq(array('a','b'), array('b','c'));\n 0.3333333333333333"),
+      "",
+      "\n    Examples:\n      > SELECT jaccardq(array('a','b'), array('b','c'));\n       0.3333333333333333\n  ",
+      "", "misc_funcs", "1.0.0", "", "built-in"),
     builder)
 }

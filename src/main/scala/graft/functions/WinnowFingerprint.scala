@@ -140,6 +140,8 @@ object WinnowFingerprint {
         "of k-byte grams. Hashes UTF-8 BYTES: strip non-ASCII first when " +
         "byte/codepoint parity with another engine matters. Returns [] for " +
         "text shorter than k bytes, NULL for NULL.",
-      "> SELECT winnowq('abcdef', 3, 2);\n [array of bigint fingerprints]"),
+      "",
+      "\n    Examples:\n      > SELECT winnowq('abcdef', 3, 2);\n       [array of bigint fingerprints]\n  ",
+      "", "misc_funcs", "1.0.0", "", "built-in"),
     builder)
 }

@@ -46,8 +46,8 @@ object DedupLsh {
     * reading back via element_at would re-evaluate the whole signature
     * per access (no subexpression elimination under HOFs). */
   def minhashExprs(sh: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map { s =>
-      array_min(transform(sh, x => md5(concat(lit(s + "|"), x))))
+    (0 until numHashes).map { seed =>
+      array_min(transform(sh, x => md5(concat(lit(s"$seed|"), x))))
     }
 
   /** MinHash signature as one array column (API convenience). */
@@ -510,7 +510,7 @@ object DedupLsh {
     // sum over zero rows is NULL — map it to 0 or an empty pair list
     // NPEs at the first compareTo (empty input must just converge)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
     // no initial labelSum job: iteration 1 strictly decreases Σlabel

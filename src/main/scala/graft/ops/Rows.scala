@@ -40,13 +40,14 @@ object Rows {
     * columns at once (NOT one job per column), then a single projection.
     */
   def coerceStringBools(df: DataFrame): DataFrame = {
-    val candidates = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    val candidates =
+      df.schema.fields.filter(_.dataType == StringType).map(_.name).toIndexedSeq
     if (candidates.isEmpty) return df
     val row = df.agg(profileExpr(candidates.head), candidates.tail.map(profileExpr): _*).head()
     val boolCols = candidates.zipWithIndex.collect {
       case (c, i) if row.getBoolean(i) => c
     }.toSet
-    df.select(df.columns.map { c =>
+    df.select(df.columns.toIndexedSeq.map { c =>
       if (boolCols(c))
         when(lower(col(c)) === "true", lit(true))
           .when(lower(col(c)) === "false", lit(false))
@@ -63,7 +64,7 @@ object Rows {
   /** P6 — UUID→string projection (dwh/general_lib.py:45-48): with a
     * typed schema this is a cast, not an applymap. */
   def stringifyColumns(df: DataFrame, cols: Seq[String]): DataFrame =
-    df.select(df.columns.map { c =>
+    df.select(df.columns.toIndexedSeq.map { c =>
       if (cols.contains(c)) col(c).cast("string").as(c) else col(c)
     }: _*)
 

@@ -312,7 +312,7 @@ class OperatorsSpec extends SparkSpec {
     val base = (0 until 64).map(j => 0.5 + 0.01 * (j % 7))
     val clones = (0L until 120L).map(i => (i, base.map(_.toFloat)))
     val pairsFix = (1000L until 1010L).flatMap { i =>
-      val v = (0 until 64).map(j => math.sin(i * 64 + j) + 2.0)
+      val v = (0 until 64).map(j => math.sin((i * 64 + j).toDouble) + 2.0)
       Seq((i, v.map(_.toFloat)), (i + 5000L, v.map(x => (x + 0.001).toFloat)))
     }
     val corpus = (clones ++ pairsFix).toDF("vec_id", "embedding")
@@ -632,7 +632,7 @@ class OperatorsSpec extends SparkSpec {
     assert(after < before && after >= 1, s"expected collapse, got $before -> $after")
     val back = spark.read.parquet(p)
     assert(back.count() == 50000L)
-    assert(back.agg(sum("id")).head.getLong(0) == 49999L * 50000L / 2)
+    assert(back.agg(sum("id")).head().getLong(0) == 49999L * 50000L / 2)
   }
 
   test("K10 SCD2: state runs become [from, to) intervals; current version open-ended") {
@@ -881,7 +881,7 @@ class OperatorsSpec extends SparkSpec {
     Quality.writeReport(m, Seq(("q\"col", "str\"ing", "str\\ing", false)), path)
     val json = java.nio.file.Files.readString(java.nio.file.Path.of(path))
     // round-trip through a real JSON parser (Jackson via Spark)
-    val parsed = spark.read.option("multiLine", true).json(Seq(json).toDS)
+    val parsed = spark.read.option("multiLine", true).json(Seq(json).toDS())
     assert(!parsed.columns.contains("_corrupt_record"), s"report not valid JSON: $json")
     val row = parsed.head()
     assert(row.getAs[String]("worst \"msg\"") == "say \"hi\"\nback\\slash")

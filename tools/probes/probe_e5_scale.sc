@@ -79,9 +79,17 @@ val exactNew = timed("s1_bloom_exact_dedup") {
   r
 }
 
-// ---- stage 2: banded near-dup sweep vs the corpus (batch broadcasts)
+// ---- stage 2: banded near-dup sweep vs the STAGED corpus band
+// artifact (batch broadcasts) — matches the registered e5, whose
+// stage 2 reads stagedCorpusBands since round 11; the artifact build
+// is a once-per-snapshot bootstrap like the IVF codebook below
+timed("s2_band_artifact_once") {
+  graft.llm.DedupLsh.corpusBandSignatures(docs, "doc_id", "text")
+    .write.mode("overwrite").parquet(s"$root/corpus_bands")
+}
 val survivors = timed("s2_band_sweep") {
-  val hits = graft.llm.DedupLsh.crossNearDupPairs(exactNew, docs, "doc_id", "text")
+  val sigs = spark.read.parquet(s"$root/corpus_bands")
+  val hits = graft.llm.DedupLsh.crossNearDupPairsStaged(exactNew, sigs, "doc_id", "text")
   val r = exactNew
     .join(hits.select(col("id_new").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
     .withColumn("n_tokens", graft.llm.TextAnalysis.tokenCountWhitespace(col("text")))
