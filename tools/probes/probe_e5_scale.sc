@@ -80,7 +80,7 @@ val exactNew = timed("s1_bloom_exact_dedup") {
 }
 
 // ---- stage 2: banded near-dup sweep vs the STAGED corpus band
-// artifact (batch broadcasts) — matches the registered e5, whose
+// artifact (batch broadcasts) -- matches the registered e5, whose
 // stage 2 reads stagedCorpusBands since round 11; the artifact build
 // is a once-per-snapshot bootstrap like the IVF codebook below
 timed("s2_band_artifact_once") {
