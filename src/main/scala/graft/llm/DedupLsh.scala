@@ -176,7 +176,10 @@ object DedupLsh {
     // ...except in the STATIC-BROADCAST danger band, where hint-free
     // planning is pinned back to merge (see verifyJoinStaticRisk)
     val sessConf = df.sparkSession.sessionState.conf
-    val staticRisk = verifyJoinStaticRisk(
+    // lazy: only the "none" branch reads it — an explicit A/B override
+    // must not pay the driver-side analyze+optimize of the shingle
+    // subplan whose result it then ignores (round-11 review finding)
+    lazy val staticRisk = verifyJoinStaticRisk(
       withSh.queryExecution.optimizedPlan.stats.sizeInBytes,
       sessConf.autoBroadcastJoinThreshold)
     def hinted(frame: DataFrame): DataFrame = verifyHint match {
@@ -350,14 +353,19 @@ object DedupLsh {
     * once) so the artifact is O(|corpus|) rows; the read path explodes
     * bands map-side — a narrow transform, no shuffle. The artifact
     * bakes in (shingleN, numHashes, numBands): a consumer must sweep
-    * batches with the SAME parameters or band keys cannot collide —
-    * [[crossNearDupPairsStaged]] documents the contract. */
+    * batches with the SAME parameters or band keys cannot collide, so
+    * the parameters are STAMPED into the artifact as constant columns
+    * (RLE-compressed to nothing in parquet) and
+    * [[crossNearDupPairsStaged]] refuses a mismatch instead of
+    * silently matching zero pairs. */
   def corpusBandSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, numBands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / numBands
     shingleTable(df, idCol, textCol, shingleN)
       .select(col("id"), col("sh"),
-        bandKeys(col("sh"), numBands, rowsPerBand).as("bands"))
+        bandKeys(col("sh"), numBands, rowsPerBand).as("bands"),
+        lit(shingleN).as("shingle_n"), lit(numHashes).as("num_hashes"),
+        lit(numBands).as("num_bands"))
   }
 
   /** Incremental near-dup against a PRE-MATERIALIZED corpus band table
@@ -365,9 +373,11 @@ object DedupLsh {
     * parquet): identical semantics to [[crossNearDupPairs]], but the
     * corpus side is a scan + map-side explode instead of a full
     * re-shingle/re-minhash per batch. `shingleN`/`numHashes`/`numBands`
-    * MUST match the values the artifact was built with (they determine
-    * the batch side's band keys; a mismatch yields zero collisions,
-    * not an error — the x14b oracle pins the matched-parameter case).
+    * must match the values the artifact was built with (they determine
+    * the batch side's band keys) — a mismatch would yield zero
+    * collisions and a silent dedup no-op, so the artifact's stamped
+    * parameter columns are checked here and a drift fails loudly
+    * (one single-row driver read, vacuous on an empty artifact).
     * Join shape is unchanged: batch bands broadcast, corpus rows
     * stream map-side through the join with zero corpus shuffle; the
     * non-broadcast fallback is sort-merge for the same spill-safety
@@ -384,6 +394,16 @@ object DedupLsh {
       broadcastNew: Boolean = true
   ): DataFrame = {
     val rowsPerBand = numHashes / numBands
+    corpusSigs.select("shingle_n", "num_hashes", "num_bands").limit(1)
+      .collect().foreach { p =>
+        require(
+          p.getInt(0) == shingleN && p.getInt(1) == numHashes && p.getInt(2) == numBands,
+          s"staged band artifact was built with (shingleN=${p.getInt(0)}, " +
+            s"numHashes=${p.getInt(1)}, numBands=${p.getInt(2)}) but the sweep " +
+            s"requested ($shingleN, $numHashes, $numBands) — band keys cannot " +
+            "collide across mismatched parameters; rebuild the artifact or " +
+            "match the sweep parameters")
+      }
     graft.functions.SortedArrayJaccard.register(newDf.sparkSession)
     val nb = bandedTable(newDf, idCol, textCol, shingleN, numBands, rowsPerBand)
       .select(col("band"), col("id").as("id_new"), col("sh").as("sh_new"))

@@ -130,9 +130,9 @@ object DedupSimQueries {
       // builds the index in an ingest job and queries it for weeks.
       // First call in a JVM always (re)builds, so the oracle is still
       // self-contained and stale on-disk leftovers can't leak in.
-      val key = s"${System.identityHashCode(s)}|$idx"
-      if (builtIvfIndexes.add(key))
+      buildOnce(builtIvfIndexes, s"${System.identityHashCode(s)}|$idx") {
         Similarity.buildIvfIndex(emb, idx, numCells = 16, iters = 2)
+      }
       Similarity.ivfTopKPrebuilt(s, idx, emb.filter(col("vec_id") < 5), k = 3, nProbe = 2)
         .orderBy("query_id", "rank")
     },
@@ -257,7 +257,7 @@ object DedupSimQueries {
           md5(when(col("doc_id") % 10 === 0, col("text"))
             .otherwise(concat(col("text"), lit(" v2")))).as("digest"))
       val history = docs.select(md5(col("text")).as("digest"))
-      graft.llm.BloomDedup.antiJoinBloom(batch, history, "digest",
+      BloomDedup.antiJoinBloom(batch, history, "digest",
         expectedItems = 8192L, fpp = 0.001)
         .orderBy("doc_id")
     },

@@ -28,6 +28,16 @@ private[registry] object LlmFixtures {
     s"${sys.props("java.io.tmpdir")}/graft_io/${f.getName}-$tag"
   }
 
+  /** Build-once memo: run `build` if `key` is unrecorded, recording it
+    * only AFTER the build returns — a failed first build must stay
+    * rebuildable, not poison the JVM-wide memo and hand every later
+    * call a missing or partial artifact (round-11 review finding).
+    * Registry invocations are sequential per session, so check-then-act
+    * is not racy here; a concurrent duplicate build would only
+    * overwrite with identical content. */
+  def buildOnce(memo: java.util.Set[String], key: String)(build: => Unit): Unit =
+    if (!memo.contains(key)) { build; memo.add(key) }
+
   /** (sessionUUID|indexDir) pairs whose IVF index this JVM already
     * built — see the x7b entry for the build-once contract. */
   val builtIvfIndexes =
@@ -86,10 +96,11 @@ private[registry] object LlmFixtures {
     * re-reading it is strictly cheaper than re-verifying. */
   def stagedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val path = s"${corpusScratch(dir)}/neardup_pairs"
-    if (stagedPairTables.add(s"${System.identityHashCode(s)}|$path"))
+    buildOnce(stagedPairTables, s"${System.identityHashCode(s)}|$path") {
       DedupLsh.nearDupPairs(corpusNear(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5)
         .write.mode("overwrite").parquet(path)
+    }
     s.read.parquet(path)
   }
 
@@ -108,11 +119,12 @@ private[registry] object LlmFixtures {
     * steady-state read path. */
   def stagedCorpusBands(s: SparkSession, dir: String): DataFrame = {
     val path = s"${corpusScratch(dir)}/corpus_bands"
-    if (stagedBandTables.add(s"${System.identityHashCode(s)}|$path"))
+    buildOnce(stagedBandTables, s"${System.identityHashCode(s)}|$path") {
       DedupLsh.corpusBandSignatures(
         Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
         shingleN = 3, numHashes = 12, numBands = 4)
         .write.mode("overwrite").parquet(path)
+    }
     s.read.parquet(path)
   }
 

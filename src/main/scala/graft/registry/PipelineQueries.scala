@@ -113,8 +113,9 @@ object PipelineQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // (3) IVF index: build-once codebook over the embedding corpus,
       // then O(batch) append of the survivors; cells read back pruned
-      if (builtIvfIndexes.add(s"${System.identityHashCode(s)}|$idxDir"))
+      buildOnce(builtIvfIndexes, s"${System.identityHashCode(s)}|$idxDir") {
         Similarity.buildIvfIndex(emb, idxDir, numCells = 16, iters = 2)
+      }
       Similarity.appendToIvfIndex(
         survivors.select(col("doc_id").as("vec_id"), col("embedding")), idxDir)
       val cells = s.read.parquet(s"$idxDir/members")
@@ -130,7 +131,7 @@ object PipelineQueries {
         .select(col("lang"), col("cnt").as("lang_docs"), col("tok").as("lang_tokens"))
       // (5) bucketed upsert into the accumulated doc table; read-back
       // (filtered to the batch id space) feeds the manifest
-      if (seededDocTables.add(s"${System.identityHashCode(s)}|$tableDir")) {
+      buildOnce(seededDocTables, s"${System.identityHashCode(s)}|$tableDir") {
         // fresh rebuild per JVM: keepLatest has no source precedence,
         // so table remains from an older fixture version must not
         // outrank this run's rows (within-JVM sweeps stay incremental)

@@ -331,7 +331,8 @@ class CorpusSpec extends SparkSpec {
     // deterministic recall, same trick as the E5 composition spec
     val batch = mk(20, 10000L)
       .withColumn("text", regexp_replace(col("text"), " ", "  "))
-    val dir = java.nio.file.Files.createTempDirectory("graft_bands").toString
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_x14b_bands"
+    graft.streaming.Streams.deleteDir(spark, dir)
     graft.llm.DedupLsh.corpusBandSignatures(base, "doc_id", "text")
       .write.mode("overwrite").parquet(dir)
     val sigs = spark.read.parquet(dir)
@@ -357,6 +358,13 @@ class CorpusSpec extends SparkSpec {
       assert(!e.output.exists(_.name.startsWith("sh")),
         s"shingle payload rides exchange: ${e.output.map(_.name)}")
     }
+    // sweeping with drifted parameters fails loudly (stamped-parameter
+    // check) instead of silently matching zero band keys
+    val err = intercept[IllegalArgumentException] {
+      graft.llm.DedupLsh.crossNearDupPairsStaged(batch, sigs, "doc_id", "text",
+        numBands = 2)
+    }
+    assert(err.getMessage.contains("rebuild the artifact"), err.getMessage)
   }
 
   test("E5 composition: exact+near dedup stages keep history and corpus off every exchange") {
