@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring-SPAN deduplication — the "dedup the repeated span,
+  * not the whole document" method of Lee et al., *Deduplicating
+  * Training Data Makes Language Models Better* (ACL 2022). The paper
+  * builds a corpus-wide suffix array; that structure is inherently
+  * single-machine. The Spark-first equivalent keeps the same output
+  * contract (maximal repeated token spans per document) from three
+  * bucketed, shuffle-friendly stages:
+  *
+  *   1. hash every k-token sliding window (md5 of the space-joined
+  *      window — replayable in any engine);
+  *   2. one groupBy on the window hash — the inverted index — keeps
+  *      hashes occurring ≥ 2 times corpus-wide (covers cross-doc AND
+  *      intra-doc repetition, as the suffix-array method does);
+  *   3. a left-semi join back to window positions, then per-document
+  *      gaps-and-islands (windows whose starts are ≤ k apart overlap
+  *      or touch, so they coalesce into one maximal span).
+  *
+  * Scale shape at 100 TB: stage 1 is narrow (per-doc); stage 2 is one
+  * shuffle keyed by content hash — uniform by construction, and the
+  * count aggregate is tiny per key no matter how hot the window
+  * (boilerplate headers hit one reducer key with a partial-aggregated
+  * count, never a row explosion); stage 3's semi join keys on the same
+  * hash and the island window partitions by doc_id, whose size is
+  * bounded by document length, not corpus size. Nothing is all-pairs
+  * and no stage holds a corpus-sized structure in one task — the
+  * property the suffix array lacks.
+  *
+  * Reference scope: the reference pipeline (dwh_lab) dedups whole rows
+  * (`preprocessing_batch_load.py` drop_duplicates); span-level dedup is
+  * part of the LLM-pipeline extension brief, not a reference port.
+  */
+object SpanDedup {
+
+  /** (doc_id, pos, h): md5 of each k-token window, pos = 1-based token
+    * index of the window start. Docs shorter than k tokens emit no
+    * rows. Tokens are raw whitespace splits — span dedup must see
+    * stopwords and punctuation, or removed spans would not reassemble. */
+  def windowHashes(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("tk"))
+      // guard the short-doc case explicitly: Spark's sequence(1, n)
+      // DESCENDS for n < 1 (sequence(1,0) = [1,0]), it is not empty
+      .select(col("doc_id"),
+        posexplode(when(size(col("tk")) >= k,
+          transform(sequence(lit(1), size(col("tk")) - (k - 1)),
+            i => md5(concat_ws(" ", slice(col("tk"), i, lit(k))))))
+          .otherwise(typedLit(Seq.empty[String]))))
+      // posexplode is 0-based over the generated list; window start is
+      // the 1-based token index
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+  }
+
+  /** Maximal duplicated token spans per document: (doc_id, span_start,
+    * span_end), token indices 1-based inclusive. A window counts as
+    * duplicated when its hash occurs ≥ 2 times anywhere in the corpus. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // fan-out point: the inverted index AND the position join both
+    // consume the window hashes — persisted (spillable) so the text
+    // scan + tokenize + 53-per-doc md5 pass runs once, not twice
+    val wins = windowHashes(docs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // inverted index: map-side partial count, one shuffle on the hash
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("h")
+    val hits = wins.join(dup, Seq("h"), "left_semi").select("doc_id", "pos")
+    // gaps-and-islands: starts ≤ k apart overlap/touch → same span
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byPos) <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum("brk").over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"), (max("pos") + (k - 1)).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** Per-document duplication accounting over [[duplicatedSpans]]:
+    * token count, tokens covered by duplicated spans, micro-fraction
+    * (integer ppm — cross-engine exact, no float summing), span count.
+    * Documents with no duplicated span report zeros. */
+  def spanCoverage(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, k)
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\\s+")).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        floor(coalesce(col("dup_tokens"), lit(0L)) * lit(1000000L) / col("n_tokens"))
+          .cast("long").as("dup_frac_micro"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+}

@@ -405,10 +405,40 @@ object CoverageQueries {
           "ts_sec", "entry_id")
         .select("entry_id", "user_id", "ts_sec", "session_id")
         .orderBy("entry_id")
+    },
+    // A15 — mergeable distinct-count sketch: KMV(k=64) distinct users
+    // per event type over the portable md5 hash, BIGINT arithmetic
+    // end-to-end so the ESTIMATE itself replays exactly cross-engine
+    // (HLL never would — different hash families). n_exact rides
+    // along so the estimate's quality is visible in the output.
+    "a15_kmv_distinct" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val est = graft.llm.Sketches.kmvDistinct(ev, "event_type", "user_id",
+        k = 64, salts = 16)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, Seq("event_type")).orderBy("event_type")
     }
   )
 
+  // 52-bit md5 prefix as BIGINT, digit-by-digit (DuckDB has no hex
+  // cast; same idiom as the simhash oracles)
+  private val kmvHv = (1 to 13)
+    .map(i => s"(strpos('0123456789abcdef', h[$i]) - 1) * ${BigInt(16).pow(13 - i)}")
+    .mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "a15_kmv_distinct" ->
+      s"""WITH dh AS (
+         |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+         |rk AS (SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM dh),
+         |ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |       FROM dh GROUP BY event_type)
+         |SELECT r.event_type, h AS kth_hash,
+         |  CAST(${63L * (1L << 52)} // ($kmvHv) AS BIGINT) AS est_distinct, ex.n_exact
+         |FROM rk r JOIN ex USING (event_type) WHERE rn = 64
+         |ORDER BY event_type""".stripMargin,
     "a13_rollup" ->
       """SELECT strftime(ts, '%Y%m%d') AS day, event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n,

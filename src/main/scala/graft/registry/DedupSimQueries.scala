@@ -261,6 +261,24 @@ object DedupSimQueries {
         expectedItems = 8192L, fpp = 0.001)
         .orderBy("doc_id")
     },
+    // x19 — exact substring-SPAN dedup (Lee et al. 2022): maximal
+    // repeated 8-token spans per document — the span-level complement
+    // of the doc-level near-dup family (a production pipeline REMOVES
+    // these spans rather than whole documents). Inverted index on the
+    // window hash, never all-pairs; islands merge per doc. On this
+    // corpus every original ends one window short of full coverage
+    // (the clone lost its last word), so a coverage-boundary bug
+    // hash-mismatches immediately.
+    "x19_span_dedup" -> { (s, dir) =>
+      graft.llm.SpanDedup.duplicatedSpans(corpusNear(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start")
+    },
+    // x20 — per-doc duplication accounting over x19's spans: token
+    // coverage as integer ppm (cross-engine exact), span count
+    "x20_span_coverage" -> { (s, dir) =>
+      graft.llm.SpanDedup.spanCoverage(corpusNear(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    },
     // sql2 — the extension-injected native `dotq` function driven from
     // the pure SQL surface: quantized-vector dot products over a temp
     // view, proving SparkSessionExtensions functions reach SQL users
@@ -277,7 +295,41 @@ object DedupSimQueries {
     },
   )
 
+  // shared CTE chain for x19/x20: k=8 token windows → md5 inverted
+  // index (count ≥ 2) → per-doc islands (starts ≤ 8 apart coalesce)
+  private val spanGrpCte =
+    s"""corpus AS ($CorpusNearSql),
+       |tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM corpus),
+       |wins AS (
+       |  SELECT doc_id, i AS pos, md5(array_to_string(tk[i:i+7], ' ')) AS h
+       |  FROM tok, unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS t(i)),
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+       |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
+       |isl AS (SELECT doc_id, pos,
+       |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+       |       THEN 0 ELSE 1 END AS brk
+       |  FROM hits),
+       |grp AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |        FROM isl)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+      "x19_span_dedup" ->
+        s"""WITH $spanGrpCte
+           |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end
+           |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+      "x20_span_coverage" ->
+        s"""WITH $spanGrpCte,
+           |spans AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + 7 AS e
+           |          FROM grp GROUP BY doc_id, g),
+           |agg AS (SELECT doc_id, SUM(e - s + 1) AS dup_tokens, COUNT(*) AS n_spans
+           |        FROM spans GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+           |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           |  CAST(floor(COALESCE(a.dup_tokens, 0) * 1000000 / len(tk)) AS BIGINT)
+           |    AS dup_frac_micro,
+           |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
+           |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
       "x1_exact_dedup" ->
         s"""SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
            |FROM ($CorpusExactSql) GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
