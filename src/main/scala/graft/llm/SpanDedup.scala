@@ -57,6 +57,21 @@ object SpanDedup {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
   }
 
+  /** Gaps-and-islands merge of window-start hits into maximal spans:
+    * starts ≤ k apart overlap or touch, so they coalesce. The window
+    * partitions by doc_id — bounded by document length, never corpus
+    * size. */
+  private def islandSpans(hits: DataFrame, k: Int): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byPos) <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum("brk").over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"), (max("pos") + (k - 1)).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
   /** Maximal duplicated token spans per document: (doc_id, span_start,
     * span_end), token indices 1-based inclusive. A window counts as
     * duplicated when its hash occurs ≥ 2 times anywhere in the corpus. */
@@ -69,15 +84,52 @@ object SpanDedup {
     // inverted index: map-side partial count, one shuffle on the hash
     val dup = wins.groupBy("h").agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("h")
     val hits = wins.join(dup, Seq("h"), "left_semi").select("doc_id", "pos")
-    // gaps-and-islands: starts ≤ k apart overlap/touch → same span
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    hits
-      .withColumn("brk",
-        when(col("pos") - lag("pos", 1).over(byPos) <= k, lit(0L)).otherwise(lit(1L)))
-      .withColumn("island", sum("brk").over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy("doc_id", "island")
-      .agg(min("pos").as("span_start"), (max("pos") + (k - 1)).as("span_end"))
-      .select("doc_id", "span_start", "span_end")
+    islandSpans(hits, k)
+  }
+
+  /** Spans to CUT under the keep-one-copy policy: for every duplicated
+    * window hash the globally first occurrence (min (doc_id, pos)) is
+    * canonical and stays; all later occurrences become removal hits,
+    * island-merged per doc. The canonical pick is a min(struct) hash
+    * aggregate — partial-aggregated and skew-safe (a boilerplate
+    * window occurring 10M times folds to one struct per partition,
+    * never 10M rows on one reducer the way a rank-per-hash window
+    * would). */
+  def removalSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val wins = windowHashes(docs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = wins.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("h"), col("c.doc_id").as("c_doc"), col("c.pos").as("c_pos"))
+    val hits = wins.join(canon, Seq("h"))
+      .filter((col("doc_id") =!= col("c_doc")) || (col("pos") =!= col("c_pos")))
+      .select("doc_id", "pos")
+    islandSpans(hits, k)
+  }
+
+  /** Apply step — the corpus a training pipeline actually keeps:
+    * every document with its [[removalSpans]] cut out, reconstructed
+    * from the surviving tokens. Per-doc span lists ride a collect_list
+    * bounded by document length; the cut itself is a pure higher-order
+    * Column expression (no shuffle past the span join). */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val spans = removalSpans(docs, idCol, textCol, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("sp"))
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("tk"))
+      .join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("tk"),
+        coalesce(col("sp"), typedLit(Seq.empty[(Long, Long)])
+          .cast("array<struct<s:bigint,e:bigint>>")).as("sp"))
+      .select(col("doc_id"),
+        filter(transform(col("tk"), (t, i) =>
+          when(!exists(col("sp"), p => (i + 1) >= p("s") && (i + 1) <= p("e")), t)),
+          _.isNotNull).as("kept"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("cleaned_text"),
+        size(col("kept")).cast("long").as("n_kept"))
   }
 
   /** Per-document duplication accounting over [[duplicatedSpans]]:

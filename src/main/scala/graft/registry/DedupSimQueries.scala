@@ -279,6 +279,15 @@ object DedupSimQueries {
       graft.llm.SpanDedup.spanCoverage(corpusNear(s, dir), "doc_id", "text", k = 8)
         .orderBy("doc_id")
     },
+    // x21 — the APPLY step of span dedup (keep-one-copy): the first
+    // occurrence of each duplicated window is canonical and survives;
+    // later occurrences island-merge into cut spans and the text is
+    // reconstructed from the surviving tokens. Originals (lower
+    // doc_id) keep their text; clones come back mostly empty.
+    "x21_span_removal" -> { (s, dir) =>
+      graft.llm.SpanDedup.removeDuplicatedSpans(corpusNear(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    },
     // sql2 — the extension-injected native `dotq` function driven from
     // the pure SQL surface: quantized-vector dot products over a temp
     // view, proving SparkSessionExtensions functions reach SQL users
@@ -295,22 +304,41 @@ object DedupSimQueries {
     },
   )
 
-  // shared CTE chain for x19/x20: k=8 token windows → md5 inverted
-  // index (count ≥ 2) → per-doc islands (starts ≤ 8 apart coalesce)
-  private val spanGrpCte =
+  // shared CTE prefix for x19/x20/x21: corpus → raw tokens → k=8
+  // token-window md5 hashes with 1-based start positions
+  private val spanWinsCte =
     s"""corpus AS ($CorpusNearSql),
        |tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM corpus),
        |wins AS (
        |  SELECT doc_id, i AS pos, md5(array_to_string(tk[i:i+7], ' ')) AS h
-       |  FROM tok, unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS t(i)),
-       |dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
-       |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
-       |isl AS (SELECT doc_id, pos,
+       |  FROM tok, unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS t(i))""".stripMargin
+
+  // gaps-and-islands over a (doc_id, pos) hit CTE: starts ≤ 8 apart
+  // coalesce; emits `grp` (doc_id, pos, island id g)
+  private def islandsCte(hitsCte: String) =
+    s"""isl AS (SELECT doc_id, pos,
        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
        |       THEN 0 ELSE 1 END AS brk
-       |  FROM hits),
+       |  FROM $hitsCte),
        |grp AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
        |        FROM isl)""".stripMargin
+
+  // x19/x20 hit set: every occurrence of a duplicated window
+  private val spanGrpCte =
+    s"""$spanWinsCte,
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+       |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
+       |${islandsCte("hits")}""".stripMargin
+
+  // x21 hit set: only NON-CANONICAL occurrences (keep-one-copy policy)
+  private val spanRemovalGrpCte =
+    s"""$spanWinsCte,
+       |canon AS (
+       |  SELECT h, MIN(struct_pack(d := doc_id, p := pos)) AS c
+       |  FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+       |hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN canon c USING (h)
+       |         WHERE NOT (w.doc_id = c.c['d'] AND w.pos = c.c['p'])),
+       |${islandsCte("hits")}""".stripMargin
 
   def oracles: Map[String, String] = Map(
       "x19_span_dedup" ->
@@ -318,6 +346,23 @@ object DedupSimQueries {
            |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
            |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end
            |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+      "x21_span_removal" ->
+        s"""WITH $spanRemovalGrpCte,
+           |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+           |          FROM grp GROUP BY doc_id, g),
+           |spl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+           |        FROM spans GROUP BY doc_id),
+           |kept AS (
+           |  SELECT t.doc_id,
+           |    CASE WHEN sp IS NULL THEN tk
+           |         ELSE list_transform(list_filter(generate_series(1, len(tk)),
+           |                i -> len(list_filter(sp, p -> i >= p['s'] AND i <= p['e'])) = 0),
+           |              i -> tk[i]) END AS kp
+           |  FROM tok t LEFT JOIN spl USING (doc_id))
+           |SELECT doc_id,
+           |  COALESCE(array_to_string(kp, ' '), '') AS cleaned_text,
+           |  CAST(len(kp) AS BIGINT) AS n_kept
+           |FROM kept ORDER BY doc_id""".stripMargin,
       "x20_span_coverage" ->
         s"""WITH $spanGrpCte,
            |spans AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + 7 AS e

@@ -44,6 +44,22 @@ class SpanSketchSpec extends SparkSpec {
       (5L, 2L, 0L, 0L, 0L)))
   }
 
+  test("removeDuplicatedSpans keeps the canonical copy and cuts later occurrences") {
+    val d = docs(
+      1L -> "a b c d e f g h i j x y z", // canonical holder (lowest doc_id)
+      2L -> "a b c d e f g h i j q r s", // loses tokens 1..10
+      3L -> "m n o p m n o p", // intra-doc: window@1 canonical, window@5 cut -> tokens 5..8
+      4L -> "entirely unique words only here")
+    val out = SpanDedup.removeDuplicatedSpans(d, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "a b c d e f g h i j x y z", 13L),
+      (2L, "q r s", 3L),
+      (3L, "m n o p", 4L),
+      (4L, "entirely unique words only here", 5L)))
+  }
+
   test("kmvDistinct is salt-invariant, duplicate-blind, and matches the k-th order statistic") {
     import spark.implicits._
     // 200 distinct values, each appearing 3 times
