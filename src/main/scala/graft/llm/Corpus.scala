@@ -327,4 +327,56 @@ object Corpus {
       .withColumn("kept", col("boiler_frac") <= maxFrac)
     graft.Caching.releaseAfterFirstUse(out, segs)
   }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, *Data Selection
+    * for Language Models via Importance Resampling*): score every raw
+    * document by how much more likely a TARGET-domain unigram LM finds
+    * it than the raw-corpus LM — weight = log p_target(doc) −
+    * log p_raw(doc) — then keep the top-weighted slice. Both LMs are
+    * add-1 smoothed over the shared RAW vocabulary (target-unseen
+    * terms draw only smoothing mass; raw covers every scored term by
+    * construction), and both log-probs use the repo's fixed-point
+    * micro-nat BIGINT encoding (see [[unigramLogProb]]) so the weight
+    * — a difference of integer sums — replays cross-engine exactly.
+    * The paper resamples ∝ exp(weight); exp() in floating point is
+    * not replayable, so selection here is the deterministic top-N by
+    * (weight, id) — the hard-threshold variant of the same estimator.
+    *
+    * Plan: one staged (doc, term, tf) aggregate feeds BOTH count
+    * tables and the scoring join (persisted fan-out); vocabularies
+    * and totals are vocab-sized aggregates, the totals broadcast as
+    * 1-row frames; the scoring join is term-keyed over (doc, term)
+    * pairs, never raw token instances. Output: (id, n_tokens,
+    * weight_micro) for every input doc. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column): DataFrame = {
+    val tf = docs
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("__tgt"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = tf.groupBy("term").agg(sum(col("tf")).as("c_raw"))
+    val tgt = tf.filter(col("__tgt")).groupBy("term").agg(sum(col("tf")).as("c_tgt"))
+    val vocab = raw.join(tgt, Seq("term"), "left_outer")
+      .select(col("term"), col("c_raw"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+    val totals = vocab.agg(
+      sum(col("c_raw")).as("t_raw"), sum(col("c_tgt")).as("t_tgt"),
+      count(lit(1)).as("v"))
+    val scored = tf.join(vocab, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("w_micro",
+        col("tf") * (
+          floor(log((col("c_tgt") + 1).cast("double") / (col("t_tgt") + col("v"))) * 1e6).cast("long") -
+          floor(log((col("c_raw") + 1).cast("double") / (col("t_raw") + col("v"))) * 1e6).cast("long")))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("w_micro")).as("weight_micro"))
+    // token-free docs carry no evidence either way: weight 0
+    val out = docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("weight_micro"), lit(0L)).as("weight_micro"))
+    graft.Caching.releaseAfterFirstUse(out, tf)
+  }
 }

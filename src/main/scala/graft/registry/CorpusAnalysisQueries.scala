@@ -168,6 +168,19 @@ object CorpusAnalysisQueries {
           explode(call_function("winnowq", col("text"), lit(5), lit(4))).as("fp"))
         .orderBy("doc_id", "fp")
     },
+    // y21 — DSIR-style data selection (Xie et al. 2023): importance
+    // weight = log p_target(doc) − log p_raw(doc) under add-1-smoothed
+    // unigram LMs (target = lang:'en'), fixed-point micro-nats, then
+    // the deterministic top-200 slice via TakeOrdered (exp()-resampling
+    // is not replayable cross-engine; the hard threshold is)
+    "y21_dsir_select" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Corpus.importanceWeights(docs, "doc_id", "text", col("lang") === "en")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .orderBy(col("weight_micro").desc, col("doc_id").asc)
+        .limit(200)
+        .select("doc_id", "lang", "n_tokens", "weight_micro")
+    },
     // y15 — mixture sampling: per-language keep rates DERIVED from
     // target mixture weights (en .5 / de .3 / fr .2 of a 400-doc
     // output) and the realized counts; md5-gated membership, so the
@@ -199,6 +212,35 @@ object CorpusAnalysisQueries {
   )
 
   def oracles: Map[String, String] = Map(
+      "y21_dsir_select" ->
+        """WITH tf AS (
+          |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+          |    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+          |    FROM documents)
+          |  GROUP BY doc_id, term),
+          |tgtids AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+          |raw AS (SELECT term, SUM(tf) AS c_raw FROM tf GROUP BY term),
+          |tgt AS (SELECT term, SUM(tf) AS c_tgt FROM tf JOIN tgtids USING (doc_id)
+          |        GROUP BY term),
+          |vocab AS (SELECT r.term, c_raw, COALESCE(c_tgt, 0) AS c_tgt
+          |          FROM raw r LEFT JOIN tgt USING (term)),
+          |tot AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt, COUNT(*) AS v
+          |        FROM vocab),
+          |sc AS (
+          |  SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
+          |    SUM(tf.tf *
+          |      (CAST(floor(ln(CAST(c_tgt + 1 AS DOUBLE) / (t_tgt + v)) * 1e6) AS BIGINT)
+          |     - CAST(floor(ln(CAST(c_raw + 1 AS DOUBLE) / (t_raw + v)) * 1e6) AS BIGINT)))
+          |      AS weight_micro
+          |  FROM tf JOIN vocab USING (term) CROSS JOIN tot
+          |  GROUP BY tf.doc_id),
+          |f AS (
+          |  SELECT d.doc_id, d.lang, COALESCE(sc.n_tokens, 0) AS n_tokens,
+          |    COALESCE(sc.weight_micro, 0) AS weight_micro
+          |  FROM documents d LEFT JOIN sc USING (doc_id))
+          |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  CAST(weight_micro AS BIGINT) AS weight_micro
+          |FROM f ORDER BY weight_micro DESC, doc_id LIMIT 200""".stripMargin,
       "y15_mixture_sample" ->
         """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
           |cuts AS (

@@ -75,6 +75,34 @@ class SpanSketchSpec extends SparkSpec {
     assert(est > 100L && est < 400L, s"estimate $est implausible for 200 distinct")
   }
 
+  test("kmv k-min sets merge algebraically: union of per-half k-mins re-minned = full sketch") {
+    import spark.implicits._
+    val full = (0 until 300).map(v => ("g", v.toLong)).toDF("grp", "v")
+    val kthFull = Sketches.kmvDistinct(full, "grp", "v", k = 64)
+      .head.getAs[String]("kth_hash")
+    // simulate two partitions sketched independently, then merged
+    def kmins(lo: Int, hi: Int) = (lo until hi).map(v => v.toLong).toDF("v")
+      .select(md5(col("v").cast("string")).as("h")).distinct()
+      .orderBy("h").limit(64).collect().map(_.getString(0)).toSeq
+    val merged = (kmins(0, 150) ++ kmins(150, 300)).distinct.sorted.take(64)
+    assert(merged.last === kthFull,
+      "merging per-partition k-min sets must reproduce the global k-th order statistic")
+  }
+
+  test("importanceWeights favors target-domain vocabulary and zeroes empty docs") {
+    val d = docs(
+      1L -> "alpha alpha alpha beta", // target doc
+      2L -> "alpha alpha alpha gamma", // raw doc in target vocab -> high weight
+      3L -> "delta delta delta delta", // raw doc off-vocab -> low weight
+      4L -> "")
+    val w = graft.llm.Corpus.importanceWeights(d, "doc_id", "text", col("doc_id") === 1L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byId = w.map(t => t._1 -> t._3).toMap
+    assert(byId(2L) > byId(3L), s"target-vocab doc must outweigh off-vocab doc: $w")
+    assert(w.find(_._1 == 4L).get === ((4L, 0L, 0L)), "empty doc carries no evidence")
+  }
+
   test("kmvDistinct emits no row for a group with fewer than k distinct values") {
     import spark.implicits._
     val small = (0 until 10).map(v => ("s", v.toLong)).toDF("grp", "v")

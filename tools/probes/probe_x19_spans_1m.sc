@@ -35,7 +35,14 @@ val covAgg = cov.agg(
   sum("dup_tokens").as("dup_tokens"), sum("n_tokens").as("n_tokens"),
   sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("docs_with_dups")).head
 val t2 = System.nanoTime
+// apply step: keep-one-copy removal + text reconstruction
+val cleaned = graft.llm.SpanDedup.removeDuplicatedSpans(docs, "doc_id", "text", k = 8)
+val remAgg = cleaned.agg(sum("n_kept").as("kept"),
+  sum(when(col("n_kept") === 0L, 1L).otherwise(0L)).as("fully_cut")).head
+val t3 = System.nanoTime
 println(f"PROBE_X19_1M spans=$nSpans spans_wall_s=${(t1 - t0) / 1e9}%.1f " +
   f"dup_tokens=${covAgg.getLong(0)} n_tokens=${covAgg.getLong(1)} " +
-  f"docs_with_dups=${covAgg.getLong(2)} coverage_wall_s=${(t2 - t1) / 1e9}%.1f")
+  f"docs_with_dups=${covAgg.getLong(2)} coverage_wall_s=${(t2 - t1) / 1e9}%.1f " +
+  f"kept_tokens=${remAgg.getLong(0)} fully_cut_docs=${remAgg.getLong(1)} " +
+  f"removal_wall_s=${(t3 - t2) / 1e9}%.1f")
 System.exit(0)
