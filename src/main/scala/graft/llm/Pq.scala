@@ -1,0 +1,285 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, *Product Quantization for
+  * Nearest Neighbor Search*) — the memory side of the ANN story the
+  * IVF family ([[Similarity.buildIvfIndex]]) leaves open: a 64-dim
+  * vector stored as m=8 sub-codebook ids is 8 bytes instead of 256+,
+  * a 32× compression that decides whether a 100 TB embedding store's
+  * index fits the cluster at all. Asymmetric distance computation
+  * (ADC) then scores query→vector WITHOUT decompressing: per query,
+  * one m×numCells lookup table of exact query-subvector-to-centroid
+  * distances; a vector's approximate distance is the sum of its m
+  * table entries.
+  *
+  * Determinism contract (the repo's cross-engine rule): vectors ride
+  * the 1e6 fixed-point quantization ([[Similarity.quantize]]), all
+  * distances are INTEGER squared-L2 over BIGINT components (diff² ≤
+  * 4·10¹², ×8 dims ≪ 2⁵³ — exact in any partial-agg order), codebook
+  * init = the subvectors of `vec_id < numCells` (the IVF convention),
+  * argmin tie-breaks on (distance asc, cell_id asc), and centroid
+  * update is floor(Σ/n) per component. Every step replays exactly in
+  * DuckDB.
+  *
+  * Scale shape: training iterates ONE scan of the (vec_id, s, sv)
+  * sub-vector frame per round — all m subspaces train simultaneously
+  * keyed by s, against broadcast (m·numCells)-row centroids; the
+  * argmin is a partial-aggregatable min_by hash agg, never a per-key
+  * window sort of the corpus; centroid updates aggregate to
+  * m·numCells·dim cells. Encoding is the same broadcast argmin. ADC
+  * joins the thin (vec_id, s, code) table against a broadcast LUT and
+  * hash-aggregates m rows per (query, vector) — no shuffle of raw
+  * vectors anywhere past the sub-vector split. Compose with the IVF
+  * index to prune candidates before ADC when the corpus outgrows
+  * brute-force scoring. */
+object Pq {
+
+  private val Dim = 64
+
+  /** Integer squared-L2 between two equal-length BIGINT arrays. */
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** (vec_id, s, sv): each quantized vector split into m contiguous
+    * (Dim/m)-dim subvectors, s = 0-based subspace id. `carry` names
+    * extra columns to ride along (e.g. the coarse cell_id in
+    * [[ivfAdcTopK]]) — carried here rather than re-joined later so the
+    * thin code table never needs a corpus-sized join to recover them. */
+  private[llm] def subVectors(v: DataFrame, m: Int,
+                              carry: Seq[String] = Nil): DataFrame = {
+    require(Dim % m == 0, s"m=$m must divide $Dim")
+    val sub = Dim / m
+    v.select(col("vec_id") +: carry.map(col) :+
+      explode(transform(sequence(lit(0), lit(m - 1)),
+        s => struct(s.cast("int").as("s"),
+          slice(col("nv"), s * sub + 1, lit(sub)).as("sv")))).as("e"): _*)
+      .select(col("vec_id") +: carry.map(col) :+
+        col("e.s").as("s") :+ col("e.sv").as("sv"): _*)
+  }
+
+  /** Per-subspace k-means codebooks: (s, cell_id, cv), trained for all
+    * m subspaces in one pass per iteration. */
+  def trainCodebooks(v: DataFrame, m: Int = 8, numCells: Int = 16,
+                     iters: Int = 2): DataFrame = {
+    val sv = subVectors(v, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = sv.filter(col("vec_id") < numCells)
+      .select(col("s"), col("vec_id").as("cell_id"), col("sv").as("cv"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val prev = cents
+      val assigned = sv.join(broadcast(cents), Seq("s"))
+        .withColumn("d", l2(col("sv"), col("cv")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min_by(struct(col("cell_id"), col("sv")),
+          struct(col("d"), col("cell_id"))).as("mn"))
+        .select(col("s"), col("mn.cell_id").as("cell_id"), col("mn.sv").as("sv"))
+      cents = assigned
+        .select(col("s"), col("cell_id"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("cell_id"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("comp"))
+        .groupBy(col("s"), col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+          _.getField("comp")).as("cv"))
+        .localCheckpoint()
+      graft.Caching.dropSupersededCheckpoint(prev)
+    }
+    sv.unpersist()
+    cents
+  }
+
+  /** PQ codes: (vec_id, s, code) — nearest sub-codebook cell per
+    * subspace, the 8-byte compressed representation. `carry` columns
+    * (functionally dependent on vec_id) ride through the argmin agg. */
+  def encode(v: DataFrame, cents: DataFrame, m: Int,
+             carry: Seq[String] = Nil): DataFrame =
+    // codebook cell_id renamed so a carried coarse `cell_id` (IVFADC)
+    // can never collide with it
+    subVectors(v, m, carry)
+      .join(broadcast(cents.withColumnRenamed("cell_id", "__pq_cell")), Seq("s"))
+      .withColumn("d", l2(col("sv"), col("cv")))
+      .groupBy(col("vec_id") +: carry.map(col) :+ col("s"): _*)
+      .agg(min_by(col("__pq_cell"), struct(col("d"), col("__pq_cell"))).as("code"))
+
+  /** ADC top-k: train on the corpus, encode it, score every query
+    * against the CODES (never the raw corpus vectors) via the per-query
+    * distance lookup table. Output: (query_id, rank, neighbor_id,
+    * adc_dist), rank 1..k by (distance asc, neighbor asc), self
+    * excluded. `queries` and `corpus` are (vec_id, embedding) frames —
+    * quantization happens here. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              m: Int = 8, numCells: Int = 16, iters: Int = 2): DataFrame = {
+    val v = corpus.select(col("vec_id"), Similarity.quantize(col("embedding")).as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainCodebooks(v, m, numCells, iters)
+    val codes = encode(v, cents, m)
+    val qv = queries.select(col("vec_id").as("query_id"),
+      Similarity.quantize(col("embedding")).as("qnv"))
+    // LUT: exact query-subvector → centroid distances, m·numCells rows
+    // per query — broadcast-sized as long as the query batch is
+    val lut = subVectors(qv.withColumnRenamed("query_id", "vec_id")
+        .withColumnRenamed("qnv", "nv"), m)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cents), Seq("s"))
+      .select(col("query_id"), col("s"), col("cell_id"), l2(col("sv"), col("cv")).as("d"))
+    val adc = codes.withColumnRenamed("code", "cell_id")
+      .join(broadcast(lut), Seq("s", "cell_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
+    val out = adc
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+    graft.Caching.releaseAfterFirstUse(out, v)
+  }
+
+  /** IVFADC (Jégou et al. 2011 §IV): the full billion-scale ANN
+    * layout — IVF coarse cells prune WHICH vectors a query scores,
+    * PQ residual codes decide HOW CHEAPLY. Corpus vectors are
+    * assigned to their nearest coarse centroid (the trained cosine
+    * codebook shared with [[Similarity.ivfTopK]], so the two layers
+    * of the family can never disagree on cell geometry); the PQ
+    * codebooks are trained on the RESIDUAL nv − cv (classic IVFADC —
+    * residuals concentrate around 0 so the same 8-byte budget buys
+    * far less quantization error than raw-vector codes). A query
+    * probes its `nProbe` nearest cells, builds one exact
+    * (m·numCells)-entry LUT of residual-to-centroid distances PER
+    * PROBED CELL, and every member of those cells is scored by
+    * summing m BIGINT lookups against its stored code — raw corpus
+    * vectors are touched exactly twice (coarse assign, residual
+    * encode) and never at query time.
+    *
+    * Scale shape: the only corpus-wide work is two broadcast-argmin
+    * hash aggs (coarse assign + PQ encode, both partial-aggregatable)
+    * and ONE persisted residual frame that feeds training and
+    * encoding off a single materialization. Query-time cost is an
+    * equi-join of the thin (vec_id, cell_id, s, code) table against a
+    * broadcast LUT of #queries·nProbe·m·numCells rows — batch-bounded,
+    * never corpus-bounded — and at 100 TB composes with the persisted
+    * index layout of [[Similarity.buildIvfIndex]]: partition members
+    * by cell_id and the probed-cell IN-filter makes the code scan
+    * partition-pruned too. Integer arithmetic end-to-end (residual
+    * diffs ≤ 2·10⁶ in magnitude, squares ≤ 4·10¹², ×8 ≪ 2⁵³), so the
+    * whole chain replays exactly in DuckDB. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 m: Int = 8, numCells: Int = 16, coarseCells: Int = 16,
+                 nProbe: Int = 2, iters: Int = 2): DataFrame = {
+    graft.functions.LongArrayDot.register(corpus.sparkSession)
+    val v = corpus.select(col("vec_id"), Similarity.quantize(col("embedding")).as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (coarse, pqCents, codes) = buildCodes(v, m, numCells, coarseCells, iters)
+    val out2 = queryCodes(codes, coarse, pqCents, queries, k, m, nProbe)
+    graft.Caching.releaseAfterFirstUse(out2, v)
+  }
+
+  /** Train coarse + residual-PQ codebooks and encode the corpus:
+    * (coarse centroids, PQ centroids, (vec_id, cell_id, s, code)). */
+  private def buildCodes(v: DataFrame, m: Int, numCells: Int,
+                         coarseCells: Int, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val coarse = Similarity.kmeansCodebookQ(v, coarseCells, iters)
+    // members carry their residual as nv so trainCodebooks/encode
+    // apply unchanged; one persisted frame serves both passes
+    val members = Similarity.assignCellsQ(v, coarse)
+      .join(broadcast(coarse), Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"),
+        zip_with(col("nv"), col("cv"), _ - _).as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pqCents = trainCodebooks(members.select("vec_id", "nv"), m, numCells, iters)
+    val codes = encode(members, pqCents, m, carry = Seq("cell_id"))
+    (coarse, pqCents, graft.Caching.releaseAfterFirstUse(codes, members))
+  }
+
+  /** Query-time half of IVFADC, against an already-encoded corpus. */
+  private def queryCodes(codes: DataFrame, coarse: DataFrame, pqCents: DataFrame,
+                         queries: DataFrame, k: Int, m: Int, nProbe: Int): DataFrame = {
+    // query side: nProbe nearest coarse cells, residual per probed cell
+    val w0 = Window.partitionBy("query_id")
+      .orderBy(col("cell_sim").desc, col("cell_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("cell_sim", Similarity.cosineQ(col("qv"), col("cv")))
+      .withColumn("cell_rank", row_number().over(w0))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("query_id"), col("cell_id"),
+        zip_with(col("qv"), col("cv"), _ - _).as("nv"))
+    // LUT: exact query-residual → PQ-centroid distances, one table per
+    // (query, probed cell) — #queries·nProbe·m·numCells rows
+    val lut = subVectors(
+        probes.withColumnRenamed("query_id", "vec_id"), m, carry = Seq("cell_id"))
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(pqCents.withColumnRenamed("cell_id", "code")), Seq("s"))
+      .select(col("query_id"), col("cell_id"), col("s"), col("code"),
+        l2(col("sv"), col("cv")).as("d"))
+    val adc = codes
+      .join(broadcast(lut), Seq("cell_id", "s", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
+    adc
+      .withColumn("rank", row_number().over(w2).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+  }
+
+  /** Build a PERSISTED IVFADC index under `indexDir` — the
+    * [[Similarity.buildIvfIndex]] layout applied to codes:
+    *   - `coarse`:       (cell_id, cv) coarse centroids;
+    *   - `pq_centroids`: (s, cell_id, cv) residual sub-codebooks;
+    *   - `codes`:        (vec_id, s, code), partitioned BY cell_id.
+    * A production corpus encodes once in the ingest job; the code
+    * table is the ~8-bytes-per-vector artifact that makes a 100 TB
+    * embedding store queryable from cluster memory, and partitioning
+    * it by coarse cell makes every query's scan partition-pruned to
+    * its probed cells. */
+  def buildPqIndex(corpus: DataFrame, indexDir: String,
+                   m: Int = 8, numCells: Int = 16, coarseCells: Int = 16,
+                   iters: Int = 2): Unit = {
+    graft.functions.LongArrayDot.register(corpus.sparkSession)
+    val v = corpus.select(col("vec_id"), Similarity.quantize(col("embedding")).as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (coarse, pqCents, codes) = buildCodes(v, m, numCells, coarseCells, iters)
+    coarse.write.mode("overwrite").parquet(s"$indexDir/coarse")
+    pqCents.write.mode("overwrite").parquet(s"$indexDir/pq_centroids")
+    // clustered write (the k13/buildIvfIndex shape): without the
+    // repartition every encode task opens a file per touched cell
+    codes.repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$indexDir/codes")
+    v.unpersist(false)
+  }
+
+  /** Query a [[buildPqIndex]] index: the probed-cell list is collected
+    * to the driver — O(#queries·nProbe) values, never corpus-sized —
+    * and inlined as a literal IN filter on the RAW partition column
+    * (directory-name inference narrows cell_id to int; literals widen,
+    * so parquet partition pruning stays effective — the
+    * [[Similarity.ivfTopKPrebuilt]] contract). */
+  def ivfAdcTopKPrebuilt(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                         queries: DataFrame, k: Int,
+                         m: Int = 8, nProbe: Int = 2): DataFrame = {
+    graft.functions.LongArrayDot.register(spark)
+    val coarse = spark.read.parquet(s"$indexDir/coarse")
+    val pqCents = spark.read.parquet(s"$indexDir/pq_centroids")
+    val w0 = Window.partitionBy("query_id")
+      .orderBy(col("cell_sim").desc, col("cell_id"))
+    val probedCells = queries
+      .select(col("vec_id").as("query_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("cell_sim", Similarity.cosineQ(col("qv"), col("cv")))
+      .withColumn("cell_rank", row_number().over(w0))
+      .filter(col("cell_rank") <= nProbe)
+      .select("cell_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("cell_id").isin(probedCells.toSeq: _*))
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    queryCodes(codes, coarse, pqCents, queries, k, m, nProbe)
+  }
+}

@@ -288,6 +288,41 @@ object DedupSimQueries {
       graft.llm.SpanDedup.removeDuplicatedSpans(corpusNear(s, dir), "doc_id", "text", k = 8)
         .orderBy("doc_id")
     },
+    // x22 — product-quantization ADC top-k (Jégou et al. 2011): the
+    // memory side of ANN — vectors stored as 8 sub-codebook ids (32×
+    // compression), queries scored against the CODES via a broadcast
+    // per-query distance LUT, never the raw corpus vectors. Same query
+    // protocol as x7 (queries = vec_id < 5, k = 3).
+    "x22_pq_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.llm.Pq.adcTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .orderBy("query_id", "rank")
+    },
+    // x23 — IVFADC (Jégou et al. 2011 §IV): the x7 coarse quantizer
+    // composed with residual-PQ codes — IVF prunes WHICH members a
+    // query scores, the 8-byte codes decide HOW CHEAPLY. Same query
+    // protocol as x7/x22 (queries = vec_id < 5, k = 3, nProbe = 2).
+    "x23_ivfpq_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.llm.Pq.ivfAdcTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .orderBy("query_id", "rank")
+    },
+    // x23b — the same IVFADC search against a PERSISTED code index
+    // (coarse centroids + residual sub-codebooks + cell-partitioned
+    // code table on parquet; the x7b build-once contract). Production
+    // encodes the corpus once in the ingest job; a query is a
+    // centroid read + partition-pruned scan of the probed cells'
+    // CODES — ~8 bytes per corpus vector instead of 256+. Same oracle
+    // as x23: the index round-trip must be value-invisible.
+    "x23b_ivfpq_prebuilt" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = s"${corpusScratch(dir)}/pq_index"
+      buildOnce(builtPqIndexes, s"${System.identityHashCode(s)}|$idx") {
+        graft.llm.Pq.buildPqIndex(emb, idx)
+      }
+      graft.llm.Pq.ivfAdcTopKPrebuilt(s, idx, emb.filter(col("vec_id") < 5), k = 3)
+        .orderBy("query_id", "rank")
+    },
     // sql2 — the extension-injected native `dotq` function driven from
     // the pure SQL surface: quantized-vector dot products over a temp
     // view, proving SparkSessionExtensions functions reach SQL users
@@ -346,6 +381,9 @@ object DedupSimQueries {
            |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
            |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end
            |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+      "x22_pq_topk" -> X22PqSql,
+      "x23_ivfpq_topk" -> X23IvfPqSql,
+      "x23b_ivfpq_prebuilt" -> X23IvfPqSql,
       "x21_span_removal" ->
         s"""WITH $spanRemovalGrpCte,
            |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e

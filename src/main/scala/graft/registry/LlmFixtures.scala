@@ -43,6 +43,11 @@ private[registry] object LlmFixtures {
   val builtIvfIndexes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** (sessionUUID|indexDir) pairs whose IVFADC code index this JVM
+    * already built — the x7b contract applied to x23b. */
+  val builtPqIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** (sessionUUID|tablePath) doc tables this JVM already seeded with
     * the corpus — the e5 upsert then only writes the batch's touched
     * buckets, the O(touched-buckets) property the operator exists for. */
@@ -265,6 +270,128 @@ private[registry] object LlmFixtures {
        |  FROM scored)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+
+  /** DuckDB twin of Pq: integer squared-L2 over 8-dim subvectors. */
+  private def l2Sql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, 8), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+
+  /** One per-subspace k-means iteration (argmin assign → floor-mean
+    * update), all 8 subspaces at once — the PQ analog of
+    * [[kmeansIterSql]]. `prev` is the incoming (s, cell_id, cv) CTE;
+    * `sub` names the (vec_id, s, sv) subvector CTE (raw subvectors for
+    * x22, coarse-cell residuals for x23). */
+  private def pqIterSql(prev: String, assignName: String, centsName: String,
+                        sub: String = "sub"): String =
+    s"""$assignName AS (
+       |  SELECT s, cell_id, sv FROM (
+       |    SELECT $sub.vec_id, $sub.s, $sub.sv, c.cell_id,
+       |      row_number() OVER (PARTITION BY $sub.vec_id, $sub.s
+       |        ORDER BY ${l2Sql(s"$sub.sv", "c.cv")}, c.cell_id) AS rnk
+       |    FROM $sub JOIN $prev c ON $sub.s = c.s)
+       |  WHERE rnk = 1),
+       |$centsName AS (
+       |  SELECT s, cell_id, list(comp ORDER BY pos) AS cv FROM (
+       |    SELECT s, cell_id, g.pos,
+       |      CAST(floor(CAST(SUM(sv[g.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+       |    FROM $assignName CROSS JOIN generate_series(1, 8) AS g(pos)
+       |    GROUP BY s, cell_id, g.pos)
+       |  GROUP BY s, cell_id)""".stripMargin
+
+  /** Oracle for x22: product-quantization ADC top-3 — per-subspace
+    * codebooks (2 k-means iterations, the Pq.trainCodebooks replay),
+    * PQ codes, per-query LUT, summed ADC distances. */
+  lazy val X22PqSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, ${qvSql("embedding")} AS nv FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, s, nv[s*8+1 : s*8+8] AS sv
+       |  FROM v, unnest(generate_series(0, 7)) AS t(s)),
+       |c0 AS (SELECT s, vec_id AS cell_id, sv AS cv FROM sub WHERE vec_id < 16),
+       |${pqIterSql("c0", "pa1", "pc1")},
+       |${pqIterSql("pc1", "pa2", "pc2")},
+       |codes AS (
+       |  SELECT vec_id, s, cell_id AS code FROM (
+       |    SELECT sub.vec_id, sub.s, c.cell_id,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${l2Sql("sub.sv", "c.cv")}, c.cell_id) AS rnk
+       |    FROM sub JOIN pc2 c ON sub.s = c.s)
+       |  WHERE rnk = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.s, c.cell_id, ${l2Sql("q.sv", "c.cv")} AS d
+       |  FROM (SELECT * FROM sub WHERE vec_id < 5) q JOIN pc2 c ON q.s = c.s),
+       |adc AS (
+       |  SELECT l.query_id, co.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+       |  FROM codes co JOIN lut l ON co.s = l.s AND co.code = l.cell_id
+       |  GROUP BY l.query_id, co.vec_id)
+       |SELECT query_id, rank, neighbor_id, adc_dist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+       |  FROM adc WHERE vec_id != query_id)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for x23: IVFADC — the X7 coarse quantizer (trained cosine
+    * k-means, identical CTEs) composed with residual-PQ codebooks and
+    * per-probed-cell ADC. Every arithmetic step is the BIGINT twin of
+    * [[graft.llm.Pq.ivfAdcTopK]]. */
+  lazy val X23IvfPqSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, ${qvSql("embedding")} AS nv FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cell_id, nv AS cv FROM v WHERE vec_id < 16),
+       |${kmeansIterSql("c0", "a1", "c1")},
+       |${kmeansIterSql("c1", "a2", "c2")},
+       |members AS (
+       |  SELECT vec_id, cell_id, nv FROM (
+       |    SELECT v.vec_id, v.nv, c.cell_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosineSql("v.nv", "c.cv")} DESC, c.cell_id) AS rnk
+       |    FROM v CROSS JOIN c2 c)
+       |  WHERE rnk = 1),
+       |rsub AS (
+       |  SELECT m.vec_id, m.cell_id AS coarse_cell, t.s,
+       |    list_transform(generate_series(1, 8),
+       |      i -> m.nv[t.s*8+i] - c.cv[t.s*8+i]) AS sv
+       |  FROM members m JOIN c2 c USING (cell_id),
+       |    unnest(generate_series(0, 7)) AS t(s)),
+       |p0 AS (SELECT s, vec_id AS cell_id, sv AS cv FROM rsub WHERE vec_id < 16),
+       |${pqIterSql("p0", "ra1", "rc1", sub = "rsub")},
+       |${pqIterSql("rc1", "ra2", "rc2", sub = "rsub")},
+       |codes AS (
+       |  SELECT vec_id, coarse_cell, s, code FROM (
+       |    SELECT rsub.vec_id, rsub.coarse_cell, rsub.s, c.cell_id AS code,
+       |      row_number() OVER (PARTITION BY rsub.vec_id, rsub.s
+       |        ORDER BY ${l2Sql("rsub.sv", "c.cv")}, c.cell_id) AS rnk
+       |    FROM rsub JOIN rc2 c ON rsub.s = c.s)
+       |  WHERE rnk = 1),
+       |probes AS (
+       |  SELECT query_id, cell_id, qv FROM (
+       |    SELECT q.vec_id AS query_id, q.nv AS qv, c.cell_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql("q.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
+       |    FROM (SELECT * FROM v WHERE vec_id < 5) q CROSS JOIN c2 c)
+       |  WHERE cell_rank <= 2),
+       |qrsub AS (
+       |  SELECT p.query_id, p.cell_id AS coarse_cell, t.s,
+       |    list_transform(generate_series(1, 8),
+       |      i -> p.qv[t.s*8+i] - c.cv[t.s*8+i]) AS sv
+       |  FROM probes p JOIN c2 c USING (cell_id),
+       |    unnest(generate_series(0, 7)) AS t(s)),
+       |lut AS (
+       |  SELECT q.query_id, q.coarse_cell, q.s, pc.cell_id AS code,
+       |    ${l2Sql("q.sv", "pc.cv")} AS d
+       |  FROM qrsub q JOIN rc2 pc ON q.s = pc.s),
+       |adc AS (
+       |  SELECT l.query_id, co.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+       |  FROM codes co JOIN lut l ON co.coarse_cell = l.coarse_cell
+       |    AND co.s = l.s AND co.code = l.code
+       |  GROUP BY l.query_id, co.vec_id)
+       |SELECT query_id, rank, neighbor_id, adc_dist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+       |  FROM adc WHERE vec_id != query_id)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
     def bucketSql(v: String, prefix: String): String =
       Similarity.planes(4, 64, prefix).map { plane =>

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Sketches, SpanDedup}
+import graft.llm.{Pq, Sketches, SpanDedup}
 import org.apache.spark.sql.functions._
 
 /** x19/x20 span dedup + a15 KMV sketch unit behavior on handcrafted
@@ -101,6 +101,69 @@ class SpanSketchSpec extends SparkSpec {
     val byId = w.map(t => t._1 -> t._3).toMap
     assert(byId(2L) > byId(3L), s"target-vocab doc must outweigh off-vocab doc: $w")
     assert(w.find(_._1 == 4L).get === ((4L, 0L, 0L)), "empty doc carries no evidence")
+  }
+
+  test("PQ codes are within the codebook and an exact duplicate is its twin's top neighbor") {
+    import spark.implicits._
+    // 64 vectors with block structure + an exact duplicate of vec 7 at id 100
+    def vec(seed: Long) = (0 until 64).map(j => ((seed * 31 + j * 7) % 97).toFloat / 97f)
+    val base = (0L until 64L).map(i => (i, vec(i)))
+    val emb = (base :+ (100L, vec(7L))).toDF("vec_id", "embedding")
+    val v = emb.select(col("vec_id"),
+      graft.llm.Similarity.quantize(col("embedding")).as("nv"))
+    val cents = Pq.trainCodebooks(v, m = 8, numCells = 16, iters = 2)
+    val codes = Pq.encode(v, cents, m = 8).collect()
+    assert(codes.length === 65 * 8, "8 codes per vector")
+    assert(codes.forall(r => r.getAs[Long]("code") >= 0L && r.getAs[Long]("code") < 16L))
+    // identical vectors must encode identically...
+    def codesOf(id: Long) = codes.filter(_.getAs[Long]("vec_id") == id)
+      .map(r => r.getAs[Int]("s") -> r.getAs[Long]("code")).toMap
+    assert(codesOf(100L) === codesOf(7L), "duplicate must carry its twin's codes")
+    // ...so the duplicate attains the MINIMAL possible ADC distance:
+    // it must sit in the rank-1 tie set (other vectors of this modular
+    // fixture legitimately share all 8 codes and tie exactly — ADC
+    // cannot separate identical codes, so we assert on distance, not id)
+    val top = Pq.adcTopK(emb, emb.filter(col("vec_id") === 7L), k = 5).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    val dup = top.find(_.getAs[Long]("neighbor_id") == 100L)
+    assert(dup.isDefined, s"duplicate missing from top-5: ${top.mkString(";")}")
+    assert(dup.get.getAs[Long]("adc_dist") === top.head.getAs[Long]("adc_dist"),
+      "duplicate must tie the minimal ADC distance")
+  }
+
+  test("IVFADC prunes to probed cells and the exact duplicate ties the minimal distance") {
+    import spark.implicits._
+    def vec(seed: Long) = (0 until 64).map(j => ((seed * 37 + j * 11) % 101).toFloat / 101f)
+    val base = (0L until 64L).map(i => (i, vec(i)))
+    val emb = (base :+ (100L, vec(7L))).toDF("vec_id", "embedding")
+    val top = Pq.ivfAdcTopK(emb, emb.filter(col("vec_id") === 7L), k = 5)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(top.nonEmpty && top.length <= 5)
+    assert(top.map(_.getAs[Int]("rank")).toSeq === (1 to top.length))
+    // the duplicate lands in its twin's coarse cell (identical vector →
+    // identical assignment), carries identical residual codes, and so
+    // ties the minimal attainable ADC distance
+    val dup = top.find(_.getAs[Long]("neighbor_id") == 100L)
+    assert(dup.isDefined, s"duplicate missing from top-5: ${top.mkString(";")}")
+    assert(dup.get.getAs[Long]("adc_dist") === top.head.getAs[Long]("adc_dist"),
+      "duplicate must tie the minimal ADC distance")
+    // IVF pruning is real: scoring a query against ALL vectors
+    // (nProbe = numCells) can only widen, never change, the tie set's
+    // minimal distance semantics — the pruned result must be a subset
+    val full = Pq.ivfAdcTopK(emb, emb.filter(col("vec_id") === 7L), k = 64,
+        nProbe = 16).collect()
+    val fullIds = full.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(top.forall(r => fullIds.contains(r.getAs[Long]("neighbor_id"))))
+    assert(top.length < full.length, "nProbe=2 must actually prune")
+    // the persisted-index round-trip (x23b) must be value-invisible
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    try {
+      Pq.buildPqIndex(emb, idx)
+      val pre = Pq.ivfAdcTopKPrebuilt(spark, idx, emb.filter(col("vec_id") === 7L), k = 5)
+        .collect().sortBy(_.getAs[Int]("rank"))
+      assert(pre.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSeq
+        === top.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSeq)
+    } finally graft.streaming.Streams.deleteDir(spark, idx)
   }
 
   test("kmvDistinct emits no row for a group with fewer than k distinct values") {
