@@ -379,4 +379,49 @@ object Corpus {
         coalesce(col("weight_micro"), lit(0L)).as("weight_micro"))
     graft.Caching.releaseAfterFirstUse(out, tf)
   }
+
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al.
+    * 2020): split each language's documents into head / middle / tail
+    * thirds by LM score. CCNet assigns buckets by comparing each doc
+    * to per-language CUTOFF values, not by ranking — and that is also
+    * the scalable form: a per-language `ntile(3)` window would sort a
+    * whole language inside one task (the w2_sessionize_global trap),
+    * while cutoffs need only (a) a (lang, ppl)-keyed HISTOGRAM
+    * aggregate — map-side combinable, histogram-sized output — (b)
+    * windows OVER THE HISTOGRAM to find the exact tertile boundary
+    * values, and (c) one broadcast join back. The corpus-sized data
+    * crosses one shuffle (the histogram agg) and never a window.
+    *
+    * Boundary semantics: c1 = smallest ppl with cumulative count ≥
+    * ⌈n/3⌉ (3·cum ≥ n in exact integer form), c2 likewise for 2n/3;
+    * bucket = ppl ≤ c1 → head, ≤ c2 → middle, else tail. Value ties
+    * land in one bucket together (cutoff semantics — faithful to
+    * CCNet, and partitioning-independent, unlike ntile's tie split).
+    * Null ppl (no LM evidence) → tail.
+    *
+    * `pplCol` must be an integer column (the micro-nat convention) so
+    * the cuts replay cross-engine exactly. */
+  def perplexityBuckets(scored: DataFrame, langCol: String,
+                        pplCol: String): DataFrame = {
+    val pp = col(pplCol)
+    val hist = scored.filter(pp.isNotNull)
+      .groupBy(col(langCol).as("__lang"), pp.as("__ppl"))
+      .agg(count(lit(1)).as("__cnt"))
+    val ordered = Window.partitionBy(col("__lang")).orderBy(col("__ppl"))
+    val whole = Window.partitionBy(col("__lang"))
+    val cuts = hist
+      .withColumn("__cum", sum(col("__cnt")).over(ordered))
+      .withColumn("__n", sum(col("__cnt")).over(whole))
+      .groupBy(col("__lang"))
+      .agg(
+        min(when(col("__cum") * 3 >= col("__n"), col("__ppl"))).as("__c1"),
+        min(when(col("__cum") * 3 >= col("__n") * 2, col("__ppl"))).as("__c2"))
+    scored.join(broadcast(cuts), scored(langCol) === cuts("__lang"), "left")
+      .withColumn("bucket",
+        when(pp.isNull, lit("tail"))
+          .when(pp <= col("__c1"), lit("head"))
+          .when(pp <= col("__c2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__lang", "__c1", "__c2")
+  }
 }

@@ -60,4 +60,68 @@ object Sketches {
   /** The 52-bit hash-prefix expression as SQL text (shared with the
     * `expr` above so the div stays integer-typed end to end). */
   private val hvSqlExpr = "cast(conv(substring(h, 1, 13), 16, 10) as bigint)"
+
+  /** EXACT heavy hitters via two passes with Misra–Gries candidate
+    * pruning (Misra & Gries 1982; the "frequent" summary behind every
+    * streaming top-k system). Returns every item whose count c
+    * satisfies c · phiDen > n (frequency strictly above 1/phiDen of
+    * the n total instances), with its EXACT count — the sketch only
+    * prunes, it never decides, so the result is value-identical to a
+    * plain `GROUP BY … HAVING` and independent of partitioning.
+    *
+    * Why not one groupBy at 100 TB: a web-scale token column has a
+    * vocabulary in the billions — partial aggregation still shuffles
+    * every partition's local distinct set. Here pass 1 scans with k
+    * bounded counters per partition and emits ≤ k candidate terms per
+    * partition (MG guarantee: any item with global count > n/(k+1)
+    * survives in at least one partition — if c_p ≤ n_p/(k+1) for all
+    * p then summing gives c ≤ n/(k+1)); pass 2 re-scans, keeps only
+    * candidate rows via a broadcast semi-join (map-side, pre-shuffle),
+    * and exact-counts a candidate-sized key space. Two full scans, but
+    * the shuffle drops from |vocab| to ≤ partitions·k rows — the right
+    * trade whenever the scan is cheaper than the vocab shuffle (always,
+    * for tokens).
+    *
+    * Exactness precondition: phiDen ≤ k+1 (enforced) — the threshold
+    * must sit at or above the sketch's guarantee line. */
+  def exactHeavyHitters(items: DataFrame, itemCol: String,
+                        phiDen: Long, k: Int = 256): DataFrame = {
+    require(phiDen >= 2 && phiDen <= k + 1,
+      s"exactness needs 2 <= phiDen <= k+1, got phiDen=$phiDen k=$k")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val ds = items.select(col(itemCol).cast("string")).as[String]
+    // pass 1: per-partition MG summary. Each row is either a candidate
+    // term or the partition's instance count (term = null) — the total
+    // rides along so the guard and threshold never need a third scan.
+    val sketch = ds.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      while (it.hasNext) {
+        val t = it.next()
+        n += 1
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < k => counters.update(t, 1L)
+          case None => // decrement-all round: amortized O(1) per item
+            counters.mapValuesInPlace((_, v) => v - 1)
+            counters.filterInPlace((_, v) => v > 0)
+        }
+      }
+      Iterator.single((null: String, n)) ++
+        counters.keysIterator.map(t => (t, 0L))
+    }.toDF("term", "n_part")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = sketch.filter(col("term").isNull)
+      .agg(coalesce(sum(col("n_part")), lit(0L)).as("n_total"))
+    val cands = sketch.filter(col("term").isNotNull).select("term").distinct()
+    // pass 2: exact counts over the candidate-pruned stream only
+    val out = items.select(col(itemCol).cast("string").as("term"))
+      .join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * phiDen > col("n_total"))
+      .select(col("term"), col("cnt"), col("n_total"))
+    graft.Caching.releaseAfterFirstUse(out, sketch)
+  }
 }

@@ -181,6 +181,29 @@ object CorpusAnalysisQueries {
         .limit(200)
         .select("doc_id", "lang", "n_tokens", "weight_micro")
     },
+    // y20 — multinomial Naive Bayes lang classifier (the fastText-
+    // classifier slot of a CCNet/GPT-3 curation stack): train on an
+    // md5-gated 50% labeled seed, score every doc, argmax in integer
+    // micro-nats so the predictions replay cross-engine exactly
+    "y20_nb_classifier" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.llm.Classifier.naiveBayes(docs, "doc_id", "text",
+          when(md5(col("doc_id").cast("string")) < "8", col("lang")))
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .select("doc_id", "lang", "pred", "score_micro", "n_scored")
+        .orderBy("doc_id")
+    },
+    // y22 — exact heavy hitters (tokens above 1/200 of all instances)
+    // via two scans with Misra–Gries candidate pruning: the shuffle
+    // carries <= partitions·k candidate rows instead of the whole
+    // vocabulary, and the pruning is value-invisible (exact counts,
+    // partitioning-independent) so the oracle is a plain HAVING
+    "y22_heavy_hitters" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.regexTokens(col("text"))).as("term"))
+      graft.llm.Sketches.exactHeavyHitters(toks, "term", phiDen = 200L, k = 256)
+        .orderBy(col("cnt").desc, col("term").asc)
+    },
     // y15 — mixture sampling: per-language keep rates DERIVED from
     // target mixture weights (en .5 / de .3 / fr .2 of a 400-doc
     // output) and the realized counts; md5-gated membership, so the
@@ -212,6 +235,61 @@ object CorpusAnalysisQueries {
   )
 
   def oracles: Map[String, String] = Map(
+      "y22_heavy_hitters" ->
+        """WITH tok AS (
+          |  SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+          |  FROM documents),
+          |tot AS (SELECT COUNT(*) AS n_total FROM tok)
+          |SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  CAST(n_total AS BIGINT) AS n_total
+          |FROM tok CROSS JOIN tot
+          |GROUP BY term, n_total
+          |HAVING COUNT(*) * 200 > n_total
+          |ORDER BY cnt DESC, term""".stripMargin,
+      "y20_nb_classifier" ->
+        """WITH tf AS (
+          |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+          |    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+          |    FROM documents)
+          |  GROUP BY doc_id, term),
+          |seed AS (SELECT doc_id, lang AS cls FROM documents
+          |         WHERE md5(CAST(doc_id AS VARCHAR)) < '8'),
+          |ct AS (SELECT cls, term, SUM(tf.tf) AS c
+          |       FROM tf JOIN seed USING (doc_id) GROUP BY cls, term),
+          |ctot AS (SELECT cls, SUM(c) AS n_cls FROM ct GROUP BY cls),
+          |v AS (SELECT COUNT(DISTINCT term) AS v FROM ct),
+          |pri AS (SELECT cls,
+          |    CAST(floor(ln(CAST(d AS DOUBLE) / d_tot) * 1e6) AS BIGINT) AS prior_micro
+          |  FROM (SELECT cls, COUNT(*) AS d FROM seed GROUP BY cls)
+          |  CROSS JOIN (SELECT COUNT(*) AS d_tot FROM seed)),
+          |grid AS (
+          |  SELECT t.term, ctot.cls,
+          |    CAST(floor(ln(CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)
+          |      / (ctot.n_cls + v.v)) * 1e6) AS BIGINT) AS lp_micro
+          |  FROM (SELECT DISTINCT term FROM ct) t
+          |  CROSS JOIN ctot
+          |  LEFT JOIN ct ON ct.term = t.term AND ct.cls = ctot.cls
+          |  CROSS JOIN v),
+          |sc AS (
+          |  SELECT tf.doc_id, grid.cls, SUM(tf.tf * grid.lp_micro) AS ll_micro,
+          |         SUM(tf.tf) AS n_scored
+          |  FROM tf JOIN grid USING (term) GROUP BY tf.doc_id, grid.cls),
+          |fl AS (
+          |  SELECT d.doc_id, p.cls,
+          |    p.prior_micro + COALESCE(sc.ll_micro, 0) AS score_micro,
+          |    COALESCE(sc.n_scored, 0) AS n_scored
+          |  FROM documents d CROSS JOIN pri p
+          |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.cls = p.cls),
+          |best AS (
+          |  SELECT doc_id, cls AS pred, score_micro, n_scored,
+          |    ROW_NUMBER() OVER (PARTITION BY doc_id
+          |                       ORDER BY score_micro DESC, cls) AS rn
+          |  FROM fl)
+          |SELECT b.doc_id, d.lang, b.pred,
+          |  CAST(b.score_micro AS BIGINT) AS score_micro,
+          |  CAST(b.n_scored AS BIGINT) AS n_scored
+          |FROM best b JOIN documents d USING (doc_id)
+          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
       "y21_dsir_select" ->
         """WITH tf AS (
           |  SELECT doc_id, term, COUNT(*) AS tf FROM (

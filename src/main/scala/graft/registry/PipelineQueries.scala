@@ -154,9 +154,103 @@ object PipelineQueries {
         .orderBy("doc_id")
       graft.Caching.releaseAfterFirstUse(manifest, survivors)
     },
+    // e6 — CCNet-style curation (Wenzek et al. 2020): exact dedup →
+    // language ID → corpus-LM perplexity (integer micro-nats/token) →
+    // per-language head/middle/tail tertiles via HISTOGRAM cutoffs
+    // (never a per-language ntile window — see perplexityBuckets) →
+    // per-(lang, bucket) corpus summary. The canonical keep is one
+    // digest exchange; the LM is one term-keyed join; the bucket
+    // assign is a broadcast join. Deployment swaps the unigram proxy
+    // for a KenLM scorer; every stage around it is the real pipeline.
+    "e6_ccnet_curation" -> { (s, dir) =>
+      val kept = Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("m"),
+          count(lit(1)).as("n_copies"))
+        .select(col("m.doc_id").as("doc_id"), col("m.text").as("text"),
+          col("n_copies"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lm = graft.llm.Corpus.unigramLogProb(kept, "doc_id", "text")
+      val scored = kept
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .join(lm, Seq("doc_id"))
+        .withColumn("ppl_micro",
+          when(col("n_tokens") > 0L, expr("(-logprob_micro) div n_tokens")))
+      val bucketed = graft.llm.Corpus.perplexityBuckets(
+        scored, "lang_pred", "ppl_micro")
+      val out = bucketed.groupBy("lang_pred", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_copies")).as("n_copies"),
+          min(col("ppl_micro")).as("min_ppl"),
+          max(col("ppl_micro")).as("max_ppl"))
+        .orderBy("lang_pred", "bucket")
+      graft.Caching.releaseAfterFirstUse(out, kept)
+    },
   )
 
   def oracles: Map[String, String] = Map(
+      // e6 — full replay: dedup (arg_min canonical), the y1 langid
+      // CASE, the y13 unigram micro-nat CTEs, histogram tertile cuts
+      // (3·cum >= n is the exact-integer ceil(n/3) test), CASE bucket
+      "e6_ccnet_curation" ->
+        s"""WITH kept AS (
+           |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+           |    CAST(COUNT(*) AS BIGINT) AS n_copies
+           |  FROM documents GROUP BY md5(text)),
+           |t AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ts
+           |      FROM kept),
+           |lang AS (
+           |  SELECT doc_id,
+           |    CASE WHEN hd >= he AND hd >= hf AND hd > 0 THEN 'de'
+           |         WHEN he >= hf AND he > 0 THEN 'en'
+           |         WHEN hf > 0 THEN 'fr'
+           |         ELSE 'und' END AS lang_pred
+           |  FROM (SELECT doc_id, ${langHits(de)} AS hd, ${langHits(en)} AS he,
+           |          ${langHits(fr)} AS hf FROM t)),
+           |tf AS (
+           |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+           |    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+           |    FROM kept)
+           |  GROUP BY doc_id, term),
+           |cnt AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),
+           |tot AS (SELECT SUM(cnt) AS total FROM cnt),
+           |lm AS (
+           |  SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
+           |    SUM(tf.tf * CAST(floor(ln(CAST(cnt.cnt AS DOUBLE) / tot.total) * 1e6)
+           |      AS BIGINT)) AS lp
+           |  FROM tf JOIN cnt USING (term) CROSS JOIN tot GROUP BY tf.doc_id),
+           |sc AS (
+           |  SELECT k.doc_id, k.n_copies, l.lang_pred,
+           |    COALESCE(lm.n_tokens, 0) AS n_tokens,
+           |    CASE WHEN COALESCE(lm.n_tokens, 0) > 0
+           |         THEN (-lm.lp) // lm.n_tokens END AS ppl_micro
+           |  FROM kept k JOIN lang l USING (doc_id) LEFT JOIN lm USING (doc_id)),
+           |hist AS (SELECT lang_pred, ppl_micro, COUNT(*) AS c FROM sc
+           |         WHERE ppl_micro IS NOT NULL GROUP BY lang_pred, ppl_micro),
+           |cum AS (
+           |  SELECT lang_pred, ppl_micro,
+           |    SUM(c) OVER (PARTITION BY lang_pred ORDER BY ppl_micro) AS cum,
+           |    SUM(c) OVER (PARTITION BY lang_pred) AS n
+           |  FROM hist),
+           |cuts AS (
+           |  SELECT lang_pred,
+           |    MIN(CASE WHEN cum * 3 >= n THEN ppl_micro END) AS c1,
+           |    MIN(CASE WHEN cum * 3 >= 2 * n THEN ppl_micro END) AS c2
+           |  FROM cum GROUP BY lang_pred),
+           |b AS (
+           |  SELECT sc.*,
+           |    CASE WHEN ppl_micro IS NULL THEN 'tail'
+           |         WHEN ppl_micro <= c1 THEN 'head'
+           |         WHEN ppl_micro <= c2 THEN 'middle'
+           |         ELSE 'tail' END AS bucket
+           |  FROM sc LEFT JOIN cuts USING (lang_pred))
+           |SELECT lang_pred, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(n_copies) AS BIGINT) AS n_copies,
+           |  CAST(MIN(ppl_micro) AS BIGINT) AS min_ppl,
+           |  CAST(MAX(ppl_micro) AS BIGINT) AS max_ppl
+           |FROM b GROUP BY lang_pred, bucket ORDER BY lang_pred, bucket""".stripMargin,
       // e5 — every stage of the incremental pipeline replayed: batch
       // synthesis, digest anti-join (bloom is exact), banded near-dup
       // sweep (x14's CTEs), k-means cell routing (x7's CTEs), and the

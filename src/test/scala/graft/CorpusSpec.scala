@@ -525,4 +525,30 @@ class CorpusSpec extends SparkSpec {
     // pure row-property assignment: re-run is identical
     assert(out.as[(Long, Long, Long)].collect().toSeq.sorted == rows.sorted)
   }
+
+  test("naiveBayes: seed-trained argmax, OOV-invariance, prior-only floor") {
+    val docs = Seq(
+      (1L, "cat cat dog", "A"),   // seed: class A is cat/dog-ish
+      (2L, "cat fish", "A"),
+      (3L, "wolf wolf bear", "B"),
+      (4L, "cat cat", null),      // clear A evidence
+      (5L, "wolf bear bear", null),
+      (6L, "zzz qqq", null),      // fully OOV -> prior decides (A: 2 of 3 seeds)
+      (7L, "", null),             // token-free -> prior-only, n_scored 0
+      (8L, "cat cat zzz", null)   // OOV term must not flip the argmax
+    ).toDF("doc_id", "text", "lbl")
+    val got = graft.llm.Classifier.naiveBayes(docs, "doc_id", "text", col("lbl"))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "A", 5L -> "B", 6L -> "A",
+        7L -> "A", 8L -> "A"))
+    val byId = got.map(r => r._1 -> r).toMap
+    // n_scored counts IN-VOCABULARY instances only: doc 8 scores 2 of 3
+    assert(byId(8L)._4 == 2L && byId(7L)._4 == 0L && byId(6L)._4 == 0L)
+    // OOV terms are argmax-invariant AND score-invariant: doc 8 == doc 4
+    assert(byId(8L)._3 == byId(4L)._3)
+    // prior-only docs score exactly the class prior: ln(2/3) in micro-nats
+    assert(byId(6L)._3 == math.floor(math.log(2.0 / 3.0) * 1e6).toLong)
+  }
 }

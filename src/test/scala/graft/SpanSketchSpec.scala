@@ -171,4 +171,28 @@ class SpanSketchSpec extends SparkSpec {
     val small = (0 until 10).map(v => ("s", v.toLong)).toDF("grp", "v")
     assert(Sketches.kmvDistinct(small, "grp", "v", k = 64).isEmpty)
   }
+
+  test("exactHeavyHitters equals the direct GROUP BY under adversarial partitioning") {
+    import spark.implicits._
+    // Zipf-ish: 'hot' 300x, 'warm' 60x, 200 singletons, n = 560;
+    // k = 9, phiDen = 10 -> threshold 56: expect exactly hot + warm.
+    // The tiny k forces MG decrement rounds in every partition.
+    val items = (Seq.fill(300)("hot") ++ Seq.fill(60)("warm") ++
+      (0 until 200).map(i => s"u$i"))
+    for (parts <- Seq(1, 3, 7)) {
+      val df = items.toDF("term").repartition(parts)
+      val got = Sketches.exactHeavyHitters(df, "term", phiDen = 10L, k = 9)
+        .orderBy("term").as[(String, Long, Long)].collect().toSeq
+      assert(got === Seq(("hot", 300L, 560L), ("warm", 60L, 560L)),
+        s"parts=$parts")
+    }
+  }
+
+  test("exactHeavyHitters rejects a threshold below the sketch guarantee") {
+    import spark.implicits._
+    val df = Seq("a", "b").toDF("term")
+    intercept[IllegalArgumentException] {
+      Sketches.exactHeavyHitters(df, "term", phiDen = 11L, k = 9)
+    }
+  }
 }
