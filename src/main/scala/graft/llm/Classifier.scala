@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed multinomial Naive Bayes — the quality/domain classifier
@@ -10,7 +9,8 @@ import org.apache.spark.sql.functions._
   * score the whole corpus). NB is the Spark-native choice for that
   * slot because training IS aggregation: class-conditional term counts
   * and priors are one groupBy each — no gradient loop, no driver-side
-  * model state — and scoring is one vocabulary join + hash aggregate.
+  * model state beyond K class rows — and scoring is one vocabulary
+  * join + hash aggregate.
   *
   * Cross-engine exactness follows the repo's micro-nat convention
   * (see [[Corpus.unigramLogProb]]): every log-probability is
@@ -18,18 +18,21 @@ import org.apache.spark.sql.functions._
   * and the argmax tie-breaks on the class code — so the DuckDB oracle
   * replays predictions bit-for-bit.
   *
-  * Scale shape (100 TB corpus, seed ≪ corpus):
+  * Scale shape (100 TB corpus, seed ≪ corpus, K classes small):
   *  - one staged (doc, term, tf) aggregate feeds BOTH training and
   *    scoring (persisted fan-out; the explode never runs twice);
-  *  - training tables are vocab-sized (|V|·K rows for the smoothed
-  *    grid, K = #classes — small); totals/priors broadcast as 1-row
-  *    frames;
-  *  - the scoring join is term-keyed over (doc, term) PAIRS, never
-  *    token instances, and drops out-of-vocabulary terms before the
-  *    shuffle (an OOV term contributes equal smoothing mass to every
-  *    class, so dropping it is argmax-invariant AND shuffle-minimal);
-  *  - the argmax window partitions by doc id — K rows per partition
-  *    key, no skew possible.
+  *  - the model is a PIVOTED vocab-sized table — one row per term
+  *    with K smoothed log-likelihood columns — so the scoring join
+  *    moves |doc-term pairs| rows, never pairs×K (a dense-grid
+  *    formulation expanding to pairs×K rows measured 253–624 s at 1M
+  *    docs depending on the argmax; this shape runs 198.7 s — see
+  *    PROBES.md);
+  *  - per-doc scores are K map-side-combinable SUM columns; the
+  *    argmax is a per-row `array_min` over K (−score, class) structs
+  *    — no window, no second shuffle;
+  *  - class metadata (count, total, prior) is collected to the driver
+  *    as K rows — the documented O(#strata) driver-bound convention —
+  *    and re-enters the plan only as literals.
   */
 object Classifier {
 
@@ -39,7 +42,9 @@ object Classifier {
     * (idCol, pred, score_micro, n_scored) where `pred` is the
     * max-posterior class (ties → lexicographically first class),
     * `score_micro` = prior + Σ tf·lnP(term|class) in micro-nats, and
-    * `n_scored` counts in-vocabulary token instances. */
+    * `n_scored` counts in-vocabulary token instances (out-of-vocab
+    * terms contribute equal smoothing mass to every class, so
+    * dropping them is argmax-invariant AND shuffle-minimal). */
   def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
                  seedLabel: Column): DataFrame = {
     val tf = docs
@@ -49,11 +54,11 @@ object Classifier {
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // --- training: all vocab-sized aggregates off the staged tf ---
-    val trainTf = tf.filter(col("__lbl").isNotNull)
-    val classTerm = trainTf.groupBy(col("__lbl").as("cls"), col("term"))
+    // --- training: vocab-sized aggregates off the staged tf, plus a
+    // K-row driver collect for the class constants ---
+    val classTerm = tf.filter(col("__lbl").isNotNull)
+      .groupBy(col("__lbl").as("cls"), col("term"))
       .agg(sum(col("tf")).as("c"))
-    // class priors from seed DOC counts (not token counts)
     val priors = docs.select(col(idCol), seedLabel.as("cls"))
       .filter(col("cls").isNotNull)
       .groupBy("cls").agg(count(lit(1)).as("d"))
@@ -64,33 +69,50 @@ object Classifier {
         floor(log(col("d").cast("double") / col("d_tot")) * 1e6)
           .cast("long").as("prior_micro"))
     val classTot = classTerm.groupBy("cls").agg(sum(col("c")).as("n_cls"))
-    val vocabSize = classTerm.select(countDistinct(col("term")).as("v"))
-    // dense |V|·K grid: every (term, class) gets an add-1 smoothed
-    // log-likelihood, absent counts drawing only smoothing mass
-    val grid = classTerm.select("term").distinct()
-      .crossJoin(broadcast(classTot))
-      .join(classTerm, Seq("term", "cls"), "left")
-      .crossJoin(broadcast(vocabSize))
-      .select(col("term"), col("cls"),
-        floor(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
-          (col("n_cls") + col("v"))) * 1e6).cast("long").as("lp_micro"))
+    // K rows + 1 scalar to the driver; everything else stays distributed
+    val classInfo = classTot.join(priors, "cls").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(classInfo.nonEmpty, "naiveBayes needs at least one seed class")
+    classInfo.foreach { case (c, _, _) =>
+      require(!c.contains("`"), s"class label not column-safe: $c") }
+    val vocabSize = classTerm.agg(countDistinct(col("term"))).collect()(0).getLong(0)
 
-    // --- scoring: one term-keyed join, one hash agg, one window ---
-    val docScores = tf.join(grid, "term") // inner: OOV terms argmax-invariant
-      .groupBy(col(idCol), col("cls"))
-      .agg(sum(col("tf") * col("lp_micro")).as("ll_micro"),
-        sum(col("tf")).as("n_scored"))
-    val full = docs.select(col(idCol))
-      .crossJoin(broadcast(priors)) // K rows per doc: prior-only floor
-      .join(docScores, Seq(idCol, "cls"), "left")
-      .select(col(idCol), col("cls"),
-        (col("prior_micro") + coalesce(col("ll_micro"), lit(0L))).as("score_micro"),
-        coalesce(col("n_scored"), lit(0L)).as("n_scored"))
-    val best = Window.partitionBy(col(idCol))
-      .orderBy(col("score_micro").desc, col("cls").asc)
-    val out = full
-      .withColumn("__rn", row_number().over(best)).filter(col("__rn") === 1)
-      .select(col(idCol), col("cls").as("pred"), col("score_micro"), col("n_scored"))
-    graft.Caching.releaseAfterFirstUse(out, tf)
+    // pivoted model: one row per term, K smoothed lp columns
+    val lpCols = classInfo.map { case (c, nCls, _) =>
+      floor(log((coalesce(col(s"`$c`"), lit(0L)) + 1).cast("double") /
+        lit(nCls + vocabSize)) * 1e6).cast("long").as(s"__lp_$c")
+    }
+    val model = classTerm.groupBy("term")
+      .pivot("cls", classInfo.map(_._1).toSeq).sum("c")
+      .select(col("term") +: lpCols: _*)
+
+    // --- scoring: ONE pairs-sized join, one hash agg, row-local argmax
+    val sumCols = classInfo.map { case (c, _, _) =>
+      sum(col("tf") * col(s"__lp_$c")).as(s"__s_$c") } :+
+      sum(col("tf")).as("n_scored")
+    // persisted: feeds the argmax projection AND the missing-doc
+    // anti-join below — doc-sized and narrow (K+2 longs per row)
+    val scored = tf.join(model, "term")
+      .groupBy(col(idCol))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = array(classInfo.map { case (c, _, prior) =>
+      struct(((col(s"__s_$c") + prior) * -1).as("neg"), lit(c).as("cls"))
+    }: _*)
+    val best = scored
+      .withColumn("__best", array_min(candidates))
+      .select(col(idCol), col("__best.cls").as("pred"),
+        (col("__best.neg") * -1).as("score_micro"), col("n_scored"))
+    // docs with no in-vocabulary token score prior-only: the argmax is
+    // the max-prior class (tie → first class code) — a constant,
+    // precomputed from the K driver rows
+    val (pCls, _, pMicro) = classInfo.minBy { case (c, _, p) => (-p, c) }
+    val missing = docs.select(col(idCol))
+      .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), lit(pCls).as("pred"),
+        lit(pMicro).as("score_micro"), lit(0L).as("n_scored"))
+    val out = best.unionByName(missing)
+    graft.Caching.releaseAfterFirstUse(out, tf, scored)
   }
 }

@@ -380,6 +380,59 @@ object Corpus {
     graft.Caching.releaseAfterFirstUse(out, tf)
   }
 
+  /** Distributed BPE merge training (Sennrich et al. 2016) — the
+    * tokenizer-construction pass of a training-data pipeline. Classic
+    * BPE iterates: count adjacent symbol pairs over the word-frequency
+    * table, merge the most frequent pair everywhere, repeat. The Spark
+    * shape: the CORPUS is touched exactly once (token explode → word
+    * frequency aggregate); every iteration after that runs on the
+    * vocabulary-sized word table — pair counting is one map-side
+    * explode + hash agg, the argmax is a 1-row TakeOrdered collect
+    * (O(numMerges) driver rows total), and the merge apply is a pure
+    * per-row `replace`. Ties break on the pair string so the merge
+    * sequence is deterministic and the oracle replays it with
+    * unrolled CTEs (the kmeansIterSql pattern).
+    *
+    * Symbol encoding: each word becomes `_c1 _c2 …` — marker-prefixed
+    * symbols joined by single spaces. `replace(sym, "_l _r", "_lr")`
+    * is then EXACTLY the greedy left-to-right non-overlapping BPE
+    * merge: the marker pins matches to symbol starts (no mid-symbol
+    * false hits), and sequential replace semantics (identical in
+    * Spark and DuckDB) resolve overlaps like `a a a` → `aa a`.
+    * Returns (rank, pair, cnt) — the learned merge table. */
+  def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
+                numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(TextAnalysis.regexTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        rtrim(regexp_replace(col("word"), "(.)", "_$1 ")).as("sym"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var vocab = words
+    for (i <- 1 to numMerges) {
+      val arr = split(col("sym"), " ")
+      val best = vocab
+        .select(col("freq"), explode(zip_with(
+          slice(arr, lit(1), size(arr) - 1), slice(arr, lit(2), size(arr) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      require(best.nonEmpty, s"vocabulary exhausted after ${i - 1} merges")
+      val pair = best(0).getString(0)
+      merges += ((i, pair, best(0).getLong(1)))
+      val merged = "_" + pair.replace("_", "").replace(" ", "")
+      vocab = vocab.withColumn("sym",
+        replace(col("sym"), lit(pair), lit(merged)))
+    }
+    val out = merges.toSeq.toDF("rank", "pair", "cnt")
+    words.unpersist()
+    out
+  }
+
   /** CCNet-style per-language perplexity bucketing (Wenzek et al.
     * 2020): split each language's documents into head / middle / tail
     * thirds by LM score. CCNet assigns buckets by comparing each doc

@@ -70,4 +70,43 @@ object TextAnalysis {
 
   def minShingleFingerprint(text: Column): Column =
     minShingleFromShingles(Text.ngrams(tokens(text), 3), text)
+
+  /** Gopher-style quality-rule bundle (Rae et al. 2021 §A1.1 /
+    * C4-style heuristics): the per-document rule battery a curation
+    * pipeline runs BEFORE any model-based scoring. All ratios are
+    * exact integer milli-fractions (numerator·1000 div denominator) so
+    * every rule value — not just the keep bit — replays cross-engine.
+    * Pure per-row Column expressions: zero shuffles, whole-stage
+    * codegen, scan-bound at any corpus size.
+    *
+    * Rules (thresholds from the paper, adapted to milli-integers):
+    * word count in [minWords, maxWords]; mean word length in [3, 10]
+    * chars; ≥ 80% of words contain an alphabetic char; ≥ 2 stop-word
+    * hits; < 10% symbol-words (`#` or containing `...`). */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, minWords: Long = 5L,
+                  maxWords: Long = 100000L): org.apache.spark.sql.DataFrame = {
+    val ts = tokens(col(textCol))
+    val nWords = size(ts).cast("long")
+    val charSum = aggregate(ts, lit(0L), (acc, w) => acc + length(w))
+    val alphaHits = size(filter(ts, w => w.rlike("[a-z]"))).cast("long")
+    val stopHits = size(filter(ts,
+      w => array_contains(array(Text.StopWords.map(lit): _*), w))).cast("long")
+    val symbolHits = size(filter(ts,
+      w => w === "#" || w.contains("..."))).cast("long")
+    df.select(col(idCol), nWords.as("n_words"), charSum.as("__cs"),
+        alphaHits.as("__ah"), symbolHits.as("__sh"), stopHits.as("stop_hits"))
+      .withColumn("mean_len_milli",
+        when(col("n_words") > 0L, expr("__cs * 1000 div n_words")))
+      .withColumn("alpha_milli", when(col("n_words") > 0L,
+        expr("__ah * 1000 div n_words")))
+      .withColumn("symbol_milli", when(col("n_words") > 0L,
+        expr("__sh * 1000 div n_words")))
+      .drop("__cs", "__ah", "__sh")
+      .withColumn("kept",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_len_milli") >= 3000L && col("mean_len_milli") <= 10000L &&
+          col("alpha_milli") >= 800L && col("stop_hits") >= 2L &&
+          col("symbol_milli") < 100L)
+  }
 }

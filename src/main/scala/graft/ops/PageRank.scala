@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank in exact integer micro-units — the host/domain
+  * quality prior of a crawl-curation pipeline (pages on well-linked
+  * hosts are upweighted before model-based scoring; the classic
+  * Common-Crawl host-ranking signal).
+  *
+  * Arithmetic: ranks are BIGINT micros. Per edge, node u sends
+  * `r_u · w_e div W_u` (W_u = u's total out-weight); the new rank is
+  * `(150·t + 850·Σ_in) div 1000` with t = 1e6 div N the teleport
+  * share (d = 0.85 in milli). Every step is integer multiply /
+  * floor-divide / order-independent sum, so the ranks replay
+  * bit-for-bit in any engine — the floor drops do lose a few micros
+  * of mass per iteration (deterministically), which a float PR would
+  * instead spread as rounding noise.
+  *
+  * Scale shape: each iteration is two vocabulary-sized equi-joins
+  * (edges ⋈ ranks on src — shuffles |edges| rows keyed by src — and a
+  * dst-keyed hash agg) plus a broadcast of the 1-row teleport term;
+  * the rank table is node-sized. Iterations chain lineage linearly —
+  * callers running many iterations should checkpoint every few (the
+  * x8 label-propagation pattern); the 3-iteration curation prior here
+  * doesn't need it.
+  */
+object PageRank {
+
+  /** @param edges (src, dst, w) weighted directed edges
+    * @param nodes one row per node id (column `node`) — defines N and
+    *              catches sink/isolated nodes
+    * @return (node, rank_micro) after `iters` rounds */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val outdeg = edges.groupBy("src").agg(sum(col("w")).as("w_out"))
+    val tele = nodes.agg(count(lit(1)).as("__n"))
+      .select(expr("1000000L div __n").as("t"))
+    var ranks = nodes.crossJoin(broadcast(tele))
+      .select(col("node"), col("t").as("rank_micro"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(outdeg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank_micro * w div w_out").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(tele))
+        .select(col("node"),
+          expr("(150 * t + 850 * coalesce(s, 0L)) div 1000").as("rank_micro"))
+    }
+    ranks
+  }
+}

@@ -204,6 +204,23 @@ object CorpusAnalysisQueries {
       graft.llm.Sketches.exactHeavyHitters(toks, "term", phiDen = 200L, k = 256)
         .orderBy(col("cnt").desc, col("term").asc)
     },
+    // y23 — Gopher quality-rule bundle (Rae et al. 2021): word count,
+    // mean word length, alphabetic/symbol/stop-word ratios as exact
+    // integer milli-fractions + the composite keep bit. Pure per-row
+    // codegen'd exprs: zero shuffles, scan-bound at any corpus size.
+    "y23_gopher_rules" -> { (s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    // y24 — BPE tokenizer training (6 merges): corpus touched once
+    // (word-frequency agg), then vocabulary-sized pair-count rounds
+    // with a 1-row argmax each; tie-break on the pair string makes
+    // the merge sequence deterministic enough to replay in SQL
+    "y24_bpe_merges" -> { (s, dir) =>
+      Corpus.bpeMerges(Tables.documents(s, dir), "doc_id", "text",
+        numMerges = 6)
+        .orderBy("rank")
+    },
     // y15 — mixture sampling: per-language keep rates DERIVED from
     // target mixture weights (en .5 / de .3 / fr .2 of a 400-doc
     // output) and the realized counts; md5-gated membership, so the
@@ -234,7 +251,68 @@ object CorpusAnalysisQueries {
     },
   )
 
+  /** One unrolled BPE round (the kmeansIterSql pattern): count pairs
+    * over v{j-1}, take the (cnt desc, pair asc) argmax, apply the
+    * greedy marker-pinned replace. */
+  private def bpeIterSql(j: Int): String = {
+    val prev = s"v${j - 1}"
+    s"""p$j AS (
+       |  SELECT pair, SUM(freq) AS cnt FROM (
+       |    SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+       |      i -> syms[i] || ' ' || syms[i + 1])) AS pair
+       |    FROM (SELECT freq, string_split(sym, ' ') AS syms FROM $prev))
+       |  GROUP BY pair),
+       |b$j AS (SELECT pair, cnt FROM p$j ORDER BY cnt DESC, pair LIMIT 1),
+       |v$j AS (
+       |  SELECT freq, replace(sym, (SELECT pair FROM b$j),
+       |    '_' || replace(replace((SELECT pair FROM b$j), '_', ''), ' ', '')) AS sym
+       |  FROM $prev)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+      "y24_bpe_merges" ->
+        s"""WITH w AS (
+           |  SELECT word, COUNT(*) AS freq FROM (
+           |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
+           |    FROM documents)
+           |  GROUP BY word),
+           |v0 AS (
+           |  SELECT freq, '_' || list_aggregate(
+           |    list_transform(generate_series(1, length(word)), i -> word[i]),
+           |    'string_agg', ' _') AS sym
+           |  FROM w),
+           |${(1 to 6).map(bpeIterSql).mkString(",\n")}
+           |SELECT * FROM (
+           |  ${(1 to 6).map(j =>
+                s"SELECT CAST($j AS INTEGER) AS rank, pair, CAST(cnt AS BIGINT) AS cnt FROM b$j")
+                .mkString("\n  UNION ALL ")}
+           |) ORDER BY rank""".stripMargin,
+      "y23_gopher_rules" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id,
+           |    CAST(len(ts) AS BIGINT) AS n_words,
+           |    CAST(list_sum(list_transform(ts, w -> length(w))) AS BIGINT) AS cs,
+           |    CAST(len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS ah,
+           |    CAST(len(list_filter(ts, w -> w = '#' OR contains(w, '...'))) AS BIGINT) AS sh,
+           |    CAST(len(list_filter(ts, w -> list_contains($StopSql, w))) AS BIGINT) AS stop_hits
+           |  FROM t),
+           |r AS (
+           |  SELECT doc_id, n_words,
+           |    CASE WHEN n_words > 0 THEN cs * 1000 // n_words END AS mean_len_milli,
+           |    CASE WHEN n_words > 0 THEN ah * 1000 // n_words END AS alpha_milli,
+           |    CASE WHEN n_words > 0 THEN sh * 1000 // n_words END AS symbol_milli,
+           |    stop_hits
+           |  FROM m)
+           |SELECT doc_id, n_words, mean_len_milli, alpha_milli, symbol_milli,
+           |  stop_hits,
+           |  (n_words >= 5 AND n_words <= 100000
+           |   AND mean_len_milli >= 3000 AND mean_len_milli <= 10000
+           |   AND alpha_milli >= 800 AND stop_hits >= 2
+           |   AND symbol_milli < 100) AS kept
+           |FROM r ORDER BY doc_id""".stripMargin,
       "y22_heavy_hitters" ->
         """WITH tok AS (
           |  SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term

@@ -418,6 +418,24 @@ object CoverageQueries {
       val exact = ev.groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_exact"))
       est.join(exact, Seq("event_type")).orderBy("event_type")
+    },
+    // O9 — weighted PageRank (3 rounds, integer micros) over the
+    // page-transition graph: the host-ranking quality prior of a
+    // crawl curation stack. Edges from per-user lead() transitions
+    // (one vocabulary-sized groupBy), then node-sized iterations.
+    "o9_pagerank" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_sec"), col("entry_id"))
+      val edges = Tables.browsing(s, dir)
+        .select(col("entry_id"), col("user_id"), col("ts_sec"), col("event_type"))
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nodes = Tables.events(s, dir)
+        .select(col("event_type").as("node")).distinct()
+      graft.ops.PageRank.pageRank(edges, nodes, iters = 3)
+        .orderBy(col("rank_micro").desc, col("node").asc)
     }
   )
 
@@ -427,7 +445,38 @@ object CoverageQueries {
     .map(i => s"(strpos('0123456789abcdef', h[$i]) - 1) * ${BigInt(16).pow(13 - i)}")
     .mkString(" + ")
 
+  /** One unrolled PageRank round: src-keyed contribution join, dst
+    * agg, teleport + damping in exact integer micro arithmetic. */
+  private def prIterSql(j: Int): String =
+    s"""c$j AS (
+       |  SELECT e.dst, SUM(r.rank_micro * e.w // o.w_out) AS s
+       |  FROM pr_edges e JOIN pr_outdeg o USING (src)
+       |  JOIN r${j - 1} r ON r.node = e.src
+       |  GROUP BY e.dst),
+       |r$j AS (
+       |  SELECT n.node, (150 * t.t + 850 * COALESCE(c.s, 0)) // 1000 AS rank_micro
+       |  FROM pr_nodes n CROSS JOIN pr_tele t LEFT JOIN c$j c ON c.dst = n.node)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "o9_pagerank" ->
+      s"""WITH b AS (
+         |  SELECT event_id AS entry_id, user_id, event_type,
+         |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_sec
+         |  FROM events),
+         |e0 AS (
+         |  SELECT event_type AS src,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts_sec, entry_id) AS dst
+         |  FROM b),
+         |pr_edges AS (SELECT src, dst, COUNT(*) AS w FROM e0
+         |             WHERE dst IS NOT NULL GROUP BY src, dst),
+         |pr_outdeg AS (SELECT src, SUM(w) AS w_out FROM pr_edges GROUP BY src),
+         |pr_nodes AS (SELECT DISTINCT event_type AS node FROM events),
+         |pr_tele AS (SELECT 1000000 // COUNT(*) AS t FROM pr_nodes),
+         |r0 AS (SELECT node, t AS rank_micro FROM pr_nodes CROSS JOIN pr_tele),
+         |${(1 to 3).map(prIterSql).mkString(",\n")}
+         |SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro
+         |FROM r3 ORDER BY rank_micro DESC, node""".stripMargin,
     "a15_kmv_distinct" ->
       s"""WITH dh AS (
          |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),

@@ -526,6 +526,36 @@ class CorpusSpec extends SparkSpec {
     assert(out.as[(Long, Long, Long)].collect().toSeq.sorted == rows.sorted)
   }
 
+  test("gopherRules: milli-ratios and the composite keep bit on handcrafted docs") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat with a hat"), // mean word len 2777 < 3000
+      (2L, "# # # # #"),                         // all symbol-words
+      (3L, "these wonderful documents contain the finest vocabulary with excellent words")
+    ).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    // (doc_id, n_words, stop_hits, mean_len_milli, alpha_milli, symbol_milli, kept)
+    assert(got(0) === ((1L, 9L, 5L, 2777L, 1000L, 0L, false)))
+    assert(got(1) === ((2L, 5L, 0L, 1000L, 0L, 1000L, false)))
+    assert(got(2) === ((3L, 10L, 2L, 6700L, 1000L, 0L, true)))
+  }
+
+  test("bpeMerges learns the hand-computed merge sequence with greedy overlap semantics") {
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = graft.llm.Corpus.bpeMerges(docs, "doc_id", "text", numMerges = 3)
+      .orderBy("rank").as[(Int, String, Long)].collect().toSeq
+    // aaab x2, ab x1. Round 1: (_a _a) = 2 positions x freq 2 = 4
+    // (overlapping positions both count; the merge is then greedy
+    // non-overlapping: aaab -> [_aa, _a, _b]). Round 2: (_a _b) = 3.
+    // Round 3: (_aa _ab) = 2.
+    assert(got === Seq((1, "_a _a", 4L), (2, "_a _b", 3L), (3, "_aa _ab", 2L)))
+    // a 4th merge has no pairs left -> loud failure, not silence
+    intercept[IllegalArgumentException] {
+      graft.llm.Corpus.bpeMerges(docs, "doc_id", "text", numMerges = 5)
+    }
+  }
+
   test("naiveBayes: seed-trained argmax, OOV-invariance, prior-only floor") {
     val docs = Seq(
       (1L, "cat cat dog", "A"),   // seed: class A is cat/dog-ish
