@@ -33,13 +33,19 @@ object PageRank {
     * @return (node, rank_micro) after `iters` rounds */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
-    val outdeg = edges.groupBy("src").agg(sum(col("w")).as("w_out"))
+    // the edge table (and its out-weight aggregate) is consumed by
+    // every iteration — persist both, or each round replays the
+    // caller's whole edge-extraction lineage (audited: 6 window
+    // passes over the source table for 3 rounds without the persist)
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy("src").agg(sum(col("w")).as("w_out"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tele = nodes.agg(count(lit(1)).as("__n"))
       .select(expr("1000000L div __n").as("t"))
     var ranks = nodes.crossJoin(broadcast(tele))
       .select(col("node"), col("t").as("rank_micro"))
     for (_ <- 1 to iters) {
-      val contrib = edges
+      val contrib = e
         .join(outdeg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("rank_micro * w div w_out").as("c"))
@@ -50,6 +56,6 @@ object PageRank {
         .select(col("node"),
           expr("(150 * t + 850 * coalesce(s, 0L)) div 1000").as("rank_micro"))
     }
-    ranks
+    graft.Caching.releaseAfterFirstUse(ranks, e, outdeg)
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -194,6 +195,40 @@ object Rows {
       case (acc, (k, f)) => when(col(strataCol) === k, lit(hexCut(f))).otherwise(acc)
     }
     df.filter(hashKey(keyCols) < cutExpr)
+  }
+
+  /** Deterministic per-group k-sample: the EXACTLY-k counterpart of
+    * [[stratifiedHashSample]] (a fraction gate over a skewed stratum
+    * yields a binomially-noisy count; audits, eval sets, and per-domain
+    * caps need exactly k). Selection = the k smallest md5(key) values
+    * per group — a fixed, backfill-stable choice (growing a group can
+    * only displace the current k-th member, never reshuffle arbitrary
+    * members), replayable in any engine.
+    *
+    * Scale shape: the naive form is `row_number() OVER (PARTITION BY
+    * group ORDER BY md5)` ≤ k — one total sort per group, a hot-group
+    * straggler at corpus scale. This is the [[graft.llm.Sketches]]
+    * kmvDistinct staging instead: stage 1 ranks within (group, salt) —
+    * the salt cut from the hash tail, so no second hash — keeping ≤
+    * salts·k survivors per group; stage 2 ranks the survivors. The
+    * full group never passes through one reducer. Any salts ≥ 1 gives
+    * identical results. */
+  def groupSample(df: DataFrame, groupCol: String, keyCols: Seq[String],
+                  k: Int, salts: Int = 16): DataFrame = {
+    require(k >= 1, s"groupSample needs k >= 1, got $k")
+    val hashed = df.withColumn("__h", hashKey(keyCols))
+    val salted = hashed.withColumn("__salt",
+      pmod(conv(substring(col("__h"), 29, 4), 16, 10).cast("long"), lit(salts.toLong)))
+    val orderCols = col("__h") +: keyCols.map(col)
+    val local = Window.partitionBy(col(groupCol), col("__salt"))
+      .orderBy(orderCols: _*)
+    val global = Window.partitionBy(col(groupCol))
+      .orderBy(orderCols: _*)
+    salted
+      .withColumn("__rn1", row_number().over(local)).filter(col("__rn1") <= k)
+      .withColumn("sample_rank", row_number().over(global))
+      .filter(col("sample_rank") <= k)
+      .drop("__h", "__salt", "__rn1")
   }
 
   /** O5 — cell truncation, reference caps visible_content at 10 kchars

@@ -124,6 +124,16 @@ object IoQueries {
         .select("doc_id", "lang", "split")
         .orderBy("doc_id")
     },
+    "p13_group_sample" -> { (s, dir) =>
+      // EXACTLY 20 docs per language (p10's fraction gate is
+      // binomially noisy on skewed strata): the k smallest md5(key)
+      // per group via the salted two-stage rank — a hot language
+      // never sorts through one reducer, and growing a group only
+      // ever displaces the k-th member (backfill-stable)
+      Rows.groupSample(Tables.documents(s, dir), "lang", Seq("doc_id"), k = 20)
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    },
     "p12_variant_extract" -> { (s, dir) =>
       // the events table's free-form JSON property bag through Spark
       // 4's VARIANT type: one binary parse, typed path extraction,
@@ -383,6 +393,15 @@ object IoQueries {
         |WHERE md5(CAST(doc_id AS VARCHAR)) <
         |  (CASE WHEN lang = 'en' THEN '33' WHEN lang = 'de' THEN '0d' ELSE '80' END)
         |ORDER BY doc_id""".stripMargin,
+    // the salted two-stage rank is value-invisible: the oracle is the
+    // naive single window it replaces
+    "p13_group_sample" ->
+      """SELECT doc_id, lang, CAST(sample_rank AS INTEGER) AS sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
     // the oracle replays the JSON-path extraction on the raw string —
     // a wrong variant parse, path walk, or cast diverges
     "p12_variant_extract" ->

@@ -1638,4 +1638,27 @@ class OperatorsSpec extends SparkSpec {
     val v2 = df2.select(Dedup.canonical(df2, "key").as("k")).as[String].collect().head
     assert(v2 == """{"id":1}""", v2)
   }
+
+  test("groupSample: exactly k per group, salt-invariant, equals the naive window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (i.toLong, if (i % 10 == 0) "small" else "big"))
+      .toDF("id", "g")
+    def rows(salts: Int) =
+      graft.ops.Rows.groupSample(df, "g", Seq("id"), k = 7, salts = salts)
+        .select("g", "id", "sample_rank")
+        .as[(String, Long, Int)].collect().toSet
+    val a = rows(16)
+    assert(a == rows(1), "salt fan-out must not change the selection")
+    assert(a.groupBy(_._1).view.mapValues(_.size).toMap ==
+      Map("big" -> 7, "small" -> 7))
+    // the staged selection must equal the naive one-window form
+    val naive = df
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy("g").orderBy(md5(col("id").cast("string")), col("id"))))
+      .filter(col("sample_rank") <= 7)
+      .select("g", "id", "sample_rank")
+      .as[(String, Long, Int)].collect().toSet
+    assert(a == naive)
+  }
 }
