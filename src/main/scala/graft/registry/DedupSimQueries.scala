@@ -323,6 +323,27 @@ object DedupSimQueries {
       graft.llm.Pq.ivfAdcTopKPrebuilt(s, idx, emb.filter(col("vec_id") < 5), k = 3)
         .orderBy("query_id", "rank")
     },
+    // x24 — ANN recall evaluation: IVFADC's top-3 measured against the
+    // exact cosine top-3 per query — the index quality gate a
+    // production ANN deployment runs before trusting an index. Both
+    // sides are the registered operators themselves; recall is an
+    // integer milli-fraction so the metric replays exactly.
+    "x24_pq_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.llm.Pq.ivfAdcTopK(emb, queries, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          expr("coalesce(hits, 0L) * 1000 div 3").as("recall_milli"))
+        .orderBy("query_id")
+    },
     // sql2 — the extension-injected native `dotq` function driven from
     // the pure SQL surface: quantized-vector dot products over a temp
     // view, proving SparkSessionExtensions functions reach SQL users
@@ -384,6 +405,29 @@ object DedupSimQueries {
       "x22_pq_topk" -> X22PqSql,
       "x23_ivfpq_topk" -> X23IvfPqSql,
       "x23b_ivfpq_prebuilt" -> X23IvfPqSql,
+      // x24 — recall of the IVFADC result (x23's full CTE set as a
+      // derived table) against the exact cosine top-3 (x5's CTEs)
+      "x24_pq_recall" ->
+        s"""WITH c AS (SELECT vec_id AS neighbor_id, ${qvSql("embedding")} AS nv FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, ${qvSql("embedding")} AS qv FROM embeddings WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine
+           |  FROM c, q WHERE neighbor_id != query_id),
+           |exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS rank
+           |    FROM scored)
+           |  WHERE rank <= 3),
+           |hits AS (
+           |  SELECT e.query_id, COUNT(*) AS hits
+           |  FROM exact e JOIN ($X23IvfPqSql) a
+           |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |  GROUP BY e.query_id)
+           |SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           |  CAST(COALESCE(h.hits, 0) * 1000 // 3 AS BIGINT) AS recall_milli
+           |FROM q LEFT JOIN hits h USING (query_id)
+           |ORDER BY q.query_id""".stripMargin,
       "x21_span_removal" ->
         s"""WITH $spanRemovalGrpCte,
            |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
