@@ -541,6 +541,26 @@ class CorpusSpec extends SparkSpec {
     assert(got(2) === ((3L, 10L, 2L, 6700L, 1000L, 0L, true)))
   }
 
+  test("perplexityBuckets: exact tertile cuts, tie cohesion, null -> tail") {
+    val scored = Seq(
+      ("X", Some(1L)), ("X", Some(2L)), ("X", Some(3L)),
+      ("X", Some(4L)), ("X", Some(5L)), ("X", Some(6L)),
+      ("X", None), // no LM evidence -> tail
+      ("Y", Some(7L)), ("Y", Some(7L)), ("Y", Some(7L)), // all tied
+      ("Z", None) // whole lang without evidence -> tail, no cuts row
+    ).map { case (l, p) => (l, p.map(Long.box).orNull) }
+      .toDF("lang", "ppl")
+      .select(col("lang"), col("ppl").cast("long").as("ppl"))
+    val got = graft.llm.Corpus.perplexityBuckets(scored, "lang", "ppl")
+      .groupBy("lang", "bucket").count()
+      .as[(String, String, Long)].collect().toSet
+    // X: cuts c1=2 (cum 2 >= ceil(6/3)), c2=4 -> 2/2/2 + the null in tail;
+    // Y: value ties land TOGETHER (cutoff semantics): all head
+    assert(got === Set(
+      ("X", "head", 2L), ("X", "middle", 2L), ("X", "tail", 3L),
+      ("Y", "head", 3L), ("Z", "tail", 1L)))
+  }
+
   test("bpeMerges learns the hand-computed merge sequence with greedy overlap semantics") {
     val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
     val got = graft.llm.Corpus.bpeMerges(docs, "doc_id", "text", numMerges = 3)

@@ -1639,6 +1639,19 @@ class OperatorsSpec extends SparkSpec {
     assert(v2 == """{"id":1}""", v2)
   }
 
+  test("pageRank: hand-computed integer micros on a 3-node graph") {
+    import spark.implicits._
+    // a <-> b cycle, c -> a dangling-in; t = 1000000 div 3 = 333333
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val r2 = graft.ops.PageRank.pageRank(edges, nodes, iters = 2)
+      .as[(String, Long)].collect().toMap
+    // iter1: a=(150·333333+850·666666)div 1000=616666, b=333333, c=49999
+    // iter2: a gets 333333+49999, b gets 616666
+    assert(r2 === Map("a" -> 375832L, "b" -> 574166L, "c" -> 49999L))
+  }
+
   test("groupSample: exactly k per group, salt-invariant, equals the naive window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
