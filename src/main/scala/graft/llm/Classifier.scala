@@ -24,9 +24,9 @@ import org.apache.spark.sql.functions._
   *  - the model is a PIVOTED vocab-sized table — one row per term
   *    with K smoothed log-likelihood columns — so the scoring join
   *    moves |doc-term pairs| rows, never pairs×K (a dense-grid
-  *    formulation expanding to pairs×K rows measured 253–624 s at 1M
-  *    docs depending on the argmax; this shape runs 198.7 s — see
-  *    PROBES.md);
+  *    formulation expanding to pairs×K rows measured 1.3–3.1× slower
+  *    at 1M docs depending on the argmax — see the formulation table
+  *    and the GC-sensitivity grid in PROBES.md);
   *  - per-doc scores are K map-side-combinable SUM columns; the
   *    argmax is a per-row `array_min` over K (−score, class) structs
   *    — no window, no second shuffle;

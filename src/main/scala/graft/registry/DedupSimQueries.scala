@@ -333,7 +333,14 @@ object DedupSimQueries {
       val queries = emb.filter(col("vec_id") < 5)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
         .select(col("query_id"), col("neighbor_id"))
-      val approx = graft.llm.Pq.ivfAdcTopK(emb, queries, k = 3)
+      // the approx side reads the PERSISTED code index (x23b's
+      // build-once artifact) — production evaluates the index it
+      // actually serves, not a fresh retrain
+      val idx = s"${corpusScratch(dir)}/pq_index"
+      buildOnce(builtPqIndexes, s"${System.identityHashCode(s)}|$idx") {
+        graft.llm.Pq.buildPqIndex(emb, idx)
+      }
+      val approx = graft.llm.Pq.ivfAdcTopKPrebuilt(s, idx, queries, k = 3)
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("hits"))

@@ -17,12 +17,22 @@ val items = spark.range(N).select(
   when(col("id") % 5 === 0, concat(lit("hot"), (col("id") / 5).cast("long") % 10))
     .otherwise(concat(lit("r"), (col("id") / 3).cast("long"))).as("term"))
 
-// A: direct single-shuffle GROUP BY + HAVING over the full vocabulary
+// A: direct single-shuffle GROUP BY + HAVING over the full vocabulary.
+// Under the memory-pressure variant of this probe (small heap), the
+// direct plan may legitimately fail on the 27M-key shuffle; the MG
+// path must still complete (its sketch pass is k-counter-bounded by
+// construction), so a direct failure is reported, not fatal.
 val tA0 = System.nanoTime
-val direct = items.groupBy("term").agg(count(lit(1)).as("cnt"))
-  .crossJoin(broadcast(items.select(count(lit(1)).as("n_total"))))
-  .filter(col("cnt") * 100 > col("n_total"))
-val directRows = direct.collect().sortBy(_.getString(0))
+val directRows: Option[Array[org.apache.spark.sql.Row]] =
+  try {
+    val direct = items.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(items.select(count(lit(1)).as("n_total"))))
+      .filter(col("cnt") * 100 > col("n_total"))
+    Some(direct.collect().sortBy(_.getString(0)))
+  } catch { case e: Throwable =>
+    println(s"PROBE_Y22 direct plan FAILED under pressure: ${e.getClass.getSimpleName}")
+    None
+  }
 val tA1 = System.nanoTime
 
 // B: two-pass MG-pruned operator (phiDen=100 <= k+1)
@@ -30,8 +40,10 @@ val hh = graft.llm.Sketches.exactHeavyHitters(items, "term", phiDen = 100L, k = 
 val hhRows = hh.collect().sortBy(_.getString(0))
 val tB1 = System.nanoTime
 
-val identical = directRows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
-  hhRows.map(r => (r.getString(0), r.getLong(1))).toSeq
-println(f"PROBE_Y22 n=$N hitters=${hhRows.length} identical=$identical " +
+val identical = directRows.forall(d =>
+  d.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+    hhRows.map(r => (r.getString(0), r.getLong(1))).toSeq)
+println(f"PROBE_Y22 n=$N hitters=${hhRows.length} " +
+  f"direct=${directRows.fold("FAILED")(_ => "ok")} identical=$identical " +
   f"direct_s=${(tA1 - tA0) / 1e9}%.1f mg_s=${(tB1 - tA1) / 1e9}%.1f")
-System.exit(if (identical) 0 else 1)
+System.exit(if (identical && hhRows.length == 10) 0 else 1)
