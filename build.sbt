@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // explode-heavy text stages are GC-bound under large-heap G1 (see
+  // PROBES.md round-11 grid: 3.3× at 24g/32 threads); A/B via
+  // SPARK_GRAFT_GC=G1 to revert to the JVM default
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC",
 )
