@@ -132,6 +132,32 @@ object SpanDedup {
         size(col("kept")).cast("long").as("n_kept"))
   }
 
+  /** Incremental twin of [[duplicatedSpans]]: spans of BATCH documents
+    * whose k-token windows already occur in the CORPUS. The corpus
+    * side arrives as its distinct window-hash SET — the staged
+    * artifact a production pipeline materializes once per snapshot
+    * (the corpusBandSignatures pattern) — so each ingest batch probes
+    * the artifact with one hash-keyed semi join and the corpus text is
+    * never re-tokenized per batch. Batch-internal repetition is
+    * deliberately NOT flagged here (that's [[duplicatedSpans]] run on
+    * the batch); this operator answers "which parts of the new data
+    * already exist in the corpus". */
+  def crossDuplicatedSpans(batch: DataFrame, corpusHashes: DataFrame,
+                           idCol: String, textCol: String, k: Int): DataFrame = {
+    val hits = windowHashes(batch, idCol, textCol, k)
+      .join(corpusHashes.select("h"), Seq("h"), "left_semi")
+      .select("doc_id", "pos")
+    islandSpans(hits, k)
+  }
+
+  /** The corpus window-hash set for [[crossDuplicatedSpans]] — write
+    * this once per snapshot. Thin by construction: one 32-hex row per
+    * DISTINCT window, and the downstream consumer only ever semi-joins
+    * it on `h`. */
+  def corpusWindowHashSet(corpus: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame =
+    windowHashes(corpus, idCol, textCol, k).select("h").distinct()
+
   /** Per-document duplication accounting over [[duplicatedSpans]]:
     * token count, tokens covered by duplicated spans, micro-fraction
     * (integer ppm — cross-engine exact, no float summing), span count.

@@ -221,6 +221,22 @@ object CorpusAnalysisQueries {
         numMerges = 6)
         .orderBy("rank")
     },
+    // y25 — source-level quality funnel (the data-derived analog of a
+    // UT1-style source blocklist): per-source Gopher keep rates as
+    // exact milli-integers; sources below 30% keep get flagged. One
+    // scan + one source-keyed agg on top of y23's per-row exprs.
+    "y25_source_quality" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_words")).as("n_words"))
+        .withColumn("keep_milli", expr("n_kept * 1000 div n_docs"))
+        .withColumn("flagged", col("keep_milli") < 300L)
+        .orderBy("source")
+    },
     // y15 — mixture sampling: per-language keep rates DERIVED from
     // target mixture weights (en .5 / de .3 / fr .2 of a 400-doc
     // output) and the realized counts; md5-gated membership, so the
@@ -269,6 +285,35 @@ object CorpusAnalysisQueries {
        |  FROM $prev)""".stripMargin
   }
 
+  /** Shared Gopher-rule CTE chain (y23 row-level, y25 source-level):
+    * ends at `rk` = one row per doc with the milli-ratios + keep bit. */
+  private lazy val gopherCte: String =
+    s"""t AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(ts) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(ts, w -> length(w))) AS BIGINT) AS cs,
+       |    CAST(len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS ah,
+       |    CAST(len(list_filter(ts, w -> w = '#' OR contains(w, '...'))) AS BIGINT) AS sh,
+       |    CAST(len(list_filter(ts, w -> list_contains($StopSql, w))) AS BIGINT) AS stop_hits
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, n_words,
+       |    CASE WHEN n_words > 0 THEN cs * 1000 // n_words END AS mean_len_milli,
+       |    CASE WHEN n_words > 0 THEN ah * 1000 // n_words END AS alpha_milli,
+       |    CASE WHEN n_words > 0 THEN sh * 1000 // n_words END AS symbol_milli,
+       |    stop_hits
+       |  FROM m),
+       |rk AS (
+       |  SELECT *,
+       |    (n_words >= 5 AND n_words <= 100000
+       |     AND mean_len_milli >= 3000 AND mean_len_milli <= 10000
+       |     AND alpha_milli >= 800 AND stop_hits >= 2
+       |     AND symbol_milli < 100) AS kept
+       |  FROM r)""".stripMargin
+
   def oracles: Map[String, String] = Map(
       "y24_bpe_merges" ->
         s"""WITH w AS (
@@ -288,31 +333,20 @@ object CorpusAnalysisQueries {
                 .mkString("\n  UNION ALL ")}
            |) ORDER BY rank""".stripMargin,
       "y23_gopher_rules" ->
-        s"""WITH t AS (
-           |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts
-           |  FROM documents),
-           |m AS (
-           |  SELECT doc_id,
-           |    CAST(len(ts) AS BIGINT) AS n_words,
-           |    CAST(list_sum(list_transform(ts, w -> length(w))) AS BIGINT) AS cs,
-           |    CAST(len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS ah,
-           |    CAST(len(list_filter(ts, w -> w = '#' OR contains(w, '...'))) AS BIGINT) AS sh,
-           |    CAST(len(list_filter(ts, w -> list_contains($StopSql, w))) AS BIGINT) AS stop_hits
-           |  FROM t),
-           |r AS (
-           |  SELECT doc_id, n_words,
-           |    CASE WHEN n_words > 0 THEN cs * 1000 // n_words END AS mean_len_milli,
-           |    CASE WHEN n_words > 0 THEN ah * 1000 // n_words END AS alpha_milli,
-           |    CASE WHEN n_words > 0 THEN sh * 1000 // n_words END AS symbol_milli,
-           |    stop_hits
-           |  FROM m)
+        s"""WITH $gopherCte
            |SELECT doc_id, n_words, mean_len_milli, alpha_milli, symbol_milli,
-           |  stop_hits,
-           |  (n_words >= 5 AND n_words <= 100000
-           |   AND mean_len_milli >= 3000 AND mean_len_milli <= 10000
-           |   AND alpha_milli >= 800 AND stop_hits >= 2
-           |   AND symbol_milli < 100) AS kept
-           |FROM r ORDER BY doc_id""".stripMargin,
+           |  stop_hits, kept
+           |FROM rk ORDER BY doc_id""".stripMargin,
+      "y25_source_quality" ->
+        s"""WITH $gopherCte
+           |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+           |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+           |    AS BIGINT) AS keep_milli,
+           |  (SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1000 // COUNT(*)) < 300 AS flagged
+           |FROM rk JOIN documents d USING (doc_id)
+           |GROUP BY d.source ORDER BY d.source""".stripMargin,
       "y22_heavy_hitters" ->
         """WITH tok AS (
           |  SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term

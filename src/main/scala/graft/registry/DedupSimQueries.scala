@@ -288,6 +288,28 @@ object DedupSimQueries {
       graft.llm.SpanDedup.removeDuplicatedSpans(corpusNear(s, dir), "doc_id", "text", k = 8)
         .orderBy("doc_id")
     },
+    // x25 — INCREMENTAL span dedup: which parts of an ingest batch
+    // already exist in the corpus. The corpus side is its distinct
+    // window-hash set, staged once per snapshot (the x14b artifact
+    // pattern); the batch probes it with one semi join. Batch texture:
+    // 1/3 exact dupes (full-doc span), 1/3 suffix-extended (span stops
+    // exactly at the original's last token — boundary-sensitive), 1/3
+    // fresh (no span).
+    "x25_span_incremental" -> { (s, dir) =>
+      val batch = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          expr("""CASE (doc_id div 5) % 3
+                  WHEN 0 THEN text
+                  WHEN 1 THEN concat(text, ' v2')
+                  ELSE concat('fresh entry ', cast(doc_id as string),
+                       ' carries wholly novel content alpha',
+                       cast(doc_id as string), ' beta gamma delta')
+                  END""").as("text"))
+      graft.llm.SpanDedup.crossDuplicatedSpans(batch,
+        stagedCorpusSpanHashes(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start")
+    },
     // x22 — product-quantization ADC top-k (Jégou et al. 2011): the
     // memory side of ANN — vectors stored as 8 sub-codebook ids (32×
     // compression), queries scored against the CODES via a broadcast
@@ -406,6 +428,31 @@ object DedupSimQueries {
   def oracles: Map[String, String] = Map(
       "x19_span_dedup" ->
         s"""WITH $spanGrpCte
+           |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end
+           |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+      // x25 — batch window hashes semi-joined against the corpus's
+      // DISTINCT window-hash set (the staged artifact is value-
+      // invisible: the oracle derives the same set inline)
+      "x25_span_incremental" ->
+        s"""WITH batch AS (
+           |  SELECT doc_id + 20000 AS doc_id,
+           |    CASE (doc_id // 5) % 3 WHEN 0 THEN text WHEN 1 THEN text || ' v2'
+           |    ELSE 'fresh entry ' || CAST(doc_id AS VARCHAR) ||
+           |         ' carries wholly novel content alpha' ||
+           |         CAST(doc_id AS VARCHAR) || ' beta gamma delta' END AS text
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |cw AS (
+           |  SELECT DISTINCT md5(array_to_string(tk[i:i+7], ' ')) AS h
+           |  FROM (SELECT regexp_split_to_array(text, '\\s+') AS tk FROM documents),
+           |       unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS t(i)),
+           |bw AS (
+           |  SELECT doc_id, i AS pos, md5(array_to_string(tk[i:i+7], ' ')) AS h
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk
+           |        FROM batch),
+           |       unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS t(i)),
+           |hits AS (SELECT doc_id, pos FROM bw JOIN cw USING (h)),
+           |${islandsCte("hits")}
            |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
            |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end
            |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,

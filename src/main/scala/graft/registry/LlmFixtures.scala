@@ -64,6 +64,25 @@ private[registry] object LlmFixtures {
   val stagedBandTables =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** (sessionUUID|spanDir) staged corpus window-hash sets — the span
+    * family's incremental artifact. */
+  val stagedSpanTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The corpus k=8 window-hash SET as a staged artifact (see
+    * [[graft.llm.SpanDedup.corpusWindowHashSet]]): written once per
+    * snapshot, re-read per ingest batch by x25's semi join. Same
+    * memoization contract as [[stagedNearDupPairs]]. */
+  def stagedCorpusSpanHashes(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${corpusScratch(dir)}/span_hash_set"
+    buildOnce(stagedSpanTables, s"${System.identityHashCode(s)}|$path") {
+      graft.llm.SpanDedup.corpusWindowHashSet(
+        Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text", k = 8)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** x15's canonical-representative pick, shared with its staged twin
     * x15b: join each cluster member's quality score, then ONE window
     * pass computes both the representative rank and the member count —

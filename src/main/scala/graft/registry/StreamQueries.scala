@@ -93,6 +93,25 @@ object StreamQueries {
           maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
         .orderBy("window_start_us")
     },
+    // st14 — windowed top-k: the stream keeps bounded (window, type)
+    // counts (Append emission at watermark), the rank is a batch
+    // epilogue over the emitted table — the only place a rank is
+    // final anyway
+    "st14_stream_topk" -> { (s, dir) =>
+      val glob = writeMicroBatches(s, dir)
+      val counts = Streams
+        .runFileStream(s, glob, streamSchema, scratch(dir, "st14_ckpt"),
+          df => Streams.windowTypeCounts(df), OutputMode.Append(),
+          maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("window_start_us")
+        .orderBy(col("n_events").desc, col("event_type"))
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("window_start_us"), col("window_end_us"),
+          col("event_type"), col("n_events"), col("rnk").cast("int").as("rnk"))
+        .orderBy("window_start_us", "rnk")
+    },
     "st7_sliding_window" -> { (s, dir) =>
       val glob = writeMicroBatches(s, dir)
       Streams
@@ -295,6 +314,26 @@ object StreamQueries {
         |ORDER BY user_id, session_start_us""".stripMargin,
     // epoch-aligned hour buckets; emission rule as st4a: watermark is
     // ms-truncated and the predicate is end <= floor_ms(max)
+    // st14 — st6's emission rule (window_end <= ms-truncated final
+    // watermark) + per-type counts + the batch top-2 rank
+    "st14_stream_topk" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS ts_us, event_type FROM events
+        |), agg AS (
+        |  SELECT (ts_us // 3600000000) * 3600000000 AS window_start_us,
+        |         (ts_us // 3600000000) * 3600000000 + 3600000000 AS window_end_us,
+        |         event_type, COUNT(*) AS n_events
+        |  FROM e GROUP BY 1, 2, 3),
+        |closed AS (
+        |  SELECT agg.* FROM agg, (SELECT MAX(ts_us) AS w FROM e) wm
+        |  WHERE window_end_us <= (wm.w // 1000) * 1000),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY window_start_us
+        |    ORDER BY n_events DESC, event_type) AS INTEGER) AS rnk
+        |  FROM closed)
+        |SELECT window_start_us, window_end_us, event_type, n_events, rnk
+        |FROM ranked WHERE rnk <= 2
+        |ORDER BY window_start_us, rnk""".stripMargin,
     "st6_tumbling_window" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) AS ts_us,

@@ -134,6 +134,24 @@ object Streams {
       .select(unix_micros(col("w.start")).as("window_start_us"),
         unix_micros(col("w.end")).as("window_end_us"), col("n_events"), col("pv_sum"))
 
+  /** ST14 — windowed per-type counts, the streaming half of a
+    * windowed top-k: the STREAM maintains (window, event_type)
+    * aggregates — bounded state, Append emission when the watermark
+    * passes each window — and the top-k rank runs as a batch epilogue
+    * over the emitted table. Ranking inside the stream would need a
+    * window function over a streaming frame (unsupported, and rightly:
+    * a rank is only final once the window closes, which is exactly
+    * what Append emission already guarantees). */
+  def windowTypeCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        unix_micros(col("w.end")).as("window_end_us"),
+        col("event_type"), col("n_events"))
+
   /** ST6b — sliding event-time windows (1 h wide, 30 min slide): every
     * event lands in exactly width/slide windows; Append emission when
     * the watermark passes each window's end, state bounded by open

@@ -172,6 +172,20 @@ class SpanSketchSpec extends SparkSpec {
     assert(Sketches.kmvDistinct(small, "grp", "v", k = 64).isEmpty)
   }
 
+  test("crossDuplicatedSpans flags only corpus-known windows, boundary-exact") {
+    val corpus = docs(1L -> "a b c d e f g h i j")
+    val batch = docs(
+      100L -> "x y a b c d e f g h i j q r", // corpus run at tokens 3..12
+      101L -> "totally novel words only in this one here")
+    val hashes = SpanDedup.corpusWindowHashSet(corpus, "doc_id", "text", k = 4)
+    val spans = SpanDedup.crossDuplicatedSpans(batch, hashes, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // batch windows 3..9 are corpus windows; 10 ("h i j q") is not ->
+    // one island, span 3..12 exactly (the last matched window covers 9..12)
+    assert(spans.toSeq === Seq((100L, 3L, 12L)))
+  }
+
   test("exactHeavyHitters equals the direct GROUP BY under adversarial partitioning") {
     import spark.implicits._
     // Zipf-ish: 'hot' 300x, 'warm' 60x, 200 singletons, n = 560;

@@ -1,0 +1,56 @@
+// Probe: o9 PageRank at ~26M distinct weighted edges and p13 group
+// sampling at 30M rows with a 60%-hot group.
+// Claims under test: (a) o9's per-iteration cost is edge-table joins +
+// a dst agg (the persisted edge table is built once from the lead()
+// transition window); (b) p13's salted two-stage rank beats the naive
+// single window exactly where a hot group funnels into one reducer,
+// with identical output. Run with:
+//   /opt/spark/bin/spark-shell --master 'local[32]' --driver-memory 8g \
+//     --conf spark.sql.shuffle.partitions=32 --conf spark.ui.enabled=false \
+//     --conf spark.sql.session.timeZone=UTC \
+//     --driver-class-path target/scala-2.13/classes -i tools/probes/probe_o9_p13_scale.sc
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+spark.sparkContext.setLogLevel("WARN")
+
+// --- o9: 30M transitions, 300k users, 10k pages ---
+val E = 30000000L
+val ev = spark.range(E).select(
+  (col("id") % 300000).as("user_id"),
+  col("id").as("seq"),
+  concat(lit("p"), (col("id") * 31 + expr("id div 97")) % 10000).as("page"))
+val t0 = System.nanoTime
+val w = Window.partitionBy("user_id").orderBy("seq")
+val edges = ev.withColumn("dst", lead(col("page"), 1).over(w))
+  .filter(col("dst").isNotNull)
+  .groupBy(col("page").as("src"), col("dst"))
+  .agg(count(lit(1)).as("w"))
+val nodes = ev.select(col("page").as("node")).distinct()
+val pr = graft.ops.PageRank.pageRank(edges, nodes, iters = 3)
+val stats = pr.agg(count(lit(1)), sum("rank_micro"), max("rank_micro")).collect()(0)
+val t1 = System.nanoTime
+println(f"PROBE_O9 edges~26M nodes=${stats.getLong(0)} " +
+  f"mass=${stats.getLong(1)} max=${stats.getLong(2)} e2e_s=${(t1 - t0) / 1e9}%.1f")
+
+// --- p13: 100M rows, one 90%-hot group, k = 100. The staged form
+// pays ~1.8x overhead when every group fits one task (measured 6.9 s
+// vs 3.8 s naive at 30M/60% hot) - its case is the straggler bound:
+// the naive window funnels the hot group through ONE core's sort.
+val R = 100000000L
+val rows = spark.range(R).select(col("id"),
+  when(col("id") % 10 < 9, "hot").otherwise(concat(lit("g"), col("id") % 10)).as("g"))
+val t2 = System.nanoTime
+val staged = graft.ops.Rows.groupSample(rows, "g", Seq("id"), k = 100)
+  .select("g", "id", "sample_rank").collect()
+val t3 = System.nanoTime
+val naive = rows.withColumn("sample_rank", row_number().over(
+    Window.partitionBy("g").orderBy(md5(col("id").cast("string")), col("id"))))
+  .filter(col("sample_rank") <= 100)
+  .select("g", "id", "sample_rank").collect()
+val t4 = System.nanoTime
+val same = staged.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet ==
+  naive.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+println(f"PROBE_P13 rows=$R sampled=${staged.length} identical=$same " +
+  f"staged_s=${(t3 - t2) / 1e9}%.1f naive_s=${(t4 - t3) / 1e9}%.1f")
+System.exit(if (same) 0 else 1)
