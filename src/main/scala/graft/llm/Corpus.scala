@@ -380,6 +380,50 @@ object Corpus {
     graft.Caching.releaseAfterFirstUse(out, tf)
   }
 
+  /** Per-language unigram distribution drift between two corpus
+    * snapshots — the monitor an ingest pipeline runs per batch: a
+    * spike in KL(new ‖ base) on one language flags a source gone
+    * rogue (spam flood, encoding break, crawler loop) before the data
+    * trains anything. KL is estimated in the repo's fixed-point
+    * micro-nat encoding: both LMs are add-1 smoothed over the shared
+    * per-language vocabulary (union of both snapshots), each term
+    * contributes c_new·(lp_new − lp_base) as integer micro-nats, and
+    * the per-token figure is one integer division — so the metric
+    * replays cross-engine bit-for-bit (same trick as [[importanceWeights]];
+    * exact KL needs p·ln p in full precision, which no two engines
+    * agree on).
+    *
+    * Scale shape: two token explodes → (lang, term) hash aggregates →
+    * one full-outer join on the vocabulary key → a lang-sized agg.
+    * Nothing corpus-sized crosses a window; the Zipf-head term keys
+    * carry one row per (lang, term), not per instance. */
+  def unigramDrift(base: DataFrame, newer: DataFrame,
+                   textCol: String, langCol: String): DataFrame = {
+    def tf(df: DataFrame, out: String) = df
+      .select(col(langCol).as("lang"),
+        explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as(out))
+    val vocab = tf(base, "c_b").join(tf(newer, "c_n"), Seq("lang", "term"), "full_outer")
+      .select(col("lang"), col("term"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"),
+        coalesce(col("c_n"), lit(0L)).as("c_n"))
+    val tot = vocab.groupBy("lang").agg(
+      sum(col("c_b")).as("n_b"), sum(col("c_n")).as("n_n"),
+      count(lit(1)).as("v"))
+    vocab.join(tot, "lang")
+      .withColumn("t_micro",
+        col("c_n") * (
+          floor(log((col("c_n") + 1).cast("double") / (col("n_n") + col("v"))) * 1e6).cast("long") -
+          floor(log((col("c_b") + 1).cast("double") / (col("n_b") + col("v"))) * 1e6).cast("long")))
+      .groupBy("lang")
+      .agg(max(col("n_n")).as("n_tokens_new"), max(col("v")).as("vocab"),
+        sum(col("t_micro")).as("kl_sum_micro"))
+    // the per-token ratio is kl_sum_micro / n_tokens_new downstream —
+    // deliberately NOT emitted as an integer division: the sum can be
+    // negative (floored lps) and Spark's `div` truncates toward zero
+    // while DuckDB's `//` floors, so the ratio would not replay
+  }
+
   /** Distributed BPE merge training (Sennrich et al. 2016) — the
     * tokenizer-construction pass of a training-data pipeline. Classic
     * BPE iterates: count adjacent symbol pairs over the word-frequency

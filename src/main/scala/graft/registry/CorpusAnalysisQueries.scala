@@ -237,6 +237,26 @@ object CorpusAnalysisQueries {
         .withColumn("flagged", col("keep_milli") < 300L)
         .orderBy("source")
     },
+    // y26 — per-language distribution drift between snapshots: KL(new
+    // ‖ base) over add-1-smoothed unigram LMs in integer micro-nats —
+    // the per-ingest monitor that flags a source gone rogue before the
+    // data trains anything. Newer snapshot = corpus ∪ the x25 batch
+    // texture (its "fresh" third visibly skews the vocabulary).
+    "y26_corpus_drift" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"), col("lang"),
+          expr("""CASE (doc_id div 5) % 3
+                  WHEN 0 THEN text
+                  WHEN 1 THEN concat(text, ' v2')
+                  ELSE concat('fresh entry ', cast(doc_id as string),
+                       ' carries wholly novel content alpha',
+                       cast(doc_id as string), ' beta gamma delta')
+                  END""").as("text"))
+      val newer = docs.select("doc_id", "lang", "text").unionByName(batch)
+      Corpus.unigramDrift(docs, newer, "text", "lang")
+        .orderBy("lang")
+    },
     // y15 — mixture sampling: per-language keep rates DERIVED from
     // target mixture weights (en .5 / de .3 / fr .2 of a 400-doc
     // output) and the realized counts; md5-gated membership, so the
@@ -315,6 +335,44 @@ object CorpusAnalysisQueries {
        |  FROM r)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+      "y26_corpus_drift" ->
+        s"""WITH batch AS (
+           |  SELECT doc_id + 20000 AS doc_id, lang,
+           |    CASE (doc_id // 5) % 3 WHEN 0 THEN text WHEN 1 THEN text || ' v2'
+           |    ELSE 'fresh entry ' || CAST(doc_id AS VARCHAR) ||
+           |         ' carries wholly novel content alpha' ||
+           |         CAST(doc_id AS VARCHAR) || ' beta gamma delta' END AS text
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |newer AS (
+           |  SELECT doc_id, lang, text FROM documents
+           |  UNION ALL SELECT doc_id, lang, text FROM batch),
+           |tb AS (
+           |  SELECT lang, term, COUNT(*) AS c_b FROM (
+           |    SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+           |    FROM documents)
+           |  GROUP BY lang, term),
+           |tn AS (
+           |  SELECT lang, term, COUNT(*) AS c_n FROM (
+           |    SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+           |    FROM newer)
+           |  GROUP BY lang, term),
+           |vocab AS (
+           |  SELECT COALESCE(tb.lang, tn.lang) AS lang,
+           |    COALESCE(tb.term, tn.term) AS term,
+           |    COALESCE(c_b, 0) AS c_b, COALESCE(c_n, 0) AS c_n
+           |  FROM tb FULL OUTER JOIN tn
+           |    ON tb.lang = tn.lang AND tb.term = tn.term),
+           |tot AS (SELECT lang, SUM(c_b) AS n_b, SUM(c_n) AS n_n,
+           |               COUNT(*) AS v
+           |        FROM vocab GROUP BY lang)
+           |SELECT w.lang, CAST(MAX(t.n_n) AS BIGINT) AS n_tokens_new,
+           |  CAST(MAX(t.v) AS BIGINT) AS vocab,
+           |  CAST(SUM(w.c_n * (
+           |    CAST(floor(ln(CAST(w.c_n + 1 AS DOUBLE) / (t.n_n + t.v)) * 1e6) AS BIGINT)
+           |  - CAST(floor(ln(CAST(w.c_b + 1 AS DOUBLE) / (t.n_b + t.v)) * 1e6) AS BIGINT)))
+           |    AS BIGINT) AS kl_sum_micro
+           |FROM vocab w JOIN tot t USING (lang)
+           |GROUP BY w.lang ORDER BY w.lang""".stripMargin,
       "y24_bpe_merges" ->
         s"""WITH w AS (
            |  SELECT word, COUNT(*) AS freq FROM (

@@ -541,6 +541,26 @@ class CorpusSpec extends SparkSpec {
     assert(got(2) === ((3L, 10L, 2L, 6700L, 1000L, 0L, true)))
   }
 
+  test("unigramDrift: zero on identical snapshots, positive where vocabulary shifts") {
+    val base = Seq(
+      (1L, "en", "alpha beta gamma alpha"),
+      (2L, "en", "alpha beta delta"),
+      (3L, "de", "eins zwei drei")
+    ).toDF("doc_id", "lang", "text")
+    val z = graft.llm.Corpus.unigramDrift(base, base, "text", "lang")
+      .orderBy("lang").as[(String, Long, Long, Long)].collect().toSeq
+    assert(z.map(_._4) === Seq(0L, 0L), s"identical snapshots must have zero KL: $z")
+    // en gains a flood of novel spam tokens; de unchanged
+    val newer = base.unionByName(Seq(
+      (10L, "en", "spam spam spam spam spam spam spam spam")
+    ).toDF("doc_id", "lang", "text"))
+    val d = graft.llm.Corpus.unigramDrift(base, newer, "text", "lang")
+      .orderBy("lang").as[(String, Long, Long, Long)].collect().toSeq
+    val byLang = d.map(r => r._1 -> r._4).toMap
+    assert(byLang("de") == 0L, "untouched language must not drift")
+    assert(byLang("en") > 0L, "vocabulary flood must register positive KL")
+  }
+
   test("perplexityBuckets: exact tertile cuts, tie cohesion, null -> tail") {
     val scored = Seq(
       ("X", Some(1L)), ("X", Some(2L)), ("X", Some(3L)),
