@@ -160,6 +160,42 @@ object Rows {
     df.filter(hashKey(keyCols) < cutExpr)
   }
 
+  /** Temperature-scaled mixture sampling (τ = 2, i.e. keep mass ∝
+    * √n_g) — the multilingual rebalancing rule of mT5/XLM-R-style
+    * pipelines: head languages are downsampled, tail languages keep
+    * relatively more, without anyone hand-picking weights (that is
+    * [[mixtureSample]]'s job). τ is FIXED at 2 because √ is the one
+    * fractional power that replays cross-engine exactly — IEEE sqrt is
+    * correctly rounded, so `floor(sqrt(n))` is bit-stable everywhere,
+    * while a general pow(n, 1/τ) is not.
+    *
+    * Derivation (all integer, O(#strata) on the driver like
+    * mixtureSample): w_g = ⌊√n_g⌋; target kept_g = w_g·totalOut div
+    * Σw; rate_g = min(1, kept_g/n_g) applied via the md5 hash gate.
+    * Same scale shape as mixtureSample: one count aggregate, then a
+    * pure row-property filter — the data itself never shuffles. */
+  def temperatureSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCols: Seq[String],
+      totalOut: Long
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "temperatureSample needs at least one key column")
+    require(totalOut >= 0, "totalOut must be non-negative")
+    val counts = df.groupBy(col(strataCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = counts.map { case (g, n) => g -> math.floor(math.sqrt(n.toDouble)).toLong }
+    val wSum = weights.values.sum
+    val cutExpr = counts.toSeq.sortBy(_._1).foldLeft(lit("00"): Column) {
+      case (acc, (g, n)) =>
+        val kept = if (wSum == 0L) 0L else weights(g) * totalOut / wSum
+        val rate = if (n == 0L) 0.0 else math.min(1.0, kept.toDouble / n)
+        when(col(strataCol).cast("string") === g, lit(hexCut16(rate))).otherwise(acc)
+    }
+    df.filter(hashKey(keyCols) < cutExpr)
+  }
+
   /** Deterministic train/val/test split assignment — the fixed,
     * backfill-stable split a training pipeline needs (re-running over
     * a grown corpus must never move an old row between splits, which

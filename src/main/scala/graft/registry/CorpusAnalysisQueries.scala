@@ -268,6 +268,16 @@ object CorpusAnalysisQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },
+    // y27 — temperature-scaled mixture (τ=2, keep mass ∝ √n): the
+    // mT5/XLM-R multilingual rebalance without hand-picked weights —
+    // √ because IEEE sqrt is the one fractional power that replays
+    // bit-exactly cross-engine. Same zero-shuffle shape as y15.
+    "y27_temperature_mix" -> { (s, dir) =>
+      graft.ops.Rows.temperatureSample(Tables.documents(s, dir), "lang",
+        Seq("doc_id"), totalOut = 400L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
     // y14 — sequence packing into 512-token training bins, parallel by
     // language (true first-fit is sequential; the contiguous-fill rule
     // is arithmetic, so it distributes AND replays cross-engine)
@@ -335,6 +345,23 @@ object CorpusAnalysisQueries {
        |  FROM r)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+      "y27_temperature_mix" ->
+        """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+          |ws AS (SELECT lang, n,
+          |         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+          |       FROM counts),
+          |tot AS (SELECT SUM(w) AS wsum FROM ws),
+          |cuts AS (
+          |  SELECT lang,
+          |    CASE WHEN r >= 65536 THEN 'g' ELSE printf('%04x', r) END AS cut
+          |  FROM (
+          |    SELECT lang, CAST(floor(LEAST(1.0,
+          |      CAST((w * 400) // wsum AS DOUBLE) / n) * 65536) AS BIGINT) AS r
+          |    FROM ws CROSS JOIN tot))
+          |SELECT d.doc_id, d.lang
+          |FROM documents d JOIN cuts c ON d.lang = c.lang
+          |WHERE md5(CAST(d.doc_id AS VARCHAR)) < c.cut
+          |ORDER BY d.doc_id""".stripMargin,
       "y26_corpus_drift" ->
         s"""WITH batch AS (
            |  SELECT doc_id + 20000 AS doc_id, lang,

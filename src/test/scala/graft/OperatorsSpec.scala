@@ -1639,6 +1639,21 @@ class OperatorsSpec extends SparkSpec {
     assert(v2 == """{"id":1}""", v2)
   }
 
+  test("temperatureSample keeps relatively more of the tail than the head, deterministically") {
+    import spark.implicits._
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 1000).map(i => (i.toLong, "small"))).toDF("id", "g")
+    def run() = graft.ops.Rows.temperatureSample(df, "g", Seq("id"), totalOut = 100L)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    val kept = run()
+    // sqrt weights 30/10: target kept 75/25 -> head rate ~8%, tail ~25%
+    val fracBig = kept.getOrElse("big", 0L).toDouble / 900
+    val fracSmall = kept.getOrElse("small", 0L).toDouble / 100
+    assert(fracSmall > fracBig,
+      s"tail must keep a higher fraction: big=$fracBig small=$fracSmall")
+    assert(kept == run(), "hash-gated membership must be deterministic")
+  }
+
   test("pageRank: hand-computed integer micros on a 3-node graph") {
     import spark.implicits._
     // a <-> b cycle, c -> a dangling-in; t = 1000000 div 3 = 333333
