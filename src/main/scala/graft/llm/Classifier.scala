@@ -69,8 +69,15 @@ object Classifier {
         floor(log(col("d").cast("double") / col("d_tot")) * 1e6)
           .cast("long").as("prior_micro"))
     val classTot = classTerm.groupBy("cls").agg(sum(col("c")).as("n_cls"))
-    // K rows + 1 scalar to the driver; everything else stays distributed
-    val classInfo = classTot.join(priors, "cls").collect()
+    // K rows + 1 scalar to the driver; everything else stays
+    // distributed. The class list comes from PRIORS (left join), not
+    // from token counts: a seed class whose docs carry zero
+    // in-vocabulary tokens still competes with prior + smoothed
+    // 1/(0+V) likelihoods — dropping it would diverge from the oracle
+    val classInfo = priors.join(classTot, Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("n_cls"), lit(0L)).as("n_cls"),
+        col("prior_micro"))
+      .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     require(classInfo.nonEmpty, "naiveBayes needs at least one seed class")

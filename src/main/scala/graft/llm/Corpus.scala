@@ -438,11 +438,13 @@ object Corpus {
     * unrolled CTEs (the kmeansIterSql pattern).
     *
     * Symbol encoding: each word becomes `_c1 _c2 …` — marker-prefixed
-    * symbols joined by single spaces. `replace(sym, "_l _r", "_lr")`
-    * is then EXACTLY the greedy left-to-right non-overlapping BPE
-    * merge: the marker pins matches to symbol starts (no mid-symbol
-    * false hits), and sequential replace semantics (identical in
-    * Spark and DuckDB) resolve overlaps like `a a a` → `aa a`.
+    * symbols joined by single spaces. The merge is
+    * `rtrim(replace(sym ⧺ " ", "_l _r ", "_lr "))` — EXACTLY the
+    * greedy left-to-right non-overlapping BPE merge: the marker pins
+    * a match's start to a symbol boundary, the trailing space pins
+    * its END (`_c _b` must not match inside `_c _ba`), and sequential
+    * replace semantics (identical in Spark and DuckDB) resolve
+    * overlaps like `a a a` → `aa a`.
     * Returns (rank, pair, cnt) — the learned merge table. */
   def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
                 numMerges: Int): DataFrame = {
@@ -455,7 +457,13 @@ object Corpus {
         rtrim(regexp_replace(col("word"), "(.)", "_$1 ")).as("sym"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    // persist rotation: each round's pair-count collect materializes
+    // the CURRENT vocab's cache (reading its parent's), after which
+    // the grandparent releases — every round is one O(vocab) pass
+    // instead of replaying all prior replaces from the base table
+    // (O(numMerges²) at tokenizer-training merge counts)
     var vocab = words
+    var parent: DataFrame = null
     for (i <- 1 to numMerges) {
       val arr = split(col("sym"), " ")
       val best = vocab
@@ -465,15 +473,24 @@ object Corpus {
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(1).collect()
+      if (parent != null) parent.unpersist()
+      parent = vocab
       require(best.nonEmpty, s"vocabulary exhausted after ${i - 1} merges")
       val pair = best(0).getString(0)
       merges += ((i, pair, best(0).getLong(1)))
       val merged = "_" + pair.replace("_", "").replace(" ", "")
+      // trailing-delimited replace: the marker pins a match's START to
+      // a symbol boundary, the appended space pins its END — without
+      // it, pair "_c _b" falsely matches inside "_c _ba" (the right
+      // symbol as a proper prefix of a longer merged symbol)
       vocab = vocab.withColumn("sym",
-        replace(col("sym"), lit(pair), lit(merged)))
+        rtrim(replace(concat(col("sym"), lit(" ")),
+          lit(pair + " "), lit(merged + " "))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val out = merges.toSeq.toDF("rank", "pair", "cnt")
-    words.unpersist()
+    if (parent != null) parent.unpersist()
+    vocab.unpersist()
     out
   }
 

@@ -143,21 +143,14 @@ object Rows {
       targetWeights: Map[String, Double],
       totalOut: Long
   ): DataFrame = {
-    require(keyCols.nonEmpty, "mixtureSample needs at least one key column")
     require(targetWeights.nonEmpty && targetWeights.values.forall(_ >= 0.0),
       "target weights must be non-negative")
-    val counts = df.groupBy(col(strataCol).cast("string").as("__g"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // default '00': no 32-char md5 hex sorts below it, so unlisted
-    // strata drop
-    val cutExpr = targetWeights.toSeq.sortBy(_._1).foldLeft(lit("00"): Column) {
-      case (acc, (g, w)) =>
+    strataHashFilter(df, strataCol, keyCols) { counts =>
+      targetWeights.map { case (g, w) =>
         val n = counts.getOrElse(g, 0L)
-        val rate = if (n == 0L) 0.0 else math.min(1.0, w * totalOut / n)
-        when(col(strataCol).cast("string") === g, lit(hexCut16(rate))).otherwise(acc)
+        g -> (if (n == 0L) 0.0 else math.min(1.0, w * totalOut / n))
+      }
     }
-    df.filter(hashKey(keyCols) < cutExpr)
   }
 
   /** Temperature-scaled mixture sampling (τ = 2, i.e. keep mass ∝
@@ -180,17 +173,32 @@ object Rows {
       keyCols: Seq[String],
       totalOut: Long
   ): DataFrame = {
-    require(keyCols.nonEmpty, "temperatureSample needs at least one key column")
     require(totalOut >= 0, "totalOut must be non-negative")
+    strataHashFilter(df, strataCol, keyCols) { counts =>
+      val weights = counts.map { case (g, n) =>
+        g -> math.floor(math.sqrt(n.toDouble)).toLong }
+      val wSum = weights.values.sum
+      counts.map { case (g, n) =>
+        val kept = if (wSum == 0L) 0L else weights(g) * totalOut / wSum
+        g -> (if (n == 0L) 0.0 else math.min(1.0, kept.toDouble / n))
+      }
+    }
+  }
+
+  /** Shared machinery of the md5-gated stratified samplers
+    * ([[mixtureSample]], [[temperatureSample]]): one O(#strata) count
+    * collect, caller-derived keep rates, a CASE-cut fold, one pure
+    * row-property filter. The default cut '00' sorts below every md5
+    * hex, so strata without a rate — including a NULL stratum, which
+    * is also excluded from the counts handed to `rateFor` — drop. */
+  private def strataHashFilter(df: DataFrame, strataCol: String,
+      keyCols: Seq[String])(rateFor: Map[String, Long] => Map[String, Double]): DataFrame = {
+    require(keyCols.nonEmpty, "stratified sampling needs at least one key column")
     val counts = df.groupBy(col(strataCol).cast("string").as("__g"))
       .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val weights = counts.map { case (g, n) => g -> math.floor(math.sqrt(n.toDouble)).toLong }
-    val wSum = weights.values.sum
-    val cutExpr = counts.toSeq.sortBy(_._1).foldLeft(lit("00"): Column) {
-      case (acc, (g, n)) =>
-        val kept = if (wSum == 0L) 0L else weights(g) * totalOut / wSum
-        val rate = if (n == 0L) 0.0 else math.min(1.0, kept.toDouble / n)
+      .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
+    val cutExpr = rateFor(counts).toSeq.sortBy(_._1).foldLeft(lit("00"): Column) {
+      case (acc, (g, rate)) =>
         when(col(strataCol).cast("string") === g, lit(hexCut16(rate))).otherwise(acc)
     }
     df.filter(hashKey(keyCols) < cutExpr)

@@ -244,16 +244,8 @@ object CorpusAnalysisQueries {
     // texture (its "fresh" third visibly skews the vocabulary).
     "y26_corpus_drift" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val batch = docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 20000L).as("doc_id"), col("lang"),
-          expr("""CASE (doc_id div 5) % 3
-                  WHEN 0 THEN text
-                  WHEN 1 THEN concat(text, ' v2')
-                  ELSE concat('fresh entry ', cast(doc_id as string),
-                       ' carries wholly novel content alpha',
-                       cast(doc_id as string), ' beta gamma delta')
-                  END""").as("text"))
-      val newer = docs.select("doc_id", "lang", "text").unionByName(batch)
+      val newer = docs.select("doc_id", "lang", "text")
+        .unionByName(syntheticIngestBatch(s, dir))
       Corpus.unigramDrift(docs, newer, "text", "lang")
         .orderBy("lang")
     },
@@ -310,8 +302,8 @@ object CorpusAnalysisQueries {
        |  GROUP BY pair),
        |b$j AS (SELECT pair, cnt FROM p$j ORDER BY cnt DESC, pair LIMIT 1),
        |v$j AS (
-       |  SELECT freq, replace(sym, (SELECT pair FROM b$j),
-       |    '_' || replace(replace((SELECT pair FROM b$j), '_', ''), ' ', '')) AS sym
+       |  SELECT freq, rtrim(replace(sym || ' ', (SELECT pair FROM b$j) || ' ',
+       |    '_' || replace(replace((SELECT pair FROM b$j), '_', ''), ' ', '') || ' ')) AS sym
        |  FROM $prev)""".stripMargin
   }
 
@@ -363,13 +355,7 @@ object CorpusAnalysisQueries {
           |WHERE md5(CAST(d.doc_id AS VARCHAR)) < c.cut
           |ORDER BY d.doc_id""".stripMargin,
       "y26_corpus_drift" ->
-        s"""WITH batch AS (
-           |  SELECT doc_id + 20000 AS doc_id, lang,
-           |    CASE (doc_id // 5) % 3 WHEN 0 THEN text WHEN 1 THEN text || ' v2'
-           |    ELSE 'fresh entry ' || CAST(doc_id AS VARCHAR) ||
-           |         ' carries wholly novel content alpha' ||
-           |         CAST(doc_id AS VARCHAR) || ' beta gamma delta' END AS text
-           |  FROM documents WHERE doc_id % 5 = 0),
+        s"""WITH batch AS ($IngestBatchSql),
            |newer AS (
            |  SELECT doc_id, lang, text FROM documents
            |  UNION ALL SELECT doc_id, lang, text FROM batch),
@@ -453,12 +439,15 @@ object CorpusAnalysisQueries {
           |         WHERE md5(CAST(doc_id AS VARCHAR)) < '8'),
           |ct AS (SELECT cls, term, SUM(tf.tf) AS c
           |       FROM tf JOIN seed USING (doc_id) GROUP BY cls, term),
-          |ctot AS (SELECT cls, SUM(c) AS n_cls FROM ct GROUP BY cls),
           |v AS (SELECT COUNT(DISTINCT term) AS v FROM ct),
           |pri AS (SELECT cls,
           |    CAST(floor(ln(CAST(d AS DOUBLE) / d_tot) * 1e6) AS BIGINT) AS prior_micro
           |  FROM (SELECT cls, COUNT(*) AS d FROM seed GROUP BY cls)
           |  CROSS JOIN (SELECT COUNT(*) AS d_tot FROM seed)),
+          |ctot AS (
+          |  SELECT p.cls, COALESCE(s.n_cls, 0) AS n_cls
+          |  FROM pri p LEFT JOIN (SELECT cls, SUM(c) AS n_cls FROM ct
+          |                        GROUP BY cls) s USING (cls)),
           |grid AS (
           |  SELECT t.term, ctot.cls,
           |    CAST(floor(ln(CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)

@@ -446,7 +446,9 @@ object CoverageQueries {
     .mkString(" + ")
 
   /** One unrolled PageRank round: src-keyed contribution join, dst
-    * agg, teleport + damping in exact integer micro arithmetic. */
+    * agg, teleport + damping in exact integer micro arithmetic
+    * (relative-to-uniform encoding: 1e6 = uniform share, so the
+    * teleport term is the constant 150e6 div 1000). */
   private def prIterSql(j: Int): String =
     s"""c$j AS (
        |  SELECT e.dst, SUM(r.rank_micro * e.w // o.w_out) AS s
@@ -454,8 +456,8 @@ object CoverageQueries {
        |  JOIN r${j - 1} r ON r.node = e.src
        |  GROUP BY e.dst),
        |r$j AS (
-       |  SELECT n.node, (150 * t.t + 850 * COALESCE(c.s, 0)) // 1000 AS rank_micro
-       |  FROM pr_nodes n CROSS JOIN pr_tele t LEFT JOIN c$j c ON c.dst = n.node)""".stripMargin
+       |  SELECT n.node, (150000000 + 850 * COALESCE(c.s, 0)) // 1000 AS rank_micro
+       |  FROM pr_nodes n LEFT JOIN c$j c ON c.dst = n.node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "o9_pagerank" ->
@@ -472,8 +474,7 @@ object CoverageQueries {
          |             WHERE dst IS NOT NULL GROUP BY src, dst),
          |pr_outdeg AS (SELECT src, SUM(w) AS w_out FROM pr_edges GROUP BY src),
          |pr_nodes AS (SELECT DISTINCT event_type AS node FROM events),
-         |pr_tele AS (SELECT 1000000 // COUNT(*) AS t FROM pr_nodes),
-         |r0 AS (SELECT node, t AS rank_micro FROM pr_nodes CROSS JOIN pr_tele),
+         |r0 AS (SELECT node, 1000000 AS rank_micro FROM pr_nodes),
          |${(1 to 3).map(prIterSql).mkString(",\n")}
          |SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro
          |FROM r3 ORDER BY rank_micro DESC, node""".stripMargin,

@@ -296,17 +296,8 @@ object DedupSimQueries {
     // exactly at the original's last token — boundary-sensitive), 1/3
     // fresh (no span).
     "x25_span_incremental" -> { (s, dir) =>
-      val batch = Tables.documents(s, dir)
-        .filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 20000L).as("doc_id"),
-          expr("""CASE (doc_id div 5) % 3
-                  WHEN 0 THEN text
-                  WHEN 1 THEN concat(text, ' v2')
-                  ELSE concat('fresh entry ', cast(doc_id as string),
-                       ' carries wholly novel content alpha',
-                       cast(doc_id as string), ' beta gamma delta')
-                  END""").as("text"))
-      graft.llm.SpanDedup.crossDuplicatedSpans(batch,
+      graft.llm.SpanDedup.crossDuplicatedSpans(
+        syntheticIngestBatch(s, dir).drop("lang"),
         stagedCorpusSpanHashes(s, dir), "doc_id", "text", k = 8)
         .orderBy("doc_id", "span_start")
     },
@@ -435,13 +426,7 @@ object DedupSimQueries {
       // DISTINCT window-hash set (the staged artifact is value-
       // invisible: the oracle derives the same set inline)
       "x25_span_incremental" ->
-        s"""WITH batch AS (
-           |  SELECT doc_id + 20000 AS doc_id,
-           |    CASE (doc_id // 5) % 3 WHEN 0 THEN text WHEN 1 THEN text || ' v2'
-           |    ELSE 'fresh entry ' || CAST(doc_id AS VARCHAR) ||
-           |         ' carries wholly novel content alpha' ||
-           |         CAST(doc_id AS VARCHAR) || ' beta gamma delta' END AS text
-           |  FROM documents WHERE doc_id % 5 = 0),
+        s"""WITH batch AS ($IngestBatchSql),
            |cw AS (
            |  SELECT DISTINCT md5(array_to_string(tk[i:i+7], ' ')) AS h
            |  FROM (SELECT regexp_split_to_array(text, '\\s+') AS tk FROM documents),

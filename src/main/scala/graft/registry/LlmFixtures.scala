@@ -152,6 +152,37 @@ private[registry] object LlmFixtures {
     s.read.parquet(path)
   }
 
+  /** The CASE arm of the synthetic ingest batch, shared by the Spark
+    * side ([[syntheticIngestBatch]]) and the oracles ([[IngestBatchSql]])
+    * so the four call sites can never drift: docs ≡ 0 mod 5, thirds =
+    * exact dup / suffix-extended (' v2') / wholly fresh. */
+  private val ingestBatchCaseSpark: String =
+    """CASE (doc_id div 5) % 3
+      |WHEN 0 THEN text
+      |WHEN 1 THEN concat(text, ' v2')
+      |ELSE concat('fresh entry ', cast(doc_id as string),
+      |     ' carries wholly novel content alpha',
+      |     cast(doc_id as string), ' beta gamma delta')
+      |END""".stripMargin
+
+  /** (doc_id+20000, lang, text): the ingest-batch texture x25 and y26
+    * run against the corpus snapshot. */
+  def syntheticIngestBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 20000L).as("doc_id"), col("lang"),
+        expr(ingestBatchCaseSpark).as("text"))
+
+  /** The DuckDB twin of [[syntheticIngestBatch]] — interpolate as the
+    * body of a `batch AS (…)` CTE. */
+  val IngestBatchSql: String =
+    """SELECT doc_id + 20000 AS doc_id, lang,
+      |    CASE (doc_id // 5) % 3 WHEN 0 THEN text WHEN 1 THEN text || ' v2'
+      |    ELSE 'fresh entry ' || CAST(doc_id AS VARCHAR) ||
+      |         ' carries wholly novel content alpha' ||
+      |         CAST(doc_id AS VARCHAR) || ' beta gamma delta' END AS text
+      |  FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
   /** documents ∪ exact clone at doc_id+10000. */
   def corpusExact(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")

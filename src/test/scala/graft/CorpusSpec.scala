@@ -561,6 +561,27 @@ class CorpusSpec extends SparkSpec {
     assert(byLang("en") > 0L, "vocabulary flood must register positive KL")
   }
 
+  test("naiveBayes keeps a seed class whose docs have zero in-vocabulary tokens") {
+    // Z's three seeds are punctuation-only: Z trains NO term counts but
+    // must still compete with prior ln(3/4) + smoothed 1/(0+V)
+    // likelihoods (an inner class-list join silently drops it and
+    // diverges from the oracle). V = {cat, dog}, n_A = 3:
+    // per-token advantage of A on 'cat' = ln(3/5) - ln(1/2) = 182322u,
+    // prior gap = ln(3/4) - ln(1/4) = 1098612u -> Z wins below 7
+    // 'cat's, A wins from 7 up.
+    val docs = Seq(
+      (1L, "...", "Z"), (2L, "???", "Z"), (3L, "!!!", "Z"),
+      (4L, "cat cat dog", "A"),
+      (5L, "", null),                    // prior-only -> max-prior Z
+      (6L, "cat cat cat", null),         // 3 tokens -> Z
+      (7L, "cat cat cat cat cat cat cat cat", null) // 8 tokens -> A
+    ).toDF("doc_id", "text", "lbl")
+    val got = graft.llm.Classifier.naiveBayes(docs, "doc_id", "text", col("lbl"))
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got(5L) == "Z" && got(6L) == "Z" && got(7L) == "A", got.toString)
+  }
+
   test("perplexityBuckets: exact tertile cuts, tie cohesion, null -> tail") {
     val scored = Seq(
       ("X", Some(1L)), ("X", Some(2L)), ("X", Some(3L)),
@@ -594,6 +615,18 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.llm.Corpus.bpeMerges(docs, "doc_id", "text", numMerges = 5)
     }
+  }
+
+  test("bpeMerges: a pair must not match where its right symbol prefixes a longer symbol") {
+    // ba x5, cb x4, cba x3. Round 1 merges (_b,_a) -> cba becomes
+    // [_c,_ba]. Round 2's best (_c,_b) (from cb only, cnt 4) must NOT
+    // match inside '_c _ba' (an un-delimited replace does, corrupting
+    // cba to the bogus single symbol _cba and killing round 3).
+    val docs = Seq((1L,
+      "ba ba ba ba ba cb cb cb cb cba cba cba")).toDF("doc_id", "text")
+    val got = graft.llm.Corpus.bpeMerges(docs, "doc_id", "text", numMerges = 3)
+      .orderBy("rank").as[(Int, String, Long)].collect().toSeq
+    assert(got === Seq((1, "_b _a", 8L), (2, "_c _b", 4L), (3, "_c _ba", 3L)))
   }
 
   test("naiveBayes: seed-trained argmax, OOV-invariance, prior-only floor") {

@@ -1656,15 +1656,26 @@ class OperatorsSpec extends SparkSpec {
 
   test("pageRank: hand-computed integer micros on a 3-node graph") {
     import spark.implicits._
-    // a <-> b cycle, c -> a dangling-in; t = 1000000 div 3 = 333333
+    // a <-> b cycle, c -> a dangling-in; relative encoding: r0 = 1e6
     val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("c", "a", 1L))
       .toDF("src", "dst", "w")
     val nodes = Seq("a", "b", "c").toDF("node")
     val r2 = graft.ops.PageRank.pageRank(edges, nodes, iters = 2)
       .as[(String, Long)].collect().toMap
-    // iter1: a=(150·333333+850·666666)div 1000=616666, b=333333, c=49999
-    // iter2: a gets 333333+49999, b gets 616666
-    assert(r2 === Map("a" -> 375832L, "b" -> 574166L, "c" -> 49999L))
+    // iter1: a=(150e6+850·2e6)div 1000=1850000, b=1000000, c=150000
+    // iter2: a gets b+c = 1150000 -> 1127500; b gets a = 1850000 ->
+    // 1722500; c teleport-only 150000
+    assert(r2 === Map("a" -> 1127500L, "b" -> 1722500L, "c" -> 150000L))
+  }
+
+  test("pageRank: the teleport floor survives node counts past one million") {
+    import spark.implicits._
+    // regression: a mass-normalized 1e6/N encoding floors to zero here
+    val nodes = spark.range(1200000).select(concat(lit("n"), col("id")).as("node"))
+    val edges = Seq(("n0", "n1", 1L)).toDF("src", "dst", "w")
+    val r = graft.ops.PageRank.pageRank(edges, nodes, iters = 1)
+    assert(r.filter(col("rank_micro") === 150000L).count() == 1199999L)
+    assert(r.filter(col("node") === "n1").head().getLong(1) == 1000000L)
   }
 
   test("groupSample: exactly k per group, salt-invariant, equals the naive window") {

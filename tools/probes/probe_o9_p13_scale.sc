@@ -1,5 +1,5 @@
 // Probe: o9 PageRank at ~26M distinct weighted edges and p13 group
-// sampling at 30M rows with a 60%-hot group.
+// sampling at 100M rows with a 90%-hot group.
 // Claims under test: (a) o9's per-iteration cost is edge-table joins +
 // a dst agg (the persisted edge table is built once from the lead()
 // transition window); (b) p13's salted two-stage rank beats the naive
