@@ -92,7 +92,7 @@ object Classifier {
     }
     val model = classTerm.groupBy("term")
       .pivot("cls", classInfo.map(_._1).toSeq).sum("c")
-      .select(col("term") +: lpCols: _*)
+      .select((col("term") +: lpCols).toIndexedSeq: _*)
 
     // --- scoring: ONE pairs-sized join, one hash agg, row-local argmax
     val sumCols = classInfo.map { case (c, _, _) =>
@@ -102,11 +102,11 @@ object Classifier {
     // anti-join below — doc-sized and narrow (K+2 longs per row)
     val scored = tf.join(model, "term")
       .groupBy(col(idCol))
-      .agg(sumCols.head, sumCols.tail: _*)
+      .agg(sumCols.head, sumCols.tail.toIndexedSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = array(classInfo.map { case (c, _, prior) =>
       struct(((col(s"__s_$c") + prior) * -1).as("neg"), lit(c).as("cls"))
-    }: _*)
+    }.toIndexedSeq: _*)
     val best = scored
       .withColumn("__best", array_min(candidates))
       .select(col(idCol), col("__best.cls").as("pred"),
