@@ -494,6 +494,55 @@ object Corpus {
     out
   }
 
+  /** BPE tokenizer APPLY — the encode half of [[bpeMerges]]' training
+    * pass: rewrite every document as its BPE symbol sequence under a
+    * learned merge list (ranked pair strings, driver-side —
+    * O(numMerges), the same bounded collect as training's argmax).
+    *
+    * Scale shape: a word's encoding is a pure function of the word, so
+    * the merge replaces run over the DISTINCT-WORD table only — the
+    * tokenizer cache every production encoder keeps, vocabulary-sized,
+    * not corpus-sized. The corpus pays one word-keyed join (AQE
+    * broadcasts the vocab side when it fits, sort-merge otherwise) and
+    * a doc-local re-assembly (collect_list + array_sort inside one
+    * doc-keyed aggregate — bounded by document length, never a global
+    * window). Encoding the corpus in place would replay m replaces
+    * over every occurrence of every word: O(corpus·m) vs
+    * O(vocab·m + corpus).
+    *
+    * The merge apply is the exact training rewrite (marker-prefixed
+    * symbols, trailing-delimited `replace` = greedy left-to-right
+    * non-overlapping), so train→encode round-trips: a word seen in
+    * training encodes to the symbols training left it with. Documents
+    * with no tokens keep a row (n_words = 0, bpe_text = '').
+    *
+    * Returns (id, n_words, n_bpe_tokens, bpe_text) where bpe_text is
+    * the space-joined marker-symbol sequence. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[String]): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(TextAnalysis.regexTokens(col(textCol))).as(Seq("pos", "word")))
+    val sym0 = rtrim(regexp_replace(col("word"), "(.)", "_$1 "))
+    val encoded = merges.foldLeft(sym0) { (prev, pair) =>
+      val merged = "_" + pair.replace("_", "").replace(" ", "")
+      rtrim(replace(concat(prev, lit(" ")), lit(pair + " "), lit(merged + " ")))
+    }
+    val enc = toks.select("word").distinct()
+      .select(col("word"), encoded.as("sym"))
+    val agg = toks.join(enc, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(split(col("sym"), " ")).cast("long")).as("n_bpe_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("sym")))),
+          s => s.getField("sym"))).as("bpe_text"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("bpe_text"), lit("")).as("bpe_text"))
+  }
+
   /** CCNet-style per-language perplexity bucketing (Wenzek et al.
     * 2020): split each language's documents into head / middle / tail
     * thirds by LM score. CCNet assigns buckets by comparing each doc

@@ -221,6 +221,17 @@ object CorpusAnalysisQueries {
         numMerges = 6)
         .orderBy("rank")
     },
+    // y28 — BPE ENCODE (the apply half of y24): every document
+    // rewritten as its symbol sequence under the 6 learned merges.
+    // The merge replaces run over the distinct-word table only (the
+    // production tokenizer cache); the corpus pays one word-keyed
+    // join + a doc-local re-assembly, never m rewrites of the corpus.
+    "y28_bpe_encode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = Corpus.bpeMerges(docs, "doc_id", "text", numMerges = 6)
+        .orderBy("rank").collect().map(_.getString(1)).toSeq
+      Corpus.bpeEncode(docs, "doc_id", "text", merges).orderBy("doc_id")
+    },
     // y25 — source-level quality funnel (the data-derived analog of a
     // UT1-style source blocklist): per-source Gopher keep rates as
     // exact milli-integers; sources below 30% keep get flagged. One
@@ -307,6 +318,31 @@ object CorpusAnalysisQueries {
        |  FROM $prev)""".stripMargin
   }
 
+  /** Shared BPE training CTE chain (y24 merge table, y28 encode): the
+    * word-frequency base + 6 unrolled merge rounds, ending with merge
+    * tables b1..b6 and vocab states v0..v6. */
+  private lazy val bpeTrainCte: String =
+    s"""w AS (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
+       |    FROM documents)
+       |  GROUP BY word),
+       |v0 AS (
+       |  SELECT freq, '_' || list_aggregate(
+       |    list_transform(generate_series(1, length(word)), i -> word[i]),
+       |    'string_agg', ' _') AS sym
+       |  FROM w),
+       |${(1 to 6).map(bpeIterSql).mkString(",\n")}""".stripMargin
+
+  /** Nested apply of the learned merges to a marker-form symbol string
+    * — the encode twin of [[bpeIterSql]]'s rewrite, referencing the
+    * same b1..bN merge CTEs as scalar subqueries. */
+  private def bpeApplySql(inner: String, rounds: Int): String =
+    (1 to rounds).foldLeft(inner) { (prev, j) =>
+      s"rtrim(replace($prev || ' ', (SELECT pair FROM b$j) || ' ', " +
+        s"'_' || replace(replace((SELECT pair FROM b$j), '_', ''), ' ', '') || ' '))"
+    }
+
   /** Shared Gopher-rule CTE chain (y23 row-level, y25 source-level):
     * ends at `rk` = one row per doc with the milli-ratios + keep bit. */
   private lazy val gopherCte: String =
@@ -386,18 +422,32 @@ object CorpusAnalysisQueries {
            |    AS BIGINT) AS kl_sum_micro
            |FROM vocab w JOIN tot t USING (lang)
            |GROUP BY w.lang ORDER BY w.lang""".stripMargin,
+      "y28_bpe_encode" ->
+        s"""WITH $bpeTrainCte,
+           |tok AS (
+           |  SELECT doc_id, u.pos AS pos, u.word AS word
+           |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+           |          i -> struct_pack(pos := i, word := ws[i]))) AS u
+           |        FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ws
+           |              FROM documents))),
+           |enc AS (
+           |  SELECT word,
+           |    ${bpeApplySql(
+                  "('_' || list_aggregate(list_transform(generate_series(1, " +
+                    "length(word)), i -> word[i]), 'string_agg', ' _'))", 6)} AS sym
+           |  FROM (SELECT DISTINCT word FROM tok)),
+           |agg AS (
+           |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |    CAST(SUM(len(string_split(e.sym, ' '))) AS BIGINT) AS n_bpe_tokens,
+           |    string_agg(e.sym, ' ' ORDER BY t.pos) AS bpe_text
+           |  FROM tok t JOIN enc e USING (word) GROUP BY t.doc_id)
+           |SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+           |  COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+           |  COALESCE(a.bpe_text, '') AS bpe_text
+           |FROM documents d LEFT JOIN agg a USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
       "y24_bpe_merges" ->
-        s"""WITH w AS (
-           |  SELECT word, COUNT(*) AS freq FROM (
-           |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
-           |    FROM documents)
-           |  GROUP BY word),
-           |v0 AS (
-           |  SELECT freq, '_' || list_aggregate(
-           |    list_transform(generate_series(1, length(word)), i -> word[i]),
-           |    'string_agg', ' _') AS sym
-           |  FROM w),
-           |${(1 to 6).map(bpeIterSql).mkString(",\n")}
+        s"""WITH $bpeTrainCte
            |SELECT * FROM (
            |  ${(1 to 6).map(j =>
                 s"SELECT CAST($j AS INTEGER) AS rank, pair, CAST(cnt AS BIGINT) AS cnt FROM b$j")

@@ -629,6 +629,39 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq((1, "_b _a", 8L), (2, "_c _b", 4L), (3, "_c _ba", 3L)))
   }
 
+  test("bpeEncode applies merges greedily per word and preserves token order") {
+    val docs = Seq(
+      (1L, "aaab aaab ab"),
+      (2L, ""),            // token-free doc keeps a row: (0, 0, '')
+      (3L, "ba aaab")      // 'ba' is untouched by either merge
+    ).toDF("doc_id", "text")
+    // the merge table from the hand-computed training spec above
+    val merges = Seq("_a _a", "_a _b")
+    val got = graft.llm.Corpus.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    // aaab: _a _a _a _b -> greedy m1 -> _aa _a _b -> m2 -> _aa _ab
+    assert(got === Seq(
+      (1L, 3L, 5L, "_aa _ab _aa _ab _ab"),
+      (2L, 0L, 0L, ""),
+      (3L, 2L, 4L, "_b _a _aa _ab")))
+  }
+
+  test("bpeEncode round-trips bpeMerges: a trained word encodes to its final vocab state") {
+    val docs = Seq((1L, "aaab aaab ab ba cb cba")).toDF("doc_id", "text")
+    val merges = graft.llm.Corpus.bpeMerges(docs, "doc_id", "text", numMerges = 3)
+      .orderBy("rank").collect().map(_.getString(1)).toSeq
+    val enc = graft.llm.Corpus.bpeEncode(docs, "doc_id", "text", merges)
+      .select("bpe_text").as[String].collect().head
+    // replay the training rewrite per word on the driver as the oracle
+    def encodeWord(w: String): String =
+      merges.foldLeft(w.map(c => s"_$c").mkString(" ")) { (s, pair) =>
+        val merged = "_" + pair.replace("_", "").replace(" ", "")
+        (s + " ").replace(pair + " ", merged + " ").stripSuffix(" ")
+      }
+    val expected = "aaab aaab ab ba cb cba".split(" ").map(encodeWord).mkString(" ")
+    assert(enc === expected)
+  }
+
   test("naiveBayes: seed-trained argmax, OOV-invariance, prior-only floor") {
     val docs = Seq(
       (1L, "cat cat dog", "A"),   // seed: class A is cat/dog-ish
