@@ -221,10 +221,63 @@ object StreamQueries {
         case Some(v) => s.conf.set(key, v)
         case None    => s.conf.unset(key)
       }
+    },
+    // st15 — streaming near-dup ingest gate: micro-batches of incoming
+    // docs swept against the STAGED corpus LSH band artifact (the x14b
+    // materialize-once table) inside foreachBatch; per-doc verdicts
+    // land in idempotent batch_id=N directories. Per-doc vs a static
+    // corpus ⇒ batch-boundary independent ⇒ one batch-replay oracle.
+    "st15_stream_neardup_gate" -> { (s, dir) =>
+      val src = scratch(dir, "st15_src")
+      Streams.deleteDir(s, src)
+      val batch = LlmFixtures.syntheticIngestBatch(s, dir)
+      (0 until 3).foreach { i =>
+        IO.writeJsonLines(batch.filter(col("doc_id") % 3 === i),
+          s"$src/b$i.json", singleFile = true)
+      }
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType)))
+      Streams.runFileStreamNearDupGate(s, s"$src/*.json/*.json", docSchema,
+        scratch(dir, "st15_ckpt"), scratch(dir, "st15_out"),
+        LlmFixtures.stagedCorpusBands(s, dir))
+        .orderBy("doc_id")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    // the gate replays as ONE batch sweep: x14's band-join chain over
+    // the whole ingest batch + a per-doc left-join verdict (fresh docs
+    // keep a row with n_matches = 0, jac_max NULL)
+    "st15_stream_neardup_gate" ->
+      s"""WITH batch AS (${LlmFixtures.IngestBatchSql}),
+         |nsh AS (
+         |  SELECT doc_id AS id, ${LlmFixtures.shSql} AS sh
+         |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM batch)
+         |  WHERE len(${LlmFixtures.shSql}) > 0),
+         |bsh AS (
+         |  SELECT doc_id AS id, ${LlmFixtures.shSql} AS sh
+         |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
+         |  WHERE len(${LlmFixtures.shSql}) > 0),
+         |nbands AS (
+         |  SELECT id, sh, unnest(${LlmFixtures.bands4}) AS band
+         |  FROM (SELECT id, sh, ${LlmFixtures.minhash12} AS sig FROM nsh)),
+         |bbands AS (
+         |  SELECT id, sh, unnest(${LlmFixtures.bands4}) AS band
+         |  FROM (SELECT id, sh, ${LlmFixtures.minhash12} AS sig FROM bsh)),
+         |pairs AS (
+         |  SELECT DISTINCT n.id AS id_new, b.id AS id_base,
+         |    CAST(len(list_intersect(n.sh, b.sh)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(n.sh, b.sh))) AS DOUBLE) AS jaccard
+         |  FROM nbands n JOIN bbands b USING (band)),
+         |agg AS (
+         |  SELECT id_new AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         |    MAX(jaccard) AS jac_max
+         |  FROM pairs WHERE jaccard >= 0.5 GROUP BY id_new)
+         |SELECT b.doc_id, COALESCE(a.n_matches, 0) AS n_matches, a.jac_max,
+         |  COALESCE(a.n_matches, 0) > 0 AS is_neardup
+         |FROM batch b LEFT JOIN agg a USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
     // inner stream-stream join emits every match exactly once, so the
     // memory sink equals the batch self-join
     "st8_stream_join" ->

@@ -104,4 +104,43 @@ class StreamingSpec extends SparkSpec {
     val rows = out.select("entry_id", "dwell_us").as[(Long, Long)].collect().toSeq
     assert(rows == Seq((10L, 4000L)), s"cross-batch dwell, got $rows")
   }
+
+  test("ST15: near-dup gate verdicts are micro-batch-boundary independent") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_st15"
+    Streams.deleteDir(spark, base)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val bands = graft.llm.DedupLsh.corpusBandSignatures(
+      corpus, "doc_id", "text", shingleN = 3, numHashes = 12, numBands = 4)
+    // 3 incoming docs = exact dup of 1 / suffix-extended 2 / fresh,
+    // one per micro-batch file
+    val docs = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "one two three four five six seven eight nine extra"),
+      (13L, "totally novel content with no overlap whatsoever here"))
+    docs.zipWithIndex.foreach { case ((id, text), i) =>
+      val f = new java.io.File(s"$base/src/b$i.json")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath,
+        s"""{"doc_id":$id,"lang":"en","text":"$text"}""")
+      Thread.sleep(20)
+    }
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    def run(tag: String, mft: Option[Int]) =
+      Streams.runFileStreamNearDupGate(spark, s"$base/src", docSchema,
+        s"$base/ckpt_$tag", s"$base/out_$tag", bands, maxFilesPerTrigger = mft)
+        .orderBy("doc_id")
+        .as[(Long, Long, Option[Double], Boolean)].collect().toSeq
+    val perFile = run("a", Some(1)) // 3 micro-batches
+    val oneShot = run("b", None)    // 1 micro-batch
+    assert(perFile === oneShot, "verdicts must not depend on batching")
+    assert(perFile.map(r => r._1 -> r._4) ===
+      Seq(11L -> true, 12L -> true, 13L -> false))
+    // the exact dup shares every shingle: jaccard exactly 1.0
+    assert(perFile.head._3.contains(1.0))
+  }
 }
