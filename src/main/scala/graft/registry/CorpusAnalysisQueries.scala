@@ -193,6 +193,27 @@ object CorpusAnalysisQueries {
         .select("doc_id", "lang", "pred", "score_micro", "n_scored")
         .orderBy("doc_id")
     },
+    // y29 — classifier EVAL gate (x24's recall-gate pattern applied to
+    // y20): confusion cells of the NB argmax vs the true labels on the
+    // HELD-OUT half (docs outside the md5 < '8' seed), with exact
+    // per-truth-class milli-rates. Pure groupBys over y20's output —
+    // the diagonal rows are per-class recall, the off-diagonals name
+    // the confusion direction. The check a production curation stack
+    // runs before trusting a classifier's keep/drop decisions.
+    "y29_nb_eval" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val preds = graft.llm.Classifier.naiveBayes(docs, "doc_id", "text",
+        when(md5(col("doc_id").cast("string")) < "8", col("lang")))
+      val cells = preds
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .filter(md5(col("doc_id").cast("string")) >= "8")
+        .groupBy(col("lang").as("truth"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+      cells
+        .join(cells.groupBy("truth").agg(sum(col("n")).as("n_truth")), "truth")
+        .withColumn("cell_milli", expr("n * 1000 div n_truth"))
+        .orderBy("truth", "pred")
+    },
     // y22 — exact heavy hitters (tokens above 1/200 of all instances)
     // via two scans with Misra–Gries candidate pruning: the shuffle
     // carries <= partitions·k candidate rows instead of the whole
@@ -343,6 +364,53 @@ object CorpusAnalysisQueries {
         s"'_' || replace(replace((SELECT pair FROM b$j), '_', ''), ' ', '') || ' '))"
     }
 
+  /** Shared Naive-Bayes CTE chain (y20 per-doc argmax, y29 eval
+    * cells): seed-trained multinomial NB in integer micro-nats,
+    * ending at `best` = one row per (doc, class) with the rn = 1
+    * argmax marker. */
+  private lazy val nbCte: String =
+    """tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |seed AS (SELECT doc_id, lang AS cls FROM documents
+      |         WHERE md5(CAST(doc_id AS VARCHAR)) < '8'),
+      |ct AS (SELECT cls, term, SUM(tf.tf) AS c
+      |       FROM tf JOIN seed USING (doc_id) GROUP BY cls, term),
+      |v AS (SELECT COUNT(DISTINCT term) AS v FROM ct),
+      |pri AS (SELECT cls,
+      |    CAST(floor(ln(CAST(d AS DOUBLE) / d_tot) * 1e6) AS BIGINT) AS prior_micro
+      |  FROM (SELECT cls, COUNT(*) AS d FROM seed GROUP BY cls)
+      |  CROSS JOIN (SELECT COUNT(*) AS d_tot FROM seed)),
+      |ctot AS (
+      |  SELECT p.cls, COALESCE(s.n_cls, 0) AS n_cls
+      |  FROM pri p LEFT JOIN (SELECT cls, SUM(c) AS n_cls FROM ct
+      |                        GROUP BY cls) s USING (cls)),
+      |grid AS (
+      |  SELECT t.term, ctot.cls,
+      |    CAST(floor(ln(CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)
+      |      / (ctot.n_cls + v.v)) * 1e6) AS BIGINT) AS lp_micro
+      |  FROM (SELECT DISTINCT term FROM ct) t
+      |  CROSS JOIN ctot
+      |  LEFT JOIN ct ON ct.term = t.term AND ct.cls = ctot.cls
+      |  CROSS JOIN v),
+      |sc AS (
+      |  SELECT tf.doc_id, grid.cls, SUM(tf.tf * grid.lp_micro) AS ll_micro,
+      |         SUM(tf.tf) AS n_scored
+      |  FROM tf JOIN grid USING (term) GROUP BY tf.doc_id, grid.cls),
+      |fl AS (
+      |  SELECT d.doc_id, p.cls,
+      |    p.prior_micro + COALESCE(sc.ll_micro, 0) AS score_micro,
+      |    COALESCE(sc.n_scored, 0) AS n_scored
+      |  FROM documents d CROSS JOIN pri p
+      |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.cls = p.cls),
+      |best AS (
+      |  SELECT doc_id, cls AS pred, score_micro, n_scored,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                       ORDER BY score_micro DESC, cls) AS rn
+      |  FROM fl)""".stripMargin
+
   /** Shared Gopher-rule CTE chain (y23 row-level, y25 source-level):
     * ends at `rk` = one row per doc with the milli-ratios + keep bit. */
   private lazy val gopherCte: String =
@@ -480,52 +548,30 @@ object CorpusAnalysisQueries {
           |HAVING COUNT(*) * 200 > n_total
           |ORDER BY cnt DESC, term""".stripMargin,
       "y20_nb_classifier" ->
-        """WITH tf AS (
-          |  SELECT doc_id, term, COUNT(*) AS tf FROM (
-          |    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
-          |    FROM documents)
-          |  GROUP BY doc_id, term),
-          |seed AS (SELECT doc_id, lang AS cls FROM documents
-          |         WHERE md5(CAST(doc_id AS VARCHAR)) < '8'),
-          |ct AS (SELECT cls, term, SUM(tf.tf) AS c
-          |       FROM tf JOIN seed USING (doc_id) GROUP BY cls, term),
-          |v AS (SELECT COUNT(DISTINCT term) AS v FROM ct),
-          |pri AS (SELECT cls,
-          |    CAST(floor(ln(CAST(d AS DOUBLE) / d_tot) * 1e6) AS BIGINT) AS prior_micro
-          |  FROM (SELECT cls, COUNT(*) AS d FROM seed GROUP BY cls)
-          |  CROSS JOIN (SELECT COUNT(*) AS d_tot FROM seed)),
-          |ctot AS (
-          |  SELECT p.cls, COALESCE(s.n_cls, 0) AS n_cls
-          |  FROM pri p LEFT JOIN (SELECT cls, SUM(c) AS n_cls FROM ct
-          |                        GROUP BY cls) s USING (cls)),
-          |grid AS (
-          |  SELECT t.term, ctot.cls,
-          |    CAST(floor(ln(CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)
-          |      / (ctot.n_cls + v.v)) * 1e6) AS BIGINT) AS lp_micro
-          |  FROM (SELECT DISTINCT term FROM ct) t
-          |  CROSS JOIN ctot
-          |  LEFT JOIN ct ON ct.term = t.term AND ct.cls = ctot.cls
-          |  CROSS JOIN v),
-          |sc AS (
-          |  SELECT tf.doc_id, grid.cls, SUM(tf.tf * grid.lp_micro) AS ll_micro,
-          |         SUM(tf.tf) AS n_scored
-          |  FROM tf JOIN grid USING (term) GROUP BY tf.doc_id, grid.cls),
-          |fl AS (
-          |  SELECT d.doc_id, p.cls,
-          |    p.prior_micro + COALESCE(sc.ll_micro, 0) AS score_micro,
-          |    COALESCE(sc.n_scored, 0) AS n_scored
-          |  FROM documents d CROSS JOIN pri p
-          |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.cls = p.cls),
-          |best AS (
-          |  SELECT doc_id, cls AS pred, score_micro, n_scored,
-          |    ROW_NUMBER() OVER (PARTITION BY doc_id
-          |                       ORDER BY score_micro DESC, cls) AS rn
-          |  FROM fl)
-          |SELECT b.doc_id, d.lang, b.pred,
-          |  CAST(b.score_micro AS BIGINT) AS score_micro,
-          |  CAST(b.n_scored AS BIGINT) AS n_scored
-          |FROM best b JOIN documents d USING (doc_id)
-          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        s"""WITH $nbCte
+           |SELECT b.doc_id, d.lang, b.pred,
+           |  CAST(b.score_micro AS BIGINT) AS score_micro,
+           |  CAST(b.n_scored AS BIGINT) AS n_scored
+           |FROM best b JOIN documents d USING (doc_id)
+           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      // y29 — classifier EVAL gate (the x24 recall-gate pattern for
+      // y20): confusion cells of the NB argmax vs true labels on the
+      // held-out half, with per-truth-class milli-rates — the check a
+      // production curation stack runs before trusting a classifier
+      "y29_nb_eval" ->
+        s"""WITH $nbCte,
+           |hold AS (
+           |  SELECT d.lang AS truth, b.pred
+           |  FROM best b JOIN documents d USING (doc_id)
+           |  WHERE b.rn = 1 AND md5(CAST(d.doc_id AS VARCHAR)) >= '8'),
+           |cells AS (
+           |  SELECT truth, pred, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM hold GROUP BY truth, pred),
+           |tot AS (SELECT truth, SUM(n) AS n_truth FROM cells GROUP BY truth)
+           |SELECT c.truth, c.pred, c.n, CAST(t.n_truth AS BIGINT) AS n_truth,
+           |  CAST(c.n * 1000 // t.n_truth AS BIGINT) AS cell_milli
+           |FROM cells c JOIN tot t USING (truth)
+           |ORDER BY c.truth, c.pred""".stripMargin,
       "y21_dsir_select" ->
         """WITH tf AS (
           |  SELECT doc_id, term, COUNT(*) AS tf FROM (

@@ -662,6 +662,32 @@ class CorpusSpec extends SparkSpec {
     assert(enc === expected)
   }
 
+  test("nb eval cells: counts partition the held-out set and milli-rates are exact") {
+    // 2 seed docs per class, 3 held-out docs: two separable, one
+    // deliberately confusable (B-evidence under truth A)
+    val docs = Seq(
+      (1L, "cat cat dog", "A", true), (2L, "cat fish", "A", true),
+      (3L, "wolf wolf bear", "B", true), (4L, "wolf bear", "B", true),
+      (5L, "cat cat cat", "A", false), (6L, "wolf bear bear", "B", false),
+      (7L, "wolf wolf", "A", false)
+    ).toDF("doc_id", "text", "lang", "seed")
+    val preds = graft.llm.Classifier.naiveBayes(docs, "doc_id", "text",
+      when(col("seed"), col("lang")))
+    val cells = preds.join(docs.select("doc_id", "lang", "seed"), "doc_id")
+      .filter(!col("seed"))
+      .groupBy(col("lang").as("truth"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+    val got = cells
+      .join(cells.groupBy("truth").agg(sum(col("n")).as("n_truth")), "truth")
+      .withColumn("cell_milli", expr("n * 1000 div n_truth"))
+      .orderBy("truth", "pred")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("A", "A", 1L, 2L, 500L),   // doc 5 correct
+      ("A", "B", 1L, 2L, 500L),   // doc 7: wolf-heavy text under truth A
+      ("B", "B", 1L, 1L, 1000L))) // doc 6 correct
+  }
+
   test("naiveBayes: seed-trained argmax, OOV-invariance, prior-only floor") {
     val docs = Seq(
       (1L, "cat cat dog", "A"),   // seed: class A is cat/dog-ish
