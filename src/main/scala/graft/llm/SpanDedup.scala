@@ -113,13 +113,23 @@ object SpanDedup {
     * from the surviving tokens. Per-doc span lists ride a collect_list
     * bounded by document length; the cut itself is a pure higher-order
     * Column expression (no shuffle past the span join). */
-  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val spans = removalSpans(docs, idCol, textCol, k)
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    applySpanCuts(docs, idCol, textCol, removalSpans(docs, idCol, textCol, k))
+
+  /** Cut an arbitrary (doc_id, span_start, span_end) list out of the
+    * documents — the shared apply step behind [[removeDuplicatedSpans]]
+    * (keep-one-copy cuts) and [[removeCrossDuplicatedSpans]]
+    * (corpus-known cuts). Per-doc span lists ride a collect_list
+    * bounded by document length; the cut itself is a pure higher-order
+    * Column expression (no shuffle past the span join). */
+  def applySpanCuts(docs: DataFrame, idCol: String, textCol: String,
+                    spans: DataFrame): DataFrame = {
+    val sp = spans
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("sp"))
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("tk"))
-      .join(spans, Seq("doc_id"), "left_outer")
+      .join(sp, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("tk"),
         coalesce(col("sp"), typedLit(Seq.empty[(Long, Long)])
           .cast("array<struct<s:bigint,e:bigint>>")).as("sp"))
@@ -149,6 +159,18 @@ object SpanDedup {
       .select("doc_id", "pos")
     islandSpans(hits, k)
   }
+
+  /** Incremental APPLY — the ingest batch a pipeline actually keeps:
+    * every batch document with its CORPUS-KNOWN spans
+    * ([[crossDuplicatedSpans]]) cut out. "Never re-ingest what the
+    * corpus already has, at substring granularity": exact duplicates
+    * come back empty, partially-overlapping docs keep only their novel
+    * content, fresh docs pass through intact. No keep-one-copy pick is
+    * needed — the surviving copy is the corpus's, by construction. */
+  def removeCrossDuplicatedSpans(batch: DataFrame, corpusHashes: DataFrame,
+                                 idCol: String, textCol: String, k: Int): DataFrame =
+    applySpanCuts(batch, idCol, textCol,
+      crossDuplicatedSpans(batch, corpusHashes, idCol, textCol, k))
 
   /** The corpus window-hash set for [[crossDuplicatedSpans]] — write
     * this once per snapshot. Thin by construction: one 32-hex row per

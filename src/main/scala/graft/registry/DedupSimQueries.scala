@@ -301,6 +301,18 @@ object DedupSimQueries {
         stagedCorpusSpanHashes(s, dir), "doc_id", "text", k = 8)
         .orderBy("doc_id", "span_start")
     },
+    // x26 — incremental span dedup APPLY: the ingest batch with every
+    // corpus-known span (x25) cut out — don't re-ingest what the
+    // corpus already has, at substring granularity. Exact dupes come
+    // back empty, suffix-extended docs keep only the novel suffix,
+    // fresh docs pass through intact. No keep-one-copy pick: the
+    // surviving copy is the corpus's, by construction.
+    "x26_span_incremental_apply" -> { (s, dir) =>
+      graft.llm.SpanDedup.removeCrossDuplicatedSpans(
+        syntheticIngestBatch(s, dir).drop("lang"),
+        stagedCorpusSpanHashes(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    },
     // x22 — product-quantization ADC top-k (Jégou et al. 2011): the
     // memory side of ANN — vectors stored as 8 sub-codebook ids (32×
     // compression), queries scored against the CODES via a broadcast
@@ -441,6 +453,40 @@ object DedupSimQueries {
            |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
            |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end
            |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+      // x26 — x25's corpus-hit span chain + x21's cut replay, over the
+      // batch tokens (fresh docs keep their text via the left join;
+      // DuckDB's array_to_string([]) is NULL where Spark's concat_ws
+      // is '', hence the COALESCE)
+      "x26_span_incremental_apply" ->
+        s"""WITH batch AS ($IngestBatchSql),
+           |cw AS (
+           |  SELECT DISTINCT md5(array_to_string(tk[i:i+7], ' ')) AS h
+           |  FROM (SELECT regexp_split_to_array(text, '\\s+') AS tk FROM documents),
+           |       unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS t(i)),
+           |bw AS (
+           |  SELECT doc_id, i AS pos, md5(array_to_string(tk[i:i+7], ' ')) AS h
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk
+           |        FROM batch),
+           |       unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS t(i)),
+           |hits AS (SELECT doc_id, pos FROM bw JOIN cw USING (h)),
+           |${islandsCte("hits")},
+           |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+           |          FROM grp GROUP BY doc_id, g),
+           |spl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+           |        FROM spans GROUP BY doc_id),
+           |tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk
+           |        FROM batch),
+           |kept AS (
+           |  SELECT t.doc_id,
+           |    CASE WHEN sp IS NULL THEN tk
+           |         ELSE list_transform(list_filter(generate_series(1, len(tk)),
+           |                i -> len(list_filter(sp, p -> i >= p['s'] AND i <= p['e'])) = 0),
+           |              i -> tk[i]) END AS kp
+           |  FROM tok t LEFT JOIN spl USING (doc_id))
+           |SELECT doc_id,
+           |  COALESCE(array_to_string(kp, ' '), '') AS cleaned_text,
+           |  CAST(len(kp) AS BIGINT) AS n_kept
+           |FROM kept ORDER BY doc_id""".stripMargin,
       "x22_pq_topk" -> X22PqSql,
       "x23_ivfpq_topk" -> X23IvfPqSql,
       "x23b_ivfpq_prebuilt" -> X23IvfPqSql,

@@ -186,6 +186,22 @@ class SpanSketchSpec extends SparkSpec {
     assert(spans.toSeq === Seq((100L, 3L, 12L)))
   }
 
+  test("removeCrossDuplicatedSpans cuts exactly the corpus-known content") {
+    val corpus = docs(1L -> "a b c d e f g h i j")
+    val batch = docs(
+      100L -> "a b c d e f g h i j",                // exact dup -> empty
+      101L -> "x y a b c d e f g h i j q r",        // corpus run at 3..12
+      102L -> "totally novel words only in this one here")
+    val hashes = SpanDedup.corpusWindowHashSet(corpus, "doc_id", "text", k = 4)
+    val got = SpanDedup.removeCrossDuplicatedSpans(batch, hashes, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (100L, "", 0L),
+      (101L, "x y q r", 4L),
+      (102L, "totally novel words only in this one here", 8L)))
+  }
+
   test("exactHeavyHitters equals the direct GROUP BY under adversarial partitioning") {
     import spark.implicits._
     // Zipf-ish: 'hot' 300x, 'warm' 60x, 200 singletons, n = 560;
