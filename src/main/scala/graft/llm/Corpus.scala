@@ -117,14 +117,24 @@ object Corpus {
     * `partitionBy(shard)` sink.
     */
   def tokenBalancedShards(docs: DataFrame, idCol: String, textCol: String,
-                          nShards: Int): DataFrame = {
+                          nShards: Int): DataFrame =
+    // the NARROW projection is what massBalancedShards caches:
+    // tokenizing the text column is the expensive part, and both the
+    // budget agg and the prefix sum need the counts — one text scan
+    massBalancedShards(
+      docs.select(col(idCol),
+        TextAnalysis.tokenCountWhitespace(col(textCol)).as("n_tokens")),
+      idCol, "n_tokens", nShards)
+
+  /** [[tokenBalancedShards]] over PRECOMPUTED per-row masses — the
+    * shared cut machinery for any additive mass column (whitespace
+    * token counts there, y28 BPE token counts in the e7 export).
+    * Output column is always `n_tokens`. */
+  def massBalancedShards(rows: DataFrame, idCol: String, massCol: String,
+                         nShards: Int): DataFrame = {
     require(nShards >= 1, "nShards must be positive")
-    // cache the NARROW projection before the total: tokenizing the
-    // text column is the expensive part, and both the budget agg and
-    // the prefix sum need the counts — one text scan, not two
-    val base = docs.select(
-        col(idCol),
-        TextAnalysis.tokenCountWhitespace(col(textCol)).as("n_tokens"))
+    val base = rows.select(
+        col(idCol), col(massCol).cast("long").as("n_tokens"))
       .withColumn("__h", md5(col(idCol).cast("string")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totalRow = base.agg(sum(col("n_tokens"))).first()

@@ -342,7 +342,7 @@ object CorpusAnalysisQueries {
   /** Shared BPE training CTE chain (y24 merge table, y28 encode): the
     * word-frequency base + 6 unrolled merge rounds, ending with merge
     * tables b1..b6 and vocab states v0..v6. */
-  private lazy val bpeTrainCte: String =
+  private[registry] lazy val bpeTrainCte: String =
     s"""w AS (
        |  SELECT word, COUNT(*) AS freq FROM (
        |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
@@ -358,7 +358,7 @@ object CorpusAnalysisQueries {
   /** Nested apply of the learned merges to a marker-form symbol string
     * — the encode twin of [[bpeIterSql]]'s rewrite, referencing the
     * same b1..bN merge CTEs as scalar subqueries. */
-  private def bpeApplySql(inner: String, rounds: Int): String =
+  private[registry] def bpeApplySql(inner: String, rounds: Int): String =
     (1 to rounds).foldLeft(inner) { (prev, j) =>
       s"rtrim(replace($prev || ' ', (SELECT pair FROM b$j) || ' ', " +
         s"'_' || replace(replace((SELECT pair FROM b$j), '_', ''), ' ', '') || ' '))"
