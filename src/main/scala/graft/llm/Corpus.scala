@@ -133,8 +133,13 @@ object Corpus {
   def massBalancedShards(rows: DataFrame, idCol: String, massCol: String,
                          nShards: Int): DataFrame = {
     require(nShards >= 1, "nShards must be positive")
+    // A NULL or negative mass would flow through the prefix-sum bucket
+    // arithmetic and yield NULL/negative shard ids — clamp to 0 so a
+    // degenerate row costs nothing but still lands in a valid shard.
     val base = rows.select(
-        col(idCol), col(massCol).cast("long").as("n_tokens"))
+        col(idCol),
+        greatest(coalesce(col(massCol).cast("long"), lit(0L)), lit(0L))
+          .as("n_tokens"))
       .withColumn("__h", md5(col(idCol).cast("string")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totalRow = base.agg(sum(col("n_tokens"))).first()
@@ -460,6 +465,17 @@ object Corpus {
                 numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // Lineage truncation cadence: each round's vocab plan nests one
+    // more `replace` over a CACHED parent — the data cost per round is
+    // O(vocab), but Catalyst re-analyzes the whole chain each round,
+    // so planning cost grows with depth and at tokenizer-scale merge
+    // counts (30–50k) the O(m²) planning would dominate the O(m·vocab)
+    // work. A checkpoint every 16 rounds caps plan depth at 16;
+    // durability follows the nearDupClusters contract (reliable when
+    // sc.setCheckpointDir is set — the multi-hour cluster run — else
+    // executor-local, right for local[*]).
+    val checkpointEvery = 16
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val words = docs
       .select(explode(TextAnalysis.regexTokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -497,6 +513,15 @@ object Corpus {
         rtrim(replace(concat(col("sym"), lit(" ")),
           lit(pair + " "), lit(merged + " "))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (i % checkpointEvery == 0) {
+        // materializes eagerly and replaces the plan with a leaf; the
+        // persist that fed the checkpoint is released HERE (the normal
+        // parent rotation only sees the checkpointed frame, so the
+        // pre-checkpoint cache would otherwise linger until GC)
+        val persisted = vocab
+        vocab = if (reliable) vocab.checkpoint() else vocab.localCheckpoint()
+        persisted.unpersist()
+      }
     }
     val out = merges.toSeq.toDF("rank", "pair", "cnt")
     if (parent != null) parent.unpersist()

@@ -116,10 +116,18 @@ object Pq {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = trainCodebooks(v, m, numCells, iters)
     val codes = encode(v, cents, m)
+    graft.Caching.releaseAfterFirstUse(queryAdcCodes(codes, cents, queries, k, m), v)
+  }
+
+  /** Query-time half of plain ADC, against an already-encoded corpus:
+    * one exact per-query LUT of subvector→centroid distances
+    * (m·numCells rows per query, broadcast-sized as long as the query
+    * batch is), joined against the thin (vec_id, s, code) table — the
+    * raw corpus vectors are never touched. */
+  private def queryAdcCodes(codes: DataFrame, cents: DataFrame,
+                            queries: DataFrame, k: Int, m: Int): DataFrame = {
     val qv = queries.select(col("vec_id").as("query_id"),
       Similarity.quantize(col("embedding")).as("qnv"))
-    // LUT: exact query-subvector → centroid distances, m·numCells rows
-    // per query — broadcast-sized as long as the query batch is
     val lut = subVectors(qv.withColumnRenamed("query_id", "vec_id")
         .withColumnRenamed("qnv", "nv"), m)
       .withColumnRenamed("vec_id", "query_id")
@@ -131,11 +139,39 @@ object Pq {
       .agg(sum(col("d")).as("adc_dist"))
       .filter(col("vec_id") =!= col("query_id"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
-    val out = adc
+    adc
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("adc_dist"))
-    graft.Caching.releaseAfterFirstUse(out, v)
+  }
+
+  /** Build a PERSISTED plain-ADC index under `indexDir` — the
+    * [[buildPqIndex]] layout minus the coarse level:
+    *   - `pq_centroids`: (s, cell_id, cv) sub-codebooks;
+    *   - `codes`:        (vec_id, s, code) — NOT cell-partitioned,
+    *     because plain ADC scans every code by design (its niche is
+    *     exhaustive-but-cheap; IVFADC is the pruned variant).
+    * Production encodes the corpus once in the ingest job; a query
+    * then pays a broadcast-LUT join over ~8 bytes per corpus vector
+    * instead of retraining k-means per call. */
+  def buildAdcIndex(corpus: DataFrame, indexDir: String,
+                    m: Int = 8, numCells: Int = 16, iters: Int = 2): Unit = {
+    val v = corpus.select(col("vec_id"), Similarity.quantize(col("embedding")).as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainCodebooks(v, m, numCells, iters)
+    cents.write.mode("overwrite").parquet(s"$indexDir/pq_centroids")
+    encode(v, cents, m).write.mode("overwrite").parquet(s"$indexDir/codes")
+    v.unpersist(false)
+  }
+
+  /** Query a [[buildAdcIndex]] index: centroid + code reads only —
+    * value-identical to [[adcTopK]] on the same corpus because the
+    * index round-trip stores the exact integer codes and centroids. */
+  def adcTopKPrebuilt(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                      queries: DataFrame, k: Int, m: Int = 8): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/pq_centroids")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    queryAdcCodes(codes, cents, queries, k, m)
   }
 
   /** IVFADC (Jégou et al. 2011 §IV): the full billion-scale ANN

@@ -334,10 +334,19 @@ object CorpusAnalysisQueries {
        |  GROUP BY pair),
        |b$j AS (SELECT pair, cnt FROM p$j ORDER BY cnt DESC, pair LIMIT 1),
        |v$j AS (
-       |  SELECT freq, rtrim(replace(sym || ' ', (SELECT pair FROM b$j) || ' ',
-       |    '_' || replace(replace((SELECT pair FROM b$j), '_', ''), ' ', '') || ' ')) AS sym
+       |  SELECT freq, rtrim(replace(sym || ' ', COALESCE((SELECT pair FROM b$j), chr(1)) || ' ',
+       |    '_' || replace(replace(COALESCE((SELECT pair FROM b$j), chr(1)), '_', ''), ' ', '') || ' ')) AS sym
        |  FROM $prev)""".stripMargin
   }
+  // COALESCE to chr(1): when a merge round has no candidate pair (a
+  // degenerate corpus with < 6 trainable merges), the scalar subquery
+  // is NULL and a bare replace() would cascade sym to NULL and every
+  // downstream bpe_text to '' — a SILENT divergence, because the Spark
+  // side fails LOUDLY there (bpeMerges requires a surviving pair each
+  // round). The chr(1) sentinel never occurs in a symbol string, so a
+  // pairless round becomes a visible no-op instead of corrupt output;
+  // the engines still differ on degenerate input (loud vs pass-through)
+  // but no longer silently.
 
   /** Shared BPE training CTE chain (y24 merge table, y28 encode): the
     * word-frequency base + 6 unrolled merge rounds, ending with merge

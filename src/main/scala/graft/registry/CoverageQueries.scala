@@ -19,6 +19,39 @@ object CoverageQueries {
     s"${sys.props("java.io.tmpdir")}/graft_cov/$sf/$name"
   }
 
+  /** session → sfdir whose `graft_li_b`/`graft_ord_b` bucketed fact
+    * tables are already in this JVM's catalog. A map, not a set: the
+    * table NAMES are fixed, so if the same session later targets a
+    * different sfdir the stale tables must be rebuilt, which a
+    * set-style memo keyed on (session, dir) would silently skip. */
+  private val builtBucketedFacts =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
+  /** Write both j3 fact tables bucketed+sorted on the join key, once
+    * per (session, sfdir); recorded only after the build returns so a
+    * failed build stays rebuildable (the LlmFixtures buildOnce rule). */
+  private def stageBucketedFacts(s: SparkSession, dir: String): Unit = {
+    val key = Integer.valueOf(System.identityHashCode(s))
+    if (builtBucketedFacts.get(key) != dir) {
+      s.sql("DROP TABLE IF EXISTS graft_li_b")
+      s.sql("DROP TABLE IF EXISTS graft_ord_b")
+      // catalog is per-JVM but table dirs persist across runs; derive
+      // the location from the session's warehouse conf, never a
+      // hardcoded path (a different entry point would otherwise clean
+      // the wrong dir and hit LOCATION_ALREADY_EXISTS on run 2)
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq("graft_li_b", "graft_ord_b").foreach(t =>
+        graft.streaming.Streams.deleteDir(s, s"$wh/$t"))
+      Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_li_b")
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_ord_b")
+      builtBucketedFacts.put(key, dir)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 — "SELECT * FROM t" full scan (ClickHouse sim → parquet scan)
     "s1_full_scan" -> { (s, dir) =>
@@ -330,21 +363,11 @@ object CoverageQueries {
     // shuffle and a metadata-only co-located merge (the one shuffle
     // left is the final groupBy on the much smaller aggregate)
     "j3_bucketed_join" -> { (s, dir) =>
-      s.sql("DROP TABLE IF EXISTS graft_li_b")
-      s.sql("DROP TABLE IF EXISTS graft_ord_b")
-      // catalog is per-JVM but table dirs persist across runs; derive
-      // the location from the session's warehouse conf, never a
-      // hardcoded path (a different entry point would otherwise clean
-      // the wrong dir and hit LOCATION_ALREADY_EXISTS on run 2)
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      Seq("graft_li_b", "graft_ord_b").foreach(t =>
-        graft.streaming.Streams.deleteDir(s, s"$wh/$t"))
-      Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_li_b")
-      Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_ord_b")
+      // stage the bucketed fact tables ONCE per (session, sfdir) —
+      // production writes bucketed facts once in the ingest job and
+      // every downstream join rides them for free, so the bench must
+      // time the JOIN, not a per-call table rebuild (round-11 verdict)
+      stageBucketedFacts(s, dir)
       s.table("graft_li_b")
         .join(s.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_custkey")

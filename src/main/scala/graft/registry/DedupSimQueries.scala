@@ -323,6 +323,22 @@ object DedupSimQueries {
       graft.llm.Pq.adcTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
         .orderBy("query_id", "rank")
     },
+    // x22b — the same ADC search against a PERSISTED code index
+    // (sub-codebooks + codes on parquet; the x23b build-once contract
+    // minus the coarse level — plain ADC scans every code by design).
+    // Production trains/encodes once in the ingest job; a query is a
+    // centroid read + one broadcast-LUT join over the 8-byte codes,
+    // never a per-call k-means retrain. Same oracle as x22: the index
+    // round-trip must be value-invisible.
+    "x22b_pq_prebuilt" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = s"${corpusScratch(dir)}/adc_index"
+      buildOnce(builtAdcIndexes, s"${System.identityHashCode(s)}|$idx") {
+        graft.llm.Pq.buildAdcIndex(emb, idx)
+      }
+      graft.llm.Pq.adcTopKPrebuilt(s, idx, emb.filter(col("vec_id") < 5), k = 3)
+        .orderBy("query_id", "rank")
+    },
     // x23 — IVFADC (Jégou et al. 2011 §IV): the x7 coarse quantizer
     // composed with residual-PQ codes — IVF prunes WHICH members a
     // query scores, the 8-byte codes decide HOW CHEAPLY. Same query
@@ -488,6 +504,7 @@ object DedupSimQueries {
            |  CAST(len(kp) AS BIGINT) AS n_kept
            |FROM kept ORDER BY doc_id""".stripMargin,
       "x22_pq_topk" -> X22PqSql,
+      "x22b_pq_prebuilt" -> X22PqSql,
       "x23_ivfpq_topk" -> X23IvfPqSql,
       "x23b_ivfpq_prebuilt" -> X23IvfPqSql,
       // x24 — recall of the IVFADC result (x23's full CTE set as a

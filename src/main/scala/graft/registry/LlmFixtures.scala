@@ -48,6 +48,11 @@ private[registry] object LlmFixtures {
   val builtPqIndexes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** (sessionUUID|indexDir) pairs whose plain-ADC code index this JVM
+    * already built — the x7b contract applied to x22b. */
+  val builtAdcIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** (sessionUUID|tablePath) doc tables this JVM already seeded with
     * the corpus — the e5 upsert then only writes the batch's touched
     * buckets, the O(touched-buckets) property the operator exists for. */

@@ -486,6 +486,23 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outPath).drop("batch_id")
+    // If the source glob matched zero files, AvailableNow ran zero batches
+    // and no batch directory exists — return an empty verdict frame with
+    // the same schema instead of letting the read throw path-not-found.
+    val outExists = {
+      val p = new org.apache.hadoop.fs.Path(outPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+    }
+    if (outExists) spark.read.parquet(outPath).drop("batch_id")
+    else {
+      import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField}
+      val verdictSchema = StructType(Seq(
+        StructField("doc_id", schema("doc_id").dataType, nullable = true),
+        StructField("n_matches", LongType, nullable = false),
+        StructField("jac_max", DoubleType, nullable = true),
+        StructField("is_neardup", BooleanType, nullable = false)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], verdictSchema)
+    }
   }
 }

@@ -155,6 +155,25 @@ class CorpusSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("massBalancedShards clamps NULL and negative masses to 0, never a NULL shard") {
+    import spark.implicits._
+    // a NULL mass would flow through the prefix-sum bucket arithmetic
+    // and yield NULL shard ids (round-11 advice); negatives would walk
+    // the cumulative sum backwards and could double-assign a shard
+    val rows = Seq((1L, Option(10L)), (2L, None), (3L, Option(-5L)),
+      (4L, Option(10L)), (5L, Option(10L)))
+      .toDF("doc_id", "mass")
+    val out = graft.llm.Corpus.massBalancedShards(rows, "doc_id", "mass", nShards = 2)
+      .collect()
+    assert(out.length == 5)
+    assert(out.forall(!_.isNullAt(out.head.fieldIndex("shard_id"))),
+      s"NULL shard id leaked: ${out.mkString(";")}")
+    val byId = out.map(r => r.getLong(0) -> r.getLong(r.fieldIndex("n_tokens"))).toMap
+    assert(byId(2L) == 0L && byId(3L) == 0L, s"clamp failed: $byId")
+    val shards = out.map(_.getLong(out.head.fieldIndex("shard_id"))).toSet
+    assert(shards.subsetOf(Set(0L, 1L)), s"shard out of range: $shards")
+  }
+
   test("tokenBalancedShards: budget-tight shards, all used, never a global window") {
     // heavy-tailed lengths — the case count-balanced sharding gets
     // wrong: a few docs carry most of the token mass

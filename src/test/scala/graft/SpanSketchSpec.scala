@@ -166,6 +166,25 @@ class SpanSketchSpec extends SparkSpec {
     } finally graft.streaming.Streams.deleteDir(spark, idx)
   }
 
+  test("plain-ADC persisted index round-trip is value-invisible (x22b)") {
+    import spark.implicits._
+    def vec(seed: Long) = (0 until 64).map(j => ((seed * 31 + j * 7) % 97).toFloat / 97f)
+    val emb = ((0L until 64L).map(i => (i, vec(i))) :+ (100L, vec(7L)))
+      .toDF("vec_id", "embedding")
+    val fresh = Pq.adcTopK(emb, emb.filter(col("vec_id") === 7L), k = 5)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_adc_idx").toString
+    try {
+      Pq.buildAdcIndex(emb, idx)
+      val pre = Pq.adcTopKPrebuilt(spark, idx, emb.filter(col("vec_id") === 7L), k = 5)
+        .collect().sortBy(_.getAs[Int]("rank"))
+      // the index stores the exact integer codes + centroids, so the
+      // prebuilt answer must match the retrain-per-call one code-for-code
+      assert(pre.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSeq
+        === fresh.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSeq)
+    } finally graft.streaming.Streams.deleteDir(spark, idx)
+  }
+
   test("kmvDistinct emits no row for a group with fewer than k distinct values") {
     import spark.implicits._
     val small = (0 until 10).map(v => ("s", v.toLong)).toDF("grp", "v")

@@ -143,4 +143,23 @@ class StreamingSpec extends SparkSpec {
     // the exact dup shares every shingle: jaccard exactly 1.0
     assert(perFile.head._3.contains(1.0))
   }
+
+  test("ST15: an empty source yields an empty verdict frame, not a missing-path error") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_st15_empty"
+    Streams.deleteDir(spark, base)
+    new java.io.File(s"$base/src").mkdirs() // exists, matches zero files
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val bands = graft.llm.DedupLsh.corpusBandSignatures(
+      corpus, "doc_id", "text", shingleN = 3, numHashes = 12, numBands = 4)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    // zero batches ⇒ no batch_id directory was ever written; the gate
+    // must still return a typed empty frame (round-11 advice)
+    val out = Streams.runFileStreamNearDupGate(spark, s"$base/src", docSchema,
+      s"$base/ckpt", s"$base/out", bands)
+    assert(out.isEmpty)
+    assert(out.columns.toSeq === Seq("doc_id", "n_matches", "jac_max", "is_neardup"))
+  }
 }

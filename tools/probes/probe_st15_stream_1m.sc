@@ -1,0 +1,83 @@
+// Probe: the st15 STREAMING near-dup ingest gate above bench scale
+// (round-11 verdict task 7: the gate is correctness-proven at sf0.01
+// only; its per-micro-batch sweep should inherit the x14b staged-
+// artifact scaling). Corpus: 1M (default, GRAFT_ST15_N) unique-shingle
+// docs; ingest: N/100 one-token near-clones split across 3 JSON
+// micro-batch files. Measured:
+//   build      = corpusBandSignatures(corpus).write   -- once per snapshot
+//   batch_ref  = one crossNearDupPairsStaged sweep of the WHOLE ingest
+//                (the x14b batch-sweep number the gate should track)
+//   gate_e2e   = the full AvailableNow streaming run (3 triggers incl.
+//                checkpointing + per-batch parquet verdict sinks)
+// Claim under test: gate_e2e ≈ batch_ref + fixed streaming overhead,
+// i.e. per-trigger cost is batch-bounded, never corpus-bounded — the
+// corpus side of every trigger is a scan of the staged artifact.
+// Run: /opt/spark/bin/spark-shell --master 'local[32]' --driver-memory 24g \
+//   --conf spark.sql.shuffle.partitions=32 --conf spark.ui.enabled=false \
+//   --conf spark.sql.session.timeZone=UTC \
+//   --driver-class-path target/scala-2.13/classes \
+//   -i tools/probes/probe_st15_stream_1m.sc -e ':quit'
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+spark.sparkContext.setLogLevel("WARN")
+
+val N = sys.env.getOrElse("GRAFT_ST15_N", "1000000").toLong
+val B = N / 100L
+val root = s"/tmp/probe_st15_$N"
+graft.streaming.Streams.deleteDir(spark, root)
+
+def timed[T](label: String)(f: => T): T = {
+  val t0 = System.nanoTime
+  val r = f
+  println(f"ST15SCALE n=$N $label%-22s ${(System.nanoTime - t0) / 1e9}%8.1f s")
+  r
+}
+
+val text20 = concat_ws(" ", (0 until 20).map(j =>
+  concat(lit("w"), col("id") * 20L + j)): _*)
+timed("setup_write_corpus") {
+  spark.range(N).select(col("id").as("doc_id"), text20.as("text"))
+    .write.mode("overwrite").parquet(s"$root/corpus")
+}
+val docs = spark.read.parquet(s"$root/corpus")
+
+timed("build_band_artifact") {
+  graft.llm.DedupLsh.corpusBandSignatures(docs, "doc_id", "text")
+    .write.mode("overwrite").parquet(s"$root/bands")
+}
+val bands = spark.read.parquet(s"$root/bands")
+
+// ingest: near-clones of the first B corpus docs, 3 micro-batch files
+timed("setup_write_batches") {
+  val b = docs.filter(col("doc_id") < B)
+    .select((col("doc_id") + N * 10L).as("doc_id"), lit("xx").as("lang"),
+      concat(col("text"), lit(" v2")).as("text"))
+  (0 until 3).foreach { i =>
+    graft.io.IO.writeJsonLines(b.filter(col("doc_id") % 3 === i),
+      s"$root/src/b$i.json", singleFile = true)
+  }
+}
+
+// reference: ONE staged sweep of the whole ingest batch (the x14b
+// batch-sweep cost the streaming gate's 3 triggers should sum close to)
+val batchAll = spark.read.schema(StructType(Seq(
+  StructField("doc_id", LongType), StructField("lang", StringType),
+  StructField("text", StringType)))).json(s"$root/src/*.json/*.json")
+val nRef = timed("batch_ref_sweep") {
+  graft.llm.DedupLsh.crossNearDupPairsStaged(batchAll, bands, "doc_id", "text").count()
+}
+
+val docSchema = StructType(Seq(
+  StructField("doc_id", LongType), StructField("lang", StringType),
+  StructField("text", StringType)))
+val verdicts = timed("gate_e2e_3triggers") {
+  val v = graft.streaming.Streams.runFileStreamNearDupGate(spark,
+    s"$root/src/*.json/*.json", docSchema,
+    s"$root/ckpt", s"$root/out", bands)
+  v.count()
+  v
+}
+val nDup = verdicts.filter(col("is_neardup")).count()
+println(s"ST15SCALE n=$N verdict_rows=${verdicts.count()} neardups=$nDup " +
+  s"pairs_ref=$nRef ok=${verdicts.count() == B && nDup == B}")
