@@ -47,9 +47,14 @@ object TextQueries {
     "t4_keywords_top10" -> { (s, dir) =>
       // tokens staged as an attribute + repartition: n-gram generation
       // under HOFs must not re-run tokenize per element access, and the
-      // CPU-heavy narrow stage must not ride a single file split
+      // CPU-heavy narrow stage must not ride a single file split.
+      // 2× parallelism, not 1×: with exactly one task per core the
+      // slowest core sets the stage time (the r9/r11 driver-bench
+      // spikes tracked box contention), at 2× the scheduler can pack
+      // around a busy core; measured ≤ +0.1 s warm vs 1×, tighter
+      // spread (r12 A/B: 32-part 1.16–1.55 s, 64-part 1.23–1.37 s)
       val grams = Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(2 * s.sparkContext.defaultParallelism)
         .select(col("doc_id"), Text.contentTokens(col("text")).as("ts"))
         .select(col("doc_id"), explode(Text.gramsFromTokens(col("ts"))).as("g"))
       val counts = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
@@ -140,11 +145,19 @@ object TextQueries {
           concat(lit("https://news.portal.org:8080/a/b.html?x="),
             (col("event_id") % 3).cast("string"), lit("&fbclid=abc")))
         .otherwise(concat(lit("http://site/"), col("event_type")))
+      // STAGE the synthesized url as its own projection before the
+      // regex family reads it: inlined, the CASE subtree duplicates
+      // into every regexp_extract/replace (~12 copies) and the
+      // generated code blows past JIT-friendly method sizes — cold
+      // first-run cost measured 3.9 s inline vs 1.4 s staged at sf0.1
+      // (warm 1.2 vs 1.1). CollapseProject keeps the barrier because
+      // it refuses to duplicate non-cheap expressions.
       Tables.events(s, dir)
+        .select(col("event_id"), u.as("__u"))
         .select(col("event_id"),
-          Urls.canonicalize(u).as("url_canon"),
-          Urls.host(u).as("domain"),
-          Urls.registeredDomain(u).as("reg_domain"))
+          Urls.canonicalize(col("__u")).as("url_canon"),
+          Urls.host(col("__u")).as("domain"),
+          Urls.registeredDomain(col("__u")).as("reg_domain"))
         .orderBy("event_id")
     },
     // T13 (beyond reference) — per-domain cap: keep each domain's top-5

@@ -1,7 +1,7 @@
 // Probe: BPE TRAINING beyond the registered m=6 (round-11 verdict
 // task: production vocabularies are 30-50k merges; bpeMerges is
 // inherently m sequential rounds, so the honest question is the
-// PER-ROUND cost curve — does round 200 cost what round 20 does, or
+// PER-ROUND cost curve -- does round 200 cost what round 20 does, or
 // does plan growth / job-submit overhead creep in?). Corpus: the
 // probe_e6_bpe_1m texture (1M docs, ~960k distinct words). We time
 // bpeMerges end-to-end at m = 16 / 64 / 128 / 256 and report the
@@ -45,7 +45,7 @@ val times = ms.map { m =>
   println(f"BPEMSCALE n=$N m=$m%4d total_s=$sec%8.1f rounds=$n")
   (m, sec)
 }
-// marginal per-merge cost between consecutive m values — the base
+// marginal per-merge cost between consecutive m values -- the base
 // corpus pass (word-freq agg) cancels out of the difference
 times.sliding(2).foreach { case Seq((m0, t0), (m1, t1)) =>
   println(f"BPEMSCALE marginal m=$m0%4d..$m1%4d per_merge_s=${(t1 - t0) / (m1 - m0)}%6.3f")

@@ -60,13 +60,13 @@ timed("setup_write_batch") {
   val mutated = when(col("doc_id") % 3 === 0, col("text"))
     .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" v2")))
     .otherwise(novel)
-  // batch ids: N*10 + old*8 — a bucket-stride id block (the shape an
+  // batch ids: N*10 + old*8 -- a bucket-stride id block (the shape an
   // ingest sequencer reserving aligned id ranges produces), so the
   // batch's pmod(doc_id, 16) buckets cluster into exactly 2 of 16 and
   // stage 5's upsert can DEMONSTRATE its O(touched-buckets) scan
   // (round-11 verdict: the old dense `+ N*10` block pmod-spread over
   // all 16 buckets, so the composition probe showed O(table) merging
-  // even though the operator prunes — round-5 st12 evidence)
+  // even though the operator prunes -- round-5 st12 evidence)
   docs.filter(col("doc_id") < B)
     .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
     .select((col("doc_id") * 8L + N * 10L).as("doc_id"), mutated.as("text"),
@@ -142,7 +142,7 @@ timed("s5_seed_table_once") {
 }
 // evidence for the O(touched-buckets) claim: how many of the table's
 // 16 buckets (and what row fraction) this batch's merge has to scan
-{
+locally {
   val touched = survivors.select(pmod(col("doc_id"), lit(16L)).as("b"))
     .distinct().collect().map(_.getLong(0)).sorted
   val tblAll = spark.read.parquet(tableDir)

@@ -9,8 +9,8 @@
 //                (the x14b batch-sweep number the gate should track)
 //   gate_e2e   = the full AvailableNow streaming run (3 triggers incl.
 //                checkpointing + per-batch parquet verdict sinks)
-// Claim under test: gate_e2e ≈ batch_ref + fixed streaming overhead,
-// i.e. per-trigger cost is batch-bounded, never corpus-bounded — the
+// Claim under test: gate_e2e ~= batch_ref + fixed streaming overhead,
+// i.e. per-trigger cost is batch-bounded, never corpus-bounded -- the
 // corpus side of every trigger is a scan of the staged artifact.
 // Run: /opt/spark/bin/spark-shell --master 'local[32]' --driver-memory 24g \
 //   --conf spark.sql.shuffle.partitions=32 --conf spark.ui.enabled=false \
