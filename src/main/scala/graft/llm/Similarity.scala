@@ -359,12 +359,7 @@ object Similarity {
                             tables: Int = 2,
                             maxBucketDf: Option[Long] = None): DataFrame = {
     graft.functions.LongArrayDot.register(corpus.sparkSession)
-    val allPlanes = (0 until tables).map(t => planes(numPlanes, dim, s"plane$t~"))
-    val v = spread(corpus)
-      .select(col("vec_id"), quantize(col("embedding")).as("nv"))
-      .withColumn("bucket", explode(array(allPlanes.zipWithIndex.map {
-        case (pls, t) => concat(lit(s"$t#"), lshBucket(col("nv"), pls))
-      }: _*)))
+    val v = signBucketTable(corpus, numPlanes, dim, tables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = DedupLsh.capBucketOccupancy(v, "bucket", maxBucketDf)
     val a = capped.select(col("bucket"), col("vec_id").as("id_a"), col("nv").as("nv_a"))
@@ -387,6 +382,129 @@ object Similarity {
     // the bucketed corpus releases on the caller's first
     // materialization (graft.Caching contract)
     graft.Caching.releaseAfterFirstUse(out, v)
+  }
+
+  /** (vec_id, nv, bucket) — one exploded row per (vector, hash table):
+    * quantize once, then `tables` independent sign-bucket keys. The
+    * shared candidate-generation front end of [[embeddingNearDupPairs]]
+    * and the cross-snapshot sweeps below. */
+  private def signBucketTable(df: DataFrame, numPlanes: Int, dim: Int,
+      tables: Int): DataFrame = {
+    val allPlanes = (0 until tables).map(t => planes(numPlanes, dim, s"plane$t~"))
+    spread(df)
+      .select(col("vec_id"), quantize(col("embedding")).as("nv"))
+      .withColumn("bucket", explode(array(allPlanes.zipWithIndex.map {
+        case (pls, t) => concat(lit(s"$t#"), lshBucket(col("nv"), pls))
+      }: _*)))
+  }
+
+  /** Shared verify tail of the two-sided (batch × corpus) bucket join:
+    * verify per bucket hit, dedup AFTER the threshold filter — each
+    * duplicate hit recomputes one fused-codegen cosine map-side (≤
+    * `tables`−1 redundant evaluations per pair, no shuffle), and the
+    * pair-dedup exchange then carries only (id_new, id_base, cosine) —
+    * the 64-long vectors never ride an exchange in either join mode
+    * (the [[graft.llm.DedupLsh]] crossVerify lesson applied to the
+    * embedding family, where the verify is even cheaper relative to
+    * the payload). */
+  private def crossEmbeddingVerify(joined: DataFrame, threshold: Double): DataFrame =
+    joined
+      .select(col("id_new"), col("id_base"),
+        cosineQ(col("nv_new"), col("nv_base")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("id_new", "id_base")
+
+  /** Incremental (cross-snapshot) embedding near-dup: candidate pairs
+    * between a NEW batch of vectors and the EXISTING corpus — the
+    * vector-space member of the incremental-dedup family
+    * ([[graft.llm.DedupLsh.crossNearDupPairs]] is the MinHash twin,
+    * [[graft.llm.SpanDedup.crossDuplicatedSpans]] the span twin,
+    * [[graft.llm.BloomDedup]] the exact twin). Same multi-table
+    * sign-bucket candidate rule as [[embeddingNearDupPairs]], but the
+    * bucket join is two-sided: no self-join, no `id_a < id_b`
+    * canonicalization, and with `broadcastNew` (the normal case — an
+    * ingest batch is orders of magnitude smaller than the corpus) the
+    * corpus bucket table NEVER shuffles: the batch's buckets broadcast
+    * and the corpus streams map-side through the join. The
+    * non-broadcast fallback is sort-merge, not shuffle_hash, for the
+    * same spill-safety reason as the MinHash twin: the fallback exists
+    * precisely when the batch outgrows broadcast, which is when a
+    * hash build of the nv-carrying batch can exceed its non-spillable
+    * quota. */
+  def crossEmbeddingNearDupPairs(newDf: DataFrame, baseDf: DataFrame,
+      threshold: Double, numPlanes: Int = 4, dim: Int = 64,
+      tables: Int = 2, broadcastNew: Boolean = true): DataFrame = {
+    graft.functions.LongArrayDot.register(newDf.sparkSession)
+    val nb = signBucketTable(newDf, numPlanes, dim, tables)
+      .select(col("bucket"), col("vec_id").as("id_new"), col("nv").as("nv_new"))
+    val bb = signBucketTable(baseDf, numPlanes, dim, tables)
+      .select(col("bucket"), col("vec_id").as("id_base"), col("nv").as("nv_base"))
+    crossEmbeddingVerify(
+      if (broadcastNew) bb.join(broadcast(nb), Seq("bucket"))
+      else bb.join(nb.hint("merge"), Seq("bucket")),
+      threshold)
+  }
+
+  /** The corpus's sign-bucket LSH state in its MATERIALIZE-ONCE form:
+    * one row per vector carrying (vec_id, nv, buckets) — the quantized
+    * vector plus all `tables` bucket keys, pure functions of the
+    * embedding. A production pipeline writes this once per corpus
+    * snapshot and reuses it for every ingest batch
+    * ([[crossEmbeddingNearDupPairsStaged]]): the per-batch corpus cost
+    * drops from re-quantize + `tables`×`numPlanes` re-projections of
+    * every corpus vector to a columnar scan with a map-side explode —
+    * the same artifact split that took the MinHash family's per-batch
+    * sweep from corpus-text-linear to signature-scan
+    * ([[graft.llm.DedupLsh.corpusBandSignatures]], x14b). Stored
+    * unexploded (buckets as one array per vector) so the artifact is
+    * O(|corpus|) rows; parameters are STAMPED as constant columns
+    * (RLE-compressed to nothing in parquet) so a sweep with mismatched
+    * planes fails loudly instead of silently matching zero buckets. */
+  def corpusSignBuckets(corpus: DataFrame, numPlanes: Int = 4,
+      dim: Int = 64, tables: Int = 2): DataFrame = {
+    graft.functions.LongArrayDot.register(corpus.sparkSession)
+    val allPlanes = (0 until tables).map(t => planes(numPlanes, dim, s"plane$t~"))
+    spread(corpus)
+      .select(col("vec_id"), quantize(col("embedding")).as("nv"))
+      .select(col("vec_id"), col("nv"),
+        array(allPlanes.zipWithIndex.map { case (pls, t) =>
+          concat(lit(s"$t#"), lshBucket(col("nv"), pls))
+        }: _*).as("buckets"),
+        lit(numPlanes).as("num_planes"), lit(tables).as("num_tables"),
+        lit(dim).as("dim"))
+  }
+
+  /** Incremental embedding near-dup against a PRE-MATERIALIZED corpus
+    * sign-bucket table (the output of [[corpusSignBuckets]], typically
+    * re-read from parquet): identical semantics to
+    * [[crossEmbeddingNearDupPairs]], but the corpus side is a scan +
+    * map-side explode instead of a full re-quantize/re-bucket per
+    * batch. The artifact's stamped parameters are checked against the
+    * sweep's (one single-row driver read, vacuous on an empty
+    * artifact) — a mismatch cannot collide buckets and would be a
+    * silent dedup no-op otherwise. Join shape unchanged: batch
+    * broadcasts, corpus streams map-side with zero corpus shuffle. */
+  def crossEmbeddingNearDupPairsStaged(newDf: DataFrame,
+      corpusBuckets: DataFrame, threshold: Double, numPlanes: Int = 4,
+      dim: Int = 64, tables: Int = 2, broadcastNew: Boolean = true): DataFrame = {
+    corpusBuckets.select("num_planes", "num_tables", "dim").limit(1)
+      .collect().foreach { p =>
+        require(
+          p.getInt(0) == numPlanes && p.getInt(1) == tables && p.getInt(2) == dim,
+          s"staged sign-bucket artifact was built with (numPlanes=${p.getInt(0)}, " +
+            s"tables=${p.getInt(1)}, dim=${p.getInt(2)}) but the sweep requested " +
+            s"($numPlanes, $tables, $dim) — bucket keys cannot collide across " +
+            "mismatched parameters; rebuild the artifact or match the sweep")
+      }
+    graft.functions.LongArrayDot.register(newDf.sparkSession)
+    val nb = signBucketTable(newDf, numPlanes, dim, tables)
+      .select(col("bucket"), col("vec_id").as("id_new"), col("nv").as("nv_new"))
+    val bb = corpusBuckets.select(explode(col("buckets")).as("bucket"),
+      col("vec_id").as("id_base"), col("nv").as("nv_base"))
+    crossEmbeddingVerify(
+      if (broadcastNew) bb.join(broadcast(nb), Seq("bucket"))
+      else bb.join(nb.hint("merge"), Seq("bucket")),
+      threshold)
   }
 
   /** LSH-bucketed ANN top-k: queries only score corpus vectors that

@@ -215,6 +215,28 @@ object DedupSimQueries {
         "doc_id", "text")
         .orderBy("id_new", "id_base")
     },
+    // x27 — incremental SEMANTIC near-dup: each embedding ingest batch
+    // (every 10th vector, deterministically perturbed, re-keyed
+    // +20000) checked against the existing corpus via the two-sided
+    // sign-bucket join — the embedding-family member of the
+    // incremental-dedup row (x14 MinHash / x16 bloom / x25 span). The
+    // batch's buckets broadcast; the corpus never shuffles.
+    "x27_semantic_incremental" -> { (s, dir) =>
+      Similarity.crossEmbeddingNearDupPairs(
+        syntheticEmbBatch(s, dir), Tables.embeddings(s, dir), threshold = 0.99)
+        .orderBy("id_new", "id_base")
+    },
+    // x27b — x27 against the STAGED corpus sign-bucket table: the
+    // batch sweep reads the (vec_id, nv, buckets) parquet artifact and
+    // explodes buckets map-side instead of re-quantizing +
+    // re-projecting the corpus per batch — x14b's artifact split
+    // applied to the embedding family. Same oracle as x27: staging
+    // must be value-invisible.
+    "x27b_semantic_incremental_staged" -> { (s, dir) =>
+      Similarity.crossEmbeddingNearDupPairsStaged(
+        syntheticEmbBatch(s, dir), stagedCorpusEmbBuckets(s, dir), threshold = 0.99)
+        .orderBy("id_new", "id_base")
+    },
     // x15 — canonical-representative selection by QUALITY: real
     // curation keeps each near-dup cluster's best-quality member, not
     // its min-id. Composition: pairs → connected components → join the
@@ -783,7 +805,33 @@ object DedupSimQueries {
            |ORDER BY id_a""".stripMargin,
       "x14_incremental_neardup" -> x14IncrementalSql,
       "x14b_incremental_staged_bands" -> x14IncrementalSql,
+      "x27_semantic_incremental" -> x27IncrementalSql,
+      "x27b_semantic_incremental_staged" -> x27IncrementalSql,
   )
+
+  // shared by x27/x27b: the staged sign-bucket twin must be
+  // value-invisible, so both replay one oracle text. lazy for the same
+  // map-literal initialization-order reason as x14IncrementalSql.
+  private lazy val x27IncrementalSql =
+        s"""WITH batch AS ($EmbBatchSql),
+           |bq AS (SELECT vec_id, ${qvSql("embedding")} AS nv FROM batch),
+           |cq AS (SELECT vec_id, ${qvSql("embedding")} AS nv FROM embeddings),
+           |bb AS (
+           |  SELECT vec_id, nv, unnest([
+           |    '0#' || ${bucketSql("nv", "plane0~")},
+           |    '1#' || ${bucketSql("nv", "plane1~")}]) AS bucket
+           |  FROM bq),
+           |cb AS (
+           |  SELECT vec_id, nv, unnest([
+           |    '0#' || ${bucketSql("nv", "plane0~")},
+           |    '1#' || ${bucketSql("nv", "plane1~")}]) AS bucket
+           |  FROM cq),
+           |pairs AS (
+           |  SELECT DISTINCT b.vec_id AS id_new, c.vec_id AS id_base,
+           |    ${cosineSql("b.nv", "c.nv")} AS cosine
+           |  FROM bb b JOIN cb c USING (bucket))
+           |SELECT id_new, id_base, cosine FROM pairs WHERE cosine >= 0.99
+           |ORDER BY id_new, id_base""".stripMargin
 
   // shared by x14/x14b: the staged-band twin must be value-invisible,
   // so both replay one oracle text. lazy: referenced from the map

@@ -74,6 +74,24 @@ private[registry] object LlmFixtures {
   val stagedSpanTables =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** (sessionUUID|bucketsDir) staged corpus sign-bucket tables — the
+    * embedding family's incremental artifact. */
+  val stagedEmbBucketTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The corpus sign-bucket table as a staged artifact (see
+    * [[graft.llm.Similarity.corpusSignBuckets]]): written once per
+    * snapshot, re-read per ingest batch by x27b's map-side sweep.
+    * Same memoization contract as [[stagedNearDupPairs]]. */
+  def stagedCorpusEmbBuckets(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${corpusScratch(dir)}/emb_sign_buckets"
+    buildOnce(stagedEmbBucketTables, s"${System.identityHashCode(s)}|$path") {
+      Similarity.corpusSignBuckets(Tables.embeddings(s, dir))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** The corpus k=8 window-hash SET as a staged artifact (see
     * [[graft.llm.SpanDedup.corpusWindowHashSet]]): written once per
     * snapshot, re-read per ingest batch by x25's semi join. Same
@@ -217,6 +235,31 @@ private[registry] object LlmFixtures {
           x + lit(0.01) * (((col("vec_id") + j) % 3) - 1)).as("embedding"))
         .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
   }
+
+  /** (vec_id+20000, embedding): the embedding ingest batch x27 sweeps
+    * against the corpus snapshot — every 10th vector with corpusEmb's
+    * replayable +0.01·(((vec_id+j) mod 3) − 1) perturbation (cosine to
+    * its base ≈ 0.999, so every batch item has a guaranteed hit).
+    * Perturb FIRST, re-key second — the [[corpusEmb]] lateral-alias
+    * trap applies identically here. */
+  def syntheticEmbBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+    e.select(col("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          x + lit(0.01) * (((col("vec_id") + j) % 3) - 1)).as("embedding"))
+      .select((col("vec_id") + 20000L).as("vec_id"), col("embedding"))
+  }
+
+  /** The DuckDB twin of [[syntheticEmbBatch]] — interpolate as the
+    * body of a `batch AS (…)` CTE. */
+  val EmbBatchSql: String =
+    """SELECT vec_id + 20000 AS vec_id,
+      |  list_transform(generate_series(1, 64),
+      |    i -> CAST(embedding[i] AS DOUBLE) + 0.01 * (((vec_id + i - 1) % 3) - 1))
+      |    AS embedding
+      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
 
   val CorpusEmbSql =
     """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding

@@ -386,6 +386,96 @@ class CorpusSpec extends SparkSpec {
     assert(err.getMessage.contains("rebuild the artifact"), err.getMessage)
   }
 
+  test("X27 incremental semantic dedup: batch broadcasts, corpus buckets never hash-shuffle") {
+    // deterministic pseudo-random 64-dim vectors; batch = byte-identical
+    // clones of the first 20 base vectors (cosine exactly 1.0, every
+    // sign bucket shared — recall is deterministic, no LSH gamble)
+    val mk = (n: Int, off: Long) => spark.range(n)
+      .select((col("id") + off).as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          j => (((col("id") + off) * 31 + j * 17) % 101 - 50).cast("double"))
+          .as("embedding"))
+    val base = mk(200, 0L)
+    val batch = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val df = graft.llm.Similarity.crossEmbeddingNearDupPairs(batch, base, threshold = 0.99)
+    val got = df.orderBy("id_new", "id_base").collect()
+    assert(got.length >= 20, s"every clone must hit its base: ${got.length}")
+    // identical vectors verify at cosine ≈ 1.0 (not exactly: the norm
+    // product is sqrt(d)·sqrt(d), which can round below d) — assert
+    // pair membership, not float identity
+    assert(got.count(r => r.getLong(1) == r.getLong(0) - 10000L &&
+      math.abs(r.getDouble(2) - 1.0) < 1e-12) == 20)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the bucket join must not re-shuffle either side by the bucket
+    // key — broadcast is the whole point of the incremental mode.
+    // (Range fixtures carry RangePartitioning, so even the post-verify
+    // pair dedup plans exchange-free here, as in the X14 twin.)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+
+    // a REAL corpus arrives with unknown partitioning (parquet), so the
+    // pair dedup does exchange — that exchange must be THIN: the
+    // quantized vectors stay map-side, only (id_new, id_base, cosine)
+    // survivors ride it (verify-then-dedup)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val dfU = graft.llm.Similarity.crossEmbeddingNearDupPairs(
+        batch.repartition(3), base.repartition(3), threshold = 0.99)
+      val hashEx = dfU.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("id_") => e
+      }
+      assert(hashEx.nonEmpty, "expected a pair-dedup exchange on unknown partitioning")
+      hashEx.foreach { e =>
+        assert(!e.output.exists(_.name.startsWith("nv")),
+          s"vector payload rides exchange: ${e.output.map(_.name)}")
+      }
+    }
+  }
+
+  test("X27b staged sign-buckets: value-identical to the direct sweep; corpus side is a scan, not a recompute") {
+    val mk = (n: Int, off: Long) => spark.range(n)
+      .select((col("id") + off).as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          j => (((col("id") + off) * 31 + j * 17) % 101 - 50).cast("double"))
+          .as("embedding"))
+    val base = mk(200, 0L)
+    val batch = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_x27b_buckets"
+    graft.streaming.Streams.deleteDir(spark, dir)
+    graft.llm.Similarity.corpusSignBuckets(base)
+      .write.mode("overwrite").parquet(dir)
+    val sigs = spark.read.parquet(dir)
+    val staged = graft.llm.Similarity
+      .crossEmbeddingNearDupPairsStaged(batch, sigs, threshold = 0.99)
+      .orderBy("id_new", "id_base")
+    val direct = graft.llm.Similarity
+      .crossEmbeddingNearDupPairs(batch, base, threshold = 0.99)
+      .orderBy("id_new", "id_base")
+    val got = staged.collect().toSeq
+    assert(got.nonEmpty && got == direct.collect().toSeq)
+    val plan = staged.queryExecution.executedPlan.toString
+    // batch broadcasts; the corpus side is the parquet artifact scan +
+    // map-side explode — no corpus quantize/plane-projection in the plan
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.toLowerCase.contains("parquet"), plan)
+    // the corpus's stored nv feeds the verify but must never be
+    // re-derived: the artifact scan reads the PRECOMPUTED nv + buckets
+    // columns (a re-quantizing plan would scan a raw embedding column
+    // instead)
+    assert(plan.contains("nv:array<bigint>") && plan.contains("buckets:array<string>"),
+      s"corpus side must scan staged nv+buckets:\n$plan")
+    // sweeping with drifted parameters fails loudly (stamped-parameter
+    // check) instead of silently matching zero buckets
+    val err = intercept[IllegalArgumentException] {
+      graft.llm.Similarity.crossEmbeddingNearDupPairsStaged(batch, sigs,
+        threshold = 0.99, numPlanes = 8)
+    }
+    assert(err.getMessage.contains("rebuild the artifact"), err.getMessage)
+  }
+
   test("E5 composition: exact+near dedup stages keep history and corpus off every exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     // the e5 pipeline's first two stages composed exactly as the
