@@ -53,13 +53,22 @@ object Classifier {
       .groupBy(col(idCol), col("__lbl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (model, classInfo, _) = trainFromTf(docs, seedLabel, tf)
+    val (out, scored) =
+      scoreTail(docs, idCol, tf, model, classInfo.map(c => (c._1, c._3)))
+    graft.Caching.releaseAfterFirstUse(out, tf, scored)
+  }
 
-    // --- training: vocab-sized aggregates off the staged tf, plus a
-    // K-row driver collect for the class constants ---
+  /** Training core off a staged (id, __lbl, term, tf) frame: the
+    * pivoted model plus the K-row class constants.
+    * Returns (model, classInfo = (cls, n_cls, prior_micro) sorted by
+    * cls, vocabSize). */
+  private def trainFromTf(docs: DataFrame, seedLabel: Column,
+      tf: DataFrame): (DataFrame, Array[(String, Long, Long)], Long) = {
     val classTerm = tf.filter(col("__lbl").isNotNull)
       .groupBy(col("__lbl").as("cls"), col("term"))
       .agg(sum(col("tf")).as("c"))
-    val priors = docs.select(col(idCol), seedLabel.as("cls"))
+    val priors = docs.select(seedLabel.as("cls"))
       .filter(col("cls").isNotNull)
       .groupBy("cls").agg(count(lit(1)).as("d"))
       .crossJoin(broadcast(
@@ -93,9 +102,19 @@ object Classifier {
     val model = classTerm.groupBy("term")
       .pivot("cls", classInfo.map(_._1).toSeq).sum("c")
       .select((col("term") +: lpCols).toIndexedSeq: _*)
+    (model, classInfo, vocabSize)
+  }
 
-    // --- scoring: ONE pairs-sized join, one hash agg, row-local argmax
-    val sumCols = classInfo.map { case (c, _, _) =>
+  /** Shared scoring tail: ONE pairs-sized vocabulary join, one hash
+    * agg, row-local argmax, prior-only rows for docs with no
+    * in-vocabulary token. `classInfo` is (cls, prior_micro) sorted by
+    * cls; `tf` is a persisted (id, [.,] term, tf) frame. Returns
+    * (result, the internal persisted doc-score frame) — the caller
+    * owns the release. */
+  private def scoreTail(docs: DataFrame, idCol: String, tf: DataFrame,
+      model: DataFrame, classInfo: Seq[(String, Long)])
+      : (DataFrame, DataFrame) = {
+    val sumCols = classInfo.map { case (c, _) =>
       sum(col("tf") * col(s"__lp_$c")).as(s"__s_$c") } :+
       sum(col("tf")).as("n_scored")
     // persisted: feeds the argmax projection AND the missing-doc
@@ -104,7 +123,7 @@ object Classifier {
       .groupBy(col(idCol))
       .agg(sumCols.head, sumCols.tail.toIndexedSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = array(classInfo.map { case (c, _, prior) =>
+    val candidates = array(classInfo.map { case (c, prior) =>
       struct(((col(s"__s_$c") + prior) * -1).as("neg"), lit(c).as("cls"))
     }.toIndexedSeq: _*)
     val best = scored
@@ -114,12 +133,71 @@ object Classifier {
     // docs with no in-vocabulary token score prior-only: the argmax is
     // the max-prior class (tie → first class code) — a constant,
     // precomputed from the K driver rows
-    val (pCls, _, pMicro) = classInfo.minBy { case (c, _, p) => (-p, c) }
+    val (pCls, pMicro) = classInfo.minBy { case (c, p) => (-p, c) }
     val missing = docs.select(col(idCol))
       .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
       .select(col(idCol), lit(pCls).as("pred"),
         lit(pMicro).as("score_micro"), lit(0L).as("n_scored"))
-    val out = best.unionByName(missing)
+    (best.unionByName(missing), scored)
+  }
+
+  /** Train-only: the NB model in its MATERIALIZE-ONCE form — the
+    * train-once/serve-many split every production curation stack runs
+    * (the classifier trains on the small labeled seed offline; scoring
+    * sweeps the 100 TB corpus, and every later ingest batch, against
+    * the frozen model). Returns two tables to persist per model
+    * version:
+    *  - terms: one row per vocabulary term with K smoothed
+    *    log-likelihood columns (`__lp_<cls>`) — vocabulary-sized;
+    *  - classes: K rows (cls, n_cls, prior_micro, vocab_size) — the
+    *    driver-side constants, stamped so scoring replays without
+    *    re-scanning the seed (and so an out-of-sync terms/classes pair
+    *    fails loudly in [[naiveBayesFromModel]]).
+    * Only the SEED rows are tokenized here — training never scans the
+    * unlabeled corpus (the combined [[naiveBayes]] stages one tf over
+    * all docs because it scores them in the same pass). */
+  def trainNaiveBayesModel(docs: DataFrame, idCol: String, textCol: String,
+      seedLabel: Column): (DataFrame, DataFrame) = {
+    val tf = docs.filter(seedLabel.isNotNull)
+      .select(col(idCol), seedLabel.as("__lbl"),
+        explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("__lbl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (model, classInfo, vocabSize) = trainFromTf(docs, seedLabel, tf)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val classes = classInfo.toSeq
+      .map { case (c, n, p) => (c, n, p, vocabSize) }
+      .toDF("cls", "n_cls", "prior_micro", "vocab_size")
+    (graft.Caching.releaseAfterFirstUse(model, tf), classes)
+  }
+
+  /** Score docs against a PRE-TRAINED model (the output of
+    * [[trainNaiveBayesModel]], typically re-read from parquet):
+    * identical output contract to [[naiveBayes]], but the per-batch
+    * cost is tokenize + one vocabulary join — no seed scan, no
+    * training aggregates, no pivot. The class constants are K rows to
+    * the driver (the documented O(#strata) convention); a classes
+    * table naming a class the terms table lacks a `__lp_` column for
+    * fails loudly instead of scoring garbage. */
+  def naiveBayesFromModel(docs: DataFrame, idCol: String, textCol: String,
+      terms: DataFrame, classes: DataFrame): DataFrame = {
+    val classInfo = classes.select("cls", "prior_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    require(classInfo.nonEmpty,
+      "naiveBayesFromModel needs a non-empty class table")
+    classInfo.foreach { case (c, _) =>
+      require(terms.columns.contains(s"__lp_$c"),
+        s"model terms table lacks __lp_$c — the terms/classes artifacts " +
+          "are out of sync; re-persist both from one training run") }
+    val tf = docs
+      .select(col(idCol),
+        explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (out, scored) = scoreTail(docs, idCol, tf, terms, classInfo)
     graft.Caching.releaseAfterFirstUse(out, tf, scored)
   }
 }

@@ -187,8 +187,23 @@ object CorpusAnalysisQueries {
     // micro-nats so the predictions replay cross-engine exactly
     "y20_nb_classifier" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      graft.llm.Classifier.naiveBayes(docs, "doc_id", "text",
-          when(md5(col("doc_id").cast("string")) < "8", col("lang")))
+      graft.llm.Classifier.naiveBayes(docs, "doc_id", "text", nbSeedLabel)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .select("doc_id", "lang", "pred", "score_micro", "n_scored")
+        .orderBy("doc_id")
+    },
+    // y20b — y20 against the STAGED model artifact (terms + classes
+    // parquet, trained once per snapshot): the scoring sweep pays
+    // tokenize + one vocabulary join, no seed re-scan, no training
+    // aggregates, no pivot — the train-once/serve-many split a
+    // production curation stack runs (x22b/x14b's artifact pattern
+    // applied to the classifier). Same oracle as y20: serving from
+    // the persisted model must be value-invisible.
+    "y20b_nb_staged_model" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val (terms, classes) = stagedNbModel(s, dir)
+      graft.llm.Classifier.naiveBayesFromModel(docs, "doc_id", "text",
+          terms, classes)
         .join(docs.select("doc_id", "lang"), Seq("doc_id"))
         .select("doc_id", "lang", "pred", "score_micro", "n_scored")
         .orderBy("doc_id")
@@ -203,7 +218,7 @@ object CorpusAnalysisQueries {
     "y29_nb_eval" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val preds = graft.llm.Classifier.naiveBayes(docs, "doc_id", "text",
-        when(md5(col("doc_id").cast("string")) < "8", col("lang")))
+        nbSeedLabel)
       val cells = preds
         .join(docs.select("doc_id", "lang"), Seq("doc_id"))
         .filter(md5(col("doc_id").cast("string")) >= "8")
@@ -372,6 +387,17 @@ object CorpusAnalysisQueries {
       s"rtrim(replace($prev || ' ', (SELECT pair FROM b$j) || ' ', " +
         s"'_' || replace(replace((SELECT pair FROM b$j), '_', ''), ' ', '') || ' '))"
     }
+
+  /** Shared by y20 and its staged-model twin y20b: serving from the
+    * persisted model must be value-invisible, so both replay one
+    * oracle text. */
+  private lazy val y20NbSql: String =
+    s"""WITH $nbCte
+       |SELECT b.doc_id, d.lang, b.pred,
+       |  CAST(b.score_micro AS BIGINT) AS score_micro,
+       |  CAST(b.n_scored AS BIGINT) AS n_scored
+       |FROM best b JOIN documents d USING (doc_id)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** Shared Naive-Bayes CTE chain (y20 per-doc argmax, y29 eval
     * cells): seed-trained multinomial NB in integer micro-nats,
@@ -556,13 +582,9 @@ object CorpusAnalysisQueries {
           |GROUP BY term, n_total
           |HAVING COUNT(*) * 200 > n_total
           |ORDER BY cnt DESC, term""".stripMargin,
-      "y20_nb_classifier" ->
-        s"""WITH $nbCte
-           |SELECT b.doc_id, d.lang, b.pred,
-           |  CAST(b.score_micro AS BIGINT) AS score_micro,
-           |  CAST(b.n_scored AS BIGINT) AS n_scored
-           |FROM best b JOIN documents d USING (doc_id)
-           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "y20_nb_classifier" -> y20NbSql,
+      // identical semantics through the persisted-model round-trip
+      "y20b_nb_staged_model" -> y20NbSql,
       // y29 — classifier EVAL gate (the x24 recall-gate pattern for
       // y20): confusion cells of the NB argmax vs true labels on the
       // held-out half, with per-truth-class milli-rates — the check a

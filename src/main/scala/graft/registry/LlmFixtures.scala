@@ -1,8 +1,8 @@
 package graft.registry
 
 import graft.Tables
-import graft.llm.{DedupLsh, Similarity, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.llm.{Classifier, DedupLsh, Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import TextQueries.{StopSql, tokSql, ngramSql}
 
@@ -78,6 +78,32 @@ private[registry] object LlmFixtures {
     * embedding family's incremental artifact. */
   val stagedEmbBucketTables =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** (sessionUUID|modelDir) staged NB model artifacts — the
+    * classifier family's train-once/serve-many split. */
+  val stagedNbModels =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The y20 seed rule, shared by the combined classifier (y20/y29)
+    * and the staged trainer (y20b) so the model can never drift from
+    * the oracle's: an md5-gated 50% of docs keep their lang label. */
+  def nbSeedLabel: Column =
+    when(md5(col("doc_id").cast("string")) < "8", col("lang"))
+
+  /** The trained NB model (terms + classes) as a staged artifact (see
+    * [[graft.llm.Classifier.trainNaiveBayesModel]]): trained once per
+    * (corpus, seed-rule) version, re-read per scoring sweep by y20b.
+    * Same memoization contract as [[stagedNearDupPairs]]. */
+  def stagedNbModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val path = s"${corpusScratch(dir)}/nb_model"
+    buildOnce(stagedNbModels, s"${System.identityHashCode(s)}|$path") {
+      val (terms, classes) = Classifier.trainNaiveBayesModel(
+        Tables.documents(s, dir), "doc_id", "text", nbSeedLabel)
+      terms.write.mode("overwrite").parquet(s"$path/terms")
+      classes.write.mode("overwrite").parquet(s"$path/classes")
+    }
+    (s.read.parquet(s"$path/terms"), s.read.parquet(s"$path/classes"))
+  }
 
   /** The corpus sign-bucket table as a staged artifact (see
     * [[graft.llm.Similarity.corpusSignBuckets]]): written once per

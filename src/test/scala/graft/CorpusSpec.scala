@@ -822,4 +822,44 @@ class CorpusSpec extends SparkSpec {
     // prior-only docs score exactly the class prior: ln(2/3) in micro-nats
     assert(byId(6L)._3 == math.floor(math.log(2.0 / 3.0) * 1e6).toLong)
   }
+
+  test("NB staged model: train-once/serve-many is value-identical; out-of-sync artifacts fail loudly") {
+    val docs = Seq(
+      (1L, "cat cat dog", "A"),
+      (2L, "cat fish", "A"),
+      (3L, "wolf wolf bear", "B"),
+      (4L, "cat cat", null),
+      (5L, "wolf bear bear", null),
+      (6L, "zzz qqq", null),
+      (7L, "", null),
+      (8L, "cat cat zzz", null)
+    ).toDF("doc_id", "text", "lbl")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_nb_model"
+    graft.streaming.Streams.deleteDir(spark, dir)
+    val (terms, classes) =
+      graft.llm.Classifier.trainNaiveBayesModel(docs, "doc_id", "text", col("lbl"))
+    terms.write.mode("overwrite").parquet(s"$dir/terms")
+    classes.write.mode("overwrite").parquet(s"$dir/classes")
+    // the persisted class constants carry the training provenance
+    val cls = spark.read.parquet(s"$dir/classes")
+      .orderBy("cls").as[(String, Long, Long, Long)].collect().toSeq
+    assert(cls.map(_._1) == Seq("A", "B"))
+    assert(cls.forall(_._4 == 5L), s"vocab_size must stamp 5: $cls")
+    // serving from the artifact replays the combined path bit-for-bit,
+    // including prior-only and OOV docs
+    val served = graft.llm.Classifier.naiveBayesFromModel(docs, "doc_id", "text",
+        spark.read.parquet(s"$dir/terms"), spark.read.parquet(s"$dir/classes"))
+      .orderBy("doc_id").collect().toSeq
+    val combined = graft.llm.Classifier.naiveBayes(docs, "doc_id", "text", col("lbl"))
+      .orderBy("doc_id").collect().toSeq
+    assert(served.nonEmpty && served == combined)
+    // a classes table naming a class the terms table lacks cannot
+    // score silently-wrong: the artifact-sync check fails loudly
+    val err = intercept[IllegalArgumentException] {
+      graft.llm.Classifier.naiveBayesFromModel(docs, "doc_id", "text",
+        spark.read.parquet(s"$dir/terms").drop("__lp_B"),
+        spark.read.parquet(s"$dir/classes"))
+    }
+    assert(err.getMessage.contains("out of sync"), err.getMessage)
+  }
 }
