@@ -176,6 +176,32 @@ object TextQueries {
         Seq(col("value").desc, col("event_id").asc), n = 5)
         .select("domain", "event_id", "value")
         .orderBy("domain", "event_id")
+    },
+    // T14 (beyond reference) — Unicode NFC normalization, the
+    // canonicalize-before-hash step every crawl pipeline needs (the
+    // same logical text arrives composed AND decomposed; without NFC,
+    // exact dedup / span dedup / fingerprints all see two documents).
+    // Native codegen Expression (`nfcq`) with an ASCII bytes-only fast
+    // path — see functions/NfcNormalize.scala. The fixture text is
+    // ASCII, so decomposed sequences (e+U+0301, i+U+0308) and a
+    // pre-composed é (idempotence) are synthesized FIRST, replayably
+    // in any engine; DuckDB replays the normalize itself via
+    // utf8proc's nfc_normalize — both implement UAX #15, so the
+    // values hash-match.
+    "t14_nfc_normalize" -> { (s, dir) =>
+      graft.functions.NfcNormalize.register(s)
+      val dirty = concat(
+        lit("Café naïve éclair doc"),
+        col("doc_id").cast("string"), lit(": "),
+        substring(col("text"), 1, 80))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), dirty.as("__d"))
+        .select(col("doc_id"), col("__d"),
+          call_function("nfcq", col("__d")).as("nfc_text"))
+        .select(col("doc_id"), col("nfc_text"),
+          length(col("__d")).cast("long").as("len_raw"),
+          length(col("nfc_text")).cast("long").as("len_nfc"))
+        .orderBy("doc_id")
     }
   )
 
