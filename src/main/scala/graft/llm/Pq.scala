@@ -161,7 +161,31 @@ object Pq {
     val cents = trainCodebooks(v, m, numCells, iters)
     cents.write.mode("overwrite").parquet(s"$indexDir/pq_centroids")
     encode(v, cents, m).write.mode("overwrite").parquet(s"$indexDir/codes")
+    writeParams(corpus.sparkSession, indexDir, m, numCells, coarseCells = 0)
     v.unpersist(false)
+  }
+
+  /** Stamp the build parameters into the index itself (the
+    * corpusSignBuckets / trainNaiveBayesModel convention): a query
+    * with a mismatched `m` would not fail — the LUT's subvector split
+    * partially inner-joins the stored (s, code) rows and silently
+    * drops per-subvector terms — so the prebuilt readers require() a
+    * match and fail loudly on drift instead. */
+  private def writeParams(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String, m: Int, numCells: Int,
+                          coarseCells: Int): Unit = {
+    import spark.implicits._
+    Seq((m, numCells, coarseCells)).toDF("m", "num_cells", "coarse_cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/index_params")
+  }
+
+  private def requireParamMatch(spark: org.apache.spark.sql.SparkSession,
+                                indexDir: String, m: Int): Unit = {
+    val p = spark.read.parquet(s"$indexDir/index_params").collect()(0)
+    val builtM = p.getInt(p.fieldIndex("m"))
+    require(builtM == m,
+      s"PQ index at $indexDir was built with m=$builtM but queried with " +
+        s"m=$m — per-subvector ADC terms would be silently dropped")
   }
 
   /** Query a [[buildAdcIndex]] index: centroid + code reads only —
@@ -169,6 +193,7 @@ object Pq {
     * index round-trip stores the exact integer codes and centroids. */
   def adcTopKPrebuilt(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                       queries: DataFrame, k: Int, m: Int = 8): DataFrame = {
+    requireParamMatch(spark, indexDir, m)
     val cents = spark.read.parquet(s"$indexDir/pq_centroids")
     val codes = spark.read.parquet(s"$indexDir/codes")
     queryAdcCodes(codes, cents, queries, k, m)
@@ -288,6 +313,7 @@ object Pq {
     // repartition every encode task opens a file per touched cell
     codes.repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id").parquet(s"$indexDir/codes")
+    writeParams(corpus.sparkSession, indexDir, m, numCells, coarseCells)
     v.unpersist(false)
   }
 
@@ -301,6 +327,7 @@ object Pq {
                          queries: DataFrame, k: Int,
                          m: Int = 8, nProbe: Int = 2): DataFrame = {
     graft.functions.LongArrayDot.register(spark)
+    requireParamMatch(spark, indexDir, m)
     val coarse = spark.read.parquet(s"$indexDir/coarse")
     val pqCents = spark.read.parquet(s"$indexDir/pq_centroids")
     val w0 = Window.partitionBy("query_id")

@@ -74,5 +74,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(LongArrayDot.descriptor)
     ext.injectFunction(graft.functions.SortedArrayJaccard.descriptor)
     ext.injectFunction(graft.functions.WinnowFingerprint.descriptor)
+    ext.injectFunction(graft.functions.NfcNormalize.descriptor)
   }
 }

@@ -29,8 +29,14 @@ object CoverageQueries {
 
   /** Write both j3 fact tables bucketed+sorted on the join key, once
     * per (session, sfdir); recorded only after the build returns so a
-    * failed build stays rebuildable (the LlmFixtures buildOnce rule). */
-  private def stageBucketedFacts(s: SparkSession, dir: String): Unit = {
+    * failed build stays rebuildable (the LlmFixtures buildOnce rule).
+    * The whole check-then-build runs under one global lock: the table
+    * NAMES are shared across sessions, so even two builds under
+    * different memo keys would race the same DROP + overwrite — and
+    * without the lock two concurrent j3 runs could both see a stale
+    * entry and double-build (one paying the cost the memo hides). */
+  private val bucketedFactsLock = new Object
+  private def stageBucketedFacts(s: SparkSession, dir: String): Unit = bucketedFactsLock.synchronized {
     val key = Integer.valueOf(System.identityHashCode(s))
     if (builtBucketedFacts.get(key) != dir) {
       s.sql("DROP TABLE IF EXISTS graft_li_b")

@@ -237,6 +237,27 @@ object DedupSimQueries {
         syntheticEmbBatch(s, dir), stagedCorpusEmbBuckets(s, dir), threshold = 0.99)
         .orderBy("id_new", "id_base")
     },
+    // x28 — NFC-before-hash, proven end-to-end on the exact-dedup
+    // consumer (the motivation in NfcNormalize's scaladoc): each doc
+    // contributes TWO byte-distinct variants of the same logical text
+    // — one prefixed with pre-composed é (U+00E9), one with decomposed
+    // e + U+0301 — and they collapse to ONE digest group (n_copies=2)
+    // only because nfcq runs before md5. A Spark side that skipped the
+    // normalize would emit twice the rows with n_copies=1 and
+    // hash-mismatch the oracle, which replays the normalize via
+    // DuckDB's utf8proc nfc_normalize.
+    "x28_nfc_exact_dedup" -> { (s, dir) =>
+      graft.functions.NfcNormalize.register(s)
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+      val composed = base.select((col("doc_id") * 2).as("doc_id"),
+        concat(lit("\u00e9"), col("t")).as("text"))
+      val decomposed = base.select((col("doc_id") * 2 + 1).as("doc_id"),
+        concat(lit("e\u0301"), col("t")).as("text"))
+      val corpus = composed.unionByName(decomposed)
+        .select(col("doc_id"), call_function("nfcq", col("text")).as("text"))
+      DedupLsh.exactDedup(corpus, "doc_id", "text").orderBy("doc_id")
+    },
     // x15 — canonical-representative selection by QUALITY: real
     // curation keeps each near-dup cluster's best-quality member, not
     // its min-id. Composition: pairs → connected components → join the
@@ -807,6 +828,18 @@ object DedupSimQueries {
       "x14b_incremental_staged_bands" -> x14IncrementalSql,
       "x27_semantic_incremental" -> x27IncrementalSql,
       "x27b_semantic_incremental_staged" -> x27IncrementalSql,
+      // chr(233) = pre-composed é, 'e' || chr(769) = decomposed e +
+      // combining acute — byte-distinct variants of the same logical
+      // text that collapse to one digest only after nfc_normalize.
+      "x28_nfc_exact_dedup" ->
+        """WITH base AS (SELECT doc_id, substr(text, 1, 60) AS t FROM documents),
+          |dirty AS (
+          |  SELECT doc_id * 2 AS doc_id, chr(233) || t AS text FROM base
+          |  UNION ALL
+          |  SELECT doc_id * 2 + 1 AS doc_id, 'e' || chr(769) || t AS text FROM base),
+          |norm AS (SELECT doc_id, nfc_normalize(text) AS text FROM dirty)
+          |SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+          |FROM norm GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
   )
 
   // shared by x27/x27b: the staged sign-bucket twin must be

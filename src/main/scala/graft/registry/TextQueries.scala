@@ -329,6 +329,24 @@ object TextQueries {
         |    row_number() OVER (PARTITION BY domain ORDER BY value DESC, event_id) AS rn
         |  FROM d)
         |SELECT domain, event_id, value FROM r WHERE rn <= 5
-        |ORDER BY domain, event_id""".stripMargin
+        |ORDER BY domain, event_id""".stripMargin,
+    // t14 — DuckDB replays the normalization itself via utf8proc's
+    // nfc_normalize (same UAX #15 algorithm as the JDK normalizer
+    // behind nfcq). The dirty prefix is rebuilt codepoint-for-
+    // codepoint: chr(769)=U+0301 combining acute after 'Cafe',
+    // chr(776)=U+0308 combining diaeresis after 'nai', chr(233)=
+    // pre-composed é (the idempotence case). Both engines' length()
+    // counts codepoints, so len_raw > len_nfc pins that composition
+    // actually happened (106 vs 104 on the fixture).
+    "t14_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'Cafe' || chr(769) || ' nai' || chr(776) || 've ' || chr(233) || 'clair doc'
+        |      || CAST(doc_id AS VARCHAR) || ': ' || substr(text, 1, 80) AS dirty
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(dirty) AS nfc_text,
+        |  CAST(length(dirty) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(dirty)) AS BIGINT) AS len_nfc
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }
