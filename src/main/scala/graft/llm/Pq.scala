@@ -177,15 +177,29 @@ object Pq {
     import spark.implicits._
     Seq((m, numCells, coarseCells)).toDF("m", "num_cells", "coarse_cells")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/index_params")
+    // a rebuild may change the stamp — drop every cached verdict for
+    // this index so the next query re-reads the fresh params
+    validatedParams.removeIf(_.startsWith(indexDir + "|"))
   }
+
+  /** (indexDir, m) pairs already checked against the stamp this JVM.
+    * The guard costs one single-row parquet read; uncached that read
+    * is the same order as the whole x22b serve path (~0.1 s vs 0.5 s),
+    * so repeated queries against an unchanged index — the prebuilt
+    * family's entire point — must not pay it per call. */
+  private val validatedParams = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def requireParamMatch(spark: org.apache.spark.sql.SparkSession,
                                 indexDir: String, m: Int): Unit = {
-    val p = spark.read.parquet(s"$indexDir/index_params").collect()(0)
-    val builtM = p.getInt(p.fieldIndex("m"))
-    require(builtM == m,
-      s"PQ index at $indexDir was built with m=$builtM but queried with " +
-        s"m=$m — per-subvector ADC terms would be silently dropped")
+    val key = s"$indexDir|$m"
+    if (!validatedParams.contains(key)) {
+      val p = spark.read.parquet(s"$indexDir/index_params").collect()(0)
+      val builtM = p.getInt(p.fieldIndex("m"))
+      require(builtM == m,
+        s"PQ index at $indexDir was built with m=$builtM but queried with " +
+          s"m=$m — per-subvector ADC terms would be silently dropped")
+      validatedParams.add(key)
+    }
   }
 
   /** Query a [[buildAdcIndex]] index: centroid + code reads only —

@@ -182,6 +182,13 @@ class SpanSketchSpec extends SparkSpec {
       // prebuilt answer must match the retrain-per-call one code-for-code
       assert(pre.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSeq
         === fresh.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSeq)
+      // param-stamp guard: a mismatched m must fail loudly — without it
+      // the LUT's subvector split partially inner-joins the stored
+      // (s, code) rows and silently computes wrong ADC distances
+      val e = intercept[IllegalArgumentException] {
+        Pq.adcTopKPrebuilt(spark, idx, emb.filter(col("vec_id") === 7L), k = 5, m = 16)
+      }
+      assert(e.getMessage.contains("built with m=8"))
     } finally graft.streaming.Streams.deleteDir(spark, idx)
   }
 
