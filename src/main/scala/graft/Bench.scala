@@ -59,29 +59,43 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
     val samples = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
-    for (sweep <- 0 until runs) {
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: $e")
+      }
+      // several operators persist at internal fan-out points and cannot
+      // unpersist before returning (the caller still reads the frame);
+      // clearing between queries stops those blocks accumulating across
+      // 100+ queries × N sweeps
+      spark.catalog.clearCache()
+    }
+    def sweepOver(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                  sweep: Int, totalSweeps: Int): Unit = {
       // deterministic rotation: sweep k starts len*k/runs further along,
       // so each query's predecessor differs across sweeps
-      val off = if (queries.isEmpty) 0 else (queries.size.toLong * sweep / runs).toInt
-      val ordered = queries.drop(off) ++ queries.take(off)
+      val off = if (qs.isEmpty) 0 else (qs.size.toLong * sweep / totalSweeps.max(1)).toInt
       // settle between sweeps: drop leftover executor-side garbage from
       // the previous sweep's 140+ queries before timing resumes
       System.gc()
-      for ((name, fn) <- ordered) {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
-        } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: $e")
-        }
-        // several operators persist at internal fan-out points and cannot
-        // unpersist before returning (the caller still reads the frame);
-        // clearing between queries stops those blocks accumulating across
-        // 100+ queries × N sweeps
-        spark.catalog.clearCache()
-      }
+      (qs.drop(off) ++ qs.take(off)).foreach { case (n, f) => timeOne(n, f) }
     }
+    for (sweep <- 0 until runs) sweepOver(queries, sweep, runs)
+    // extra rotated sweeps for the HEAVY TAIL only (round-12 verdict:
+    // contended-box flapping concentrated in the >2 s cluster — broad
+    // +50-150% swings on untouched code that the idle-box rerun erased).
+    // min-of-N converges on the least-interfered sample, so slow queries
+    // get runs+extra samples while the sub-threshold majority stays at
+    // `runs` and total bench wall grows only by ~extra × Σ(slow mins).
+    val slowThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_SEC", "2.0").toDouble
+    val extraRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_EXTRA", "2").toInt.max(0)
+    val slow = queries.filter { case (n, _) =>
+      samples(n).nonEmpty && samples(n).min > slowThresh
+    }
+    for (sweep <- 0 until extraRuns; if slow.nonEmpty) sweepOver(slow, sweep, extraRuns)
     val results = queries.map { case (name, _) =>
       val xs = samples(name)
       name -> (if (xs.nonEmpty) xs.min else -1.0)
@@ -91,7 +105,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min-across-sweeps","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"slow_extra_runs":$extraRuns,"slow_thresh_sec":$slowThresh,"n_slow":${slow.size},"agg":"min-across-sweeps","queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The full line is >2KB at 100+ queries and the driver keeps only an
     // output TAIL — BENCH_r03/r04 both captured it front-truncated and

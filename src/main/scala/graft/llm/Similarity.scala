@@ -459,7 +459,21 @@ object Similarity {
     * unexploded (buckets as one array per vector) so the artifact is
     * O(|corpus|) rows; parameters are STAMPED as constant columns
     * (RLE-compressed to nothing in parquet) so a sweep with mismatched
-    * planes fails loudly instead of silently matching zero buckets. */
+    * planes fails loudly instead of silently matching zero buckets.
+    *
+    * Amortization guidance (measured, PROBES.md round-13): unlike the
+    * MinHash twin — whose removed per-batch term (re-shingle + 12
+    * md5-minhashes per document) dominates, so x14b's win compounds
+    * with corpus size (5.8× at 10M docs) — the sign projection this
+    * artifact removes is only ~2k integer multiplies per vector,
+    * cheap next to the corpus scan + bucket join + verify both paths
+    * share. At 10M vectors the staged sweep saves 1.2× per batch
+    * (71.4 → 59.5 s) against a 153.9 s build, i.e. the artifact pays
+    * for itself after ~13 batches at that shape. Prefer the direct
+    * [[crossEmbeddingNearDupPairs]] for low-batch-count corpora; the
+    * artifact's structural value — the corpus side never shuffles and
+    * its bucket keys are stable across batches, so the exploded form
+    * can be pre-partitioned on disk — is what survives at 100 TB. */
   def corpusSignBuckets(corpus: DataFrame, numPlanes: Int = 4,
       dim: Int = 64, tables: Int = 2): DataFrame = {
     graft.functions.LongArrayDot.register(corpus.sparkSession)
