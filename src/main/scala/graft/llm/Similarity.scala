@@ -599,4 +599,64 @@ object Similarity {
     // no caller-side clearCache() needed (graft.Caching contract)
     graft.Caching.releaseAfterFirstUse(kept, v, assigned)
   }
+
+  /** [[semanticDedup]]'s trained state in MATERIALIZE-ONCE form: the
+    * deterministic k-means codebook is trained and every corpus vector
+    * assigned to its nearest cell exactly once, and the resulting
+    * (vec_id, cell_id, nv) table is written to parquet CLUSTERED by
+    * cell_id (`repartition(cell_id)` before write, so each cell's rows
+    * land contiguous in few files). This is the x7b/x22b build-once
+    * split applied to SemDeDup: per-call, [[semanticDedupStaged]] then
+    * pays only the cell self-join + cosine verify it shares with the
+    * direct path — the `iters` broadcast-argmax training passes over
+    * the corpus and the final assignment pass disappear from serving.
+    * Unlike the IVF member table this artifact is NOT directory-
+    * partitioned by cell: dedup is a full sweep over every cell, so
+    * partition pruning buys nothing and the k13 small-file tax would
+    * be pure cost. Build parameters are stamped as constant columns
+    * (RLE-compressed to nothing in parquet) for provenance and for
+    * future append paths; serving takes no parameter that could drift
+    * against them, so there is no require() — threshold is a
+    * serve-time knob, deliberately NOT baked into the artifact. */
+  def stageSemanticCells(corpus: DataFrame, path: String,
+                         numCells: Int = 16, iters: Int = 2): Unit = {
+    graft.functions.LongArrayDot.register(corpus.sparkSession)
+    // one scan+quantize serves training AND the assignment, exactly
+    // as in the direct path — the artifact must be value-identical
+    val v = spread(corpus)
+      .select(col("vec_id"), quantize(col("embedding")).as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = kmeansCodebookQ(v, numCells, iters)
+    assignCellsQ(v, cents)
+      .withColumn("num_cells", lit(numCells))
+      .withColumn("iters", lit(iters))
+      .repartition(col("cell_id"))
+      .write.mode("overwrite").parquet(path)
+    v.unpersist(false)
+  }
+
+  /** SemDeDup serving against a [[stageSemanticCells]] artifact:
+    * identical drop rule and output to [[semanticDedup]] (same cell
+    * self-join, same integer-dot cosine ≥ threshold, same keep-lowest-
+    * id), but the corpus is a columnar scan of the pre-assigned table
+    * instead of quantize + train + assign per call. A production
+    * pipeline re-stages per corpus snapshot and serves many dedup
+    * sweeps (e.g. threshold tuning — the knob SemDeDup's paper sweeps
+    * — or per-downstream-mix dedup passes) against one training run. */
+  def semanticDedupStaged(spark: SparkSession, path: String,
+                          threshold: Double = 0.99): DataFrame = {
+    graft.functions.LongArrayDot.register(spark)
+    val assigned = spark.read.parquet(path)
+    val a = assigned.select(col("cell_id"), col("vec_id").as("id_a"), col("nv").as("nv_a"))
+    val b = assigned.select(col("cell_id"), col("vec_id").as("id_b"), col("nv").as("nv_b"))
+    // same shuffle_hash rationale as the direct path: cells are
+    // bounded buckets; the planner's estimate of a freshly-read
+    // parquet table must not invite a corpus-sized broadcast
+    val drops = a.join(b.hint("shuffle_hash"), Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineQ(col("nv_a"), col("nv_b")) >= threshold)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    assigned.select("vec_id", "cell_id").join(drops, Seq("vec_id"), "left_anti")
+  }
 }

@@ -153,6 +153,21 @@ object DedupSimQueries {
         threshold = 0.99)
         .orderBy("vec_id")
     },
+    // x17b — the same SemDeDup against a STAGED cell-assignment
+    // artifact: k-means training + assignment run once per corpus
+    // snapshot (build-once memo, the x7b contract), the per-call work
+    // is only the cell self-join + cosine verify. Same oracle as x17 —
+    // the stage/serve round-trip must be value-invisible. threshold
+    // stays a serve-time knob (SemDeDup's paper sweeps it), which is
+    // exactly why the split pays: many thresholds, one training run.
+    "x17b_semantic_dedup_staged" -> { (s, dir) =>
+      val path = s"${corpusScratch(dir)}/semantic_cells"
+      buildOnce(builtSemanticCells, s"${System.identityHashCode(s)}|$path") {
+        Similarity.stageSemanticCells(corpusEmb(s, dir), path,
+          numCells = 16, iters = 2)
+      }
+      Similarity.semanticDedupStaged(s, path, threshold = 0.99).orderBy("vec_id")
+    },
     // x12 — benchmark-contamination sweep: docs with doc_id % 97 == 0
     // stand in for the eval/benchmark set; every other doc sharing >= 2
     // rare (corpus-df <= 50) trigrams with an eval doc is flagged. The
@@ -711,27 +726,9 @@ object DedupSimQueries {
       "x7_ann_ivf" -> X7IvfSql,
       // identical semantics through the persisted-index round-trip
       "x7b_ann_ivf_prebuilt" -> X7IvfSql,
-      "x17_semantic_dedup" ->
-        s"""WITH corpus AS ($CorpusEmbSql),
-           |v AS (SELECT vec_id, ${qvSql("embedding")} AS nv FROM corpus),
-           |c0 AS (SELECT vec_id AS cell_id, nv AS cv FROM v WHERE vec_id < 16),
-           |${kmeansIterSql("c0", "a1", "c1")},
-           |${kmeansIterSql("c1", "a2", "c2")},
-           |members AS (
-           |  SELECT vec_id, nv, cell_id FROM (
-           |    SELECT v.vec_id, v.nv, c.cell_id,
-           |      row_number() OVER (PARTITION BY v.vec_id
-           |        ORDER BY ${cosineSql("v.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
-           |    FROM v CROSS JOIN c2 c)
-           |  WHERE cell_rank = 1),
-           |drops AS (
-           |  SELECT DISTINCT b.vec_id
-           |  FROM members a JOIN members b
-           |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-           |  WHERE ${cosineSql("a.nv", "b.nv")} >= 0.99)
-           |SELECT vec_id, cell_id FROM members
-           |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
-           |ORDER BY vec_id""".stripMargin,
+      "x17_semantic_dedup" -> X17SemanticSql,
+      // identical semantics through the staged-assignment round-trip
+      "x17b_semantic_dedup_staged" -> X17SemanticSql,
       "x9_embed_neardup" ->
         s"""WITH corpus AS ($CorpusEmbSql),
            |v AS (SELECT vec_id, ${qvSql("embedding")} AS nv FROM corpus),

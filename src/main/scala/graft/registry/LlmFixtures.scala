@@ -53,6 +53,11 @@ private[registry] object LlmFixtures {
   val builtAdcIndexes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** (sessionUUID|path) pairs whose SemDeDup cell-assignment artifact
+    * this JVM already staged — the x7b contract applied to x17b. */
+  val builtSemanticCells =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** (sessionUUID|tablePath) doc tables this JVM already seeded with
     * the corpus — the e5 upsert then only writes the batch's touched
     * buckets, the O(touched-buckets) property the operator exists for. */
@@ -393,6 +398,32 @@ private[registry] object LlmFixtures {
        |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
        |  FROM scored)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for BOTH x17 (train+assign+dedup in one pass) and x17b
+    * (dedup against the staged cell-assignment artifact): the
+    * stage/serve split must be value-invisible, so one SQL body
+    * serves both — the X7IvfSql contract applied to SemDeDup. */
+  lazy val X17SemanticSql: String =
+    s"""WITH corpus AS ($CorpusEmbSql),
+       |v AS (SELECT vec_id, ${qvSql("embedding")} AS nv FROM corpus),
+       |c0 AS (SELECT vec_id AS cell_id, nv AS cv FROM v WHERE vec_id < 16),
+       |${kmeansIterSql("c0", "a1", "c1")},
+       |${kmeansIterSql("c1", "a2", "c2")},
+       |members AS (
+       |  SELECT vec_id, nv, cell_id FROM (
+       |    SELECT v.vec_id, v.nv, c.cell_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosineSql("v.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
+       |    FROM v CROSS JOIN c2 c)
+       |  WHERE cell_rank = 1),
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM members a JOIN members b
+       |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.nv", "b.nv")} >= 0.99)
+       |SELECT vec_id, cell_id FROM members
+       |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+       |ORDER BY vec_id""".stripMargin
 
 
   /** DuckDB twin of Pq: integer squared-L2 over 8-dim subvectors. */

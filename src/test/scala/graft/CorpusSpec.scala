@@ -476,6 +476,37 @@ class CorpusSpec extends SparkSpec {
     assert(err.getMessage.contains("rebuild the artifact"), err.getMessage)
   }
 
+  test("X17b staged semantic cells: value-identical to direct SemDeDup; serving never retrains") {
+    val corpus = spark.range(60)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          // id%7 collapses the corpus into 7 duplicate families, so
+          // the 0.99-cosine drop rule genuinely fires within cells
+          j => ((col("id") % 7) * 31 + j * 17).cast("double").as("x"))
+          .as("embedding"))
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_x17b_cells"
+    graft.streaming.Streams.deleteDir(spark, dir)
+    graft.llm.Similarity.stageSemanticCells(corpus, dir, numCells = 4, iters = 2)
+    val staged = graft.llm.Similarity.semanticDedupStaged(spark, dir, threshold = 0.99)
+      .orderBy("vec_id")
+    val direct = graft.llm.Similarity
+      .semanticDedup(corpus, numCells = 4, iters = 2, threshold = 0.99)
+      .orderBy("vec_id")
+    val got = staged.collect().toSeq
+    assert(got.nonEmpty && got == direct.collect().toSeq)
+    // duplicates were actually dropped (the fixture guarantees hits)
+    assert(got.size < 60, s"expected drops, kept all ${got.size}")
+    val plan = staged.queryExecution.executedPlan.toString
+    // serving scans the artifact's PRECOMPUTED (cell_id, nv): no
+    // k-means pass — a retraining plan would carry the broadcast
+    // nested-loop cross join of corpus × centroids and an argmax agg
+    assert(plan.toLowerCase.contains("parquet"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"serving must not retrain/assign (cross-join found):\n$plan")
+    assert(plan.contains("nv:array<bigint>"),
+      s"serving must read the staged nv, not re-quantize embeddings:\n$plan")
+  }
+
   test("E5 composition: exact+near dedup stages keep history and corpus off every exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     // the e5 pipeline's first two stages composed exactly as the
