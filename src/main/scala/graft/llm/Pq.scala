@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: training iterates ONE scan of the (vec_id, s, sv)
   * sub-vector frame per round — all m subspaces train simultaneously
-  * keyed by s, against broadcast (m·numCells)-row centroids; the
-  * argmin is a partial-aggregatable min_by hash agg, never a per-key
-  * window sort of the corpus; centroid updates aggregate to
+  * keyed by s, against broadcast per-subspace codebook arrays; the
+  * argmin is the native per-row [[graft.functions.NearestCell]] loop
+  * (no N·m·numCells pair explosion, no aggregate or sort of the
+  * corpus); centroid updates aggregate to
   * m·numCells·dim cells. Encoding is the same broadcast argmin. ADC
   * joins the thin (vec_id, s, code) table against a broadcast LUT and
   * hash-aggregates m rows per (query, vector) — no shuffle of raw
@@ -60,10 +61,27 @@ object Pq {
         col("e.s").as("s") :+ col("e.sv").as("sv"): _*)
   }
 
+  /** Per-subspace codebook as m one-array rows: (s, cells) with cells
+    * = sorted `array<struct<cell_id, cv>>` — the broadcast operand of
+    * the native [[graft.functions.NearestCell]] per-row argmin (sort
+    * is hygiene; the expression tie-breaks explicitly). */
+  private def centsBySubspace(cents: DataFrame): DataFrame =
+    cents.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("cell_id"), col("cv")))).as("cells"))
+
   /** Per-subspace k-means codebooks: (s, cell_id, cv), trained for all
-    * m subspaces in one pass per iteration. */
+    * m subspaces in one pass per iteration.
+    *
+    * The argmin is the native [[graft.functions.NearestCell]] L2 loop
+    * against the broadcast per-subspace codebook — NOT a
+    * `join + min_by` explode: the struct ordering (and the carried
+    * subvector) make the min_by agg buffer non-UnsafeRow-mutable, so
+    * Spark plans a SortAggregate that sorts the N·m·numCells pair
+    * stream per iteration (see Similarity.kmeansCodebookQ). Identical
+    * integer argmin, identical (d asc, cell_id asc) tie-break. */
   def trainCodebooks(v: DataFrame, m: Int = 8, numCells: Int = 16,
                      iters: Int = 2): DataFrame = {
+    graft.functions.NearestCell.register(v.sparkSession)
     val sv = subVectors(v, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = sv.filter(col("vec_id") < numCells)
@@ -71,12 +89,10 @@ object Pq {
       .localCheckpoint()
     for (_ <- 0 until iters) {
       val prev = cents
-      val assigned = sv.join(broadcast(cents), Seq("s"))
-        .withColumn("d", l2(col("sv"), col("cv")))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min_by(struct(col("cell_id"), col("sv")),
-          struct(col("d"), col("cell_id"))).as("mn"))
-        .select(col("s"), col("mn.cell_id").as("cell_id"), col("mn.sv").as("sv"))
+      val assigned = sv.join(broadcast(centsBySubspace(cents)), Seq("s"))
+        .select(col("s"),
+          call_function("nearest_cell_l2", col("sv"), col("cells")).as("cell_id"),
+          col("sv"))
       cents = assigned
         .select(col("s"), col("cell_id"), posexplode(col("sv")).as(Seq("pos", "v")))
         .groupBy(col("s"), col("cell_id"), col("pos"))
@@ -95,14 +111,19 @@ object Pq {
     * subspace, the 8-byte compressed representation. `carry` columns
     * (functionally dependent on vec_id) ride through the argmin agg. */
   def encode(v: DataFrame, cents: DataFrame, m: Int,
-             carry: Seq[String] = Nil): DataFrame =
-    // codebook cell_id renamed so a carried coarse `cell_id` (IVFADC)
-    // can never collide with it
+             carry: Seq[String] = Nil): DataFrame = {
+    graft.functions.NearestCell.register(v.sparkSession)
+    // native per-row argmin (see trainCodebooks): one thin output row
+    // per (vec, s) straight off the scan — the min_by shape's struct
+    // ordering forced a SortAggregate over the m·numCells-wide pair
+    // stream. The codebook array's own cell_id can never collide with
+    // a carried coarse `cell_id` (IVFADC) because it only exists
+    // inside the expression's struct array, not as a column.
     subVectors(v, m, carry)
-      .join(broadcast(cents.withColumnRenamed("cell_id", "__pq_cell")), Seq("s"))
-      .withColumn("d", l2(col("sv"), col("cv")))
-      .groupBy(col("vec_id") +: carry.map(col) :+ col("s"): _*)
-      .agg(min_by(col("__pq_cell"), struct(col("d"), col("__pq_cell"))).as("code"))
+      .join(broadcast(centsBySubspace(cents)), Seq("s"))
+      .select(col("vec_id") +: carry.map(col) :+ col("s") :+
+        call_function("nearest_cell_l2", col("sv"), col("cells")).as("code"): _*)
+  }
 
   /** ADC top-k: train on the corpus, encode it, score every query
     * against the CODES (never the raw corpus vectors) via the per-query
@@ -229,8 +250,9 @@ object Pq {
     * vectors are touched exactly twice (coarse assign, residual
     * encode) and never at query time.
     *
-    * Scale shape: the only corpus-wide work is two broadcast-argmin
-    * hash aggs (coarse assign + PQ encode, both partial-aggregatable)
+    * Scale shape: the only corpus-wide work is two narrow
+    * broadcast-argmin scans (coarse assign + PQ encode, both the
+    * native per-row [[graft.functions.NearestCell]] loop)
     * and ONE persisted residual frame that feeds training and
     * encoding off a single materialization. Query-time cost is an
     * equi-join of the thin (vec_id, cell_id, s, code) table against a

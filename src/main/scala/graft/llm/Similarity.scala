@@ -124,9 +124,10 @@ object Similarity {
     * `floor(Σcomp / n)` — long sums are exact in any partial-merge
     * order and ≤2^53, so the double division and floor are IEEE-stable.
     *
-    * Scale: each iteration is ONE corpus scan against broadcast
-    * centroids, the argmax is a hash aggregate (`max_by`, partial-
-    * aggregatable — no per-key window sort on the corpus), and the mean
+    * Scale: each iteration is ONE narrow corpus scan — the argmax is
+    * the native per-row [[graft.functions.NearestCell]] loop against
+    * the broadcast codebook array (no N×numCells row explosion, no
+    * aggregate, no sort on the corpus), and the mean
     * is a posexplode + two-level hash agg keyed (cell,pos) — numCells ×
     * dim cells, never corpus-sized state. Centroids are
     * `localCheckpoint`ed per iteration so the downstream broadcasts
@@ -142,24 +143,44 @@ object Similarity {
     cents
   }
 
+  /** One-row frame holding the whole codebook as a sorted
+    * `array<struct<cell_id, cv, c2>>` (`c2 = dotq(cv,cv)` precomputed
+    * once per codebook) — the broadcast operand of the native
+    * [[graft.functions.NearestCell]] per-row argmax. Sorting is pure
+    * hygiene: the expression's explicit (sim desc, cell_id asc)
+    * tie-break is array-order-independent, but a deterministic plan
+    * literal keeps explain output and retries stable. */
+  private def centsAsArrayCos(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(struct(col("cell_id"), col("cv"),
+      dotQ(col("cv"), col("cv")).as("c2")))).as("cells"))
+
   /** Training loop over an already-quantized, caller-persisted
     * (vec_id, nv) frame — lets callers that need the quantized corpus
     * AGAIN after training ([[semanticDedup]]'s cell assignment) share
-    * one scan+quantize instead of rebuilding it. */
+    * one scan+quantize instead of rebuilding it.
+    *
+    * The assignment pass is the native [[graft.functions.NearestCell]]
+    * expression against the broadcast codebook array — NOT a
+    * `crossJoin + max_by` explode: the declarative argmax carries an
+    * array value and struct ordering in its agg buffer, which is not
+    * UnsafeRow-mutable, so Spark plans a SortAggregate that SORTS the
+    * N×numCells pair stream with the vector payload copied through
+    * every buffer update (measured: minutes per iteration at 1M×1024
+    * cells vs seconds for the fused per-row loop; see
+    * PROBES.md). Same argmax, same (sim desc, cell_id asc) tie-break,
+    * same FP ops — DuckDB oracles stay hash-identical. */
   private[llm] def kmeansCodebookQ(v: DataFrame, numCells: Int, iters: Int): DataFrame = {
     graft.functions.LongArrayDot.register(v.sparkSession)
+    graft.functions.NearestCell.register(v.sparkSession)
     var cents = v.filter(col("vec_id") < numCells)
       .select(col("vec_id").as("cell_id"), col("nv").as("cv"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
       val prev = cents
       val assigned = v
-        .crossJoin(broadcast(cents))
-        .withColumn("cell_sim", cosineQ(col("nv"), col("cv")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("cell_id"), col("nv")),
-          struct(col("cell_sim"), -col("cell_id"))).as("m"))
-        .select(col("m.cell_id").as("cell_id"), col("m.nv").as("nv"))
+        .crossJoin(broadcast(centsAsArrayCos(cents)))
+        .select(call_function("nearest_cell_cos", col("nv"), col("cells")).as("cell_id"),
+          col("nv"))
       cents = assigned
         .select(col("cell_id"), posexplode(col("nv")).as(Seq("pos", "val")))
         .groupBy(col("cell_id"), col("pos"))
@@ -178,17 +199,19 @@ object Similarity {
   }
 
   /** Nearest-cell assignment of a quantized (vec_id, nv) frame against
-    * a broadcast centroid table: argmax by (similarity desc, cell_id
-    * asc), as a partial-aggregatable hash `max_by` — no per-key window
-    * sort on the corpus. Shared by [[semanticDedup]] and the persisted
-    * IVF index so the two can never disagree on the tie-break. */
-  private[llm] def assignCellsQ(v: DataFrame, cents: DataFrame): DataFrame =
-    v.crossJoin(broadcast(cents))
-      .withColumn("cell_sim", cosineQ(col("nv"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cell_id"), col("nv")),
-        struct(col("cell_sim"), -col("cell_id"))).as("m"))
-      .select(col("vec_id"), col("m.cell_id").as("cell_id"), col("m.nv").as("nv"))
+    * a broadcast codebook: argmax by (similarity desc, cell_id asc)
+    * via the native per-row [[graft.functions.NearestCell]] loop — no
+    * pair explosion, no aggregate, `nv` never leaves its input row
+    * (see [[kmeansCodebookQ]] for why the `max_by` shape sort-aggs).
+    * Shared by [[semanticDedup]] and the persisted IVF index so the
+    * two can never disagree on the tie-break. */
+  private[graft] def assignCellsQ(v: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.NearestCell.register(v.sparkSession)
+    v.crossJoin(broadcast(centsAsArrayCos(cents)))
+      .select(col("vec_id"),
+        call_function("nearest_cell_cos", col("nv"), col("cells")).as("cell_id"),
+        col("nv"))
+  }
 
   /** Build a PERSISTED IVF index: train the deterministic k-means
     * codebook once, then write two parquet tables under `indexDir` —
@@ -302,16 +325,29 @@ object Similarity {
       corpus
         .filter(col("vec_id") < numCells)
         .select(col("vec_id").as("cell_id"), quantize(col("embedding")).as("cv")))
+    // keep == 1 (the CORPUS side) takes the native per-row argmax —
+    // a window rank over the N×numCells pair stream is a corpus-wide
+    // shuffle+sort (see kmeansCodebookQ). keep > 1 only ever runs on
+    // the query batch (nProbe cells per query), where the rank window
+    // is batch-bounded and the multi-cell output genuinely needs it.
     def assign(df: DataFrame, idOut: String, vecOut: String, keep: Int): DataFrame = {
-      val scored = spread(df)
+      val q = spread(df)
         .select(col("vec_id").as(idOut), quantize(col("embedding")).as(vecOut))
-        .crossJoin(broadcast(cents))
-        .withColumn("cell_sim", cosineQ(col(vecOut), col("cv")))
-      val w = Window.partitionBy(col(idOut)).orderBy(col("cell_sim").desc, col("cell_id"))
-      scored
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= keep)
-        .select(col(idOut), col(vecOut), col("cell_id"))
+      if (keep == 1) {
+        graft.functions.NearestCell.register(df.sparkSession)
+        q.crossJoin(broadcast(centsAsArrayCos(cents)))
+          .select(col(idOut), col(vecOut),
+            call_function("nearest_cell_cos", col(vecOut), col("cells")).as("cell_id"))
+      } else {
+        val scored = q
+          .crossJoin(broadcast(cents))
+          .withColumn("cell_sim", cosineQ(col(vecOut), col("cv")))
+        val w = Window.partitionBy(col(idOut)).orderBy(col("cell_sim").desc, col("cell_id"))
+        scored
+          .withColumn("cell_rank", row_number().over(w))
+          .filter(col("cell_rank") <= keep)
+          .select(col(idOut), col(vecOut), col("cell_id"))
+      }
     }
     val members = assign(corpus, "neighbor_id", "nv", keep = 1)
     val probes = assign(queries, "query_id", "qv", keep = nProbe)

@@ -75,5 +75,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.SortedArrayJaccard.descriptor)
     ext.injectFunction(graft.functions.WinnowFingerprint.descriptor)
     ext.injectFunction(graft.functions.NfcNormalize.descriptor)
+    graft.functions.NearestCell.descriptors.foreach(ext.injectFunction)
   }
 }

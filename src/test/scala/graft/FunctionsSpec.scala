@@ -78,6 +78,136 @@ class FunctionsSpec extends SparkSpec {
   }
 }
 
+/** NearestCell: the native per-row centroid argmax/argmin that
+  * replaced the `crossJoin + max_by/min_by` explode in the k-means
+  * family (Similarity.kmeansCodebookQ/assignCellsQ, Pq.trainCodebooks/
+  * encode). The declarative shape's agg buffer (array value + struct
+  * ordering) is not UnsafeRow-mutable, so Spark planned a
+  * SortAggregate over the N×numCells pair stream; these tests pin
+  * (a) exact value parity with that reference formulation including
+  * tie-breaks, (b) the null/edge contract, and (c) that the rewritten
+  * plan really is sort-free. */
+class NearestCellSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import graft.llm.Similarity
+
+  /** Deterministic little corpus: 40 vectors, 8 dims, quantized longs;
+    * ids 36..39 duplicate ids 0..3 so cosine ties are GUARANTEED
+    * against duplicated centroids, exercising the cell_id tie-break. */
+  private def corpus() = {
+    import spark.implicits._
+    (0 until 40).map { i =>
+      val base = if (i >= 36) i - 36 else i
+      (i.toLong, (1 to 8).map(j => ((base * 37 + j * 11) % 23 + 1).toDouble / 10.0))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("nearest_cell_cos: identical assignment to the crossJoin+max_by reference shape") {
+    val v = corpus().select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("nv"))
+    // duplicated centroid content on purpose: cells 2 and 3 share cv,
+    // so every vector's sim ties between them -> must pick cell 2
+    val cents = v.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("cell_id"), col("nv").as("cv"))
+      .unionByName(v.filter(col("vec_id") === 2)
+        .select(lit(3L).as("cell_id"), col("nv").as("cv")))
+    val viaExpr = Similarity.assignCellsQ(v, cents)
+      .select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.functions.LongArrayDot.register(spark)
+    val viaMaxBy = v.crossJoin(broadcast(cents))
+      .withColumn("cell_sim", Similarity.cosineQ(col("nv"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell_id"), struct(col("cell_sim"), -col("cell_id"))).as("cell_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaMaxBy)
+    assert(!viaExpr.values.exists(_ == 3L), "tie must break to the smaller cell_id")
+    assert(viaExpr.values.toSet.contains(2L), "duplicated-cv cell 2 must win its ties")
+  }
+
+  test("nearest_cell_l2: identical PQ codes to the join+min_by reference shape") {
+    import spark.implicits._
+    // 64-dim (the Pq.Dim contract), ids 20..23 duplicate 0..3 so
+    // subspace distances tie against duplicated init centroids
+    val v = (0 until 24).map { i =>
+      val base = if (i >= 20) i - 20 else i
+      (i.toLong, (1 to 64).map(j => ((base * 37 + j * 11) % 23 + 1).toDouble / 10.0))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("nv"))
+    val cents = graft.llm.Pq.trainCodebooks(v, m = 8, numCells = 4, iters = 1)
+    val codes = graft.llm.Pq.encode(v, cents, m = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1) /* s */, r.getLong(2)))
+    // reference: explicit explode + min_by argmin with (d, cell) tie-break
+    val sub = v.select(col("vec_id"), posexplode(col("nv")).as(Seq("pos", "comp")))
+      .withColumn("s", (col("pos") / 8).cast("int"))
+      .groupBy("vec_id", "s")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        _.getField("comp")).as("sv"))
+    val ref = sub.join(broadcast(cents.withColumnRenamed("cell_id", "__c")), Seq("s"))
+      .withColumn("d", aggregate(zip_with(col("sv"), col("cv"),
+        (x, y) => (x - y) * (x - y)), lit(0L), _ + _))
+      .groupBy("vec_id", "s")
+      .agg(min_by(col("__c"), struct(col("d"), col("__c"))).as("code"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(codes.length == 24 * 8)
+    assert(codes.sorted.toSeq == ref.sorted.toSeq)
+  }
+
+  test("nearest_cell null/edge contract: null vec, empty cells, zero-norm") {
+    graft.functions.NearestCell.register(spark)
+    import spark.implicits._
+    val cells = "array(named_struct('cell_id', 1L, 'cv', array(1L, 2L), 'c2', 5L))"
+    val r = spark.sql(
+      s"SELECT nearest_cell_cos(CAST(NULL AS array<bigint>), $cells) AS a, " +
+        s"nearest_cell_cos(array(1L, 1L), slice($cells, 1, 0)) AS b").head
+    assert(r.isNullAt(0), "null vector -> null")
+    assert(r.isNullAt(1), "empty cells array -> null")
+    val zero = intercept[Exception] {
+      spark.sql(s"SELECT nearest_cell_cos(array(0L, 0L), $cells)").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(zero).exists(_.getMessage != null) &&
+      causes(zero).exists(c => c.getMessage != null && c.getMessage.contains("zero-norm")),
+      s"zero-norm vector must fail loudly, got: $zero")
+  }
+
+  test("nearest_cell: interpreted eval matches codegen") {
+    graft.functions.NearestCell.register(spark)
+    val v = corpus().select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("nv"))
+    val cents = v.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cell_id"), col("nv").as("cv"))
+    val arr = cents.agg(sort_array(collect_list(struct(col("cell_id"), col("cv"),
+      call_function("dotq", col("cv"), col("cv")).as("c2")))).as("cells"))
+    val base = v.crossJoin(broadcast(arr))
+    val viaCodegen = base
+      .select(col("vec_id"), call_function("nearest_cell_cos", col("nv"), col("cells")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var viaInterpreted: Map[Long, Long] = Map.empty
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      viaInterpreted =
+        base.select(col("vec_id"), call_function("nearest_cell_cos", col("nv"), col("cells")))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(viaCodegen.nonEmpty && viaCodegen == viaInterpreted)
+  }
+
+  test("assignCellsQ plan is sort-free and window-free (the SortAggregate fix)") {
+    val v = corpus().select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("nv"))
+    val cents = v.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cell_id"), col("nv").as("cv"))
+    val (_, plan) = finalizedPlan(Similarity.assignCellsQ(v, cents))
+    assert(plan.contains("nearest_cell_cos"), plan)
+    assert(!plan.contains("SortAggregate"),
+      s"corpus assignment must not sort-aggregate the pair stream:\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
+}
+
 /** Registry contract (round-12 verdict item 3): every registered query
   * MUST carry a DuckDB oracle — t14 shipped a round with err=no_oracle
   * because nothing enforced this. An intentionally oracle-free query
