@@ -103,9 +103,14 @@ object Bench {
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // per-query sample counts for every query sampled MORE than `runs`
+    // times (the slow tail): cross-round per-query diffs can then tell a
+    // real speedup from a min taken over extra samples (round-13 ADVICE)
+    val slowSamples = slow.map { case (n, _) => "\"" + n + "\":" + samples(n).size }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"slow_extra_runs":$extraRuns,"slow_thresh_sec":$slowThresh,"n_slow":${slow.size},"agg":"min-across-sweeps","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"slow_extra_runs":$extraRuns,"slow_thresh_sec":$slowThresh,"n_slow":${slow.size},"slow_samples":$slowSamples,"agg":"min-across-sweeps","queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The full line is >2KB at 100+ queries and the driver keeps only an
     // output TAIL — BENCH_r03/r04 both captured it front-truncated and

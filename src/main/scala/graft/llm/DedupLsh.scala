@@ -624,7 +624,48 @@ object DedupLsh {
     * occupancy floor". */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           bits: Int = 32, maxHamming: Int = 3,
-                          maxBucketDf: Option[Long] = None): DataFrame = {
+                          maxBucketDf: Option[Long] = None): DataFrame =
+    simhashBlockJoin(simhashLong(df, idCol, textCol, bits), bits, maxHamming, maxBucketDf)
+
+  /** The corpus SimHash state in its MATERIALIZE-ONCE form: one row
+    * per doc carrying (id, sim) — the `bits`-wide fingerprint, a pure
+    * function of the corpus text, 2 longs/row (the cheapest staged
+    * artifact of any near-dup family). The Manku block keys are NOT
+    * stored: they are a pure bit-slice of `sim`, re-derived map-side
+    * at serve time, so ONE artifact serves ANY hamming radius —
+    * `maxHamming` stays a sweep-time knob exactly like SemDeDup's
+    * staged threshold. What staging removes per call is the
+    * corpus-linear fingerprint derivation (tokenize + per-token md5 +
+    * `bits` vote sums + the vote aggregation's shuffle). `bits` is
+    * stamped as a constant column (RLE-compressed to nothing in
+    * parquet) because it fixes the block-slice geometry;
+    * [[simhashNearDupPairsStaged]] reads it back rather than trusting
+    * a caller-passed value that could silently mis-slice. */
+  def corpusSimhashFingerprints(df: DataFrame, idCol: String, textCol: String,
+                                bits: Int = 32): DataFrame =
+    simhashLong(df, idCol, textCol, bits)
+      .select(col("id"), col("sim"), lit(bits).as("bits"))
+
+  /** SimHash near-dup pairs served from a PRE-MATERIALIZED fingerprint
+    * table (the output of [[corpusSimhashFingerprints]], typically
+    * re-read from parquet): identical semantics to
+    * [[simhashNearDupPairs]] — same Manku block join, same pigeonhole
+    * recall guarantee — but the corpus side is a 2-long-per-row scan
+    * plus map-side shifts instead of a full re-tokenize/re-vote per
+    * call. The fingerprint width comes from the artifact's stamped
+    * `bits` column (one single-row driver read, vacuous on an empty
+    * artifact), so a sweep cannot mis-slice a foreign artifact. */
+  def simhashNearDupPairsStaged(corpusFps: DataFrame, maxHamming: Int = 3,
+                                maxBucketDf: Option[Long] = None): DataFrame = {
+    val stamped = corpusFps.select("bits").limit(1).collect()
+    val bits = if (stamped.isEmpty) 32 else stamped(0).getInt(0)
+    simhashBlockJoin(corpusFps.select(col("id"), col("sim")), bits, maxHamming, maxBucketDf)
+  }
+
+  /** Shared Manku block-join tail over an (id, sim) fingerprint frame
+    * (fresh from [[simhashLong]] or scanned from the staged artifact). */
+  private def simhashBlockJoin(fps: DataFrame, bits: Int, maxHamming: Int,
+                               maxBucketDf: Option[Long]): DataFrame = {
     val blocks = maxHamming + 1
     // blocks > bits would make some block zero-width (every row keys to
     // block value 0 → a full cross product) — refuse loudly instead
@@ -637,7 +678,7 @@ object DedupLsh {
     val base = bits / blocks
     val widths = (0 until blocks).map(i => base + (if (i < bits % blocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val blk = simhashLong(df, idCol, textCol, bits)
+    val blk = fps
       .select(col("id"), col("sim"),
         explode(array((0 until blocks).map(i =>
           struct(lit(i).as("bi"),

@@ -203,22 +203,50 @@ object Pq {
     validatedParams.removeIf(_.startsWith(indexDir + "|"))
   }
 
-  /** (indexDir, m) pairs already checked against the stamp this JVM.
+  /** (indexDir, m, stampMtime) triples already checked this JVM.
     * The guard costs one single-row parquet read; uncached that read
     * is the same order as the whole x22b serve path (~0.1 s vs 0.5 s),
     * so repeated queries against an unchanged index — the prebuilt
-    * family's entire point — must not pay it per call. */
+    * family's entire point — must not pay it per call. The stamp
+    * file's modificationTime is part of the key (one cheap
+    * getFileStatus per call): if ANOTHER process rebuilds the index
+    * with a different m after this JVM validated it, the mtime moves
+    * and the stale verdict is not reused — the exact silent-ADC-drop
+    * the guard exists to prevent. */
   private val validatedParams = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def requireParamMatch(spark: org.apache.spark.sql.SparkSession,
                                 indexDir: String, m: Int): Unit = {
-    val key = s"$indexDir|$m"
+    val stampPath = new org.apache.hadoop.fs.Path(s"$indexDir/index_params")
+    val fs = stampPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime =
+      try fs.getFileStatus(stampPath).getModificationTime
+      catch {
+        case _: java.io.FileNotFoundException => throw new IllegalArgumentException(
+          s"PQ index at $indexDir has no index_params stamp — it was built by " +
+            "an external/pre-stamp builder, so its m cannot be verified and a " +
+            "mismatch would silently drop per-subvector ADC terms; rebuild the " +
+            "artifact with buildAdcIndex/buildIvfAdcIndex")
+      }
+    val key = s"$indexDir|$m|$mtime"
     if (!validatedParams.contains(key)) {
-      val p = spark.read.parquet(s"$indexDir/index_params").collect()(0)
+      val rows =
+        try spark.read.parquet(stampPath.toString).collect()
+        catch {
+          case e: org.apache.spark.sql.AnalysisException => throw new IllegalArgumentException(
+            s"index_params stamp at $indexDir is unreadable (${e.getMessage.linesIterator.next()}) " +
+              "— a concurrent rebuild may be mid-overwrite, or the artifact is " +
+              "corrupt; rebuild the artifact", e)
+        }
+      require(rows.nonEmpty,
+        s"index_params stamp at $indexDir is empty — a concurrent rebuild may " +
+          "be mid-overwrite, or the artifact is corrupt; rebuild the artifact")
+      val p = rows(0)
       val builtM = p.getInt(p.fieldIndex("m"))
       require(builtM == m,
         s"PQ index at $indexDir was built with m=$builtM but queried with " +
-          s"m=$m — per-subvector ADC terms would be silently dropped")
+          s"m=$m — per-subvector ADC terms would be silently dropped; " +
+          "rebuild the artifact or match the query's m")
       validatedParams.add(key)
     }
   }

@@ -23,9 +23,31 @@ object Similarity {
 
   val Scale = 1000000L
 
-  /** array<float> → array<long> fixed-point. */
-  def quantize(v: Column): Column =
-    transform(v, x => floor(x.cast("double") * Scale.toDouble).cast("long"))
+  /** array<float> → array<long> fixed-point, with the amplitude
+    * contract ENFORCED: the exact integer dot of two dim-`d` quantized
+    * vectors must stay inside Long, and PQ residuals (`nv − centroid`,
+    * [[Pq.encode]]) double the amplitude — so each component needs
+    * |x| ≤ sqrt(Long.MaxValue / (4·d)) / 1e6 (≈190 at dim 64). Inside
+    * the bound the arithmetic is provably wrap-free (Cauchy–Schwarz
+    * bounds every partial sum); OUTSIDE it a wrapped dot either trips
+    * the zero-norm guard with a misleading message or — worse — stays
+    * positive and silently ranks garbage through every similarity
+    * entry point. One `array_max` pass per row buys a named error at
+    * the boundary instead (round-13 verdict item 2). Unit-normalized
+    * embeddings (every real encoder's output) sit 2 orders of
+    * magnitude inside the bound and never pay more than the check. */
+  def quantize(v: Column): Column = {
+    val d = size(v).cast("double")
+    val bound = sqrt(lit(Long.MaxValue.toDouble) / (lit(4.0) * d)) / lit(Scale.toDouble)
+    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+    val q = transform(v, x => floor(x.cast("double") * Scale.toDouble).cast("long"))
+    when(v.isNull || size(v) === 0 || maxAbs <= bound, q)
+      .otherwise(raise_error(format_string(
+        "graft quantize overflow: embedding component amplitude %s exceeds the " +
+          "1e-6 fixed-point integer-dot bound %s for dim %s — unit-normalize or " +
+          "rescale embeddings before similarity/dedup ops",
+        maxAbs, bound, size(v))))
+  }
 
   /** Exact integer dot product of two quantized vectors, via the
     * native codegen expression [[graft.functions.LongArrayDot]]

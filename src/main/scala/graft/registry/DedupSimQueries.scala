@@ -82,6 +82,17 @@ object DedupSimQueries {
         bits = 32, maxHamming = 1)
         .orderBy("id_a", "id_b")
     },
+    // x11b — x11 against the STAGED fingerprint table: the sweep scans
+    // the (id, sim) parquet artifact and re-derives the Manku block
+    // keys map-side (a pure bit-slice of sim) instead of re-tokenizing
+    // + re-md5-voting the corpus per call — the per-call corpus-linear
+    // term. One artifact serves ANY radius (maxHamming stays a
+    // sweep-time knob, like x17b's threshold). Same oracle as x11:
+    // staging must be value-invisible.
+    "x11b_simhash_staged" -> { (s, dir) =>
+      DedupLsh.simhashNearDupPairsStaged(stagedSimhashFps(s, dir), maxHamming = 1)
+        .orderBy("id_a", "id_b")
+    },
     "x4_ngram_jaccard" -> { (s, dir) =>
       // n-gram Jaccard with banded-LSH candidate generation: 4 bands ×
       // 2 rows, exact Jaccard verify at a low 0.05 threshold. Bucket
@@ -655,23 +666,8 @@ object DedupSimQueries {
            |    FROM documents) t
            |  GROUP BY id)
            |ORDER BY doc_id""".stripMargin,
-      "x11_simhash_neardup" ->
-        s"""WITH corpus AS ($CorpusNearSql),
-           |fp AS (
-           |  SELECT id, CAST($sim32 AS BIGINT) AS sim FROM (
-           |    SELECT id, $simhash32Bits
-           |    FROM (SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
-           |          FROM corpus) t
-           |    GROUP BY id)),
-           |blk AS (
-           |  SELECT id, sim, g.bi, (sim >> (g.bi * 16)) & 65535 AS bv
-           |  FROM fp CROSS JOIN generate_series(0, 1) AS g(bi)),
-           |pairs AS (
-           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-           |    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
-           |  FROM blk a JOIN blk b ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
-           |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
-           |ORDER BY id_a, id_b""".stripMargin,
+      "x11_simhash_neardup" -> x11SimhashSql,
+      "x11b_simhash_staged" -> x11SimhashSql,
       "x4_ngram_jaccard" ->
         s"""WITH sh AS (
            |  SELECT doc_id AS id, $shSql AS sh
@@ -838,6 +834,27 @@ object DedupSimQueries {
           |SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
           |FROM norm GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
   )
+
+  // shared by x11/x11b: the staged fingerprint twin must be
+  // value-invisible, so both replay one oracle text. lazy for the same
+  // map-literal initialization-order reason as x14IncrementalSql.
+  private lazy val x11SimhashSql =
+    s"""WITH corpus AS ($CorpusNearSql),
+       |fp AS (
+       |  SELECT id, CAST($sim32 AS BIGINT) AS sim FROM (
+       |    SELECT id, $simhash32Bits
+       |    FROM (SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+       |          FROM corpus) t
+       |    GROUP BY id)),
+       |blk AS (
+       |  SELECT id, sim, g.bi, (sim >> (g.bi * 16)) & 65535 AS bv
+       |  FROM fp CROSS JOIN generate_series(0, 1) AS g(bi)),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+       |  FROM blk a JOIN blk b ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
+       |ORDER BY id_a, id_b""".stripMargin
 
   // shared by x27/x27b: the staged sign-bucket twin must be
   // value-invisible, so both replay one oracle text. lazy for the same

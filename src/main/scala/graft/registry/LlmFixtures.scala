@@ -89,6 +89,25 @@ private[registry] object LlmFixtures {
   val stagedNbModels =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** (sessionUUID|fpsDir) staged SimHash fingerprint tables — the
+    * simhash family's fingerprint-once/sweep-many split. */
+  val stagedSimhashTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The corpus SimHash fingerprint table as a staged artifact (see
+    * [[graft.llm.DedupLsh.corpusSimhashFingerprints]]): fingerprinted
+    * once per snapshot, re-read per radius sweep by x11b. Same
+    * memoization contract as [[stagedNearDupPairs]]. */
+  def stagedSimhashFps(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${corpusScratch(dir)}/simhash_fps"
+    buildOnce(stagedSimhashTables, s"${System.identityHashCode(s)}|$path") {
+      graft.llm.DedupLsh.corpusSimhashFingerprints(
+        corpusNear(s, dir), "doc_id", "text", bits = 32)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** The y20 seed rule, shared by the combined classifier (y20/y29)
     * and the staged trainer (y20b) so the model can never drift from
     * the oracle's: an md5-gated 50% of docs keep their lang label. */

@@ -481,8 +481,11 @@ class CorpusSpec extends SparkSpec {
       .select(col("id").as("vec_id"),
         transform(sequence(lit(1), lit(64)),
           // id%7 collapses the corpus into 7 duplicate families, so
-          // the 0.99-cosine drop rule genuinely fires within cells
-          j => ((col("id") % 7) * 31 + j * 17).cast("double").as("x"))
+          // the 0.99-cosine drop rule genuinely fires within cells.
+          // The 1e-4 rescale keeps amplitudes (≤0.13) inside the
+          // quantize overflow contract (≈190 at dim 64) — cosine is
+          // scale-invariant so the family/drop behavior is unchanged
+          j => (((col("id") % 7) * 31 + j * 17) / lit(10000.0)).as("x"))
           .as("embedding"))
     val dir = s"${sys.props("java.io.tmpdir")}/graft_test_x17b_cells"
     graft.streaming.Streams.deleteDir(spark, dir)
@@ -892,5 +895,46 @@ class CorpusSpec extends SparkSpec {
         spark.read.parquet(s"$dir/classes"))
     }
     assert(err.getMessage.contains("out of sync"), err.getMessage)
+  }
+
+  test("quantize amplitude contract: unnormalized embeddings fail with a NAMED overflow error on every similarity entry point") {
+    // amplitude ~1000 at dim 64: the 1e-6 fixed-point self-dot would
+    // reach ~6.4e19 > Long.MaxValue. Pre-guard this either wrapped to
+    // <= 0 (a MISLEADING zero-norm error) or stayed positive and
+    // silently ranked garbage; the quantize boundary check must name
+    // the real problem on every embedding-family entry point.
+    val bad = spark.range(40)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          j => (lit(1000.0) + col("id") + j).as("x")).as("embedding"))
+    def assertOverflow(tag: String)(body: => Unit): Unit = {
+      val e = intercept[Throwable] { body }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(chain.contains("quantize overflow"), s"$tag: wrong error:\n$chain")
+    }
+    val s = graft.llm.Similarity
+    assertOverflow("x5 bruteForceTopK") { s.bruteForceTopK(bad, bad.limit(2), 3).collect() }
+    assertOverflow("x6 lshTopK") { s.lshTopK(bad, bad.limit(2), 3).collect() }
+    assertOverflow("x7 ivfTopK") { s.ivfTopK(bad, bad.limit(2), 3, numCells = 2).collect() }
+    assertOverflow("x9 embeddingNearDupPairs") {
+      s.embeddingNearDupPairs(bad, threshold = 0.99).collect()
+    }
+    assertOverflow("x17 semanticDedup") {
+      s.semanticDedup(bad, numCells = 2, iters = 1, threshold = 0.99).collect()
+    }
+    assertOverflow("x22 Pq.adcTopK") {
+      graft.llm.Pq.adcTopK(bad, bad.limit(2), 3, m = 4, numCells = 2, iters = 1).collect()
+    }
+    // in-bound embeddings still quantize unchanged (the guard is
+    // check-only): power-of-two divisor keeps the floor exact in double
+    val ok = spark.range(4)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          j => ((col("id") + j) / lit(512.0)).as("x")).as("embedding"))
+      .select(s.quantize(col("embedding")).as("nv"))
+      .selectExpr("nv[0] as first").orderBy("first")
+      .as[Long].collect().toSeq
+    assert(ok == Seq(1953L, 3906L, 5859L, 7812L), ok)
   }
 }

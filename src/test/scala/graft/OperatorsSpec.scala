@@ -359,6 +359,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("X11b staged simhash: value-identical to direct at ANY radius; sweep never re-votes the corpus") {
+    val docs = (0L until 25L).map(i => (i, s"alpha beta gamma delta tok$i epsilon zeta eta theta"))
+    val corpus = docs.toDF("doc_id", "text")
+      .unionByName(docs.map { case (i, t) => (i + 1000L, t + " extra") }.toDF("doc_id", "text"))
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_x11b_fps"
+    graft.streaming.Streams.deleteDir(spark, dir)
+    graft.llm.DedupLsh.corpusSimhashFingerprints(corpus, "doc_id", "text", bits = 32)
+      .write.mode("overwrite").parquet(dir)
+    val fps = spark.read.parquet(dir)
+    // ONE artifact serves ANY hamming radius: the Manku block slicing
+    // is a serve-time pure function of the stored sim, so the radius
+    // stays a sweep knob (x17b's threshold property, simhash edition)
+    for (r <- Seq(1, 3)) {
+      val staged = graft.llm.DedupLsh.simhashNearDupPairsStaged(fps, maxHamming = r)
+        .orderBy("id_a", "id_b")
+      val direct = graft.llm.DedupLsh.simhashNearDupPairs(corpus, "doc_id", "text",
+        bits = 32, maxHamming = r).orderBy("id_a", "id_b")
+      val got = staged.collect().toSeq
+      assert(got == direct.collect().toSeq, s"radius $r drifted")
+      if (r == 3) assert(got.nonEmpty, "radius-3 fixture must produce pairs")
+    }
+    // serving scans the artifact's stored sim — no tokenize/md5 vote
+    // pass anywhere in the plan (the corpus-linear term staging removes)
+    val plan = graft.llm.DedupLsh.simhashNearDupPairsStaged(fps, maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("parquet"), plan)
+    assert(!plan.contains("md5("), s"staged sweep must not re-fingerprint:\n$plan")
+  }
+
   test("SimHash near-dup: non-divisible block widths keep exact recall; zero-width blocks refused") {
     // bits=30, maxHamming=3 → 4 blocks of widths 8,8,7,7: every bit
     // must land in exactly one block or recall silently loosens

@@ -189,6 +189,24 @@ class SpanSketchSpec extends SparkSpec {
         Pq.adcTopKPrebuilt(spark, idx, emb.filter(col("vec_id") === 7L), k = 5, m = 16)
       }
       assert(e.getMessage.contains("built with m=8"))
+      // the JVM-local memo must not outlive the shared on-disk artifact:
+      // simulate ANOTHER process rebuilding with a different m by
+      // overwriting the stamp parquet directly (bypassing writeParams'
+      // same-JVM purge) — the stamp mtime moves, so the previously
+      // validated m=8 verdict is NOT reused and the drift fails loudly
+      Seq((16, 16, 0)).toDF("m", "num_cells", "coarse_cells")
+        .coalesce(1).write.mode("overwrite").parquet(s"$idx/index_params")
+      val e2 = intercept[IllegalArgumentException] {
+        Pq.adcTopKPrebuilt(spark, idx, emb.filter(col("vec_id") === 7L), k = 5)
+      }
+      assert(e2.getMessage.contains("built with m=16"), e2.getMessage)
+      // a stamp-less index (external / pre-stamp builder) names the
+      // real remedy instead of a raw parquet path-not-found
+      graft.streaming.Streams.deleteDir(spark, s"$idx/index_params")
+      val e3 = intercept[IllegalArgumentException] {
+        Pq.adcTopKPrebuilt(spark, idx, emb.filter(col("vec_id") === 7L), k = 5)
+      }
+      assert(e3.getMessage.contains("no index_params stamp"), e3.getMessage)
     } finally graft.streaming.Streams.deleteDir(spark, idx)
   }
 
