@@ -578,6 +578,30 @@ object Corpus {
         coalesce(col("bpe_text"), lit("")).as("bpe_text"))
   }
 
+  /** The trained BPE tokenizer in its MATERIALIZE-ONCE form: the
+    * [[bpeMerges]] table (rank, pair, cnt) written to parquet — the
+    * y20b/x17b/x11b train-once/serve-many split applied to the
+    * tokenizer. A production pipeline trains the merge list once per
+    * tokenizer version and encodes EVERY shard and EVERY ingest batch
+    * with it; re-deriving the merges per encode call re-pays the full
+    * corpus word-frequency aggregate plus numMerges argmax rounds.
+    * The model is rank-ordered and tiny (numMerges rows — real
+    * tokenizers are 30–50k, still model-sized), so serving reads it
+    * back with one driver-side collect, exactly the bounded collect
+    * [[bpeEncode]] already requires. */
+  def stageBpeModel(docs: DataFrame, idCol: String, textCol: String,
+                    path: String, numMerges: Int = 6): Unit =
+    bpeMerges(docs, idCol, textCol, numMerges)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Read back a staged BPE model as the ordered merge-pair sequence
+    * [[bpeEncode]] consumes. Rank order IS the model — applying merges
+    * out of order encodes differently — so the read sorts explicitly
+    * rather than trusting file order. */
+  def loadBpeModel(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
+    spark.read.parquet(path).orderBy("rank")
+      .select("pair").collect().map(_.getString(0)).toSeq
+
   /** CCNet-style per-language perplexity bucketing (Wenzek et al.
     * 2020): split each language's documents into head / middle / tail
     * thirds by LM score. CCNet assigns buckets by comparing each doc

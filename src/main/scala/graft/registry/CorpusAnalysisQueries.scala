@@ -268,6 +268,18 @@ object CorpusAnalysisQueries {
         .orderBy("rank").collect().map(_.getString(1)).toSeq
       Corpus.bpeEncode(docs, "doc_id", "text", merges).orderBy("doc_id")
     },
+    // y28b — y28 against the STAGED merge table: the encode sweep
+    // reads the trained (rank, pair) model from parquet instead of
+    // re-paying the full corpus word-frequency aggregate plus 6 argmax
+    // rounds per call — the y20b train-once/serve-many split applied
+    // to the tokenizer (every production encoder loads its merges, it
+    // never retrains them per shard). Same oracle as y28: staging must
+    // be value-invisible.
+    "y28b_bpe_encode_staged" -> { (s, dir) =>
+      val merges = Corpus.loadBpeModel(s, stagedBpeModelPath(s, dir))
+      Corpus.bpeEncode(Tables.documents(s, dir), "doc_id", "text", merges)
+        .orderBy("doc_id")
+    },
     // y25 — source-level quality funnel (the data-derived analog of a
     // UT1-style source blocklist): per-source Gopher keep rates as
     // exact milli-integers; sources below 30% keep get flagged. One
@@ -391,6 +403,34 @@ object CorpusAnalysisQueries {
   /** Shared by y20 and its staged-model twin y20b: serving from the
     * persisted model must be value-invisible, so both replay one
     * oracle text. */
+  // shared by y28/y28b: the staged-model twin must be value-invisible,
+  // so both replay one oracle text (the DuckDB side always trains —
+  // staging is a Spark-side cost split, not a semantic change).
+  private lazy val y28EncodeSql: String =
+    s"""WITH $bpeTrainCte,
+       |tok AS (
+       |  SELECT doc_id, u.pos AS pos, u.word AS word
+       |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+       |          i -> struct_pack(pos := i, word := ws[i]))) AS u
+       |        FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ws
+       |              FROM documents))),
+       |enc AS (
+       |  SELECT word,
+       |    ${bpeApplySql(
+              "('_' || list_aggregate(list_transform(generate_series(1, " +
+                "length(word)), i -> word[i]), 'string_agg', ' _'))", 6)} AS sym
+       |  FROM (SELECT DISTINCT word FROM tok)),
+       |agg AS (
+       |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(len(string_split(e.sym, ' '))) AS BIGINT) AS n_bpe_tokens,
+       |    string_agg(e.sym, ' ' ORDER BY t.pos) AS bpe_text
+       |  FROM tok t JOIN enc e USING (word) GROUP BY t.doc_id)
+       |SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+       |  COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  COALESCE(a.bpe_text, '') AS bpe_text
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   private lazy val y20NbSql: String =
     s"""WITH $nbCte
        |SELECT b.doc_id, d.lang, b.pred,
@@ -525,30 +565,8 @@ object CorpusAnalysisQueries {
            |    AS BIGINT) AS kl_sum_micro
            |FROM vocab w JOIN tot t USING (lang)
            |GROUP BY w.lang ORDER BY w.lang""".stripMargin,
-      "y28_bpe_encode" ->
-        s"""WITH $bpeTrainCte,
-           |tok AS (
-           |  SELECT doc_id, u.pos AS pos, u.word AS word
-           |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
-           |          i -> struct_pack(pos := i, word := ws[i]))) AS u
-           |        FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ws
-           |              FROM documents))),
-           |enc AS (
-           |  SELECT word,
-           |    ${bpeApplySql(
-                  "('_' || list_aggregate(list_transform(generate_series(1, " +
-                    "length(word)), i -> word[i]), 'string_agg', ' _'))", 6)} AS sym
-           |  FROM (SELECT DISTINCT word FROM tok)),
-           |agg AS (
-           |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-           |    CAST(SUM(len(string_split(e.sym, ' '))) AS BIGINT) AS n_bpe_tokens,
-           |    string_agg(e.sym, ' ' ORDER BY t.pos) AS bpe_text
-           |  FROM tok t JOIN enc e USING (word) GROUP BY t.doc_id)
-           |SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
-           |  COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
-           |  COALESCE(a.bpe_text, '') AS bpe_text
-           |FROM documents d LEFT JOIN agg a USING (doc_id)
-           |ORDER BY d.doc_id""".stripMargin,
+      "y28_bpe_encode" -> y28EncodeSql,
+      "y28b_bpe_encode_staged" -> y28EncodeSql,
       "y24_bpe_merges" ->
         s"""WITH $bpeTrainCte
            |SELECT * FROM (

@@ -94,6 +94,24 @@ private[registry] object LlmFixtures {
   val stagedSimhashTables =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** (sessionUUID|modelDir) staged BPE merge tables — the tokenizer's
+    * train-once/encode-many split. */
+  val stagedBpeModels =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The trained BPE model as a staged artifact (see
+    * [[graft.llm.Corpus.stageBpeModel]]): trained once per tokenizer
+    * version, re-read per encode sweep by y28b. Same memoization
+    * contract as [[stagedNearDupPairs]]. */
+  def stagedBpeModelPath(s: SparkSession, dir: String): String = {
+    val path = s"${corpusScratch(dir)}/bpe_model"
+    buildOnce(stagedBpeModels, s"${System.identityHashCode(s)}|$path") {
+      graft.llm.Corpus.stageBpeModel(
+        graft.Tables.documents(s, dir), "doc_id", "text", path, numMerges = 6)
+    }
+    path
+  }
+
   /** The corpus SimHash fingerprint table as a staged artifact (see
     * [[graft.llm.DedupLsh.corpusSimhashFingerprints]]): fingerprinted
     * once per snapshot, re-read per radius sweep by x11b. Same

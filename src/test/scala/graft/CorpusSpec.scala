@@ -897,6 +897,34 @@ class CorpusSpec extends SparkSpec {
     assert(err.getMessage.contains("out of sync"), err.getMessage)
   }
 
+  test("Y28b staged BPE model: load round-trips the exact ranked merges; an unseen batch encodes identically to the live model") {
+    val train = Seq(
+      (1L, "hello hello world"), (2L, "hello help world word"),
+      (3L, "held helm work worn")).toDF("doc_id", "text")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_y28b_bpe"
+    graft.streaming.Streams.deleteDir(spark, dir)
+    graft.llm.Corpus.stageBpeModel(train, "doc_id", "text", dir, numMerges = 4)
+    val loaded = graft.llm.Corpus.loadBpeModel(spark, dir)
+    val live = graft.llm.Corpus.bpeMerges(train, "doc_id", "text", numMerges = 4)
+      .orderBy("rank").collect().map(_.getString(1)).toSeq
+    // rank order IS the model: the artifact must replay the merge
+    // sequence exactly, not just the same pair set
+    assert(loaded == live && loaded.size == 4, s"loaded=$loaded live=$live")
+    // serve-many: an ingest batch whose words were NEVER seen in
+    // training (the case the shared sf0.01 oracle can't exercise —
+    // there the corpus encodes itself) must encode under the staged
+    // model exactly as under the live one, and empty docs keep rows
+    val batch = Seq((10L, "hell hollow"), (11L, "")).toDF("doc_id", "text")
+    val staged = graft.llm.Corpus.bpeEncode(batch, "doc_id", "text", loaded)
+      .orderBy("doc_id").collect().toSeq
+    val direct = graft.llm.Corpus.bpeEncode(batch, "doc_id", "text", live)
+      .orderBy("doc_id").collect().toSeq
+    assert(staged == direct, s"staged=$staged direct=$direct")
+    assert(staged.head.getAs[Long]("n_bpe_tokens") > 0L)
+    assert(staged(1).getAs[String]("bpe_text") == "" &&
+      staged(1).getAs[Long]("n_words") == 0L)
+  }
+
   test("quantize amplitude contract: unnormalized embeddings fail with a NAMED overflow error on every similarity entry point") {
     // amplitude ~1000 at dim 64: the 1e-6 fixed-point self-dot would
     // reach ~6.4e19 > Long.MaxValue. Pre-guard this either wrapped to
