@@ -395,6 +395,71 @@ object Corpus {
     graft.Caching.releaseAfterFirstUse(out, tf)
   }
 
+  /** The trained DSIR model in its MATERIALIZE-ONCE form: the add-1
+    * smoothed target/raw unigram count table (`vocab`: term, c_raw,
+    * c_tgt) plus the one-row totals (t_raw, t_tgt, v), written to
+    * parquet under `path`. Production DSIR (Xie et al. 2023) trains
+    * the target and raw feature distributions ONCE — target = the
+    * quality reference, raw = the big crawl — and scores every
+    * candidate batch against them; re-deriving both per scoring call
+    * re-pays the full corpus token aggregate. The totals are derived
+    * from the WRITTEN vocab artifact (one re-read), so the two tables
+    * cannot drift even across a partially concurrent rebuild. */
+  def stageDsirModel(docs: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column, path: String): Unit = {
+    val tf = docs
+      .select(isTarget.as("__tgt"),
+        explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
+      .groupBy(col("__tgt"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = tf.groupBy("term").agg(sum(col("tf")).as("c_raw"))
+    val tgt = tf.filter(col("__tgt")).groupBy("term").agg(sum(col("tf")).as("c_tgt"))
+    raw.join(tgt, Seq("term"), "left_outer")
+      .select(col("term"), col("c_raw"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+      .write.mode("overwrite").parquet(s"$path/vocab")
+    tf.unpersist(false)
+    docs.sparkSession.read.parquet(s"$path/vocab")
+      .agg(sum(col("c_raw")).as("t_raw"), sum(col("c_tgt")).as("t_tgt"),
+        count(lit(1)).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
+  }
+
+  /** Score a batch against a staged DSIR model (the output of
+    * [[stageDsirModel]], re-read from parquet): identical per-term
+    * arithmetic to [[importanceWeights]] — same add-1 smoothing, same
+    * fixed-point micro-nats — so scoring the training corpus itself is
+    * value-identical to the direct path. Terms the model never saw
+    * score with count 0 under the same smoothing (the natural OOV
+    * extension for unseen ingest batches; vacuous on the training
+    * corpus, where every term is in vocab). Scale shape: the batch
+    * pays one tokenize + one term-keyed join against the vocab
+    * artifact (AQE broadcasts the smaller side) — the corpus-sized
+    * double aggregate is gone from the per-batch path. */
+  def importanceWeightsStaged(batch: DataFrame, idCol: String, textCol: String,
+                              vocab: DataFrame, totals: DataFrame): DataFrame = {
+    val tf = batch
+      .select(col(idCol), explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.join(vocab, Seq("term"), "left_outer")
+      .select(col(idCol), col("tf"),
+        coalesce(col("c_raw"), lit(0L)).as("c_raw"),
+        coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+      .crossJoin(broadcast(totals))
+      .withColumn("w_micro",
+        col("tf") * (
+          floor(log((col("c_tgt") + 1).cast("double") / (col("t_tgt") + col("v"))) * 1e6).cast("long") -
+          floor(log((col("c_raw") + 1).cast("double") / (col("t_raw") + col("v"))) * 1e6).cast("long")))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("w_micro")).as("weight_micro"))
+    batch.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("weight_micro"), lit(0L)).as("weight_micro"))
+  }
+
   /** Per-language unigram distribution drift between two corpus
     * snapshots — the monitor an ingest pipeline runs per batch: a
     * spike in KL(new ‖ base) on one language flags a source gone

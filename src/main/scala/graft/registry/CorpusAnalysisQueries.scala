@@ -181,6 +181,22 @@ object CorpusAnalysisQueries {
         .limit(200)
         .select("doc_id", "lang", "n_tokens", "weight_micro")
     },
+    // y21b — y21 against the STAGED DSIR model: the scoring sweep
+    // reads the trained (term, c_raw, c_tgt) vocab + totals from
+    // parquet instead of re-paying the corpus-sized double aggregate
+    // per call — production DSIR trains its target/raw distributions
+    // once and scores every candidate batch against them (Xie et al.
+    // 2023 §3; the y20b/y28b split applied to data selection). Same
+    // oracle as y21: staging must be value-invisible.
+    "y21b_dsir_select_staged" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val (vocab, totals) = stagedDsirModel(s, dir)
+      Corpus.importanceWeightsStaged(docs, "doc_id", "text", vocab, totals)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .orderBy(col("weight_micro").desc, col("doc_id").asc)
+        .limit(200)
+        .select("doc_id", "lang", "n_tokens", "weight_micro")
+    },
     // y20 — multinomial Naive Bayes lang classifier (the fastText-
     // classifier slot of a CCNet/GPT-3 curation stack): train on an
     // md5-gated 50% labeled seed, score every doc, argmax in integer
@@ -431,6 +447,39 @@ object CorpusAnalysisQueries {
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // shared by y21/y21b: the staged-model twin must be value-invisible,
+  // so both replay one oracle text (the DuckDB side always trains --
+  // staging is a Spark-side cost split, not a semantic change).
+  private lazy val y21DsirSql: String =
+    """WITH tf AS (
+          |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+          |    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+          |    FROM documents)
+          |  GROUP BY doc_id, term),
+          |tgtids AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+          |raw AS (SELECT term, SUM(tf) AS c_raw FROM tf GROUP BY term),
+          |tgt AS (SELECT term, SUM(tf) AS c_tgt FROM tf JOIN tgtids USING (doc_id)
+          |        GROUP BY term),
+          |vocab AS (SELECT r.term, c_raw, COALESCE(c_tgt, 0) AS c_tgt
+          |          FROM raw r LEFT JOIN tgt USING (term)),
+          |tot AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt, COUNT(*) AS v
+          |        FROM vocab),
+          |sc AS (
+          |  SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
+          |    SUM(tf.tf *
+          |      (CAST(floor(ln(CAST(c_tgt + 1 AS DOUBLE) / (t_tgt + v)) * 1e6) AS BIGINT)
+          |     - CAST(floor(ln(CAST(c_raw + 1 AS DOUBLE) / (t_raw + v)) * 1e6) AS BIGINT)))
+          |      AS weight_micro
+          |  FROM tf JOIN vocab USING (term) CROSS JOIN tot
+          |  GROUP BY tf.doc_id),
+          |f AS (
+          |  SELECT d.doc_id, d.lang, COALESCE(sc.n_tokens, 0) AS n_tokens,
+          |    COALESCE(sc.weight_micro, 0) AS weight_micro
+          |  FROM documents d LEFT JOIN sc USING (doc_id))
+          |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  CAST(weight_micro AS BIGINT) AS weight_micro
+          |FROM f ORDER BY weight_micro DESC, doc_id LIMIT 200""".stripMargin
+
   private lazy val y20NbSql: String =
     s"""WITH $nbCte
        |SELECT b.doc_id, d.lang, b.pred,
@@ -621,35 +670,8 @@ object CorpusAnalysisQueries {
            |  CAST(c.n * 1000 // t.n_truth AS BIGINT) AS cell_milli
            |FROM cells c JOIN tot t USING (truth)
            |ORDER BY c.truth, c.pred""".stripMargin,
-      "y21_dsir_select" ->
-        """WITH tf AS (
-          |  SELECT doc_id, term, COUNT(*) AS tf FROM (
-          |    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
-          |    FROM documents)
-          |  GROUP BY doc_id, term),
-          |tgtids AS (SELECT doc_id FROM documents WHERE lang = 'en'),
-          |raw AS (SELECT term, SUM(tf) AS c_raw FROM tf GROUP BY term),
-          |tgt AS (SELECT term, SUM(tf) AS c_tgt FROM tf JOIN tgtids USING (doc_id)
-          |        GROUP BY term),
-          |vocab AS (SELECT r.term, c_raw, COALESCE(c_tgt, 0) AS c_tgt
-          |          FROM raw r LEFT JOIN tgt USING (term)),
-          |tot AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt, COUNT(*) AS v
-          |        FROM vocab),
-          |sc AS (
-          |  SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
-          |    SUM(tf.tf *
-          |      (CAST(floor(ln(CAST(c_tgt + 1 AS DOUBLE) / (t_tgt + v)) * 1e6) AS BIGINT)
-          |     - CAST(floor(ln(CAST(c_raw + 1 AS DOUBLE) / (t_raw + v)) * 1e6) AS BIGINT)))
-          |      AS weight_micro
-          |  FROM tf JOIN vocab USING (term) CROSS JOIN tot
-          |  GROUP BY tf.doc_id),
-          |f AS (
-          |  SELECT d.doc_id, d.lang, COALESCE(sc.n_tokens, 0) AS n_tokens,
-          |    COALESCE(sc.weight_micro, 0) AS weight_micro
-          |  FROM documents d LEFT JOIN sc USING (doc_id))
-          |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
-          |  CAST(weight_micro AS BIGINT) AS weight_micro
-          |FROM f ORDER BY weight_micro DESC, doc_id LIMIT 200""".stripMargin,
+      "y21_dsir_select" -> y21DsirSql,
+      "y21b_dsir_select_staged" -> y21DsirSql,
       "y15_mixture_sample" ->
         """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
           |cuts AS (

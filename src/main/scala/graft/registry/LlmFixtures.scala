@@ -99,6 +99,27 @@ private[registry] object LlmFixtures {
   val stagedBpeModels =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** (sessionUUID|modelDir) staged DSIR models — the data-selection
+    * family's train-once/score-many split. */
+  val stagedDsirModels =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The trained DSIR model (vocab + totals) as a staged artifact (see
+    * [[graft.llm.Corpus.stageDsirModel]]): trained once per
+    * (reference, crawl) snapshot pair, re-read per scoring sweep by
+    * y21b. Same memoization contract as [[stagedNearDupPairs]]. The
+    * target rule is y21's (`lang = 'en'`), shared so the model can
+    * never drift from the oracle's. */
+  def stagedDsirModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val path = s"${corpusScratch(dir)}/dsir_model"
+    buildOnce(stagedDsirModels, s"${System.identityHashCode(s)}|$path") {
+      graft.llm.Corpus.stageDsirModel(
+        graft.Tables.documents(s, dir), "doc_id", "text",
+        org.apache.spark.sql.functions.col("lang") === "en", path)
+    }
+    (s.read.parquet(s"$path/vocab"), s.read.parquet(s"$path/totals"))
+  }
+
   /** The trained BPE model as a staged artifact (see
     * [[graft.llm.Corpus.stageBpeModel]]): trained once per tokenizer
     * version, re-read per encode sweep by y28b. Same memoization

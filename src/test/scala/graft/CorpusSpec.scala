@@ -925,6 +925,46 @@ class CorpusSpec extends SparkSpec {
       staged(1).getAs[Long]("n_words") == 0L)
   }
 
+  test("Y21b staged DSIR model: totals derive from the written vocab; unseen-batch OOV terms score under the same add-1 smoothing") {
+    val train = Seq(
+      (1L, "en", "apple banana apple"), (2L, "en", "apple cherry"),
+      (3L, "de", "der hund"), (4L, "de", "der der baum")).toDF("doc_id", "lang", "text")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_y21b_dsir"
+    graft.streaming.Streams.deleteDir(spark, dir)
+    graft.llm.Corpus.stageDsirModel(train, "doc_id", "text", col("lang") === "en", dir)
+    val vocab = spark.read.parquet(s"$dir/vocab")
+    val totals = spark.read.parquet(s"$dir/totals")
+    // the totals artifact is DERIVED from the written vocab (one
+    // re-read), so the two tables cannot disagree
+    val t = totals.collect()(0)
+    val vc = vocab.agg(sum(col("c_raw")), sum(col("c_tgt")), count(lit(1))).collect()(0)
+    assert((t.getLong(0), t.getLong(1), t.getLong(2)) ==
+      (vc.getLong(0), vc.getLong(1), vc.getLong(2)), s"totals=$t vocab-sums=$vc")
+    // scoring the training corpus against the staged model is
+    // value-identical to the direct train-and-score path
+    val staged = graft.llm.Corpus
+      .importanceWeightsStaged(train, "doc_id", "text", vocab, totals)
+      .orderBy("doc_id").collect().toSeq
+    val direct = graft.llm.Corpus
+      .importanceWeights(train, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id").collect().toSeq
+    assert(staged == direct, s"staged=$staged direct=$direct")
+    // an ingest batch of terms the model NEVER saw (the case the
+    // shared oracle can't exercise) scores with count 0 under the same
+    // add-1 smoothing — the expected micro-nat value is computable
+    // from the collected totals, so the OOV convention is pinned
+    val batch = Seq((10L, "zzz yyy")).toDF("doc_id", "text")
+    val got = graft.llm.Corpus
+      .importanceWeightsStaged(batch, "doc_id", "text", vocab, totals)
+      .collect()(0)
+    val exp = 2L * (
+      math.floor(math.log(1.0 / (t.getLong(1) + t.getLong(2))) * 1e6).toLong -
+      math.floor(math.log(1.0 / (t.getLong(0) + t.getLong(2))) * 1e6).toLong)
+    assert(got.getAs[Long]("n_tokens") == 2L &&
+      got.getAs[Long]("weight_micro") == exp,
+      s"got=$got expected weight_micro=$exp")
+  }
+
   test("quantize amplitude contract: unnormalized embeddings fail with a NAMED overflow error on every similarity entry point") {
     // amplitude ~1000 at dim 64: the 1e-6 fixed-point self-dot would
     // reach ~6.4e19 > Long.MaxValue. Pre-guard this either wrapped to
