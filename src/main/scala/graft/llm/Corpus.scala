@@ -415,14 +415,19 @@ object Corpus {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val raw = tf.groupBy("term").agg(sum(col("tf")).as("c_raw"))
     val tgt = tf.filter(col("__tgt")).groupBy("term").agg(sum(col("tf")).as("c_tgt"))
-    raw.join(tgt, Seq("term"), "left_outer")
-      .select(col("term"), col("c_raw"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
-      .write.mode("overwrite").parquet(s"$path/vocab")
+    // vocab + totals swap live as ONE unit (graft.io.Staging), and the
+    // totals are derived from the WRITTEN staged vocab — the pair can
+    // neither drift nor be read torn
+    graft.io.Staging.atomicSwap(docs.sparkSession, path) { tmp =>
+      raw.join(tgt, Seq("term"), "left_outer")
+        .select(col("term"), col("c_raw"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+        .write.mode("overwrite").parquet(s"$tmp/vocab")
+      docs.sparkSession.read.parquet(s"$tmp/vocab")
+        .agg(sum(col("c_raw")).as("t_raw"), sum(col("c_tgt")).as("t_tgt"),
+          count(lit(1)).as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/totals")
+    }
     tf.unpersist(false)
-    docs.sparkSession.read.parquet(s"$path/vocab")
-      .agg(sum(col("c_raw")).as("t_raw"), sum(col("c_tgt")).as("t_tgt"),
-        count(lit(1)).as("v"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
   }
 
   /** Score a batch against a staged DSIR model (the output of
@@ -656,8 +661,10 @@ object Corpus {
     * [[bpeEncode]] already requires. */
   def stageBpeModel(docs: DataFrame, idCol: String, textCol: String,
                     path: String, numMerges: Int = 6): Unit =
-    bpeMerges(docs, idCol, textCol, numMerges)
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    graft.io.Staging.atomicSwap(docs.sparkSession, path) { tmp =>
+      bpeMerges(docs, idCol, textCol, numMerges)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
 
   /** Read back a staged BPE model as the ordered merge-pair sequence
     * [[bpeEncode]] consumes. Rank order IS the model — applying merges

@@ -180,9 +180,15 @@ object Pq {
     val v = corpus.select(col("vec_id"), Similarity.quantize(col("embedding")).as("nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = trainCodebooks(v, m, numCells, iters)
-    cents.write.mode("overwrite").parquet(s"$indexDir/pq_centroids")
-    encode(v, cents, m).write.mode("overwrite").parquet(s"$indexDir/codes")
-    writeParams(corpus.sparkSession, indexDir, m, numCells, coarseCells = 0)
+    // the three tables swap live as ONE unit (graft.io.Staging): a
+    // reader can never pair centroids from one build with codes or a
+    // stamp from another, and a crashed rebuild keeps the old index
+    graft.io.Staging.atomicSwap(corpus.sparkSession, indexDir) { tmp =>
+      cents.write.mode("overwrite").parquet(s"$tmp/pq_centroids")
+      encode(v, cents, m).write.mode("overwrite").parquet(s"$tmp/codes")
+      writeParams(corpus.sparkSession, tmp, m, numCells, coarseCells = 0)
+    }
+    purgeValidated(indexDir)
     v.unpersist(false)
   }
 
@@ -198,10 +204,14 @@ object Pq {
     import spark.implicits._
     Seq((m, numCells, coarseCells)).toDF("m", "num_cells", "coarse_cells")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/index_params")
-    // a rebuild may change the stamp — drop every cached verdict for
-    // this index so the next query re-reads the fresh params
-    validatedParams.removeIf(_.startsWith(indexDir + "|"))
   }
+
+  /** A rebuild may change the stamp — drop every cached verdict for
+    * the LIVE index path so the next query re-reads the fresh params.
+    * Called after the atomic swap (writeParams itself targets the
+    * staging directory, whose path never appears in the memo). */
+  private def purgeValidated(indexDir: String): Unit =
+    validatedParams.removeIf(_.startsWith(indexDir + "|"))
 
   /** (indexDir, m, stampMtime) triples already checked this JVM.
     * The guard costs one single-row parquet read; uncached that read
@@ -371,13 +381,17 @@ object Pq {
     val v = corpus.select(col("vec_id"), Similarity.quantize(col("embedding")).as("nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (coarse, pqCents, codes) = buildCodes(v, m, numCells, coarseCells, iters)
-    coarse.write.mode("overwrite").parquet(s"$indexDir/coarse")
-    pqCents.write.mode("overwrite").parquet(s"$indexDir/pq_centroids")
-    // clustered write (the k13/buildIvfIndex shape): without the
-    // repartition every encode task opens a file per touched cell
-    codes.repartition(col("cell_id"))
-      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$indexDir/codes")
-    writeParams(corpus.sparkSession, indexDir, m, numCells, coarseCells)
+    // all four tables swap live as ONE unit (see buildAdcIndex)
+    graft.io.Staging.atomicSwap(corpus.sparkSession, indexDir) { tmp =>
+      coarse.write.mode("overwrite").parquet(s"$tmp/coarse")
+      pqCents.write.mode("overwrite").parquet(s"$tmp/pq_centroids")
+      // clustered write (the k13/buildIvfIndex shape): without the
+      // repartition every encode task opens a file per touched cell
+      codes.repartition(col("cell_id"))
+        .write.mode("overwrite").partitionBy("cell_id").parquet(s"$tmp/codes")
+      writeParams(corpus.sparkSession, tmp, m, numCells, coarseCells)
+    }
+    purgeValidated(indexDir)
     v.unpersist(false)
   }
 

@@ -255,8 +255,14 @@ object Similarity {
       .select(col("vec_id"), quantize(col("embedding")).as("nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = kmeansCodebookQ(v, numCells, iters)
-    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    writeMembers(assignCellsQ(v, cents), indexDir, "overwrite")
+    // centroids + members swap live as ONE unit (graft.io.Staging): a
+    // query can never assign against one build's codebook and scan
+    // another build's members, and a crashed rebuild keeps the old
+    // index serving
+    graft.io.Staging.atomicSwap(corpus.sparkSession, indexDir) { tmp =>
+      cents.write.mode("overwrite").parquet(s"$tmp/centroids")
+      writeMembers(assignCellsQ(v, cents), tmp, "overwrite")
+    }
     v.unpersist(false)
   }
 
@@ -685,11 +691,13 @@ object Similarity {
       .select(col("vec_id"), quantize(col("embedding")).as("nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = kmeansCodebookQ(v, numCells, iters)
-    assignCellsQ(v, cents)
-      .withColumn("num_cells", lit(numCells))
-      .withColumn("iters", lit(iters))
-      .repartition(col("cell_id"))
-      .write.mode("overwrite").parquet(path)
+    graft.io.Staging.atomicSwap(corpus.sparkSession, path) { tmp =>
+      assignCellsQ(v, cents)
+        .withColumn("num_cells", lit(numCells))
+        .withColumn("iters", lit(iters))
+        .repartition(col("cell_id"))
+        .write.mode("overwrite").parquet(tmp)
+    }
     v.unpersist(false)
   }
 

@@ -140,9 +140,11 @@ private[registry] object LlmFixtures {
   def stagedSimhashFps(s: SparkSession, dir: String): DataFrame = {
     val path = s"${corpusScratch(dir)}/simhash_fps"
     buildOnce(stagedSimhashTables, s"${System.identityHashCode(s)}|$path") {
-      graft.llm.DedupLsh.corpusSimhashFingerprints(
-        corpusNear(s, dir), "doc_id", "text", bits = 32)
-        .write.mode("overwrite").parquet(path)
+      graft.io.Staging.atomicSwap(s, path) { tmp =>
+        graft.llm.DedupLsh.corpusSimhashFingerprints(
+          corpusNear(s, dir), "doc_id", "text", bits = 32)
+          .write.mode("overwrite").parquet(tmp)
+      }
     }
     s.read.parquet(path)
   }
@@ -162,8 +164,12 @@ private[registry] object LlmFixtures {
     buildOnce(stagedNbModels, s"${System.identityHashCode(s)}|$path") {
       val (terms, classes) = Classifier.trainNaiveBayesModel(
         Tables.documents(s, dir), "doc_id", "text", nbSeedLabel)
-      terms.write.mode("overwrite").parquet(s"$path/terms")
-      classes.write.mode("overwrite").parquet(s"$path/classes")
+      // terms + classes swap live as ONE unit (graft.io.Staging): the
+      // artifact-sync check can then only ever see one build's pair
+      graft.io.Staging.atomicSwap(s, path) { tmp =>
+        terms.write.mode("overwrite").parquet(s"$tmp/terms")
+        classes.write.mode("overwrite").parquet(s"$tmp/classes")
+      }
     }
     (s.read.parquet(s"$path/terms"), s.read.parquet(s"$path/classes"))
   }
@@ -175,8 +181,10 @@ private[registry] object LlmFixtures {
   def stagedCorpusEmbBuckets(s: SparkSession, dir: String): DataFrame = {
     val path = s"${corpusScratch(dir)}/emb_sign_buckets"
     buildOnce(stagedEmbBucketTables, s"${System.identityHashCode(s)}|$path") {
-      Similarity.corpusSignBuckets(Tables.embeddings(s, dir))
-        .write.mode("overwrite").parquet(path)
+      graft.io.Staging.atomicSwap(s, path) { tmp =>
+        Similarity.corpusSignBuckets(Tables.embeddings(s, dir))
+          .write.mode("overwrite").parquet(tmp)
+      }
     }
     s.read.parquet(path)
   }
@@ -188,9 +196,11 @@ private[registry] object LlmFixtures {
   def stagedCorpusSpanHashes(s: SparkSession, dir: String): DataFrame = {
     val path = s"${corpusScratch(dir)}/span_hash_set"
     buildOnce(stagedSpanTables, s"${System.identityHashCode(s)}|$path") {
-      graft.llm.SpanDedup.corpusWindowHashSet(
-        Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text", k = 8)
-        .write.mode("overwrite").parquet(path)
+      graft.io.Staging.atomicSwap(s, path) { tmp =>
+        graft.llm.SpanDedup.corpusWindowHashSet(
+          Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text", k = 8)
+          .write.mode("overwrite").parquet(tmp)
+      }
     }
     s.read.parquet(path)
   }
@@ -233,9 +243,11 @@ private[registry] object LlmFixtures {
   def stagedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val path = s"${corpusScratch(dir)}/neardup_pairs"
     buildOnce(stagedPairTables, s"${System.identityHashCode(s)}|$path") {
-      DedupLsh.nearDupPairs(corpusNear(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5)
-        .write.mode("overwrite").parquet(path)
+      graft.io.Staging.atomicSwap(s, path) { tmp =>
+        DedupLsh.nearDupPairs(corpusNear(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5)
+          .write.mode("overwrite").parquet(tmp)
+      }
     }
     s.read.parquet(path)
   }
@@ -256,10 +268,12 @@ private[registry] object LlmFixtures {
   def stagedCorpusBands(s: SparkSession, dir: String): DataFrame = {
     val path = s"${corpusScratch(dir)}/corpus_bands"
     buildOnce(stagedBandTables, s"${System.identityHashCode(s)}|$path") {
-      DedupLsh.corpusBandSignatures(
-        Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
-        shingleN = 3, numHashes = 12, numBands = 4)
-        .write.mode("overwrite").parquet(path)
+      graft.io.Staging.atomicSwap(s, path) { tmp =>
+        DedupLsh.corpusBandSignatures(
+          Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
+          shingleN = 3, numHashes = 12, numBands = 4)
+          .write.mode("overwrite").parquet(tmp)
+      }
     }
     s.read.parquet(path)
   }

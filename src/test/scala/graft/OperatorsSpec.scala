@@ -359,6 +359,51 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("Staging.atomicSwap: failed rebuild keeps the live artifact; crash between renames heals on the next swap") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_atomic_swap"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(dir, dir + ".old", dir + ".staged").foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    def readV(): Seq[Int] = spark.read.parquet(dir).as[Int].collect().toSeq
+    graft.io.Staging.atomicSwap(spark, dir) { tmp =>
+      Seq(1).toDF("v").write.parquet(tmp)
+    }
+    assert(readV() == Seq(1))
+    // a rebuild that fails AFTER writing partial staged content leaves
+    // the live artifact byte-identical (the SaveMode.Overwrite hazard
+    // this helper exists to remove: overwrite deletes live FIRST)
+    intercept[RuntimeException] {
+      graft.io.Staging.atomicSwap(spark, dir) { tmp =>
+        Seq(2).toDF("v").write.parquet(tmp)
+        throw new RuntimeException("build died mid-rebuild")
+      }
+    }
+    assert(readV() == Seq(1), "failed rebuild must not touch the live artifact")
+    // a successful rebuild replaces the whole artifact
+    graft.io.Staging.atomicSwap(spark, dir) { tmp =>
+      Seq(3).toDF("v").write.parquet(tmp)
+    }
+    assert(readV() == Seq(3))
+    // crash between the two renames leaves (live missing, .old
+    // present) — the ONLY lossy-looking state — and both the next
+    // swap and an explicit recover() heal it
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    graft.io.Staging.recover(spark, dir)
+    assert(readV() == Seq(3), "recover must restore the pre-crash artifact")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    graft.io.Staging.atomicSwap(spark, dir) { tmp =>
+      Seq(4).toDF("v").write.parquet(tmp)
+    }
+    assert(readV() == Seq(4))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dir + ".staged")),
+      "swap must clean up its side directories")
+  }
+
   test("X11b staged simhash: value-identical to direct at ANY radius; sweep never re-votes the corpus") {
     val docs = (0L until 25L).map(i => (i, s"alpha beta gamma delta tok$i epsilon zeta eta theta"))
     val corpus = docs.toDF("doc_id", "text")
