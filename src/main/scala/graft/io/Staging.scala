@@ -35,7 +35,17 @@ import org.apache.spark.sql.SparkSession
   * [[recover]] — restores the previous artifact; nothing is ever torn.
   * Single-writer per artifact root is assumed (the registry's
   * buildOnce memo / global-lock conventions); the swap protects
-  * READERS, it does not arbitrate concurrent writers. */
+  * READERS, it does not arbitrate concurrent writers.
+  *
+  * Filesystem contract, stated honestly for the 100 TB deployment:
+  * the protocol relies on directory rename being atomic and O(1),
+  * which holds on HDFS and POSIX filesystems. On S3-like object
+  * stores rename is a COPY + DELETE — O(artifact bytes) and not
+  * atomic — so there the right swap is a pointer one level up
+  * (write `<path>/v=<build-id>/`, then atomically update a
+  * small manifest/latest marker the readers resolve), not this
+  * directory rename. The artifact layout produced here is identical
+  * either way; only the publish step differs. */
 object Staging {
 
   /** Build-into-staging then swap live. `build` receives the staging
