@@ -315,6 +315,10 @@ object Similarity {
                       k: Int, nProbe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.LongArrayDot.register(spark)
+    // crash-window availability: a rebuild that died between the swap
+    // renames leaves only `.old` — restore it instead of failing until
+    // the next build (graft.io.Staging contract)
+    graft.io.Staging.recover(spark, indexDir)
     val cents = readCentroids(spark, indexDir)
     val scoredQ = queries
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
@@ -712,6 +716,8 @@ object Similarity {
   def semanticDedupStaged(spark: SparkSession, path: String,
                           threshold: Double = 0.99): DataFrame = {
     graft.functions.LongArrayDot.register(spark)
+    // crash-window availability (graft.io.Staging contract)
+    graft.io.Staging.recover(spark, path)
     val assigned = spark.read.parquet(path)
     val a = assigned.select(col("cell_id"), col("vec_id").as("id_a"), col("nv").as("nv_a"))
     val b = assigned.select(col("cell_id"), col("vec_id").as("id_b"), col("nv").as("nv_b"))

@@ -182,6 +182,17 @@ class SpanSketchSpec extends SparkSpec {
       // prebuilt answer must match the retrain-per-call one code-for-code
       assert(pre.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSeq
         === fresh.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSeq)
+      // reader self-heal: a rebuild that died between the swap renames
+      // leaves only `.old` — the prebuilt reader restores it and serves
+      // the pre-crash index instead of failing until the next build
+      val fsIdx = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fsIdx.rename(new org.apache.hadoop.fs.Path(idx),
+        new org.apache.hadoop.fs.Path(idx + ".old")))
+      val healed = Pq.adcTopKPrebuilt(spark, idx, emb.filter(col("vec_id") === 7L), k = 5)
+        .collect().sortBy(_.getAs[Int]("rank"))
+      assert(healed.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSeq
+        === fresh.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSeq)
       // param-stamp guard: a mismatched m must fail loudly — without it
       // the LUT's subvector split partially inner-joins the stored
       // (s, code) rows and silently computes wrong ADC distances
