@@ -72,7 +72,13 @@ object Staging {
     * with no live artifact is (live missing, `.old` present). Safe to
     * call any time; [[atomicSwap]] calls it on entry, and a serving
     * path that wants crash-window availability can call it before
-    * reading. */
+    * reading. One benign race, stated for the record: a reader's
+    * recover firing INSIDE a live swap's microsecond rename window can
+    * restore the old artifact before the builder's second rename, which
+    * then fails its `require` loudly — the live artifact is the intact
+    * previous build, nothing is lost, and retrying the build succeeds.
+    * A failed-loud build beats the alternative (readers crashing on a
+    * missing artifact while the swap is in flight). */
   def recover(spark: SparkSession, path: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
