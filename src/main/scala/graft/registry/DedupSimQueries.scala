@@ -65,6 +65,20 @@ object DedupSimQueries {
         .select(col("doc_id"), md5(col("text")).as("digest"))
         .orderBy("doc_id")
     },
+    // x10b -- x10 against the STAGED pair artifact (the x8b split
+    // applied to the apply half): connected components + the anti-join
+    // run over the verified-pair table read from parquet instead of
+    // re-shingling + re-minhashing + re-verifying the corpus per apply
+    // call. Same oracle as x10: staging must be value-invisible.
+    "x10b_dedup_apply_staged" -> { (s, dir) =>
+      val corpus = corpusNear(s, dir)
+      val clusters = DedupLsh.nearDupClusters(stagedNearDupPairs(s, dir))
+      val drop = clusters.filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      corpus.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .orderBy("doc_id")
+    },
     "x3_simhash" -> { (s, dir) =>
       DedupLsh.simhash(Tables.documents(s, dir), "doc_id", "text", bits = 16)
         .withColumnRenamed("id", "doc_id")
@@ -643,20 +657,8 @@ object DedupSimQueries {
           |ORDER BY doc_id""".stripMargin,
       "x8_dedup_clusters" -> x8ClustersSql,
       "x8b_clusters_staged" -> x8ClustersSql,
-      "x10_dedup_apply" ->
-        s"""WITH RECURSIVE np AS ($x2Core),
-           |edges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM np
-           |  UNION SELECT id_b, id_a FROM np),
-           |reach AS (
-           |  SELECT src AS id, src AS r FROM edges
-           |  UNION
-           |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-           |clusters AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
-           |allc AS ($CorpusNearSql)
-           |SELECT doc_id, md5(text) AS digest FROM allc
-           |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster)
-           |ORDER BY doc_id""".stripMargin,
+      "x10_dedup_apply" -> x10ApplySql,
+      "x10b_dedup_apply_staged" -> x10ApplySql,
       "x3_simhash" ->
         s"""SELECT id AS doc_id, $simhashConcat AS simhash
            |FROM (
@@ -834,6 +836,23 @@ object DedupSimQueries {
           |SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
           |FROM norm GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
   )
+
+  // shared by x10/x10b: the staged-pair apply twin must be
+  // value-invisible, so both replay one oracle text.
+  private lazy val x10ApplySql =
+    s"""WITH RECURSIVE np AS ($x2Core),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM np
+       |  UNION SELECT id_b, id_a FROM np),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+       |clusters AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |allc AS ($CorpusNearSql)
+       |SELECT doc_id, md5(text) AS digest FROM allc
+       |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster)
+       |ORDER BY doc_id""".stripMargin
 
   // shared by x11/x11b: the staged fingerprint twin must be
   // value-invisible, so both replay one oracle text. lazy for the same
