@@ -176,8 +176,14 @@ object IO {
   def recoverSwap(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, path)
     val old = new Path(s"$path.__swap_old")
-    if (!f.exists(new Path(path)) && f.exists(old))
-      require(f.rename(old, new Path(path)), s"recovery rename $old -> $path failed")
+    if (!f.exists(new Path(path)) && f.exists(old)) {
+      // two readers healing concurrently both pass the exists check;
+      // the loser's rename returns false AFTER the winner healed — a
+      // failed rename is only an error if the path is STILL missing
+      val renamed = f.rename(old, new Path(path))
+      require(renamed || f.exists(new Path(path)),
+        s"recovery rename $old -> $path failed")
+    }
   }
 
   /** Crash-safe directory replacement: `write` produces the new

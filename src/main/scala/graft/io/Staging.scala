@@ -19,14 +19,14 @@ import org.apache.spark.sql.SparkSession
   * Protocol, per artifact ROOT (multi-table artifacts — a PQ index's
   * centroids + codes + stamp — swap as ONE unit, so a reader can never
   * pair centroids from one build with codes from another):
-  *   1. heal a previous crash: live missing + `.old` present → rename
-  *      `.old` back (the only crash window leaves exactly that state);
-  *   2. `build` writes the COMPLETE artifact under `<path>.staged`;
-  *   3. swap: live → `.old`, `.staged` → live — each rename
+  *   1. heal a previous crash: live missing + old-copy present →
+  *      rename it back (the only crash window leaves exactly that state);
+  *   2. `build` writes the COMPLETE artifact under a tmp dir BESIDE the target;
+  *   3. swap: live → old-copy, tmp → live — each rename
   *      `require`d, because Hadoop rename reports most failures by
   *      RETURNING FALSE (the Watermark lesson: an unchecked failed
   *      second rename would let step 4 delete the last copy);
-  *   4. delete `.old`.
+  *   4. delete the old copy.
   *
   * A reader sees the complete previous artifact up to the instant of
   * the same-filesystem directory rename and the complete new artifact
@@ -50,40 +50,30 @@ object Staging {
 
   /** Build-into-staging then swap live. `build` receives the staging
     * directory and must leave the complete artifact there; on any
-    * build failure the live artifact is untouched. */
-  def atomicSwap(spark: SparkSession, path: String)(build: String => Unit): Unit = {
-    val live = new org.apache.hadoop.fs.Path(path)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(path + ".old")
-    val staged = new org.apache.hadoop.fs.Path(path + ".staged")
-    recover(spark, path)
-    fs.delete(staged, true)
-    build(staged.toString)
-    require(fs.exists(staged), s"staged artifact build left nothing at $staged")
-    fs.delete(old, true)
-    if (fs.exists(live))
-      require(fs.rename(live, old), s"artifact swap rename failed: $live -> $old")
-    require(fs.rename(staged, live), s"artifact swap rename failed: $staged -> $live")
-    require(fs.exists(live), s"artifact swap left no live artifact at $live")
-    fs.delete(old, true)
-  }
+    * build failure the live artifact is untouched. Delegates to
+    * [[IO.replaceDir]] — compact(), the streaming upsert sink, and
+    * every staged-artifact builder share ONE implementation of the
+    * swap protocol (tmp at `<path>.__swap_tmp`, the previous build at
+    * `<path>.__swap_old` during the window). The watermark control
+    * table ([[graft.incremental.Watermark.writeTable]]) keeps its own
+    * specialization: its on-disk staged/old naming predates this
+    * helper and is part of that table's recovery contract. */
+  def atomicSwap(spark: SparkSession, path: String)(build: String => Unit): Unit =
+    IO.replaceDir(spark, path)(build)
 
   /** Heal a crash that died between the two renames — the only state
-    * with no live artifact is (live missing, `.old` present). Safe to
-    * call any time; [[atomicSwap]] calls it on entry, and a serving
-    * path that wants crash-window availability can call it before
-    * reading. One benign race, stated for the record: a reader's
-    * recover firing INSIDE a live swap's microsecond rename window can
-    * restore the old artifact before the builder's second rename, which
-    * then fails its `require` loudly — the live artifact is the intact
+    * with no live artifact is (live missing, `__swap_old` present).
+    * Safe to call any time; [[atomicSwap]] calls it on entry, and a
+    * serving path that wants crash-window availability calls it before
+    * reading (the prebuilt PQ/IVF readers and semanticDedupStaged do).
+    * Concurrent heals are safe: a reader whose rename loses the race
+    * re-checks that the artifact is live and proceeds. One benign race
+    * with an in-flight swap, stated for the record: a reader's recover
+    * firing INSIDE the builder's microsecond rename window can restore
+    * the old artifact before the builder's second rename, which then
+    * fails its `require` loudly — the live artifact is the intact
     * previous build, nothing is lost, and retrying the build succeeds.
-    * A failed-loud build beats the alternative (readers crashing on a
-    * missing artifact while the swap is in flight). */
-  def recover(spark: SparkSession, path: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(path)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(path + ".old")
-    if (!fs.exists(live) && fs.exists(old))
-      require(fs.rename(old, live), s"artifact swap recovery failed: $old -> $live")
-  }
+    * A failed-loud build beats readers crashing on a missing artifact. */
+  def recover(spark: SparkSession, path: String): Unit =
+    IO.recoverSwap(spark, path)
 }

@@ -654,7 +654,14 @@ object DedupLsh {
     * plus map-side shifts instead of a full re-tokenize/re-vote per
     * call. The fingerprint width comes from the artifact's stamped
     * `bits` column (one single-row driver read, vacuous on an empty
-    * artifact), so a sweep cannot mis-slice a foreign artifact. */
+    * artifact), so a sweep cannot mis-slice a foreign artifact.
+    *
+    * Pass a MATERIALIZED artifact (the parquet re-read): the stamp
+    * read executes the input's plan for one row, so piping a FRESH
+    * [[corpusSimhashFingerprints]] frame straight in would run the
+    * corpus-linear fingerprint derivation once for the stamp and again
+    * for the block join — paying twice the cost this split exists to
+    * remove. For a one-shot sweep use [[simhashNearDupPairs]]. */
   def simhashNearDupPairsStaged(corpusFps: DataFrame, maxHamming: Int = 3,
                                 maxBucketDf: Option[Long] = None): DataFrame = {
     val stamped = corpusFps.select("bits").limit(1).collect()

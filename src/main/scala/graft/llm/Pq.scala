@@ -236,6 +236,15 @@ object Pq {
     val mtime =
       try fs.getFileStatus(stampPath).getModificationTime
       catch {
+        // distinguish "no index at all" (wrong path / never built) from
+        // "index without a stamp" (external or pre-stamp builder) — the
+        // second message would assert the existence of an index that
+        // isn't there (round-14 self-review finding)
+        case _: java.io.FileNotFoundException
+            if !fs.exists(new org.apache.hadoop.fs.Path(indexDir)) =>
+          throw new IllegalArgumentException(
+            s"no PQ index at $indexDir — build it with " +
+              "buildAdcIndex/buildPqIndex (or check the path)")
         case _: java.io.FileNotFoundException => throw new IllegalArgumentException(
           s"PQ index at $indexDir has no index_params stamp — it was built by " +
             "an external/pre-stamp builder, so its m cannot be verified and a " +

@@ -24,21 +24,25 @@ object Similarity {
   val Scale = 1000000L
 
   /** array<float> → array<long> fixed-point, with the amplitude
-    * contract ENFORCED: the exact integer dot of two dim-`d` quantized
-    * vectors must stay inside Long, and PQ residuals (`nv − centroid`,
-    * [[Pq.encode]]) double the amplitude — so each component needs
-    * |x| ≤ sqrt(Long.MaxValue / (4·d)) / 1e6 (≈190 at dim 64). Inside
-    * the bound the arithmetic is provably wrap-free (Cauchy–Schwarz
-    * bounds every partial sum); OUTSIDE it a wrapped dot either trips
-    * the zero-norm guard with a misleading message or — worse — stays
-    * positive and silently ranks garbage through every similarity
-    * entry point. One `array_max` pass per row buys a named error at
-    * the boundary instead (round-13 verdict item 2). Unit-normalized
+    * contract ENFORCED across EVERY integer kernel downstream: each
+    * component needs |x| ≤ sqrt(Long.MaxValue / (16·d)) / 1e6 (≈95 at
+    * dim 64). The factor 16 is set by the WORST consumer, the IVFADC
+    * squared-L2: coarse residuals (`nv − coarse_cv`, [[Pq.encode]])
+    * reach 2× the amplitude, the ADC difference against a PQ centroid
+    * (itself a residual mean, up to 2×) reaches 4×, and its square 16×
+    * — a dot-only bound (factor 4) would admit embeddings whose ADC
+    * distances silently wrap (round-14 self-review finding). Inside
+    * the bound every kernel — dotq, cosine, residual encode, ADC — is
+    * provably wrap-free (Cauchy–Schwarz bounds every partial sum);
+    * OUTSIDE it a wrapped sum either trips the zero-norm guard with a
+    * misleading message or — worse — stays positive and silently ranks
+    * garbage. One `array_max` pass per row buys a named error at the
+    * boundary instead (round-13 verdict item 2). Unit-normalized
     * embeddings (every real encoder's output) sit 2 orders of
     * magnitude inside the bound and never pay more than the check. */
   def quantize(v: Column): Column = {
     val d = size(v).cast("double")
-    val bound = sqrt(lit(Long.MaxValue.toDouble) / (lit(4.0) * d)) / lit(Scale.toDouble)
+    val bound = sqrt(lit(Long.MaxValue.toDouble) / (lit(16.0) * d)) / lit(Scale.toDouble)
     val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
     val q = transform(v, x => floor(x.cast("double") * Scale.toDouble).cast("long"))
     when(v.isNull || size(v) === 0 || maxAbs <= bound, q)
@@ -285,6 +289,20 @@ object Similarity {
   def appendToIvfIndex(newCorpus: DataFrame, indexDir: String): Unit = {
     val spark = newCorpus.sparkSession
     graft.functions.LongArrayDot.register(spark)
+    // an append racing a rebuild's swap window must not CREATE a
+    // members-only live directory (Spark makes missing parents), which
+    // would block the rebuild's staged→live rename forever — recover a
+    // crashed swap first, then refuse to append to an index with no
+    // codebook (round-14 self-review finding). If a rebuild is
+    // in-flight mid-swap, this appends into the RESTORED previous
+    // index and the rebuild's second rename fails loudly — a retryable
+    // error, never a wedged artifact.
+    graft.io.Staging.recover(spark, indexDir)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/centroids")),
+      s"IVF index at $indexDir has no centroids — build it with buildIvfIndex " +
+        "before appending (or a rebuild is mid-swap; retry)")
     val cents = readCentroids(spark, indexDir)
     val v = spread(newCorpus).select(col("vec_id"), quantize(col("embedding")).as("nv"))
     writeMembers(assignCellsQ(v, cents), indexDir, "append")

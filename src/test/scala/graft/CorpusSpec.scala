@@ -483,7 +483,7 @@ class CorpusSpec extends SparkSpec {
           // id%7 collapses the corpus into 7 duplicate families, so
           // the 0.99-cosine drop rule genuinely fires within cells.
           // The 1e-4 rescale keeps amplitudes (≤0.13) inside the
-          // quantize overflow contract (≈190 at dim 64) — cosine is
+          // quantize overflow contract (≈95 at dim 64) — cosine is
           // scale-invariant so the family/drop behavior is unchanged
           j => (((col("id") % 7) * 31 + j * 17) / lit(10000.0)).as("x"))
           .as("embedding"))

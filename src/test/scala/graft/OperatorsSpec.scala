@@ -364,7 +364,7 @@ class OperatorsSpec extends SparkSpec {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_test_atomic_swap"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(dir, dir + ".old", dir + ".staged").foreach(p =>
+    Seq(dir, dir + ".__swap_old", dir + ".__swap_tmp").foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
     def readV(): Seq[Int] = spark.read.parquet(dir).as[Int].collect().toSeq
     graft.io.Staging.atomicSwap(spark, dir) { tmp =>
@@ -386,21 +386,21 @@ class OperatorsSpec extends SparkSpec {
       Seq(3).toDF("v").write.parquet(tmp)
     }
     assert(readV() == Seq(3))
-    // crash between the two renames leaves (live missing, .old
+    // crash between the two renames leaves (live missing, __swap_old
     // present) — the ONLY lossy-looking state — and both the next
     // swap and an explicit recover() heal it
     assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
-      new org.apache.hadoop.fs.Path(dir + ".old")))
+      new org.apache.hadoop.fs.Path(dir + ".__swap_old")))
     graft.io.Staging.recover(spark, dir)
     assert(readV() == Seq(3), "recover must restore the pre-crash artifact")
     assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
-      new org.apache.hadoop.fs.Path(dir + ".old")))
+      new org.apache.hadoop.fs.Path(dir + ".__swap_old")))
     graft.io.Staging.atomicSwap(spark, dir) { tmp =>
       Seq(4).toDF("v").write.parquet(tmp)
     }
     assert(readV() == Seq(4))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(dir + ".staged")),
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__swap_old")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dir + ".__swap_tmp")),
       "swap must clean up its side directories")
   }
 

@@ -188,7 +188,7 @@ class SpanSketchSpec extends SparkSpec {
       val fsIdx = new org.apache.hadoop.fs.Path(idx)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       assert(fsIdx.rename(new org.apache.hadoop.fs.Path(idx),
-        new org.apache.hadoop.fs.Path(idx + ".old")))
+        new org.apache.hadoop.fs.Path(idx + ".__swap_old")))
       val healed = Pq.adcTopKPrebuilt(spark, idx, emb.filter(col("vec_id") === 7L), k = 5)
         .collect().sortBy(_.getAs[Int]("rank"))
       assert(healed.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSeq

@@ -27,7 +27,7 @@ graft.functions.LongArrayDot.register(spark)
 
 val N = sys.env.getOrElse("GRAFT_QG_N", "10000000").toLong
 val dim = 64
-// components in [0.1, 10.2] -- two orders inside the ~190 bound at dim 64
+// components in [0.1, 10.2] -- an order inside the ~95 bound at dim 64
 val vec = transform(sequence(lit(0), lit(dim - 1)),
   j => (((col("id") * 2654435761L + j.cast("long") * 40503L) % 101L) + 1L).cast("double") / 10.0)
 val base = spark.range(1, N + 1).select(col("id").as("vec_id"), vec.as("embedding"))

@@ -11,11 +11,11 @@ println("SWAPK9 live_after_kill=" + spark.read.parquet(dir).as[Int].collect().to
 val fs = new org.apache.hadoop.fs.Path(dir)
   .getFileSystem(spark.sparkContext.hadoopConfiguration)
 println("SWAPK9 orphan_staged_exists=" +
-  fs.exists(new org.apache.hadoop.fs.Path(dir + ".staged")))
+  fs.exists(new org.apache.hadoop.fs.Path(dir + ".__swap_tmp")))
 graft.io.Staging.atomicSwap(spark, dir) { tmp =>
   Seq(3).toDF("v").write.parquet(tmp)
 }
 println("SWAPK9 after_rebuild=" + spark.read.parquet(dir).as[Int].collect().toSeq.mkString)
 println("SWAPK9 staged_cleaned=" +
-  !fs.exists(new org.apache.hadoop.fs.Path(dir + ".staged")))
+  !fs.exists(new org.apache.hadoop.fs.Path(dir + ".__swap_tmp")))
 System.exit(0)
