@@ -228,7 +228,7 @@ object Pq {
   private def requireParamMatch(spark: org.apache.spark.sql.SparkSession,
                                 indexDir: String, m: Int): Unit = {
     // crash-window availability: a rebuild that died between the swap
-    // renames leaves only `.old` — restore it instead of failing until
+    // renames leaves only the old copy — restore it instead of failing until
     // the next build (graft.io.Staging contract)
     graft.io.Staging.recover(spark, indexDir)
     val stampPath = new org.apache.hadoop.fs.Path(s"$indexDir/index_params")

@@ -334,7 +334,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     graft.functions.LongArrayDot.register(spark)
     // crash-window availability: a rebuild that died between the swap
-    // renames leaves only `.old` — restore it instead of failing until
+    // renames leaves only the old copy — restore it instead of failing until
     // the next build (graft.io.Staging contract)
     graft.io.Staging.recover(spark, indexDir)
     val cents = readCentroids(spark, indexDir)
