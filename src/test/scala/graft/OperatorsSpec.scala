@@ -1065,6 +1065,24 @@ class OperatorsSpec extends SparkSpec {
     val full = Similarity.ivfTopK(emb, queries, k = 5, numCells = 4, nProbe = 1,
       centroids = Some(Similarity.kmeansCodebook(even, numCells = 4, iters = 2)))
     assert(rowsOf(incr) == rowsOf(full), "append path diverged from full assignment")
+
+    // append guards (round-14 self-review): appending to a path with no
+    // index must fail with a named error, not CREATE a members-only
+    // directory that would wedge a rebuild's staged→live rename…
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(odd,
+        s"${sys.props("java.io.tmpdir")}/graft_test_ivf_nonexistent")
+    }
+    assert(e.getMessage.contains("no centroids"), e.getMessage)
+    // …and an append arriving in a crashed swap's window must recover
+    // the previous index first, then append into it normally
+    val fsIdx = new org.apache.hadoop.fs.Path(idx2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsIdx.rename(new org.apache.hadoop.fs.Path(idx2),
+      new org.apache.hadoop.fs.Path(idx2 + ".__swap_old")))
+    Similarity.appendToIvfIndex(odd, idx2)
+    assert(fsIdx.exists(new org.apache.hadoop.fs.Path(s"$idx2/centroids")),
+      "append must heal the crashed swap before writing")
   }
 
   test("winnowq: winnowing guarantee, edge cases, SQL surface") {
