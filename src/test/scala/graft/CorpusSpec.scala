@@ -994,6 +994,17 @@ class CorpusSpec extends SparkSpec {
     assertOverflow("x22 Pq.adcTopK") {
       graft.llm.Pq.adcTopK(bad, bad.limit(2), 3, m = 4, numCells = 2, iters = 1).collect()
     }
+    // amplitude 150 sits BETWEEN the dot-only bound (~190 at dim 64)
+    // and the L2-safe bound (~95): it must be rejected, pinning the
+    // factor-16 contract the IVFADC squared-L2 needs — a regression to
+    // the dot-only factor 4 would re-admit it and silently wrap ADC
+    // distances (round-14 self-review finding)
+    val between = spark.range(4)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)), j => lit(150.0).as("x")).as("embedding"))
+    assertOverflow("factor-16 L2 bound") {
+      s.bruteForceTopK(between, between.limit(1), 2).collect()
+    }
     // in-bound embeddings still quantize unchanged (the guard is
     // check-only): power-of-two divisor keeps the floor exact in double
     val ok = spark.range(4)
