@@ -22,6 +22,11 @@ object IoQueries {
     s"${sys.props("java.io.tmpdir")}/graft_io/$sf/$name"
   }
 
+  /** (sessionUUID|dir) binary-file fixture dirs this JVM already wrote
+    * (see s16). */
+  private val binFileDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def eventsSlim(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select("event_id", "user_id", "event_type")
 
@@ -209,6 +214,40 @@ object IoQueries {
       val p = scratch(dir, "parquet")
       IO.writeParquet(Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"), p)
       s.read.parquet(p).orderBy("event_id")
+    },
+    // s16 — raw binary-file directory ingest (Spark's binaryFile
+    // source): the entry point of a real multimodal pipeline, where
+    // media arrives as FILES on a landing volume, not as parquet
+    // columns — (path, length, content) per file, ready for the
+    // m1–m7 decoders. At 100 TB this source is listing-bound, not
+    // data-bound: each task reads whole files, no splitting, so the
+    // scale knobs are file count and maxPartitionBytes, both
+    // partition-level. The fixture writes 20 deterministic .bin files
+    // (UTF-8 prefixes of the documents table) ONCE driver-side —
+    // bounded test scaffolding, not an operator: in production the
+    // files pre-exist. The oracle re-derives (name, byte length,
+    // base64 payload) from the documents table, so content is
+    // hash-compared end to end, not just counted.
+    "s16_binaryfile_ingest" -> { (s, dir) =>
+      val p = scratch(dir, "binfiles")
+      // per-JVM buildOnce (the LlmFixtures memo convention): a
+      // persistent done-marker would go stale if testdata regenerated
+      // under the same sf name; 20 tiny files rewrite in milliseconds
+      LlmFixtures.buildOnce(binFileDirs, s"${System.identityHashCode(s)}|$p") {
+        val root = new java.io.File(p)
+        root.mkdirs()
+        Tables.documents(s, dir).filter(col("doc_id") < 20)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+          .collect().foreach { r =>
+            java.nio.file.Files.write(
+              new java.io.File(root, s"doc_${r.getLong(0)}.bin").toPath,
+              r.getString(1).getBytes("UTF-8"))
+          }
+      }
+      s.read.format("binaryFile").load(s"$p/*.bin")
+        .select(element_at(split(col("path"), "/"), -1).as("fname"),
+          col("length"), base64(col("content")).as("content_b64"))
+        .orderBy("fname")
     },
     "s10_watermark_lookup" -> { (s, dir) =>
       val csv = scratch(dir, "wm_lookup")
@@ -438,6 +477,15 @@ object IoQueries {
     "s5_glob_union" -> s"$EV_SLIM ORDER BY event_id",
     "k4_parquet_roundtrip" ->
       "SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id",
+    // s16 replays the fixture derivation, not the files: name, BYTE
+    // length and base64 payload recomputed from the documents table —
+    // a content-level compare of what binaryFile actually read
+    "s16_binaryfile_ingest" ->
+      """SELECT 'doc_' || doc_id || '.bin' AS fname,
+        |  CAST(octet_length(encode(substr(text, 1, 40))) AS BIGINT) AS length,
+        |  to_base64(encode(substr(text, 1, 40))) AS content_b64
+        |FROM documents WHERE doc_id < 20
+        |ORDER BY fname""".stripMargin,
     "s10_watermark_lookup" ->
       """SELECT event_id, epoch_us(ts) AS ts_us FROM events
         |WHERE epoch_us(ts) > 1704175200000000 ORDER BY event_id""".stripMargin,
