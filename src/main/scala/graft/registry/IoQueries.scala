@@ -27,6 +27,38 @@ object IoQueries {
   private val binFileDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** The s16/st16 landing-volume fixture: 20 deterministic .bin files
+    * (UTF-8 prefixes of the documents table), written once per JVM —
+    * bounded test scaffolding (in production the media files
+    * pre-exist). Per-JVM buildOnce (the LlmFixtures memo convention):
+    * a persistent done-marker would go stale if testdata regenerated
+    * under the same sf name; 20 tiny files rewrite in milliseconds. */
+  private[registry] def binFilesFixture(s: SparkSession, dir: String): String = {
+    val p = scratch(dir, "binfiles")
+    LlmFixtures.buildOnce(binFileDirs, s"${System.identityHashCode(s)}|$p") {
+      val root = new java.io.File(p)
+      root.mkdirs()
+      Tables.documents(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+        .collect().foreach { r =>
+          java.nio.file.Files.write(
+            new java.io.File(root, s"doc_${r.getLong(0)}.bin").toPath,
+            r.getString(1).getBytes("UTF-8"))
+        }
+    }
+    p
+  }
+
+  /** s16/st16 shared oracle: name, BYTE length and base64 payload
+    * recomputed from the documents table the fixture derives from — a
+    * content-level compare of what binaryFile actually read. */
+  private[registry] val BinFilesSql: String =
+    """SELECT 'doc_' || doc_id || '.bin' AS fname,
+      |  CAST(octet_length(encode(substr(text, 1, 40))) AS BIGINT) AS length,
+      |  to_base64(encode(substr(text, 1, 40))) AS content_b64
+      |FROM documents WHERE doc_id < 20
+      |ORDER BY fname""".stripMargin
+
   private def eventsSlim(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select("event_id", "user_id", "event_type")
 
@@ -229,21 +261,7 @@ object IoQueries {
     // base64 payload) from the documents table, so content is
     // hash-compared end to end, not just counted.
     "s16_binaryfile_ingest" -> { (s, dir) =>
-      val p = scratch(dir, "binfiles")
-      // per-JVM buildOnce (the LlmFixtures memo convention): a
-      // persistent done-marker would go stale if testdata regenerated
-      // under the same sf name; 20 tiny files rewrite in milliseconds
-      LlmFixtures.buildOnce(binFileDirs, s"${System.identityHashCode(s)}|$p") {
-        val root = new java.io.File(p)
-        root.mkdirs()
-        Tables.documents(s, dir).filter(col("doc_id") < 20)
-          .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
-          .collect().foreach { r =>
-            java.nio.file.Files.write(
-              new java.io.File(root, s"doc_${r.getLong(0)}.bin").toPath,
-              r.getString(1).getBytes("UTF-8"))
-          }
-      }
+      val p = binFilesFixture(s, dir)
       s.read.format("binaryFile").load(s"$p/*.bin")
         .select(element_at(split(col("path"), "/"), -1).as("fname"),
           col("length"), base64(col("content")).as("content_b64"))
@@ -480,12 +498,7 @@ object IoQueries {
     // s16 replays the fixture derivation, not the files: name, BYTE
     // length and base64 payload recomputed from the documents table —
     // a content-level compare of what binaryFile actually read
-    "s16_binaryfile_ingest" ->
-      """SELECT 'doc_' || doc_id || '.bin' AS fname,
-        |  CAST(octet_length(encode(substr(text, 1, 40))) AS BIGINT) AS length,
-        |  to_base64(encode(substr(text, 1, 40))) AS content_b64
-        |FROM documents WHERE doc_id < 20
-        |ORDER BY fname""".stripMargin,
+    "s16_binaryfile_ingest" -> BinFilesSql,
     "s10_watermark_lookup" ->
       """SELECT event_id, epoch_us(ts) AS ts_us FROM events
         |WHERE epoch_us(ts) > 1704175200000000 ORDER BY event_id""".stripMargin,

@@ -242,6 +242,24 @@ object StreamQueries {
         scratch(dir, "st15_ckpt"), scratch(dir, "st15_out"),
         LlmFixtures.stagedCorpusBands(s, dir))
         .orderBy("doc_id")
+    },
+    // st16 — streaming binary-file ingest: the s16 landing volume as a
+    // micro-batch STREAM (binaryFile source, 5 files/trigger → 4 real
+    // triggers over the 20-file fixture), the stream half of the
+    // multimodal entry point — a watcher that picks up media files as
+    // they land and emits (name, length, payload) rows for the m1–m7
+    // decoders. Per-file rows with no cross-batch state ⇒ batch-
+    // boundary independent ⇒ the s16 oracle replays it as one batch.
+    "st16_stream_binary_ingest" -> { (s, dir) =>
+      val p = IoQueries.binFilesFixture(s, dir)
+      val binSchema = StructType(Seq(
+        StructField("path", StringType), StructField("modificationTime", TimestampType),
+        StructField("length", LongType), StructField("content", BinaryType)))
+      Streams.runFileStream(s, s"$p/*.bin", binSchema, scratch(dir, "st16_ckpt"),
+        df => df.select(element_at(split(col("path"), "/"), -1).as("fname"),
+          col("length"), base64(col("content")).as("content_b64")),
+        maxFilesPerTrigger = Some(5), format = "binaryFile")
+        .orderBy("fname")
     }
   )
 
@@ -278,6 +296,9 @@ object StreamQueries {
          |  COALESCE(a.n_matches, 0) > 0 AS is_neardup
          |FROM batch b LEFT JOIN agg a USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin,
+    // st16: per-file rows, no cross-batch state — the s16 content-level
+    // oracle replays the whole stream as one batch
+    "st16_stream_binary_ingest" -> IoQueries.BinFilesSql,
     // inner stream-stream join emits every match exactly once, so the
     // memory sink equals the batch self-join
     "st8_stream_join" ->

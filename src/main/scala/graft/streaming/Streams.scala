@@ -49,14 +49,15 @@ object Streams {
       transform: DataFrame => DataFrame,
       outputMode: OutputMode = OutputMode.Append(),
       maxFilesPerTrigger: Option[Int] = None,
-      shufflePartitions: Option[Int] = None
+      shufflePartitions: Option[Int] = None,
+      format: String = "json"
   ): DataFrame = {
     deleteDir(spark, checkpoint)
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n))
       .getOrElse(reader)
-      .json(path)
+      .format(format).load(path)
     val name = s"mem_${System.nanoTime()}"
     // stateful operators keep one state store PER shuffle partition per
     // store type — a stream-stream join holds 4-5 stores/partition, so
