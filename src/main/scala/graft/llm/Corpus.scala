@@ -669,10 +669,14 @@ object Corpus {
   /** Read back a staged BPE model as the ordered merge-pair sequence
     * [[bpeEncode]] consumes. Rank order IS the model — applying merges
     * out of order encodes differently — so the read sorts explicitly
-    * rather than trusting file order. */
-  def loadBpeModel(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
+    * rather than trusting file order. Recovers a crashed swap first
+    * (the crash-window-availability convention every staged reader
+    * follows — round-14 ADVICE). */
+  def loadBpeModel(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    graft.io.Staging.recover(spark, path)
     spark.read.parquet(path).orderBy("rank")
       .select("pair").collect().map(_.getString(0)).toSeq
+  }
 
   /** CCNet-style per-language perplexity bucketing (Wenzek et al.
     * 2020): split each language's documents into head / middle / tail

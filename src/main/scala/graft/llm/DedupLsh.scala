@@ -664,7 +664,16 @@ object DedupLsh {
     * remove. For a one-shot sweep use [[simhashNearDupPairs]]. */
   def simhashNearDupPairsStaged(corpusFps: DataFrame, maxHamming: Int = 3,
                                 maxBucketDf: Option[Long] = None): DataFrame = {
+    // the stamp is load-bearing (it fixes the block-slice geometry), so
+    // an artifact that exists but lacks it is a foreign/unstamped table
+    // — raise the named mis-slice guard instead of an unresolved-column
+    // AnalysisException deep in the select (round-14 ADVICE)
+    require(corpusFps.columns.contains("bits"),
+      "staged SimHash artifact has no 'bits' stamp column — a foreign or " +
+        "unstamped fingerprint table cannot be block-sliced safely; rebuild " +
+        "it with corpusSimhashFingerprints")
     val stamped = corpusFps.select("bits").limit(1).collect()
+    // empty artifact: no rows to slice either way — any width is vacuous
     val bits = if (stamped.isEmpty) 32 else stamped(0).getInt(0)
     simhashBlockJoin(corpusFps.select(col("id"), col("sim")), bits, maxHamming, maxBucketDf)
   }

@@ -33,7 +33,10 @@ object Similarity {
     * — a dot-only bound (factor 4) would admit embeddings whose ADC
     * distances silently wrap (round-14 self-review finding). Inside
     * the bound every kernel — dotq, cosine, residual encode, ADC — is
-    * provably wrap-free (Cauchy–Schwarz bounds every partial sum);
+    * provably wrap-free (Cauchy–Schwarz bounds every partial sum; the
+    * admission test is STRICT `<` because floor() on a negative
+    * component at exactly the bound yields |q| = bound·1e6 + 1, which
+    * the ≤ form would admit one ulp past the proof — round-14 ADVICE);
     * OUTSIDE it a wrapped sum either trips the zero-norm guard with a
     * misleading message or — worse — stays positive and silently ranks
     * garbage. One `array_max` pass per row buys a named error at the
@@ -45,7 +48,7 @@ object Similarity {
     val bound = sqrt(lit(Long.MaxValue.toDouble) / (lit(16.0) * d)) / lit(Scale.toDouble)
     val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
     val q = transform(v, x => floor(x.cast("double") * Scale.toDouble).cast("long"))
-    when(v.isNull || size(v) === 0 || maxAbs <= bound, q)
+    when(v.isNull || size(v) === 0 || maxAbs < bound, q)
       .otherwise(raise_error(format_string(
         "graft quantize overflow: embedding component amplitude %s exceeds the " +
           "1e-6 fixed-point integer-dot bound %s for dim %s — unit-normalize or " +
@@ -289,14 +292,21 @@ object Similarity {
   def appendToIvfIndex(newCorpus: DataFrame, indexDir: String): Unit = {
     val spark = newCorpus.sparkSession
     graft.functions.LongArrayDot.register(spark)
-    // an append racing a rebuild's swap window must not CREATE a
-    // members-only live directory (Spark makes missing parents), which
-    // would block the rebuild's staged→live rename forever — recover a
-    // crashed swap first, then refuse to append to an index with no
-    // codebook (round-14 self-review finding). If a rebuild is
-    // in-flight mid-swap, this appends into the RESTORED previous
-    // index and the rebuild's second rename fails loudly — a retryable
-    // error, never a wedged artifact.
+    // an append against a CRASHED (not in-flight) rebuild must not
+    // CREATE a members-only live directory (Spark makes missing
+    // parents), which would wedge the next rebuild's staged→live
+    // rename — recover the crashed swap first, then refuse to append
+    // to an index with no codebook (round-14 self-review finding).
+    // The guard is a check-then-act, NOT an arbiter: the Staging
+    // contract is single-writer per artifact root, and a CONCURRENT
+    // append racing a rebuild's swap window is unsupported — the check
+    // can pass just before the rebuild's live→old rename, after which
+    // this append recreates a codebook-less live dir (or, on
+    // rename-into-existing-dir filesystems, nests the rebuild inside
+    // it) and its rows can vanish with __swap_old (round-14 ADVICE).
+    // Serialize appends and rebuilds externally (the registry's
+    // buildOnce memo does; a cluster deployment uses its scheduler's
+    // per-artifact mutual exclusion).
     graft.io.Staging.recover(spark, indexDir)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -38,6 +38,12 @@ object IoQueries {
     LlmFixtures.buildOnce(binFileDirs, s"${System.identityHashCode(s)}|$p") {
       val root = new java.io.File(p)
       root.mkdirs()
+      // clear stale *.bin first: a leftover doc_*.bin from an earlier
+      // fixture variant or an aborted run under the same sf name would
+      // be swept up by the '*.bin' glob and fail the content oracle
+      // with a confusing mismatch (round-14 ADVICE)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".bin")).foreach(_.delete())
       Tables.documents(s, dir).filter(col("doc_id") < 20)
         .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
         .collect().foreach { r =>

@@ -38,6 +38,18 @@ private[registry] object LlmFixtures {
   def buildOnce(memo: java.util.Set[String], key: String)(build: => Unit): Unit =
     if (!memo.contains(key)) { build; memo.add(key) }
 
+  /** Read a swap-managed staged artifact with crash-window
+    * availability: heal a build that died between the two swap renames
+    * BEFORE the parquet read, the same convention the prebuilt PQ/IVF
+    * readers and semanticDedupStaged follow (round-14 ADVICE — the
+    * BPE/DSIR fixture reads skipped it). `root` is the SWAP UNIT (the
+    * atomicSwap path); multi-table artifacts pass the subpath to read
+    * via `sub`. */
+  def readStaged(s: SparkSession, root: String, sub: String = ""): DataFrame = {
+    graft.io.Staging.recover(s, root)
+    s.read.parquet(if (sub.isEmpty) root else s"$root/$sub")
+  }
+
   /** (sessionUUID|indexDir) pairs whose IVF index this JVM already
     * built — see the x7b entry for the build-once contract. */
   val builtIvfIndexes =
@@ -117,7 +129,7 @@ private[registry] object LlmFixtures {
         graft.Tables.documents(s, dir), "doc_id", "text",
         org.apache.spark.sql.functions.col("lang") === "en", path)
     }
-    (s.read.parquet(s"$path/vocab"), s.read.parquet(s"$path/totals"))
+    (readStaged(s, path, "vocab"), readStaged(s, path, "totals"))
   }
 
   /** The trained BPE model as a staged artifact (see
@@ -146,7 +158,7 @@ private[registry] object LlmFixtures {
           .write.mode("overwrite").parquet(tmp)
       }
     }
-    s.read.parquet(path)
+    readStaged(s, path)
   }
 
   /** The y20 seed rule, shared by the combined classifier (y20/y29)
@@ -171,7 +183,7 @@ private[registry] object LlmFixtures {
         classes.write.mode("overwrite").parquet(s"$tmp/classes")
       }
     }
-    (s.read.parquet(s"$path/terms"), s.read.parquet(s"$path/classes"))
+    (readStaged(s, path, "terms"), readStaged(s, path, "classes"))
   }
 
   /** The corpus sign-bucket table as a staged artifact (see
@@ -186,7 +198,7 @@ private[registry] object LlmFixtures {
           .write.mode("overwrite").parquet(tmp)
       }
     }
-    s.read.parquet(path)
+    readStaged(s, path)
   }
 
   /** The corpus k=8 window-hash SET as a staged artifact (see
@@ -202,7 +214,7 @@ private[registry] object LlmFixtures {
           .write.mode("overwrite").parquet(tmp)
       }
     }
-    s.read.parquet(path)
+    readStaged(s, path)
   }
 
   /** x15's canonical-representative pick, shared with its staged twin
@@ -249,7 +261,7 @@ private[registry] object LlmFixtures {
           .write.mode("overwrite").parquet(tmp)
       }
     }
-    s.read.parquet(path)
+    readStaged(s, path)
   }
 
   /** The corpus LSH band table as a STAGED ARTIFACT: the incremental
@@ -275,7 +287,7 @@ private[registry] object LlmFixtures {
           .write.mode("overwrite").parquet(tmp)
       }
     }
-    s.read.parquet(path)
+    readStaged(s, path)
   }
 
   /** The CASE arm of the synthetic ingest batch, shared by the Spark

@@ -1005,6 +1005,18 @@ class CorpusSpec extends SparkSpec {
     assertOverflow("factor-16 L2 bound") {
       s.bruteForceTopK(between, between.limit(1), 2).collect()
     }
+    // a component EXACTLY at the bound must also be rejected: floor()
+    // on a NEGATIVE component sitting at the bound quantizes to
+    // |q| = bound·1e6 + 1, one ulp past the wrap-free proof, so the
+    // admission test is strict < (round-14 ADVICE). Same double math
+    // as the guard's bound expression, so equality is bit-exact.
+    val boundVal = math.sqrt(Long.MaxValue.toDouble / (16.0 * 64)) / 1e6
+    val atBound = spark.range(4)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)), j => lit(-boundVal).as("x")).as("embedding"))
+    assertOverflow("exact-boundary amplitude") {
+      s.bruteForceTopK(atBound, atBound.limit(1), 2).collect()
+    }
     // in-bound embeddings still quantize unchanged (the guard is
     // check-only): power-of-two divisor keeps the floor exact in double
     val ok = spark.range(4)

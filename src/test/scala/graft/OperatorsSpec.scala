@@ -431,6 +431,13 @@ class OperatorsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("parquet"), plan)
     assert(!plan.contains("md5("), s"staged sweep must not re-fingerprint:\n$plan")
+    // a foreign/unstamped fingerprint table (no 'bits' column) must hit
+    // the NAMED mis-slice guard, not an unresolved-column crash deep in
+    // the block select (round-14 ADVICE)
+    val foreign = intercept[IllegalArgumentException] {
+      graft.llm.DedupLsh.simhashNearDupPairsStaged(fps.select("id", "sim"))
+    }
+    assert(foreign.getMessage.contains("no 'bits' stamp column"), foreign.getMessage)
   }
 
   test("SimHash near-dup: non-divisible block widths keep exact recall; zero-width blocks refused") {
