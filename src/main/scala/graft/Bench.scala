@@ -34,6 +34,27 @@ object Bench {
         .orderBy("n_regionkey")
         .write.format("noop").mode("overwrite").save()
     }
+    // environment fingerprint (round-14 verdict item 2): cross-round
+    // per-query deltas of ±26-45% have appeared with NO code cause —
+    // box contention the sweep can't distinguish from a real
+    // regression. Record (a) the pre-sweep 1-min load average and (b) a
+    // FIXED CPU+shuffle anchor job (md5 over 8M rows → 256-bucket hash
+    // agg, min of 3 — the same work every round by construction), so a
+    // round-over-round delta report can divide by the anchor ratio and
+    // a drifted-anchor round reads as "contended box", not "regression".
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def anchorOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0, 8000000L, 1, 32)
+        .select(md5(col("id").cast("string")).as("h"), col("id"))
+        .groupBy(pmod(hash(col("h")), lit(256)).as("b"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val anchorSec = (0 until 3).map(_ => anchorOnce()).min
     // min-of-N-SWEEPS (default 3): single-shot timings on a shared 32-core
     // JVM swing up to 5x with no code change (round-3 verdict), and
     // back-to-back repeats of ONE query share the same GC/page-cache
@@ -109,8 +130,10 @@ object Bench {
     val slowSamples = slow.map { case (n, _) => "\"" + n + "\":" + samples(n).size }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val env =
+      s"""{"load_avg_1m":${fmt(loadAvg)},"cpus":$cpus,"anchor_cpu_shuffle_sec":${fmt(anchorSec)}}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"slow_extra_runs":$extraRuns,"slow_thresh_sec":$slowThresh,"n_slow":${slow.size},"slow_samples":$slowSamples,"agg":"min-across-sweeps","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"slow_extra_runs":$extraRuns,"slow_thresh_sec":$slowThresh,"n_slow":${slow.size},"slow_samples":$slowSamples,"agg":"min-across-sweeps","env":$env,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The full line is >2KB at 100+ queries and the driver keeps only an
     // output TAIL — BENCH_r03/r04 both captured it front-truncated and
@@ -121,7 +144,7 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.size},"file":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.size},"env":$env,"file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,6 +20,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Swapping Derby for ClickHouse/Postgres at deployment is a URL +
   * driver-jar change; the plan shape is identical.
+  *
+  * ClickHouse compatibility matrix (the deployment target's surface,
+  * dwh_lab/dwh/general_lib.py:85-102 — `clickhouse_connect` over the
+  * same tables; spec-pinned against Derby by the S12 type-matrix test,
+  * the one read-back asymmetry noted):
+  *
+  * | Catalyst type    | ClickHouse DDL   | JDBC read-back | note |
+  * |------------------|------------------|----------------|------|
+  * | LongType         | Int64            | LongType       | |
+  * | IntegerType      | Int32            | IntegerType    | |
+  * | ShortType        | Int16 / SMALLINT | IntegerType    | widened by Spark's default getCatalystType — lossless, but schema-sensitive readers must expect int |
+  * | DoubleType       | Float64          | DoubleType     | |
+  * | FloatType        | Float32          | FloatType      | |
+  * | DecimalType(p,s) | Decimal(p,s)     | DecimalType(p,s) | ClickHouse caps p at 76; Derby at 31 |
+  * | StringType       | String           | StringType     | Derby needs the VARCHAR override (default CLOB is not comparable/pushdown-able); ClickHouse String is native — no override |
+  * | BooleanType      | Bool (UInt8)     | BooleanType    | |
+  * | DateType         | Date32           | DateType       | ClickHouse Date is 1970..2149; use Date32 for full range |
+  * | TimestampType    | DateTime64(6)    | TimestampType  | plain DateTime is second-granular and would truncate micros — spec-pinned to the exact µs either way |
+  * | Nullable columns | Nullable(T)      | nullable=true  | Derby quirk only: setNull of a string into a VARCHAR-overridden column trips its CLOB conversion; ClickHouse Nullable(String) round-trips |
+  *
+  * Pushdown/striping carry over unchanged: the ClickHouse JDBC driver
+  * accepts the same generated `WHERE` (PushedFilters) and the
+  * partitionColumn striping issues N range-bounded SELECTs — with the
+  * usual caveat that ClickHouse prefers its primary-key prefix for
+  * range scans, so stripe on (a prefix of) the table's ORDER BY key.
   */
 object Jdbc {
 

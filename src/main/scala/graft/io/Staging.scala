@@ -1,5 +1,6 @@
 package graft.io
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Crash-safe ATOMIC overwrite of a staged-artifact directory — the
@@ -38,15 +39,39 @@ import org.apache.spark.sql.SparkSession
   * READERS, it does not arbitrate concurrent writers.
   *
   * Filesystem contract, stated honestly for the 100 TB deployment:
-  * the protocol relies on directory rename being atomic and O(1),
-  * which holds on HDFS and POSIX filesystems. On S3-like object
-  * stores rename is a COPY + DELETE — O(artifact bytes) and not
-  * atomic — so there the right swap is a pointer one level up
-  * (write `<path>/v=<build-id>/`, then atomically update a
-  * small manifest/latest marker the readers resolve), not this
-  * directory rename. The artifact layout produced here is identical
-  * either way; only the publish step differs. */
+  * the rename-swap protocol relies on directory rename being atomic
+  * and O(1), which holds on HDFS and POSIX filesystems. On S3-like
+  * object stores rename is a COPY + DELETE — O(artifact bytes) and
+  * not atomic — so there the right publish is a pointer one level up:
+  * [[publishVersioned]] writes `<path>/v=<build-id>/` and then
+  * updates a small `LATEST` manifest the readers resolve. Both
+  * publishes produce the same artifact layout INSIDE the live
+  * directory; [[resolveRead]] auto-detects which protocol wrote an
+  * artifact root, so every serving path works against either. Select
+  * per session with `spark.graft.staging.publishMode` = `rename`
+  * (default) | `versioned` — [[publish]] dispatches on it. */
 object Staging {
+
+  /** Session knob selecting the publish protocol for [[publish]]:
+    * `rename` (two-rename directory swap — HDFS/POSIX) or `versioned`
+    * (version dirs + manifest pointer — object-store-safe). */
+  val PublishModeKey = "spark.graft.staging.publishMode"
+
+  private def fs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Protocol-dispatching publish: the builder contract of
+    * [[atomicSwap]] (write the COMPLETE artifact — single- or
+    * multi-table — under the directory you are handed), with the
+    * publish step chosen by [[PublishModeKey]]. Serving paths read
+    * through [[resolveRead]] and never care which mode wrote. */
+  def publish(spark: SparkSession, path: String)(build: String => Unit): Unit =
+    spark.conf.get(PublishModeKey, "rename") match {
+      case "versioned" => publishVersioned(spark, path)(build): Unit
+      case "rename"    => atomicSwap(spark, path)(build)
+      case other => throw new IllegalArgumentException(
+        s"$PublishModeKey must be 'rename' or 'versioned', got '$other'")
+    }
 
   /** Build-into-staging then swap live. `build` receives the staging
     * directory and must leave the complete artifact there; on any
@@ -76,4 +101,148 @@ object Staging {
     * A failed-loud build beats readers crashing on a missing artifact. */
   def recover(spark: SparkSession, path: String): Unit =
     IO.recoverSwap(spark, path)
+
+  // ---- object-store-safe versioned publish (round-14 verdict item 1) ----
+  //
+  // Layout under the artifact root:
+  //   <root>/v=000001/...          complete artifact build (immutable once
+  //                                published; multi-table trees included)
+  //   <root>/v=000001/_PUBLISHED   marker written LAST — a version dir
+  //                                without it is a torn/abandoned build
+  //   <root>/LATEST                tiny manifest naming the live version
+  //
+  // Why this is the 100 TB/object-store shape: readers resolve a version
+  // ONCE and then read immutable files — no reader ever observes a
+  // directory being renamed out from under it, and the only mutation per
+  // publish is one small-manifest update, O(1) in artifact bytes on any
+  // store (vs the rename-swap's copy+delete of the WHOLE artifact on
+  // S3-likes). The manifest update itself is a tmp-file + rename(OVERWRITE)
+  // — atomic on HDFS/POSIX via FileContext; on S3-likes the manifest copy
+  // window is microseconds over bytes, and a reader that catches it torn
+  // or missing falls back to the max _PUBLISHED version scan, which is
+  // always a complete artifact. Crash anywhere: before _PUBLISHED leaves
+  // an inert unpublished dir (GC-able); after _PUBLISHED but before the
+  // manifest update leaves LATEST on the previous complete version until
+  // the next publish (or a fallback-scan reader) advances it. Single
+  // writer per root, as everywhere in Staging.
+
+  private val VersionFmt = "v=%06d"
+  private def versionDir(root: String, v: Long): String =
+    s"$root/${VersionFmt.format(v)}"
+
+  private def listVersions(f: FileSystem, root: String): Seq[Long] =
+    if (!f.exists(new Path(root))) Seq.empty
+    else f.globStatus(new Path(s"$root/v=*")).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName.stripPrefix("v=").toLongOption)
+      .sorted
+
+  private def isPublished(f: FileSystem, root: String, v: Long): Boolean =
+    f.exists(new Path(s"${versionDir(root, v)}/_PUBLISHED"))
+
+  /** The version LATEST names, when the manifest exists, parses, and
+    * points at a _PUBLISHED dir — None on missing/torn/dangling, which
+    * sends readers to the fallback scan. */
+  private def manifestVersion(f: FileSystem, root: String): Option[Long] = {
+    val latest = new Path(s"$root/LATEST")
+    if (!f.exists(latest)) None
+    else {
+      val in = f.open(latest)
+      val txt = try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim
+      } finally in.close()
+      txt.toLongOption.filter(isPublished(f, root, _))
+    }
+  }
+
+  /** Live version of a versioned artifact root: the manifest's, or —
+    * when the manifest is missing, torn, or names an unpublished dir —
+    * the highest _PUBLISHED version on disk. None = nothing published. */
+  def liveVersion(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    manifestVersion(f, root)
+      .orElse(listVersions(f, root).filter(isPublished(f, root, _)).lastOption)
+  }
+
+  /** Build-then-publish a new version: `build` writes the complete
+    * artifact into a fresh `<root>/v=<n>/` (n = max existing + 1, so a
+    * crashed build's number is never reused), the `_PUBLISHED` marker
+    * commits it, and the LATEST manifest flips readers to it. On any
+    * build failure the live artifact is untouched and the partial
+    * version dir stays unpublished (invisible to readers; [[gcVersions]]
+    * sweeps it). Returns the published version. */
+  def publishVersioned(spark: SparkSession, root: String)(build: String => Unit): Long = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root))
+    val v = listVersions(f, root).lastOption.getOrElse(0L) + 1L
+    val dir = versionDir(root, v)
+    f.delete(new Path(dir), true)
+    build(dir)
+    require(f.exists(new Path(dir)),
+      s"versioned publish: build left nothing at $dir")
+    f.create(new Path(s"$dir/_PUBLISHED"), true).close()
+    writeManifest(spark, f, root, v)
+    v
+  }
+
+  /** Flip LATEST to `v` via tmp-write + atomic rename(OVERWRITE). */
+  private def writeManifest(spark: SparkSession, f: FileSystem, root: String,
+                            v: Long): Unit = {
+    val tmp = new Path(s"$root/LATEST.__tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(s"$root/LATEST"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Resolve the directory a reader should scan for the artifact at
+    * `root`, whichever protocol published it — the single read-side
+    * entry point of the staging family:
+    *   - versioned layout (a LATEST manifest or any `v=*` dir):
+    *     the live version's directory; loud error if nothing is
+    *     published yet (a torn first build must not read as an
+    *     empty artifact);
+    *   - rename-swap layout: `root` itself, after healing a crashed
+    *     swap ([[recover]] — the crash-window-availability contract).
+    * Layout detection is from the root's contents, not session config:
+    * a reader must resolve what the WRITER published, and mixed fleets
+    * mid-migration read both. */
+  def resolveRead(spark: SparkSession, root: String): String = {
+    val f = fs(spark, root)
+    recover(spark, root)
+    val versioned = f.exists(new Path(s"$root/LATEST")) ||
+      listVersions(f, root).nonEmpty
+    if (!versioned) root
+    else versionDir(root, liveVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"versioned artifact root $root has version dirs but none published — " +
+          "a first build crashed before its _PUBLISHED marker; rebuild")))
+  }
+
+  /** Drop stale versions: keeps the live version plus its `keep` most
+    * recent PUBLISHED predecessors, and deletes every other version
+    * below live — including unpublished (torn/abandoned) build dirs.
+    * Never touches the live version, anything newer (an in-flight
+    * build's dir), or the manifest. In-flight readers of a
+    * just-retired version are why `keep` defaults to 1 — run GC on a
+    * lag, not inside the publish. Returns the deleted versions. */
+  def gcVersions(spark: SparkSession, root: String, keep: Int = 1): Seq[Long] = {
+    require(keep >= 0, "keep must be >= 0")
+    val f = fs(spark, root)
+    liveVersion(spark, root) match {
+      case None => Seq.empty
+      case Some(live) =>
+        val preds = listVersions(f, root)
+          .filter(v => v < live && isPublished(f, root, v))
+        val retained = preds.takeRight(keep).toSet + live
+        val doomed = listVersions(f, root)
+          .filter(v => v < live && !retained(v))
+        doomed.foreach(v => f.delete(new Path(versionDir(root, v)), true))
+        doomed
+    }
+  }
 }

@@ -240,6 +240,60 @@ object Corpus {
     graft.Caching.releaseAfterFirstUse(out, tf)
   }
 
+  /** The corpus unigram LM in its MATERIALIZE-ONCE form: the (term,
+    * cnt) vocabulary plus its one-row total, written as ONE swap unit —
+    * the y21b/y20b train-once/score-many split applied to the
+    * perplexity-proxy LM. Production CCNet trains its LM once per
+    * reference snapshot (a KenLM binary in the paper; this engine's
+    * micro-nat unigram here) and scores every candidate batch against
+    * it; re-deriving the counts per scoring call re-pays a corpus-wide
+    * vocabulary aggregate. Totals are derived from the WRITTEN vocab
+    * (the stageDsirModel convention) so the pair can neither drift nor
+    * read torn. */
+  def stageUnigramLm(docs: DataFrame, idCol: String, textCol: String,
+                     path: String): Unit = {
+    val counts = docs
+      .select(explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    graft.io.Staging.publish(docs.sparkSession, path) { tmp =>
+      counts.write.mode("overwrite").parquet(s"$tmp/counts")
+      docs.sparkSession.read.parquet(s"$tmp/counts")
+        .agg(sum(col("cnt")).as("total"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/totals")
+    }
+  }
+
+  /** Score docs against a staged unigram LM (the [[stageUnigramLm]]
+    * tables re-read from parquet): identical per-term arithmetic to
+    * [[unigramLogProb]] — same micro-nat floor, same per-doc sums — so
+    * scoring the LM's own training corpus is value-identical to the
+    * direct path (the e6 serving contract). Terms the model never saw
+    * are EXCLUDED from both `n_tokens` and `logprob_micro` (strict MLE
+    * — ln 0 is undefined; vacuous on the training corpus, and for
+    * foreign batches an add-1 smoothed scorer is
+    * [[importanceWeightsStaged]]'s job). Per-call plan: one tokenize +
+    * doc-term tf agg + one vocabulary equi-join — the corpus-wide
+    * count aggregate and its broadcast total are gone from the
+    * scoring path. */
+  def unigramLogProbStaged(docs: DataFrame, idCol: String, textCol: String,
+                           counts: DataFrame, totals: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.join(counts, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp_micro",
+        col("tf") * floor(log(col("cnt").cast("double") / col("total")) * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("lp_micro")).as("logprob_micro"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
+  }
+
   /** Bigram language-model scoring — the next perplexity-proxy rung
     * above [[unigramLogProb]]: each bigram (w1 w2) scores
     * ln(count(w1 w2) / count(w1 ·)) — the MLE conditional P(w2|w1) with

@@ -723,7 +723,11 @@ object Similarity {
       .select(col("vec_id"), quantize(col("embedding")).as("nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = kmeansCodebookQ(v, numCells, iters)
-    graft.io.Staging.atomicSwap(corpus.sparkSession, path) { tmp =>
+    // publish through the protocol-dispatching entry point: rename-swap
+    // on HDFS/POSIX, versioned-dir + manifest on object stores
+    // (spark.graft.staging.publishMode) — the serving read resolves
+    // either layout
+    graft.io.Staging.publish(corpus.sparkSession, path) { tmp =>
       assignCellsQ(v, cents)
         .withColumn("num_cells", lit(numCells))
         .withColumn("iters", lit(iters))
@@ -744,9 +748,12 @@ object Similarity {
   def semanticDedupStaged(spark: SparkSession, path: String,
                           threshold: Double = 0.99): DataFrame = {
     graft.functions.LongArrayDot.register(spark)
-    // crash-window availability (graft.io.Staging contract)
-    graft.io.Staging.recover(spark, path)
-    val assigned = spark.read.parquet(path)
+    // resolveRead detects the publish protocol from the root's layout:
+    // rename-swap roots heal a crashed swap and read in place,
+    // versioned roots read the live version dir (crash-window
+    // availability either way — graft.io.Staging contract)
+    val assigned = spark.read.parquet(
+      graft.io.Staging.resolveRead(spark, path))
     val a = assigned.select(col("cell_id"), col("vec_id").as("id_a"), col("nv").as("nv_a"))
     val b = assigned.select(col("cell_id"), col("vec_id").as("id_b"), col("nv").as("nv_b"))
     // same shuffle_hash rationale as the direct path: cells are

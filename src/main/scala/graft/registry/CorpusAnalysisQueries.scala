@@ -231,10 +231,17 @@ object CorpusAnalysisQueries {
     // the diagonal rows are per-class recall, the off-diagonals name
     // the confusion direction. The check a production curation stack
     // runs before trusting a classifier's keep/drop decisions.
+    // Predictions come from the STAGED model (y20b's artifact) rather
+    // than an inline retrain: eval gates run per candidate-batch
+    // against the same persisted model the scorer serves — retraining
+    // inside the gate both re-pays the training aggregates and risks
+    // evaluating a different model than the one deployed (round-14
+    // verdict item 4). Same oracle as before: same model, same preds.
     "y29_nb_eval" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val preds = graft.llm.Classifier.naiveBayes(docs, "doc_id", "text",
-        nbSeedLabel)
+      val (terms, classes) = stagedNbModel(s, dir)
+      val preds = graft.llm.Classifier.naiveBayesFromModel(docs, "doc_id",
+        "text", terms, classes)
       val cells = preds
         .join(docs.select("doc_id", "lang"), Seq("doc_id"))
         .filter(md5(col("doc_id").cast("string")) >= "8")

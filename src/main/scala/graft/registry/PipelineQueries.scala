@@ -12,6 +12,34 @@ import TextQueries.StopSql
   * (round-11 mechanical split); shared fixtures in [[LlmFixtures]]. */
 object PipelineQueries {
 
+  /** e6's exact-dedup stage, shared by the query and the staged-LM
+    * fixture build so the LM can never be trained on a different
+    * survivor set than the one it scores (the nbSeedLabel convention
+    * applied to e6). */
+  private def e6Kept(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("m"),
+        count(lit(1)).as("n_copies"))
+      .select(col("m.doc_id").as("doc_id"), col("m.text").as("text"),
+        col("n_copies"))
+
+  /** (sessionUUID|modelDir) staged e6 unigram LMs — the CCNet LM's
+    * train-once/score-many split. */
+  private val stagedUnigramLms =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** e6's unigram LM (counts + total over the DEDUPED corpus) as a
+    * staged artifact (see [[graft.llm.Corpus.stageUnigramLm]]). Same
+    * memoization contract as [[LlmFixtures.stagedNearDupPairs]]. */
+  private def stagedE6Lm(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val path = s"${corpusScratch(dir)}/e6_unigram_lm"
+    buildOnce(stagedUnigramLms, s"${System.identityHashCode(s)}|$path") {
+      graft.llm.Corpus.stageUnigramLm(e6Kept(s, dir), "doc_id", "text", path)
+    }
+    (readStaged(s, path, "counts"), readStaged(s, path, "totals"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // e4 — the multimodal curation MANIFEST, the whole engine in one
     // plan: score (lang-ID, quality, tokens) → threshold filter →
@@ -163,14 +191,16 @@ object PipelineQueries {
     // assign is a broadcast join. Deployment swaps the unigram proxy
     // for a KenLM scorer; every stage around it is the real pipeline.
     "e6_ccnet_curation" -> { (s, dir) =>
-      val kept = Tables.documents(s, dir)
-        .groupBy(md5(col("text")).as("digest"))
-        .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("m"),
-          count(lit(1)).as("n_copies"))
-        .select(col("m.doc_id").as("doc_id"), col("m.text").as("text"),
-          col("n_copies"))
+      val kept = e6Kept(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val lm = graft.llm.Corpus.unigramLogProb(kept, "doc_id", "text")
+      // the LM stage serves from the STAGED model (trained once per
+      // snapshot on the same survivor set — round-14 verdict item 4):
+      // per call the corpus pays tokenize + one vocab join, not the
+      // corpus-wide count aggregate; value-identical to the inline
+      // unigramLogProb because the scored docs ARE the training set
+      val (cnts, tot) = stagedE6Lm(s, dir)
+      val lm = graft.llm.Corpus.unigramLogProbStaged(kept, "doc_id", "text",
+        cnts, tot)
       val scored = kept
         .withColumn("lang_pred", TextAnalysis.langId(col("text")))
         .join(lm, Seq("doc_id"))

@@ -965,6 +965,41 @@ class CorpusSpec extends SparkSpec {
       s"got=$got expected weight_micro=$exp")
   }
 
+  test("staged unigram LM (e6's scorer): value-identical to the inline self-LM; OOV terms excluded strict-MLE; totals derive from written counts") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"), (2L, "apple cherry"),
+      (3L, "banana banana date"), (4L, "")).toDF("doc_id", "text")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_unigram_lm"
+    graft.streaming.Streams.deleteDir(spark, dir)
+    graft.llm.Corpus.stageUnigramLm(docs, "doc_id", "text", dir)
+    val counts = spark.read.parquet(s"$dir/counts")
+    val totals = spark.read.parquet(s"$dir/totals")
+    // the total is DERIVED from the written counts (the stageDsirModel
+    // convention) — the pair cannot disagree
+    assert(totals.collect()(0).getLong(0) ==
+      counts.agg(sum(col("cnt"))).collect()(0).getLong(0))
+    // scoring the training corpus against the staged model is
+    // value-identical to the inline self-LM (the e6 serving contract) —
+    // including the zero-token doc's (0, 0) row
+    val staged = graft.llm.Corpus
+      .unigramLogProbStaged(docs, "doc_id", "text", counts, totals)
+      .orderBy("doc_id").collect().toSeq
+    val direct = graft.llm.Corpus.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(staged == direct, s"staged=$staged direct=$direct")
+    // a foreign batch: in-vocab terms score off the FROZEN model
+    // counts, never-seen terms are excluded from tokens and micro-nats
+    // (strict MLE — smoothing is importanceWeightsStaged's job)
+    val got = graft.llm.Corpus
+      .unigramLogProbStaged(Seq((9L, "apple zzz")).toDF("doc_id", "text"),
+        "doc_id", "text", counts, totals)
+      .collect()(0)
+    val total = totals.collect()(0).getLong(0)
+    val appleCnt = counts.filter(col("term") === "apple").collect()(0).getLong(1)
+    val exp = math.floor(math.log(appleCnt.toDouble / total) * 1e6).toLong
+    assert(got.getLong(1) == 1L && got.getLong(2) == exp, got.toString)
+  }
+
   test("quantize amplitude contract: unnormalized embeddings fail with a NAMED overflow error on every similarity entry point") {
     // amplitude ~1000 at dim 64: the 1e-6 fixed-point self-dot would
     // reach ~6.4e19 > Long.MaxValue. Pre-guard this either wrapped to

@@ -404,6 +404,87 @@ class OperatorsSpec extends SparkSpec {
       "swap must clean up its side directories")
   }
 
+  test("Staging.publishVersioned: manifest flips readers atomically; crashes leave a complete live artifact; GC never touches it") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val st = graft.io.Staging
+    val root = s"${sys.props("java.io.tmpdir")}/graft_test_versioned"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    def readLive(): Seq[Int] =
+      spark.read.parquet(st.resolveRead(spark, root)).as[Int].collect().toSeq
+    // v1 publishes and resolves
+    val v1 = st.publishVersioned(spark, root) { d => Seq(1).toDF("v").write.parquet(d) }
+    assert(v1 == 1L && readLive() == Seq(1))
+    // a CONCURRENT READER that resolved before the next publish keeps a
+    // complete immutable directory — the property the rename-swap lacks
+    // on object stores (nothing is ever renamed out from under it)
+    val pinnedV1 = st.resolveRead(spark, root)
+    val v2 = st.publishVersioned(spark, root) { d => Seq(2).toDF("v").write.parquet(d) }
+    assert(v2 == 2L && readLive() == Seq(2))
+    assert(spark.read.parquet(pinnedV1).as[Int].collect().toSeq == Seq(1),
+      "a reader pinned to the previous version must still see it complete")
+    // a build that dies before its _PUBLISHED marker is invisible: the
+    // live artifact is untouched and the torn dir's number is never reused
+    intercept[RuntimeException] {
+      st.publishVersioned(spark, root) { d =>
+        Seq(99).toDF("v").write.parquet(d)
+        throw new RuntimeException("build died before publish")
+      }
+    }
+    assert(readLive() == Seq(2), "failed build must not move the manifest")
+    assert(st.liveVersion(spark, root).contains(2L))
+    val v4 = st.publishVersioned(spark, root) { d => Seq(4).toDF("v").write.parquet(d) }
+    assert(v4 == 4L, s"torn v3 must not be reused, got $v4")
+    assert(readLive() == Seq(4))
+    // crash AFTER _PUBLISHED but BEFORE the manifest flip = manifest
+    // still names the previous version — readers serve that complete
+    // build; a missing or torn manifest falls back to the max published
+    // version scan (the object-store non-atomic-manifest window)
+    fs.delete(new Path(s"$root/LATEST"), false)
+    assert(readLive() == Seq(4), "missing manifest must fall back to max published")
+    val out = fs.create(new Path(s"$root/LATEST"), true)
+    out.write("torn!".getBytes("UTF-8")); out.close()
+    assert(readLive() == Seq(4), "unparseable manifest must fall back to max published")
+    val out2 = fs.create(new Path(s"$root/LATEST"), true)
+    out2.write("3".getBytes("UTF-8")); out2.close()
+    assert(readLive() == Seq(4), "manifest naming an unpublished dir must fall back")
+    st.publishVersioned(spark, root) { d => Seq(5).toDF("v").write.parquet(d) }
+    assert(readLive() == Seq(5))
+    // GC: live=5, published preds = {1,2,4}; keep=1 retains 4, deletes
+    // 1, 2 and the torn 3 — never the live version or the manifest
+    assert(st.gcVersions(spark, root, keep = 1) == Seq(1L, 2L, 3L))
+    assert(readLive() == Seq(5))
+    assert(fs.exists(new Path(s"$root/v=000004")) && !fs.exists(new Path(s"$root/v=000001")))
+    // publish() dispatches on the session conf; bad values are loud
+    val modeKey = st.PublishModeKey
+    spark.conf.set(modeKey, "versioned")
+    try {
+      val root2 = s"${sys.props("java.io.tmpdir")}/graft_test_versioned2"
+      fs.delete(new Path(root2), true)
+      st.publish(spark, root2) { d => Seq(7).toDF("v").write.parquet(d) }
+      assert(fs.exists(new Path(s"$root2/v=000001/_PUBLISHED")),
+        "publish() under versioned mode must write the versioned layout")
+      assert(spark.read.parquet(st.resolveRead(spark, root2)).as[Int].collect().toSeq == Seq(7))
+      spark.conf.set(modeKey, "nonsense")
+      intercept[IllegalArgumentException] {
+        st.publish(spark, root2) { d => Seq(8).toDF("v").write.parquet(d) }
+      }
+    } finally spark.conf.unset(modeKey)
+    // a versioned root where the FIRST build tore (dirs, none published)
+    // must refuse to resolve rather than read an empty artifact
+    val root3 = s"${sys.props("java.io.tmpdir")}/graft_test_versioned3"
+    fs.delete(new Path(root3), true)
+    intercept[RuntimeException] {
+      st.publishVersioned(spark, root3) { d =>
+        Seq(1).toDF("v").write.parquet(d)
+        throw new RuntimeException("first build died")
+      }
+    }
+    val e = intercept[IllegalStateException] { st.resolveRead(spark, root3) }
+    assert(e.getMessage.contains("none published"), e.getMessage)
+  }
+
   test("X11b staged simhash: value-identical to direct at ANY radius; sweep never re-votes the corpus") {
     val docs = (0L until 25L).map(i => (i, s"alpha beta gamma delta tok$i epsilon zeta eta theta"))
     val corpus = docs.toDF("doc_id", "text")
@@ -811,6 +892,60 @@ class OperatorsSpec extends SparkSpec {
     val expected = src.select(col("id"), unix_micros(col("ts")).as("us")).orderBy("id")
       .as[(Long, Long)].collect().toSeq
     assert(back == expected, "µs timestamps must survive the JDBC write/read cycle")
+  }
+
+  test("S12 JDBC: ClickHouse-relevant type matrix round-trips both directions, nulls included") {
+    // one column per ClickHouse type family the reference warehouse
+    // uses (see graft.io.Jdbc scaladoc matrix): Int64/Int32/Int16,
+    // Float64/Float32, Decimal, String, Bool, Date, DateTime64(6),
+    // and a Nullable(T) witness in every column via row 3
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("i32", IntegerType),
+      StructField("i16", ShortType), StructField("f64", DoubleType),
+      StructField("f32", FloatType), StructField("dec", DecimalType(12, 2)),
+      StructField("s", StringType), StructField("b", BooleanType),
+      StructField("d", DateType), StructField("ts", TimestampType)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, 42, 7.toShort, 2.5d, 1.25f,
+        new java.math.BigDecimal("1234567890.12"), "hello", true,
+        java.sql.Date.valueOf("2024-03-01"),
+        java.sql.Timestamp.valueOf("2024-03-01 12:34:56.123456")),
+      org.apache.spark.sql.Row(2L, -1, (-3).toShort, -0.125d, -2.5f,
+        new java.math.BigDecimal("-0.01"), "wörld", false,
+        java.sql.Date.valueOf("1999-12-31"),
+        java.sql.Timestamp.valueOf("1999-12-31 23:59:59.999999")),
+      // null witness in every column EXCEPT the string: Spark's Derby
+      // dialect setNull()s strings as CLOB, which Derby rejects into a
+      // VARCHAR-overridden column — a Derby-embedded artifact, not a
+      // dialect property (ClickHouse's driver maps String natively and
+      // Nullable(String) round-trips; the matrix in graft.io.Jdbc)
+      org.apache.spark.sql.Row(3L, null, null, null, null, null, "n", null,
+        null, null))
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val url = graft.io.Jdbc.seedOnce(src, "db_spec_types", "t_types", "s VARCHAR(32)")
+    val back = graft.io.Jdbc.read(spark, url, "t_types").orderBy("id")
+    // direction DB→Spark: every column comes back at the same catalyst
+    // type it left with (the property a ClickHouse URL swap preserves —
+    // a widened or narrowed read-back type would silently change every
+    // downstream agg/oracle)
+    val gotTypes = back.schema.fields.map(f => f.name -> f.dataType).toMap
+    schema.fields.foreach { f =>
+      // the ONE documented asymmetry: JDBC SMALLINT reads back widened
+      // to IntegerType (Spark's default getCatalystType; lossless).
+      // Everything else must round-trip at its exact catalyst type —
+      // a silent widen/narrow elsewhere would change downstream aggs.
+      val expected = if (f.name == "i16") IntegerType else f.dataType
+      assert(gotTypes(f.name) == expected,
+        s"${f.name}: wrote ${f.dataType}, read back ${gotTypes(f.name)}")
+    }
+    // direction Spark→DB and back: exact values, nulls intact
+    val a = src.orderBy("id").collect().toSeq
+      .map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(2,
+        Option(r.get(2)).map(_.asInstanceOf[Short].toInt).orNull)))
+    val g = back.collect().toSeq
+    assert(g == a, s"values drifted through JDBC:\ngot      $g\nexpected $a")
   }
 
   test("J4 as-of join: latest version at-or-before ts, null before first version") {

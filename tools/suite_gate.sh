@@ -1,19 +1,57 @@
 #!/usr/bin/env bash
-# End-of-round snapshot gate (round-13 verdict item 3): the same defect
-# class shipped twice — r12 registered a query without its oracle, r13
-# committed a spec without running the suite. This script makes "suite
-# green" a PRECONDITION of the snapshot instead of a convention: it runs
-# the full ScalaTest suite, refuses (exit 1) on any failure, and on
-# success writes SUITE_GREEN.md recording the run (HEAD, date, the
-# suite's own derived counts — never hand-counted) so the snapshot
-# commit carries the proof.
+# End-of-round snapshot gate (round-13 verdict item 3, provenance hole
+# closed round 15): the same defect class shipped twice — r12 registered
+# a query without its oracle, r13 committed a spec without running the
+# suite — and r14 stamped a marker that two further code commits then
+# outran. This script makes "suite green" a PRECONDITION of the snapshot
+# instead of a convention:
+#   1. it runs the full ScalaTest suite and refuses (exit 1) on any
+#      failure;
+#   2. on success it writes SUITE_GREEN.md recording the run (HEAD,
+#      date, the suite's own derived counts — never hand-counted) PLUS a
+#      content digest of src/ + build.sbt as it was tested;
+#   3. `tools/suite_gate.sh --check` recomputes that digest and fails
+#      if ANY source changed after the recorded run — the snapshot
+#      procedure is: run the gate, `git add -A && git commit`, nothing
+#      in between; --check is how the sequence is enforced rather than
+#      trusted (round-14 verdict: the marker must certify the snapshot's
+#      parent, not some earlier commit).
 #
-# Usage: tools/suite_gate.sh   (from the repo root; ~3-4 min)
+# Usage: tools/suite_gate.sh           (from the repo root; ~3-4 min)
+#        tools/suite_gate.sh --check   (instant; verifies src unchanged
+#                                       since the last stamped run)
 set -u
 cd "$(dirname "$0")/.."
 
+src_digest() {
+  # content digest of every tracked-or-new source file the suite run
+  # covered (worktree state, not HEAD — uncommitted edits count)
+  { git ls-files src build.sbt; git ls-files --others --exclude-standard src; } \
+    | sort -u | xargs -r sha1sum | sha1sum | cut -d' ' -f1
+}
+
+if [ "${1:-}" = "--check" ]; then
+  if [ ! -f SUITE_GREEN.md ]; then
+    echo "[suite_gate] --check: no SUITE_GREEN.md — run the gate first"; exit 1
+  fi
+  RECORDED=$(grep -E "^- src digest: " SUITE_GREEN.md | tail -1 | awk '{print $4}')
+  CURRENT=$(src_digest)
+  if [ -z "$RECORDED" ] || [ "$RECORDED" != "$CURRENT" ]; then
+    echo "[suite_gate] --check: src/build.sbt changed AFTER the recorded green run"
+    echo "[suite_gate]   recorded: ${RECORDED:-<none>}"
+    echo "[suite_gate]   current:  $CURRENT"
+    echo "[suite_gate] re-run tools/suite_gate.sh before the snapshot commit"
+    exit 1
+  fi
+  echo "[suite_gate] --check: OK — src matches the stamped green run"
+  exit 0
+fi
+
 LOG=$(mktemp /tmp/suite_gate.XXXXXX.log)
 echo "[suite_gate] running full suite -> $LOG"
+# digest BEFORE the run: if a file changes mid-run the stamp won't match
+# it afterwards and --check fails, which is the safe direction
+DIGEST=$(src_digest)
 sbt -batch test >"$LOG" 2>&1
 STATUS=$?
 
@@ -32,11 +70,17 @@ cat > SUITE_GREEN.md <<EOF
 
 Last green full-suite run (written by \`tools/suite_gate.sh\`; a red
 suite refuses to write this file, so a snapshot commit containing a
-fresh version of it provably followed a green \`sbt test\`):
+fresh version of it provably followed a green \`sbt test\`). The src
+digest below covers the exact worktree the suite tested;
+\`tools/suite_gate.sh --check\` fails if any source changed since, so
+the snapshot procedure — gate, then immediately commit — is enforced,
+not trusted. The commit this file lands in is the one this run
+certifies; its parent is the recorded HEAD plus the digested worktree.
 
 - date: $(date -u +"%Y-%m-%dT%H:%M:%SZ")
 - HEAD at run time: $(git rev-parse HEAD)
 - working tree: $(if [ -z "$(git status --porcelain -- src build.sbt)" ]; then echo clean; else echo "DIRTY (src/build.sbt changes beyond HEAD were part of this run)"; fi)
+- src digest: $DIGEST
 - $SUMMARY
 - $SUITES
 
@@ -44,4 +88,4 @@ Counts above are the suite's own output — derived, not hand-maintained
 (round-13 verdict item 4).
 EOF
 echo "[suite_gate] GREEN — $SUMMARY"
-echo "[suite_gate] wrote SUITE_GREEN.md"
+echo "[suite_gate] wrote SUITE_GREEN.md (src digest $DIGEST)"
