@@ -49,7 +49,12 @@ import org.apache.spark.sql.SparkSession
   * directory; [[resolveRead]] auto-detects which protocol wrote an
   * artifact root, so every serving path works against either. Select
   * per session with `spark.graft.staging.publishMode` = `rename`
-  * (default) | `versioned` — [[publish]] dispatches on it. */
+  * (default) | `versioned` — [[publish]] dispatches on it, and EVERY
+  * staged builder in the engine (IVF/PQ indexes, SemDeDup cells,
+  * NB/DSIR/BPE/unigram-LM models, band/bucket/span/fingerprint
+  * tables) publishes through it, with every reader resolving through
+  * [[resolveRead]] — one conf flips the whole engine to the
+  * object-store protocol. */
 object Staging {
 
   /** Session knob selecting the publish protocol for [[publish]]:

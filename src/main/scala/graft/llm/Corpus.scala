@@ -472,7 +472,7 @@ object Corpus {
     // vocab + totals swap live as ONE unit (graft.io.Staging), and the
     // totals are derived from the WRITTEN staged vocab — the pair can
     // neither drift nor be read torn
-    graft.io.Staging.atomicSwap(docs.sparkSession, path) { tmp =>
+    graft.io.Staging.publish(docs.sparkSession, path) { tmp =>
       raw.join(tgt, Seq("term"), "left_outer")
         .select(col("term"), col("c_raw"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
         .write.mode("overwrite").parquet(s"$tmp/vocab")
@@ -715,7 +715,7 @@ object Corpus {
     * [[bpeEncode]] already requires. */
   def stageBpeModel(docs: DataFrame, idCol: String, textCol: String,
                     path: String, numMerges: Int = 6): Unit =
-    graft.io.Staging.atomicSwap(docs.sparkSession, path) { tmp =>
+    graft.io.Staging.publish(docs.sparkSession, path) { tmp =>
       bpeMerges(docs, idCol, textCol, numMerges)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
@@ -723,14 +723,14 @@ object Corpus {
   /** Read back a staged BPE model as the ordered merge-pair sequence
     * [[bpeEncode]] consumes. Rank order IS the model — applying merges
     * out of order encodes differently — so the read sorts explicitly
-    * rather than trusting file order. Recovers a crashed swap first
-    * (the crash-window-availability convention every staged reader
-    * follows — round-14 ADVICE). */
-  def loadBpeModel(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
-    graft.io.Staging.recover(spark, path)
-    spark.read.parquet(path).orderBy("rank")
+    * rather than trusting file order. Resolves the live artifact first
+    * — crashed-swap heal or versioned-manifest resolve, whichever
+    * protocol published it (the crash-window-availability convention
+    * every staged reader follows — round-14 ADVICE). */
+  def loadBpeModel(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
+    spark.read.parquet(graft.io.Staging.resolveRead(spark, path))
+      .orderBy("rank")
       .select("pair").collect().map(_.getString(0)).toSeq
-  }
 
   /** CCNet-style per-language perplexity bucketing (Wenzek et al.
     * 2020): split each language's documents into head / middle / tail

@@ -183,7 +183,7 @@ object Pq {
     // the three tables swap live as ONE unit (graft.io.Staging): a
     // reader can never pair centroids from one build with codes or a
     // stamp from another, and a crashed rebuild keeps the old index
-    graft.io.Staging.atomicSwap(corpus.sparkSession, indexDir) { tmp =>
+    graft.io.Staging.publish(corpus.sparkSession, indexDir) { tmp =>
       cents.write.mode("overwrite").parquet(s"$tmp/pq_centroids")
       encode(v, cents, m).write.mode("overwrite").parquet(s"$tmp/codes")
       writeParams(corpus.sparkSession, tmp, m, numCells, coarseCells = 0)
@@ -211,7 +211,9 @@ object Pq {
     * Called after the atomic swap (writeParams itself targets the
     * staging directory, whose path never appears in the memo). */
   private def purgeValidated(indexDir: String): Unit =
-    validatedParams.removeIf(_.startsWith(indexDir + "|"))
+    // both key shapes: "<root>|..." (rename-swap) and "<root>/v=N|..."
+    validatedParams.removeIf(k =>
+      k.startsWith(indexDir + "|") || k.startsWith(indexDir + "/"))
 
   /** (indexDir, m, stampMtime) triples already checked this JVM.
     * The guard costs one single-row parquet read; uncached that read
@@ -225,13 +227,17 @@ object Pq {
     * the guard exists to prevent. */
   private val validatedParams = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Returns the RESOLVED live artifact directory (the root itself
+    * under the rename-swap layout, the live `v=N` dir under the
+    * versioned one — [[graft.io.Staging.resolveRead]]); readers scan
+    * the index tables under it, never under the raw root. */
   private def requireParamMatch(spark: org.apache.spark.sql.SparkSession,
-                                indexDir: String, m: Int): Unit = {
-    // crash-window availability: a rebuild that died between the swap
-    // renames leaves only the old copy — restore it instead of failing until
-    // the next build (graft.io.Staging contract)
-    graft.io.Staging.recover(spark, indexDir)
-    val stampPath = new org.apache.hadoop.fs.Path(s"$indexDir/index_params")
+                                indexDir: String, m: Int): String = {
+    // crash-window availability on either publish protocol: heal a
+    // crashed rename-swap, or resolve the live published version
+    // (graft.io.Staging contract)
+    val live = graft.io.Staging.resolveRead(spark, indexDir)
+    val stampPath = new org.apache.hadoop.fs.Path(s"$live/index_params")
     val fs = stampPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mtime =
       try fs.getFileStatus(stampPath).getModificationTime
@@ -251,7 +257,9 @@ object Pq {
             "mismatch would silently drop per-subvector ADC terms; rebuild the " +
             "artifact with buildAdcIndex/buildIvfAdcIndex")
       }
-    val key = s"$indexDir|$m|$mtime"
+    // keyed on the RESOLVED dir: under the versioned layout a rebuild
+    // changes the path itself, so stale verdicts can never be reused
+    val key = s"$live|$m|$mtime"
     if (!validatedParams.contains(key)) {
       val rows =
         try spark.read.parquet(stampPath.toString).collect()
@@ -272,6 +280,7 @@ object Pq {
           "rebuild the artifact or match the query's m")
       validatedParams.add(key)
     }
+    live
   }
 
   /** Query a [[buildAdcIndex]] index: centroid + code reads only —
@@ -279,9 +288,9 @@ object Pq {
     * index round-trip stores the exact integer codes and centroids. */
   def adcTopKPrebuilt(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                       queries: DataFrame, k: Int, m: Int = 8): DataFrame = {
-    requireParamMatch(spark, indexDir, m)
-    val cents = spark.read.parquet(s"$indexDir/pq_centroids")
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    val live = requireParamMatch(spark, indexDir, m)
+    val cents = spark.read.parquet(s"$live/pq_centroids")
+    val codes = spark.read.parquet(s"$live/codes")
     queryAdcCodes(codes, cents, queries, k, m)
   }
 
@@ -395,7 +404,7 @@ object Pq {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (coarse, pqCents, codes) = buildCodes(v, m, numCells, coarseCells, iters)
     // all four tables swap live as ONE unit (see buildAdcIndex)
-    graft.io.Staging.atomicSwap(corpus.sparkSession, indexDir) { tmp =>
+    graft.io.Staging.publish(corpus.sparkSession, indexDir) { tmp =>
       coarse.write.mode("overwrite").parquet(s"$tmp/coarse")
       pqCents.write.mode("overwrite").parquet(s"$tmp/pq_centroids")
       // clustered write (the k13/buildIvfIndex shape): without the
@@ -418,9 +427,9 @@ object Pq {
                          queries: DataFrame, k: Int,
                          m: Int = 8, nProbe: Int = 2): DataFrame = {
     graft.functions.LongArrayDot.register(spark)
-    requireParamMatch(spark, indexDir, m)
-    val coarse = spark.read.parquet(s"$indexDir/coarse")
-    val pqCents = spark.read.parquet(s"$indexDir/pq_centroids")
+    val live = requireParamMatch(spark, indexDir, m)
+    val coarse = spark.read.parquet(s"$live/coarse")
+    val pqCents = spark.read.parquet(s"$live/pq_centroids")
     val w0 = Window.partitionBy("query_id")
       .orderBy(col("cell_sim").desc, col("cell_id"))
     val probedCells = queries
@@ -431,7 +440,7 @@ object Pq {
       .filter(col("cell_rank") <= nProbe)
       .select("cell_id").distinct()
       .collect().map(_.getLong(0)).sorted
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    val codes = spark.read.parquet(s"$live/codes")
       .filter(col("cell_id").isin(probedCells.toSeq: _*))
       .withColumn("cell_id", col("cell_id").cast("long"))
     queryCodes(codes, coarse, pqCents, queries, k, m, nProbe)

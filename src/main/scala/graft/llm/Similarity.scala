@@ -266,7 +266,7 @@ object Similarity {
     // query can never assign against one build's codebook and scan
     // another build's members, and a crashed rebuild keeps the old
     // index serving
-    graft.io.Staging.atomicSwap(corpus.sparkSession, indexDir) { tmp =>
+    graft.io.Staging.publish(corpus.sparkSession, indexDir) { tmp =>
       cents.write.mode("overwrite").parquet(s"$tmp/centroids")
       writeMembers(assignCellsQ(v, cents), tmp, "overwrite")
     }
@@ -306,16 +306,20 @@ object Similarity {
     // it) and its rows can vanish with __swap_old (round-14 ADVICE).
     // Serialize appends and rebuilds externally (the registry's
     // buildOnce memo does; a cluster deployment uses its scheduler's
-    // per-artifact mutual exclusion).
-    graft.io.Staging.recover(spark, indexDir)
+    // per-artifact mutual exclusion). Under the VERSIONED layout the
+    // append lands in the LIVE version's member table: an append is by
+    // nature a mutation of the live build (immutability there is a
+    // publish-vs-rebuild property, not an append ban), and the next
+    // rebuild starts a fresh version that re-assigns everything.
+    val live = graft.io.Staging.resolveRead(spark, indexDir)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/centroids")),
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$live/centroids")),
       s"IVF index at $indexDir has no centroids — build it with buildIvfIndex " +
         "before appending (or a rebuild is mid-swap; retry)")
-    val cents = readCentroids(spark, indexDir)
+    val cents = readCentroids(spark, live)
     val v = spread(newCorpus).select(col("vec_id"), quantize(col("embedding")).as("nv"))
-    writeMembers(assignCellsQ(v, cents), indexDir, "append")
+    writeMembers(assignCellsQ(v, cents), live, "append")
   }
 
   /** Probed-cells member read. The IN filter lands on the RAW
@@ -343,11 +347,12 @@ object Similarity {
                       k: Int, nProbe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.LongArrayDot.register(spark)
-    // crash-window availability: a rebuild that died between the swap
-    // renames leaves only the old copy — restore it instead of failing until
-    // the next build (graft.io.Staging contract)
-    graft.io.Staging.recover(spark, indexDir)
-    val cents = readCentroids(spark, indexDir)
+    // crash-window availability on either publish protocol: heal a
+    // crashed rename-swap or resolve the live published version
+    // (graft.io.Staging contract); all table reads go under the
+    // resolved live directory
+    val live = graft.io.Staging.resolveRead(spark, indexDir)
+    val cents = readCentroids(spark, live)
     val scoredQ = queries
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
       .crossJoin(broadcast(cents))
@@ -360,7 +365,7 @@ object Similarity {
       .localCheckpoint() // tiny; reused by the collect below AND the join
     val probedCells = probes.select("cell_id").distinct()
       .collect().map(_.getLong(0)).sorted
-    val members = readMembersPruned(spark, indexDir, probedCells.toSeq)
+    val members = readMembersPruned(spark, live, probedCells.toSeq)
     val scored = members
       .select(col("vec_id").as("neighbor_id"), col("nv"), col("cell_id"))
       .join(broadcast(probes), Seq("cell_id"))

@@ -38,16 +38,17 @@ private[registry] object LlmFixtures {
   def buildOnce(memo: java.util.Set[String], key: String)(build: => Unit): Unit =
     if (!memo.contains(key)) { build; memo.add(key) }
 
-  /** Read a swap-managed staged artifact with crash-window
-    * availability: heal a build that died between the two swap renames
-    * BEFORE the parquet read, the same convention the prebuilt PQ/IVF
-    * readers and semanticDedupStaged follow (round-14 ADVICE — the
-    * BPE/DSIR fixture reads skipped it). `root` is the SWAP UNIT (the
-    * atomicSwap path); multi-table artifacts pass the subpath to read
-    * via `sub`. */
+  /** Read a staged artifact with crash-window availability on either
+    * publish protocol: [[graft.io.Staging.resolveRead]] heals a
+    * crashed rename-swap or resolves the live published version, the
+    * same convention the prebuilt PQ/IVF readers and
+    * semanticDedupStaged follow (round-14 ADVICE — the BPE/DSIR
+    * fixture reads skipped it). `root` is the PUBLISH UNIT (the
+    * Staging.publish path); multi-table artifacts pass the subpath to
+    * read via `sub`. */
   def readStaged(s: SparkSession, root: String, sub: String = ""): DataFrame = {
-    graft.io.Staging.recover(s, root)
-    s.read.parquet(if (sub.isEmpty) root else s"$root/$sub")
+    val live = graft.io.Staging.resolveRead(s, root)
+    s.read.parquet(if (sub.isEmpty) live else s"$live/$sub")
   }
 
   /** (sessionUUID|indexDir) pairs whose IVF index this JVM already
@@ -152,7 +153,7 @@ private[registry] object LlmFixtures {
   def stagedSimhashFps(s: SparkSession, dir: String): DataFrame = {
     val path = s"${corpusScratch(dir)}/simhash_fps"
     buildOnce(stagedSimhashTables, s"${System.identityHashCode(s)}|$path") {
-      graft.io.Staging.atomicSwap(s, path) { tmp =>
+      graft.io.Staging.publish(s, path) { tmp =>
         graft.llm.DedupLsh.corpusSimhashFingerprints(
           corpusNear(s, dir), "doc_id", "text", bits = 32)
           .write.mode("overwrite").parquet(tmp)
@@ -178,7 +179,7 @@ private[registry] object LlmFixtures {
         Tables.documents(s, dir), "doc_id", "text", nbSeedLabel)
       // terms + classes swap live as ONE unit (graft.io.Staging): the
       // artifact-sync check can then only ever see one build's pair
-      graft.io.Staging.atomicSwap(s, path) { tmp =>
+      graft.io.Staging.publish(s, path) { tmp =>
         terms.write.mode("overwrite").parquet(s"$tmp/terms")
         classes.write.mode("overwrite").parquet(s"$tmp/classes")
       }
@@ -193,7 +194,7 @@ private[registry] object LlmFixtures {
   def stagedCorpusEmbBuckets(s: SparkSession, dir: String): DataFrame = {
     val path = s"${corpusScratch(dir)}/emb_sign_buckets"
     buildOnce(stagedEmbBucketTables, s"${System.identityHashCode(s)}|$path") {
-      graft.io.Staging.atomicSwap(s, path) { tmp =>
+      graft.io.Staging.publish(s, path) { tmp =>
         Similarity.corpusSignBuckets(Tables.embeddings(s, dir))
           .write.mode("overwrite").parquet(tmp)
       }
@@ -208,7 +209,7 @@ private[registry] object LlmFixtures {
   def stagedCorpusSpanHashes(s: SparkSession, dir: String): DataFrame = {
     val path = s"${corpusScratch(dir)}/span_hash_set"
     buildOnce(stagedSpanTables, s"${System.identityHashCode(s)}|$path") {
-      graft.io.Staging.atomicSwap(s, path) { tmp =>
+      graft.io.Staging.publish(s, path) { tmp =>
         graft.llm.SpanDedup.corpusWindowHashSet(
           Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text", k = 8)
           .write.mode("overwrite").parquet(tmp)
@@ -255,7 +256,7 @@ private[registry] object LlmFixtures {
   def stagedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val path = s"${corpusScratch(dir)}/neardup_pairs"
     buildOnce(stagedPairTables, s"${System.identityHashCode(s)}|$path") {
-      graft.io.Staging.atomicSwap(s, path) { tmp =>
+      graft.io.Staging.publish(s, path) { tmp =>
         DedupLsh.nearDupPairs(corpusNear(s, dir), "doc_id", "text",
           shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5)
           .write.mode("overwrite").parquet(tmp)
@@ -280,7 +281,7 @@ private[registry] object LlmFixtures {
   def stagedCorpusBands(s: SparkSession, dir: String): DataFrame = {
     val path = s"${corpusScratch(dir)}/corpus_bands"
     buildOnce(stagedBandTables, s"${System.identityHashCode(s)}|$path") {
-      graft.io.Staging.atomicSwap(s, path) { tmp =>
+      graft.io.Staging.publish(s, path) { tmp =>
         DedupLsh.corpusBandSignatures(
           Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
           shingleN = 3, numHashes = 12, numBands = 4)

@@ -146,7 +146,7 @@ object PipelineQueries {
       }
       Similarity.appendToIvfIndex(
         survivors.select(col("doc_id").as("vec_id"), col("embedding")), idxDir)
-      val cells = s.read.parquet(s"$idxDir/members")
+      val cells = s.read.parquet(s"${graft.io.Staging.resolveRead(s, idxDir)}/members")
         .filter(col("vec_id") >= 20000L)
         .select(col("vec_id").as("doc_id"), col("cell_id").cast("long").as("cell_id"))
         .distinct()

@@ -485,6 +485,44 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("none published"), e.getMessage)
   }
 
+  test("versioned-published IVF index: prebuilt query + append resolve the live version dir (multi-table artifact)") {
+    import org.apache.hadoop.fs.Path
+    val st = graft.io.Staging
+    val emb = spark.range(40)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(8)),
+          j => ((col("id") % 9) * 7 + j * 3).cast("double") / lit(100.0)).as("embedding"))
+    val dirR = s"${sys.props("java.io.tmpdir")}/graft_test_ivf_rename"
+    val dirV = s"${sys.props("java.io.tmpdir")}/graft_test_ivf_versioned"
+    val fs = new Path(dirV).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(dirR, dirR + ".__swap_old", dirR + ".__swap_tmp", dirV).foreach(p =>
+      fs.delete(new Path(p), true))
+    Similarity.buildIvfIndex(emb, dirR, numCells = 4, iters = 1)
+    spark.conf.set(st.PublishModeKey, "versioned")
+    try Similarity.buildIvfIndex(emb, dirV, numCells = 4, iters = 1)
+    finally spark.conf.unset(st.PublishModeKey)
+    // the versioned build lands centroids + members under ONE published
+    // version dir — the multi-table artifact publishes as one unit on
+    // the object-store protocol exactly as it swaps as one unit on HDFS
+    assert(fs.exists(new Path(s"$dirV/v=000001/_PUBLISHED")) &&
+      fs.exists(new Path(s"$dirV/v=000001/centroids")) &&
+      fs.exists(new Path(s"$dirV/v=000001/members")), "versioned layout missing")
+    val q = emb.filter(col("vec_id") < 3)
+    def run(d: String) = Similarity.ivfTopKPrebuilt(spark, d, q, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(run(dirV) == run(dirR),
+      "versioned-published index must serve identically to the rename-swap one")
+    // append routes into the LIVE version's member table
+    val batch = spark.range(100, 103)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(8)),
+          j => ((col("id") % 9) * 7 + j * 3).cast("double") / lit(100.0)).as("embedding"))
+    Similarity.appendToIvfIndex(batch, dirV)
+    val appended = spark.read.parquet(s"$dirV/v=000001/members")
+      .filter(col("vec_id") >= 100L).count()
+    assert(appended == 3L, s"append must land in the live version dir, got $appended")
+  }
+
   test("X11b staged simhash: value-identical to direct at ANY radius; sweep never re-votes the corpus") {
     val docs = (0L until 25L).map(i => (i, s"alpha beta gamma delta tok$i epsilon zeta eta theta"))
     val corpus = docs.toDF("doc_id", "text")
