@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
+import org.apache.spark.sql.functions.{col, element_at, lit, shiftleft, shiftright, split}
 
 /** Source/sink format matrix (SURVEY §2.1/§2.2).
   *
@@ -168,6 +168,35 @@ object IO {
     val f = fs(df.sparkSession, path)
     f.globStatus(new Path(s"$path/part-*")).length
   }
+
+  /** S17/K16 — pack a small-file binary LANDING directory into a
+    * parquet payload table `(fname, length, content)`: the measured
+    * mitigation for listing-bound landing volumes (PROBES round-15:
+    * 100k tiny files re-read at 176k files/s packed vs 18k files/s
+    * through binaryFile and 0.4–1.2k files/s streamed — the per-file
+    * listing/open cost is paid ONCE here and never again downstream).
+    * One binaryFile pass, `nFiles` bounded splittable output files,
+    * published through [[Staging.publish]] so the table rename-swaps
+    * on HDFS or version-publishes on object stores like every staged
+    * artifact; read it back with [[readPackedBinary]]. At 100 TB the
+    * landing zone is consumed exactly once by this pass and every
+    * decoder (m1–m7 family) reads the packed table. */
+  def packBinaryDir(spark: SparkSession, srcGlob: String, dest: String,
+                    nFiles: Int = 32): Unit = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    Staging.publish(spark, dest) { tmp =>
+      spark.read.format("binaryFile").load(srcGlob)
+        .select(element_at(split(col("path"), "/"), -1).as("fname"),
+          col("length"), col("content"))
+        .repartition(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+  }
+
+  /** Read back a [[packBinaryDir]] table, resolving whichever publish
+    * protocol wrote it (crash-window availability — Staging contract). */
+  def readPackedBinary(spark: SparkSession, dest: String): DataFrame =
+    spark.read.parquet(Staging.resolveRead(spark, dest))
 
   /** Restore a directory from a half-completed [[replaceDir]] swap: a
     * crash between the two renames leaves the data at `path.__swap_old`

@@ -273,6 +273,22 @@ object IoQueries {
           col("length"), base64(col("content")).as("content_b64"))
         .orderBy("fname")
     },
+    // s17 — packed landing table: the round-15 probe's mitigation as a
+    // first-class operator. One binaryFile pass packs the small-file
+    // landing zone into a bounded parquet payload table (crash-safe
+    // publish, either protocol); every downstream read then runs at
+    // parquet speed instead of re-paying per-file listing/open costs
+    // (measured 176k vs 18k files/s at 100k files — PROBES round-15).
+    // Same content-level oracle as s16: packing must be byte-invisible.
+    "s17_binary_pack" -> { (s, dir) =>
+      val p = binFilesFixture(s, dir)
+      val dest = scratch(dir, "binpacked")
+      IO.packBinaryDir(s, s"$p/*.bin", dest, nFiles = 4)
+      IO.readPackedBinary(s, dest)
+        .select(col("fname"), col("length"),
+          base64(col("content")).as("content_b64"))
+        .orderBy("fname")
+    },
     "s10_watermark_lookup" -> { (s, dir) =>
       val csv = scratch(dir, "wm_lookup")
       Watermark.writeTable(s, csv,
@@ -505,6 +521,9 @@ object IoQueries {
     // length and base64 payload recomputed from the documents table —
     // a content-level compare of what binaryFile actually read
     "s16_binaryfile_ingest" -> BinFilesSql,
+    // s17 packs the same fixture the s16 source reads — byte-invisible
+    // by contract, so the oracle is shared verbatim
+    "s17_binary_pack" -> BinFilesSql,
     "s10_watermark_lookup" ->
       """SELECT event_id, epoch_us(ts) AS ts_us FROM events
         |WHERE epoch_us(ts) > 1704175200000000 ORDER BY event_id""".stripMargin,

@@ -485,6 +485,37 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("none published"), e.getMessage)
   }
 
+  test("S17 packBinaryDir: packing is byte-invisible, bounds output files, and serving never touches the file source") {
+    import org.apache.hadoop.fs.Path
+    val src = s"${sys.props("java.io.tmpdir")}/graft_test_binpack_src"
+    val dest = s"${sys.props("java.io.tmpdir")}/graft_test_binpack"
+    val fs = new Path(dest).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(src), true); fs.delete(new Path(dest), true)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    (0 until 25).foreach { i =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(f"$src/f_$i%03d.bin"),
+        s"content $i ${"y" * i}".getBytes("UTF-8"))
+    }
+    graft.io.IO.packBinaryDir(spark, s"$src/*.bin", dest, nFiles = 2)
+    val packed = graft.io.IO.readPackedBinary(spark, dest)
+      .select(col("fname"), col("length"), crc32(col("content")).as("crc"))
+      .orderBy("fname")
+    val direct = spark.read.format("binaryFile").load(s"$src/*.bin")
+      .select(element_at(split(col("path"), "/"), -1).as("fname"),
+        col("length"), crc32(col("content")).as("crc"))
+      .orderBy("fname")
+    assert(packed.collect().toSeq == direct.collect().toSeq,
+      "packing must be byte-invisible")
+    // bounded splittable output: the whole point of the pack
+    val parts = fs.globStatus(new Path(s"$dest/part-*")).length
+    assert(parts <= 2 && parts >= 1, s"expected <=2 parquet files, got $parts")
+    // steady-state serving is a parquet scan — the per-file source
+    // appears nowhere in the serving plan
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("parquet") && !plan.contains("binaryFile"),
+      s"serving must read the packed table, not the landing files:\n$plan")
+  }
+
   test("versioned-published IVF index: prebuilt query + append resolve the live version dir (multi-table artifact)") {
     import org.apache.hadoop.fs.Path
     val st = graft.io.Staging
