@@ -175,20 +175,27 @@ object IO {
     * 100k tiny files re-read at 176k files/s packed vs 18k files/s
     * through binaryFile and 0.4–1.2k files/s streamed — the per-file
     * listing/open cost is paid ONCE here and never again downstream).
-    * One binaryFile pass, `nFiles` bounded splittable output files,
-    * published through [[Staging.publish]] so the table rename-swaps
-    * on HDFS or version-publishes on object stores like every staged
-    * artifact; read it back with [[readPackedBinary]]. At 100 TB the
-    * landing zone is consumed exactly once by this pass and every
-    * decoder (m1–m7 family) reads the packed table. */
+    * One binaryFile pass, published through [[Staging.publish]] so the
+    * table rename-swaps on HDFS or version-publishes on object stores
+    * like every staged artifact; read it back with
+    * [[readPackedBinary]]. Default is SHUFFLE-FREE: each scan task
+    * (the source bin-packs ~`maxPartitionBytes` of small files per
+    * task) writes one output file, so output files arrive
+    * ~`maxPartitionBytes`-sized with zero payload movement — at 100 TB
+    * a `repartition` here would push every landing byte through
+    * shuffle disk for nothing (round-15 review finding). Pass `nFiles`
+    * only when an exact output count is worth one payload shuffle
+    * (tiny fixtures, strict file-count contracts). The landing zone is
+    * consumed exactly once by this pass and every decoder (m1–m7
+    * family) reads the packed table. */
   def packBinaryDir(spark: SparkSession, srcGlob: String, dest: String,
-                    nFiles: Int = 32): Unit = {
-    require(nFiles >= 1, "nFiles must be >= 1")
+                    nFiles: Option[Int] = None): Unit = {
+    require(nFiles.forall(_ >= 1), "nFiles must be >= 1")
     Staging.publish(spark, dest) { tmp =>
-      spark.read.format("binaryFile").load(srcGlob)
+      val rows = spark.read.format("binaryFile").load(srcGlob)
         .select(element_at(split(col("path"), "/"), -1).as("fname"),
           col("length"), col("content"))
-        .repartition(nFiles)
+      nFiles.fold(rows)(rows.repartition(_))
         .write.mode(SaveMode.Overwrite).parquet(tmp)
     }
   }

@@ -153,10 +153,20 @@ object Staging {
     if (!f.exists(latest)) None
     else {
       val in = f.open(latest)
+      // read to EOF, never a single read(): object-store streams may
+      // legally return a short first read, and a truncated prefix of a
+      // multi-digit version ("12" -> "1") PARSES as a different valid
+      // version and would silently serve a stale artifact (round-15
+      // review finding)
       val txt = try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8").trim
+        val buf = new java.io.ByteArrayOutputStream(64)
+        val chunk = new Array[Byte](64)
+        var n = in.read(chunk)
+        while (n >= 0 && buf.size <= 64) {
+          buf.write(chunk, 0, n)
+          n = in.read(chunk)
+        }
+        buf.toString("UTF-8").trim
       } finally in.close()
       txt.toLongOption.filter(isPublished(f, root, _))
     }
@@ -180,7 +190,9 @@ object Staging {
     * sweeps it). Returns the published version. */
   def publishVersioned(spark: SparkSession, root: String)(build: String => Unit): Long = {
     val f = fs(spark, root)
+    recover(spark, root) // heal a crashed rename-swap before adopting
     f.mkdirs(new Path(root))
+    adoptRenameLayout(f, root)
     val v = listVersions(f, root).lastOption.getOrElse(0L) + 1L
     val dir = versionDir(root, v)
     f.delete(new Path(dir), true)
@@ -190,6 +202,34 @@ object Staging {
     f.create(new Path(s"$dir/_PUBLISHED"), true).close()
     writeManifest(spark, f, root, v)
     v
+  }
+
+  /** Migrate a rename-layout artifact in place on the FIRST versioned
+    * publish over its root: every non-reserved root entry (the old
+    * build's tables/files) moves — rename-only — into `v=000000` with
+    * a _PUBLISHED marker, so the previous build stays the live
+    * fallback until the new version publishes and GC retires it like
+    * any predecessor. Without this, flipping publishMode over an
+    * existing root would strand the old artifact's data files at the
+    * root forever — invisible to gcVersions, silently doubling storage
+    * (round-15 review finding). Readers of the OLD layout racing the
+    * migration see the same window a rename-swap already has;
+    * single-writer per root, as everywhere in Staging. */
+  private def adoptRenameLayout(f: FileSystem, root: String): Unit = {
+    if (listVersions(f, root).isEmpty && !f.exists(new Path(s"$root/LATEST"))) {
+      val reserved = Set("LATEST", "LATEST.__tmp")
+      val existing = f.listStatus(new Path(root)).toSeq
+        .filter(s => !reserved(s.getPath.getName) && !s.getPath.getName.startsWith("v="))
+      if (existing.nonEmpty) {
+        val v0 = new Path(versionDir(root, 0L))
+        f.mkdirs(v0)
+        existing.foreach { s =>
+          require(f.rename(s.getPath, new Path(v0, s.getPath.getName)),
+            s"rename-layout adoption: move ${s.getPath} -> $v0 failed")
+        }
+        f.create(new Path(s"$v0/_PUBLISHED"), true).close()
+      }
+    }
   }
 
   /** Flip LATEST to `v` via tmp-write + atomic rename(OVERWRITE). */
@@ -215,7 +255,11 @@ object Staging {
     *     swap ([[recover]] — the crash-window-availability contract).
     * Layout detection is from the root's contents, not session config:
     * a reader must resolve what the WRITER published, and mixed fleets
-    * mid-migration read both. */
+    * mid-migration read both. `v=*` directories and `LATEST` are
+    * RESERVED names at an artifact root — a rename-swap artifact whose
+    * own content created them (e.g. a table hive-partitioned on a
+    * column literally named `v`) would be misdetected as versioned;
+    * no engine artifact does, and new ones must not. */
   def resolveRead(spark: SparkSession, root: String): String = {
     val f = fs(spark, root)
     recover(spark, root)
@@ -225,7 +269,8 @@ object Staging {
     else versionDir(root, liveVersion(spark, root).getOrElse(
       throw new IllegalStateException(
         s"versioned artifact root $root has version dirs but none published — " +
-          "a first build crashed before its _PUBLISHED marker; rebuild")))
+          "the first build either crashed before its _PUBLISHED marker " +
+          "(rebuild) or is still in flight (wait for its publish)")))
   }
 
   /** Drop stale versions: keeps the live version plus its `keep` most

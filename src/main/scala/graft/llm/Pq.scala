@@ -215,16 +215,20 @@ object Pq {
     validatedParams.removeIf(k =>
       k.startsWith(indexDir + "|") || k.startsWith(indexDir + "/"))
 
-  /** (indexDir, m, stampMtime) triples already checked this JVM.
-    * The guard costs one single-row parquet read; uncached that read
-    * is the same order as the whole x22b serve path (~0.1 s vs 0.5 s),
-    * so repeated queries against an unchanged index — the prebuilt
-    * family's entire point — must not pay it per call. The stamp
-    * file's modificationTime is part of the key (one cheap
-    * getFileStatus per call): if ANOTHER process rebuilds the index
-    * with a different m after this JVM validated it, the mtime moves
-    * and the stale verdict is not reused — the exact silent-ADC-drop
-    * the guard exists to prevent. */
+  /** (liveDir, m, stampMtime) triples already checked this JVM.
+    * The guard's expensive part is a single-row parquet read — same
+    * order uncached as the whole x22b serve path (~0.1 s vs 0.5 s) —
+    * so repeated queries against an unchanged index (the prebuilt
+    * family's entire point) must not pay it per call. What a memoized
+    * call still pays per query: the live-dir resolve (a handful of
+    * exists/LIST metadata ops — [[graft.io.Staging.resolveRead]]) plus
+    * one getFileStatus for the stamp mtime; milliseconds on an object
+    * store, microseconds locally. A serving loop that wants even that
+    * off the per-call path resolves once per batch and pins the
+    * returned dir. The mtime is part of the key so a rebuild by
+    * ANOTHER process (or, under the versioned layout, a rebuild moving
+    * the live dir itself) invalidates the stale verdict — the exact
+    * silent-ADC-drop window the guard exists to close. */
   private val validatedParams = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Returns the RESOLVED live artifact directory (the root itself

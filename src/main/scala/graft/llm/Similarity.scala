@@ -311,6 +311,14 @@ object Similarity {
     // nature a mutation of the live build (immutability there is a
     // publish-vs-rebuild property, not an append ban), and the next
     // rebuild starts a fresh version that re-assigns everything.
+    // Stated honestly: the append itself is NOT crash-atomic on either
+    // layout — a killed append can leave a committed SUBSET of the new
+    // member files visible (parquet append has no all-or-nothing
+    // commit), and a retry re-appends already-landed rows. A pipeline
+    // that needs exactly-once ingest into the index routes batches
+    // through its own idempotence key (e.g. re-check max appended
+    // vec_id before retrying) or rebuilds; the swap/versioned
+    // protocols guarantee atomic PUBLISHES, not atomic appends.
     val live = graft.io.Staging.resolveRead(spark, indexDir)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -202,6 +202,10 @@ object DedupSimQueries {
           case Some(p) => s.conf.set(graft.io.Staging.PublishModeKey, p)
           case None => s.conf.unset(graft.io.Staging.PublishModeKey)
         }
+        // each JVM's build-once adds a version; retire the previous
+        // one so the scratch root doesn't accumulate builds forever
+        // (the production GC cadence, exercised where it matters)
+        graft.io.Staging.gcVersions(s, path, keep = 1)
       }
       Similarity.semanticDedupStaged(s, path, threshold = 0.99).orderBy("vec_id")
     },

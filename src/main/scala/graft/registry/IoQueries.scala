@@ -283,7 +283,7 @@ object IoQueries {
     "s17_binary_pack" -> { (s, dir) =>
       val p = binFilesFixture(s, dir)
       val dest = scratch(dir, "binpacked")
-      IO.packBinaryDir(s, s"$p/*.bin", dest, nFiles = 4)
+      IO.packBinaryDir(s, s"$p/*.bin", dest)
       IO.readPackedBinary(s, dest)
         .select(col("fname"), col("length"),
           base64(col("content")).as("content_b64"))

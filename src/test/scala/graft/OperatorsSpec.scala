@@ -483,6 +483,26 @@ class OperatorsSpec extends SparkSpec {
     }
     val e = intercept[IllegalStateException] { st.resolveRead(spark, root3) }
     assert(e.getMessage.contains("none published"), e.getMessage)
+    // flipping an existing rename-layout root to versioned ADOPTS the
+    // old build as v=000000 — rename-only, nothing stranded at the root
+    // for gcVersions to miss — and readers keep resolving through the
+    // migration
+    val root4 = s"${sys.props("java.io.tmpdir")}/graft_test_versioned4"
+    Seq(root4, root4 + ".__swap_old", root4 + ".__swap_tmp").foreach(p =>
+      fs.delete(new Path(p), true))
+    st.atomicSwap(spark, root4) { tmp => Seq(10).toDF("v").write.parquet(tmp) }
+    assert(st.resolveRead(spark, root4) == root4, "rename layout resolves in place")
+    val vNew = st.publishVersioned(spark, root4) { d => Seq(11).toDF("v").write.parquet(d) }
+    assert(vNew == 1L)
+    assert(spark.read.parquet(st.resolveRead(spark, root4)).as[Int].collect().toSeq == Seq(11))
+    assert(spark.read.parquet(s"$root4/v=000000").as[Int].collect().toSeq == Seq(10),
+      "the pre-migration build must survive as version 0")
+    assert(fs.exists(new Path(s"$root4/v=000000/_PUBLISHED")))
+    val loose = fs.listStatus(new Path(root4)).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("v=") || n == "LATEST" || n == "LATEST.__tmp")
+    assert(loose.isEmpty, s"migration must not strand root-level files: ${loose.mkString(",")}")
+    assert(st.gcVersions(spark, root4, keep = 0) == Seq(0L),
+      "the adopted version retires like any predecessor")
   }
 
   test("S17 packBinaryDir: packing is byte-invisible, bounds output files, and serving never touches the file source") {
@@ -496,7 +516,7 @@ class OperatorsSpec extends SparkSpec {
       java.nio.file.Files.write(java.nio.file.Paths.get(f"$src/f_$i%03d.bin"),
         s"content $i ${"y" * i}".getBytes("UTF-8"))
     }
-    graft.io.IO.packBinaryDir(spark, s"$src/*.bin", dest, nFiles = 2)
+    graft.io.IO.packBinaryDir(spark, s"$src/*.bin", dest, nFiles = Some(2))
     val packed = graft.io.IO.readPackedBinary(spark, dest)
       .select(col("fname"), col("length"), crc32(col("content")).as("crc"))
       .orderBy("fname")
@@ -509,6 +529,17 @@ class OperatorsSpec extends SparkSpec {
     // bounded splittable output: the whole point of the pack
     val parts = fs.globStatus(new Path(s"$dest/part-*")).length
     assert(parts <= 2 && parts >= 1, s"expected <=2 parquet files, got $parts")
+    // the scale default is SHUFFLE-FREE: output files = scan tasks (the
+    // source bin-packs small files per task, capped by the session's
+    // leaf parallelism) — far fewer than the inputs, with no
+    // repartition pushing payload bytes through an exchange
+    val dest2 = s"$dest-noshuffle"
+    fs.delete(new Path(dest2), true)
+    graft.io.IO.packBinaryDir(spark, s"$src/*.bin", dest2)
+    val parts2 = fs.globStatus(new Path(s"$dest2/part-*")).length
+    assert(parts2 < 25 && parts2 >= 1,
+      s"25 tiny files must bin-pack into fewer output files, got $parts2")
+    assert(graft.io.IO.readPackedBinary(spark, dest2).count() == 25L)
     // steady-state serving is a parquet scan — the per-file source
     // appears nowhere in the serving plan
     val plan = packed.queryExecution.executedPlan.toString

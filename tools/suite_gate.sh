@@ -24,10 +24,14 @@ set -u
 cd "$(dirname "$0")/.."
 
 src_digest() {
-  # content digest of every tracked-or-new source file the suite run
-  # covered (worktree state, not HEAD — uncommitted edits count)
-  { git ls-files src build.sbt; git ls-files --others --exclude-standard src; } \
-    | sort -u | xargs -r sha1sum | sha1sum | cut -d' ' -f1
+  # content digest of every tracked-or-new file the suite's BUILD
+  # depends on (worktree state, not HEAD — uncommitted edits count):
+  # src/, build.sbt AND the sbt build definition under project/ — a
+  # project/*.sbt change alters compiler flags/deps the recorded run
+  # never saw (round-15 review finding)
+  { git ls-files src build.sbt project; \
+    git ls-files --others --exclude-standard src project; } \
+    | sort -u | xargs -r sha1sum 2>/dev/null | sha1sum | cut -d' ' -f1
 }
 
 if [ "${1:-}" = "--check" ]; then
