@@ -298,6 +298,39 @@ object Pq {
     queryAdcCodes(codes, cents, queries, k, m)
   }
 
+  /** ADC shortlist → EXACT re-rank — the standard deployment tail of a
+    * PQ index (Jégou et al. 2011 §V evaluate exactly this shape): the
+    * 8-byte codes produce a cheap `shortlist`-deep candidate set per
+    * query, then the TRUE cosine is computed only for those candidates
+    * by joining the raw corpus vectors back — O(queries·shortlist)
+    * exact dots instead of O(queries·corpus), with the final ranking
+    * free of quantization error whenever the exact top-k survives into
+    * the shortlist (the recall the x24 gate measures; widen `shortlist`
+    * to buy recall with re-rank cost, never with index size).
+    *
+    * Scale shape: the shortlist (queries×shortlist id pairs, thin) is
+    * BROADCAST against the corpus, so the raw vectors never shuffle —
+    * the corpus-side cost is one semi-join-shaped scan; the re-rank
+    * itself is the same fused-codegen integer cosine as the exact
+    * family, so reranked and brute-force scores are bit-identical. */
+  def adcTopKReranked(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                      corpus: DataFrame, queries: DataFrame, k: Int,
+                      m: Int = 8, shortlist: Int = 12): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    graft.functions.LongArrayDot.register(spark)
+    val short = adcTopKPrebuilt(spark, indexDir, queries, k = shortlist, m)
+      .select(col("query_id"), col("neighbor_id"))
+    val cn = corpus.select(col("vec_id").as("neighbor_id"),
+      Similarity.quantize(col("embedding")).as("nv"))
+    val qn = queries.select(col("vec_id").as("query_id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val scored = cn
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("cosine", Similarity.cosineQ(col("qv"), col("nv")))
+    Similarity.topKPerQuery(scored, k)
+  }
+
   /** IVFADC (Jégou et al. 2011 §IV): the full billion-scale ANN
     * layout — IVF coarse cells prune WHICH vectors a query scores,
     * PQ residual codes decide HOW CHEAPLY. Corpus vectors are

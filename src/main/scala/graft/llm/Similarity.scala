@@ -103,7 +103,7 @@ object Similarity {
     * ranks only salts × k survivors per query. Both stages use the same
     * (cosine desc, neighbor_id) order, so results are bit-identical to
     * the one-stage window. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[llm] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val salts = scored.sparkSession.sparkContext.defaultParallelism
     val w1 = Window.partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(salts.toLong)))

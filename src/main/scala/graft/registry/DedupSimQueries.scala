@@ -438,6 +438,23 @@ object DedupSimQueries {
       graft.llm.Pq.adcTopKPrebuilt(s, idx, emb.filter(col("vec_id") < 5), k = 3)
         .orderBy("query_id", "rank")
     },
+    // x22c — ADC shortlist + EXACT re-rank (Jégou et al. 2011 §V):
+    // the deployment tail of a PQ index — the codes produce a cheap
+    // 12-deep shortlist, the true cosine re-ranks only those
+    // candidates (broadcast shortlist, corpus never shuffles), so the
+    // final top-3 is quantization-error-free whenever the exact
+    // winners survive the shortlist. Widen the shortlist to buy
+    // recall with re-rank compute, never with index size.
+    "x22c_pq_rerank" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = s"${corpusScratch(dir)}/adc_index"
+      buildOnce(builtAdcIndexes, s"${System.identityHashCode(s)}|$idx") {
+        graft.llm.Pq.buildAdcIndex(emb, idx)
+      }
+      graft.llm.Pq.adcTopKReranked(s, idx, emb, emb.filter(col("vec_id") < 5),
+        k = 3, shortlist = 12)
+        .orderBy("query_id", "rank")
+    },
     // x23 — IVFADC (Jégou et al. 2011 §IV): the x7 coarse quantizer
     // composed with residual-PQ codes — IVF prunes WHICH members a
     // query scores, the 8-byte codes decide HOW CHEAPLY. Same query
@@ -604,6 +621,7 @@ object DedupSimQueries {
            |FROM kept ORDER BY doc_id""".stripMargin,
       "x22_pq_topk" -> X22PqSql,
       "x22b_pq_prebuilt" -> X22PqSql,
+      "x22c_pq_rerank" -> X22cRerankSql,
       "x23_ivfpq_topk" -> X23IvfPqSql,
       "x23b_ivfpq_prebuilt" -> X23IvfPqSql,
       // x24 — recall of the IVFADC result (x23's full CTE set as a

@@ -540,7 +540,11 @@ private[registry] object LlmFixtures {
   /** Oracle for x22: product-quantization ADC top-3 — per-subspace
     * codebooks (2 k-means iterations, the Pq.trainCodebooks replay),
     * PQ codes, per-query LUT, summed ADC distances. */
-  lazy val X22PqSql: String =
+  /** Shared CTE prefix of the plain-ADC family (x22/x22b/x22c): train
+    * the sub-codebooks, encode, build the per-query LUT, sum ADC
+    * distances — everything up to the final ranking, so the re-rank
+    * twin composes the identical approximate stage. */
+  private lazy val x22AdcCtes: String =
     s"""WITH v AS (
        |  SELECT vec_id, ${qvSql("embedding")} AS nv FROM embeddings),
        |sub AS (
@@ -562,12 +566,40 @@ private[registry] object LlmFixtures {
        |adc AS (
        |  SELECT l.query_id, co.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
        |  FROM codes co JOIN lut l ON co.s = l.s AND co.code = l.cell_id
-       |  GROUP BY l.query_id, co.vec_id)
+       |  GROUP BY l.query_id, co.vec_id)""".stripMargin
+
+  lazy val X22PqSql: String =
+    s"""$x22AdcCtes
        |SELECT query_id, rank, neighbor_id, adc_dist FROM (
        |  SELECT query_id, vec_id AS neighbor_id, adc_dist,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
        |  FROM adc WHERE vec_id != query_id)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for x22c: the SAME ADC stage ranked to a 12-deep
+    * shortlist, then exact integer-cosine re-rank of the shortlist —
+    * the BIGINT twin of [[graft.llm.Pq.adcTopKReranked]]. */
+  lazy val X22cRerankSql: String =
+    s"""$x22AdcCtes,
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist, vec_id) AS rnk
+       |    FROM adc WHERE vec_id != query_id)
+       |  WHERE rnk <= 12),
+       |rer AS (
+       |  SELECT sh.query_id, sh.vec_id AS neighbor_id,
+       |    ${cosineSql("q.nv", "n.nv")} AS cosine
+       |  FROM short sh
+       |  JOIN v n ON n.vec_id = sh.vec_id
+       |  JOIN v q ON q.vec_id = sh.query_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM rer)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** Oracle for x23: IVFADC — the X7 coarse quantizer (trained cosine

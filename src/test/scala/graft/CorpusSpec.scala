@@ -1000,6 +1000,39 @@ class CorpusSpec extends SparkSpec {
     assert(got.getLong(1) == 1L && got.getLong(2) == exp, got.toString)
   }
 
+  test("X22c ADC re-rank: exact scores on the shortlist, recall never below plain ADC") {
+    val corpus = spark.range(30)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          j => (((col("id") % 11) * 13 + j * 7) % 29).cast("double") / lit(100.0))
+          .as("embedding"))
+    val queries = corpus.filter(col("vec_id") < 4)
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_test_x22c_idx"
+    graft.streaming.Streams.deleteDir(spark, idx)
+    graft.llm.Pq.buildAdcIndex(corpus, idx)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(graft.llm.Similarity.bruteForceTopK(corpus, queries, k = 3))
+    val adc = pairs(graft.llm.Pq.adcTopKPrebuilt(spark, idx, queries, k = 3))
+    val rer = graft.llm.Pq.adcTopKReranked(spark, idx, corpus, queries,
+      k = 3, shortlist = 12)
+    val rerPairs = pairs(rer)
+    // re-ranking can only help: every exact winner that survived the
+    // 12-deep shortlist is recovered, so recall dominates plain ADC
+    assert((rerPairs intersect exact).size >= (adc intersect exact).size,
+      s"rerank recall dropped: rer=$rerPairs adc=$adc exact=$exact")
+    // the re-ranked scores ARE the exact integer cosines — bit-identical
+    // to brute force for every (query, neighbor) both sides ranked
+    val bf = graft.llm.Similarity.bruteForceTopK(corpus, queries, k = 12)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    rer.select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().foreach { case (q, n, c) =>
+        bf.get((q, n)).foreach(e => assert(e == c, s"($q,$n): rerank $c != exact $e"))
+      }
+  }
+
   test("quantize amplitude contract: unnormalized embeddings fail with a NAMED overflow error on every similarity entry point") {
     // amplitude ~1000 at dim 64: the 1e-6 fixed-point self-dot would
     // reach ~6.4e19 > Long.MaxValue. Pre-guard this either wrapped to
