@@ -19,6 +19,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PUBLISH_MODE=versioned runs the WHOLE registry under
+    // the object-store publish protocol (graft.io.Staging.publish):
+    // every staged artifact builds as version dirs + manifest and every
+    // reader resolves it — the end-to-end proof that one conf flips the
+    // engine without moving a value (the oracle compare is unchanged).
+    sys.env.get("SPARK_GRAFT_PUBLISH_MODE")
+      .foreach(m => spark.conf.set(graft.io.Staging.PublishModeKey, m))
     new java.io.File(outDir).mkdirs()
     // dev-loop filter (same contract as SPARK_GRAFT_BENCH_ONLY): regex
     // over query names; unset = full sweep (what the driver runs)
