@@ -319,13 +319,38 @@ object Pq {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     graft.functions.LongArrayDot.register(spark)
     val short = adcTopKPrebuilt(spark, indexDir, queries, k = shortlist, m)
-      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(corpus, queries, short, k)
+  }
+
+  /** IVFADC shortlist → exact re-rank: [[adcTopKReranked]]'s tail over
+    * the coarse-pruned [[ivfAdcTopKPrebuilt]] shortlist — the complete
+    * billion-scale serving chain (coarse cells prune WHICH, codes rank
+    * CHEAPLY, exact cosine decides the final k). Recall here is capped
+    * by BOTH knobs: a neighbor outside the probed cells can never enter
+    * the shortlist (raise `nProbe`), one quantization-misranked below
+    * `shortlist` can't be recovered (raise `shortlist`). */
+  def ivfAdcTopKReranked(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                         corpus: DataFrame, queries: DataFrame, k: Int,
+                         m: Int = 8, nProbe: Int = 2, shortlist: Int = 12): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    graft.functions.LongArrayDot.register(spark)
+    val short = ivfAdcTopKPrebuilt(spark, indexDir, queries, k = shortlist, m, nProbe)
+    rerankExact(corpus, queries, short, k)
+  }
+
+  /** Shared exact-re-rank tail: broadcast the thin (query, neighbor)
+    * shortlist against the raw corpus — the corpus never shuffles and
+    * the scores are the same fused-codegen integer cosine as the exact
+    * family, so re-ranked and brute-force scores are bit-identical. */
+  private def rerankExact(corpus: DataFrame, queries: DataFrame,
+                          short: DataFrame, k: Int): DataFrame = {
+    val ids = short.select(col("query_id"), col("neighbor_id"))
     val cn = corpus.select(col("vec_id").as("neighbor_id"),
       Similarity.quantize(col("embedding")).as("nv"))
     val qn = queries.select(col("vec_id").as("query_id"),
       Similarity.quantize(col("embedding")).as("qv"))
     val scored = cn
-      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(ids), Seq("neighbor_id"))
       .join(broadcast(qn), Seq("query_id"))
       .withColumn("cosine", Similarity.cosineQ(col("qv"), col("nv")))
     Similarity.topKPerQuery(scored, k)

@@ -606,7 +606,11 @@ private[registry] object LlmFixtures {
     * k-means, identical CTEs) composed with residual-PQ codebooks and
     * per-probed-cell ADC. Every arithmetic step is the BIGINT twin of
     * [[graft.llm.Pq.ivfAdcTopK]]. */
-  lazy val X23IvfPqSql: String =
+  /** Shared CTE prefix of the IVFADC family (x23/x23b/x23c): coarse
+    * k-means, residual sub-codebooks, encode, per-probed-cell LUT, ADC
+    * sums — everything up to the final ranking, shared so the re-rank
+    * twin composes the identical approximate stage. */
+  private lazy val x23AdcCtes: String =
     s"""WITH v AS (
        |  SELECT vec_id, ${qvSql("embedding")} AS nv FROM embeddings),
        |c0 AS (
@@ -657,12 +661,40 @@ private[registry] object LlmFixtures {
        |  SELECT l.query_id, co.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
        |  FROM codes co JOIN lut l ON co.coarse_cell = l.coarse_cell
        |    AND co.s = l.s AND co.code = l.code
-       |  GROUP BY l.query_id, co.vec_id)
+       |  GROUP BY l.query_id, co.vec_id)""".stripMargin
+
+  lazy val X23IvfPqSql: String =
+    s"""$x23AdcCtes
        |SELECT query_id, rank, neighbor_id, adc_dist FROM (
        |  SELECT query_id, vec_id AS neighbor_id, adc_dist,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
        |  FROM adc WHERE vec_id != query_id)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for x23c: the SAME IVFADC stage ranked to a 12-deep
+    * shortlist, then exact integer-cosine re-rank — the BIGINT twin of
+    * [[graft.llm.Pq.ivfAdcTopKReranked]]. */
+  lazy val X23cRerankSql: String =
+    s"""$x23AdcCtes,
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist, vec_id) AS rnk
+       |    FROM adc WHERE vec_id != query_id)
+       |  WHERE rnk <= 12),
+       |rer AS (
+       |  SELECT sh.query_id, sh.vec_id AS neighbor_id,
+       |    ${cosineSql("q.nv", "n.nv")} AS cosine
+       |  FROM short sh
+       |  JOIN v n ON n.vec_id = sh.vec_id
+       |  JOIN v q ON q.vec_id = sh.query_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM rer)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
     def bucketSql(v: String, prefix: String): String =
