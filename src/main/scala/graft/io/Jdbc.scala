@@ -48,6 +48,63 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Jdbc {
 
+  /** The compatibility matrix above, EXECUTABLE: the ClickHouse column
+    * type for a Spark Catalyst type, `Nullable(T)`-wrapped when the
+    * field is nullable. Unsupported Catalyst types (maps, structs,
+    * arrays — the warehouse tables are flat) fail loudly rather than
+    * guessing a lossy encoding. */
+  def clickhouseType(dt: org.apache.spark.sql.types.DataType,
+                     nullable: Boolean): String = {
+    import org.apache.spark.sql.types._
+    val base = dt match {
+      case LongType      => "Int64"
+      case IntegerType   => "Int32"
+      case ShortType     => "Int16"
+      case ByteType      => "Int8"
+      case DoubleType    => "Float64"
+      case FloatType     => "Float32"
+      case d: DecimalType =>
+        require(d.precision <= 76,
+          s"ClickHouse Decimal caps precision at 76, got ${d.precision}")
+        s"Decimal(${d.precision}, ${d.scale})"
+      case StringType    => "String"
+      case BooleanType   => "Bool"
+      case DateType      => "Date32"
+      case TimestampType => "DateTime64(6)"
+      case BinaryType    => "String" // CH convention: bytes as String
+      case other => throw new IllegalArgumentException(
+        s"no ClickHouse mapping for Catalyst type $other — flatten or " +
+          "cast the column before export")
+    }
+    if (nullable) s"Nullable($base)" else base
+  }
+
+  /** CREATE TABLE DDL for a Spark schema on ClickHouse — the
+    * deployment twin of [[seedOnce]]'s Derby DDL override, so the
+    * URL-swap claim is executable, not prose. `orderBy` becomes the
+    * MergeTree ORDER BY key (ClickHouse's clustering key — stripe
+    * [[readPartitioned]] on its prefix); ORDER BY columns must be
+    * non-nullable in ClickHouse, enforced here. */
+  def clickhouseDdl(table: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    orderBy: Seq[String]): String = {
+    require(orderBy.nonEmpty, "MergeTree needs an ORDER BY key")
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    orderBy.foreach { k =>
+      val f = byName.getOrElse(k, throw new IllegalArgumentException(
+        s"ORDER BY column $k is not in the schema"))
+      require(!f.nullable,
+        s"ClickHouse MergeTree ORDER BY column $k must be non-nullable")
+    }
+    val cols = schema.fields
+      .map(f => s"  `${f.name}` ${clickhouseType(f.dataType, f.nullable)}")
+      .mkString(",\n")
+    s"""CREATE TABLE $table (
+       |$cols
+       |) ENGINE = MergeTree
+       |ORDER BY (${orderBy.map(c => s"`$c`").mkString(", ")})""".stripMargin
+  }
+
   /** One seeded database per (db, table) per JVM — repeated queries and
     * bench re-runs reuse the load instead of re-inserting. */
   private val seeded = new java.util.concurrent.ConcurrentHashMap[String, String]()

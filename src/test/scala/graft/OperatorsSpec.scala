@@ -994,6 +994,46 @@ class OperatorsSpec extends SparkSpec {
     assert(back == expected, "µs timestamps must survive the JDBC write/read cycle")
   }
 
+  test("S12 JDBC: ClickHouse DDL generator emits the documented matrix; guards unsupported types and nullable keys") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("i32", IntegerType), StructField("i16", ShortType),
+      StructField("f64", DoubleType), StructField("f32", FloatType),
+      StructField("dec", DecimalType(12, 2)), StructField("s", StringType),
+      StructField("b", BooleanType), StructField("d", DateType),
+      StructField("ts", TimestampType)))
+    val ddl = graft.io.Jdbc.clickhouseDdl("events_dwh", schema, Seq("id"))
+    val expected =
+      """CREATE TABLE events_dwh (
+        |  `id` Int64,
+        |  `i32` Nullable(Int32),
+        |  `i16` Nullable(Int16),
+        |  `f64` Nullable(Float64),
+        |  `f32` Nullable(Float32),
+        |  `dec` Nullable(Decimal(12, 2)),
+        |  `s` Nullable(String),
+        |  `b` Nullable(Bool),
+        |  `d` Nullable(Date32),
+        |  `ts` Nullable(DateTime64(6))
+        |) ENGINE = MergeTree
+        |ORDER BY (`id`)""".stripMargin
+    assert(ddl == expected, s"DDL drifted from the documented matrix:\n$ddl")
+    // nested types fail loudly instead of guessing a lossy encoding
+    val bad = intercept[IllegalArgumentException] {
+      graft.io.Jdbc.clickhouseType(MapType(StringType, LongType), nullable = false)
+    }
+    assert(bad.getMessage.contains("no ClickHouse mapping"), bad.getMessage)
+    // MergeTree ORDER BY keys must be non-nullable
+    val nk = intercept[IllegalArgumentException] {
+      graft.io.Jdbc.clickhouseDdl("t", schema, Seq("i32"))
+    }
+    assert(nk.getMessage.contains("non-nullable"), nk.getMessage)
+    // Spark's widest decimal (38) sits inside ClickHouse's 76 cap
+    assert(graft.io.Jdbc.clickhouseType(DecimalType(38, 18), nullable = false)
+      == "Decimal(38, 18)")
+  }
+
   test("S12 JDBC: ClickHouse-relevant type matrix round-trips both directions, nulls included") {
     // one column per ClickHouse type family the reference warehouse
     // uses (see graft.io.Jdbc scaladoc matrix): Int64/Int32/Int16,
