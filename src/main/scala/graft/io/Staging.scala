@@ -166,7 +166,10 @@ object Staging {
           buf.write(chunk, 0, n)
           n = in.read(chunk)
         }
-        buf.toString("UTF-8").trim
+        // oversize = foreign/corrupt content, never a version number
+        // (writeManifest emits <= 19 digits) — treat as torn rather
+        // than parse a truncated prefix
+        if (buf.size > 64) "" else buf.toString("UTF-8").trim
       } finally in.close()
       txt.toLongOption.filter(isPublished(f, root, _))
     }
