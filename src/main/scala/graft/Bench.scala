@@ -23,6 +23,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same contract as Verify: SPARK_GRAFT_PUBLISH_MODE=versioned runs
+    // the sweep with every staged artifact publishing/resolving under
+    // the object-store protocol — the A/B that prices resolveRead on
+    // the serving hot path (PROBES round-15)
+    sys.env.get("SPARK_GRAFT_PUBLISH_MODE")
+      .foreach(m => spark.conf.set(graft.io.Staging.PublishModeKey, m))
     // warm-up: exercise scan + window + aggregate + sort codegen paths
     // so JVM/codegen startup isn't billed to the first timed query
     locally {
