@@ -27,8 +27,7 @@ object Bench {
     // the sweep with every staged artifact publishing/resolving under
     // the object-store protocol — the A/B that prices resolveRead on
     // the serving hot path (PROBES round-15)
-    sys.env.get("SPARK_GRAFT_PUBLISH_MODE")
-      .foreach(m => spark.conf.set(graft.io.Staging.PublishModeKey, m))
+    graft.io.Staging.applyPublishModeFromEnv(spark)
     // warm-up: exercise scan + window + aggregate + sort codegen paths
     // so JVM/codegen startup isn't billed to the first timed query
     locally {

@@ -24,8 +24,7 @@ object Verify {
     // every staged artifact builds as version dirs + manifest and every
     // reader resolves it — the end-to-end proof that one conf flips the
     // engine without moving a value (the oracle compare is unchanged).
-    sys.env.get("SPARK_GRAFT_PUBLISH_MODE")
-      .foreach(m => spark.conf.set(graft.io.Staging.PublishModeKey, m))
+    graft.io.Staging.applyPublishModeFromEnv(spark)
     new java.io.File(outDir).mkdirs()
     // dev-loop filter (same contract as SPARK_GRAFT_BENCH_ONLY): regex
     // over query names; unset = full sweep (what the driver runs)

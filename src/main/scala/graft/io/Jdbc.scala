@@ -89,6 +89,18 @@ object Jdbc {
                     schema: org.apache.spark.sql.types.StructType,
                     orderBy: Seq[String]): String = {
     require(orderBy.nonEmpty, "MergeTree needs an ORDER BY key")
+    // identifiers are emitted into DDL text: restrict to the safe
+    // charset instead of trusting backtick quoting — a Catalyst field
+    // name may legally contain backticks/semicolons, which would emit
+    // broken or injectable CREATE TABLE text (round-15 review finding);
+    // fail loudly, the function's design rule
+    val ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
+    val tableIdent = "^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?$".r
+    require(tableIdent.findFirstIn(table).isDefined,
+      s"table name '$table' is not a plain [db.]table identifier — rename it " +
+        "before export (DDL text cannot safely quote arbitrary characters)")
+    schema.fields.foreach(f => require(ident.findFirstIn(f.name).isDefined,
+      s"column name '${f.name}' is not a plain identifier — rename it before export"))
     val byName = schema.fields.map(f => f.name -> f).toMap
     orderBy.foreach { k =>
       val f = byName.getOrElse(k, throw new IllegalArgumentException(

@@ -62,6 +62,13 @@ object Staging {
     * (version dirs + manifest pointer — object-store-safe). */
   val PublishModeKey = "spark.graft.staging.publishMode"
 
+  /** Driver-main helper: apply `SPARK_GRAFT_PUBLISH_MODE` from the
+    * environment to the session conf — shared by Bench and Verify so
+    * the env-var/conf-key pairing lives in one place. */
+  def applyPublishModeFromEnv(spark: SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_PUBLISH_MODE")
+      .foreach(m => spark.conf.set(PublishModeKey, m))
+
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

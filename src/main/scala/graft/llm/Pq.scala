@@ -339,18 +339,36 @@ object Pq {
   }
 
   /** Shared exact-re-rank tail: broadcast the thin (query, neighbor)
-    * shortlist against the raw corpus — the corpus never shuffles and
-    * the scores are the same fused-codegen integer cosine as the exact
-    * family, so re-ranked and brute-force scores are bit-identical. */
+    * shortlist against the raw corpus — the corpus never shuffles, the
+    * join runs BEFORE quantize so the fixed-point transform + overflow
+    * check pay only for shortlist hits (not O(corpus) — round-15
+    * review finding), and the scores are the same fused-codegen
+    * integer cosine as the exact family, so re-ranked and brute-force
+    * scores are bit-identical. A shortlist id absent from the passed
+    * corpus frame fails LOUDLY: silently dropping it would return a
+    * degraded "exact" top-k — the same silent-drift class the
+    * index_params stamp guard closes for m (drift here means the
+    * corpus frame is not the one the index was built from). */
   private def rerankExact(corpus: DataFrame, queries: DataFrame,
                           short: DataFrame, k: Int): DataFrame = {
-    val ids = short.select(col("query_id"), col("neighbor_id"))
-    val cn = corpus.select(col("vec_id").as("neighbor_id"),
-      Similarity.quantize(col("embedding")).as("nv"))
+    // eager, shortlist-sized: the count below and the join reuse ONE
+    // execution of the ADC/IVFADC shortlist query
+    val ids = short.select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val nIds = ids.count()
+    val hit = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(ids), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.quantize(col("embedding")).as("nv"))
+      .localCheckpoint() // one corpus scan serves the guard and the scoring
+    val nHit = hit.count()
+    require(nHit == nIds,
+      s"re-rank shortlist/corpus drift: expected $nIds matched shortlist rows, " +
+        s"got $nHit — the passed corpus frame is not the one the index was " +
+        "built from (missing ids: stale index or filtered frame; extra rows: " +
+        "duplicate vec_ids); rebuild the index or pass the matching corpus")
     val qn = queries.select(col("vec_id").as("query_id"),
       Similarity.quantize(col("embedding")).as("qv"))
-    val scored = cn
-      .join(broadcast(ids), Seq("neighbor_id"))
+    val scored = hit
       .join(broadcast(qn), Seq("query_id"))
       .withColumn("cosine", Similarity.cosineQ(col("qv"), col("nv")))
     Similarity.topKPerQuery(scored, k)

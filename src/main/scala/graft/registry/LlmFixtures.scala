@@ -537,9 +537,6 @@ private[registry] object LlmFixtures {
        |    GROUP BY s, cell_id, g.pos)
        |  GROUP BY s, cell_id)""".stripMargin
 
-  /** Oracle for x22: product-quantization ADC top-3 — per-subspace
-    * codebooks (2 k-means iterations, the Pq.trainCodebooks replay),
-    * PQ codes, per-query LUT, summed ADC distances. */
   /** Shared CTE prefix of the plain-ADC family (x22/x22b/x22c): train
     * the sub-codebooks, encode, build the per-query LUT, sum ADC
     * distances — everything up to the final ranking, so the re-rank
@@ -568,6 +565,9 @@ private[registry] object LlmFixtures {
        |  FROM codes co JOIN lut l ON co.s = l.s AND co.code = l.cell_id
        |  GROUP BY l.query_id, co.vec_id)""".stripMargin
 
+  /** Oracle for x22/x22b: product-quantization ADC top-3 — per-subspace
+    * codebooks (2 k-means iterations, the Pq.trainCodebooks replay),
+    * PQ codes, per-query LUT, summed ADC distances. */
   lazy val X22PqSql: String =
     s"""$x22AdcCtes
        |SELECT query_id, rank, neighbor_id, adc_dist FROM (
@@ -602,10 +602,6 @@ private[registry] object LlmFixtures {
        |  FROM rer)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  /** Oracle for x23: IVFADC — the X7 coarse quantizer (trained cosine
-    * k-means, identical CTEs) composed with residual-PQ codebooks and
-    * per-probed-cell ADC. Every arithmetic step is the BIGINT twin of
-    * [[graft.llm.Pq.ivfAdcTopK]]. */
   /** Shared CTE prefix of the IVFADC family (x23/x23b/x23c): coarse
     * k-means, residual sub-codebooks, encode, per-probed-cell LUT, ADC
     * sums — everything up to the final ranking, shared so the re-rank
@@ -663,6 +659,10 @@ private[registry] object LlmFixtures {
        |    AND co.s = l.s AND co.code = l.code
        |  GROUP BY l.query_id, co.vec_id)""".stripMargin
 
+  /** Oracle for x23/x23b: IVFADC — the X7 coarse quantizer (trained
+    * cosine k-means, identical CTEs) composed with residual-PQ
+    * codebooks and per-probed-cell ADC. Every arithmetic step is the
+    * BIGINT twin of [[graft.llm.Pq.ivfAdcTopK]]. */
   lazy val X23IvfPqSql: String =
     s"""$x23AdcCtes
        |SELECT query_id, rank, neighbor_id, adc_dist FROM (

@@ -1031,6 +1031,15 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().foreach { case (q, n, c) =>
         bf.get((q, n)).foreach(e => assert(e == c, s"($q,$n): rerank $c != exact $e"))
       }
+    // a corpus frame that is NOT the one the index was built from must
+    // fail loudly, never silently return a degraded "exact" top-k
+    // (round-15 review finding): shortlist ids filtered out of the
+    // passed frame trip the drift guard
+    val drift = intercept[IllegalArgumentException] {
+      graft.llm.Pq.adcTopKReranked(spark, idx, corpus.filter(col("vec_id") < 5),
+        queries, k = 3, shortlist = 12).collect()
+    }
+    assert(drift.getMessage.contains("shortlist/corpus drift"), drift.getMessage)
   }
 
   test("quantize amplitude contract: unnormalized embeddings fail with a NAMED overflow error on every similarity entry point") {

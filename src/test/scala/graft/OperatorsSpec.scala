@@ -1032,6 +1032,21 @@ class OperatorsSpec extends SparkSpec {
     // Spark's widest decimal (38) sits inside ClickHouse's 76 cap
     assert(graft.io.Jdbc.clickhouseType(DecimalType(38, 18), nullable = false)
       == "Decimal(38, 18)")
+    // identifiers are emitted into DDL text: non-plain names (legal in
+    // Catalyst — backticks, spaces, semicolons) are refused loudly
+    // instead of producing broken/injectable CREATE TABLE text
+    val badCol = intercept[IllegalArgumentException] {
+      graft.io.Jdbc.clickhouseDdl("t",
+        StructType(Seq(StructField("a`b", LongType, nullable = false))), Seq("a`b"))
+    }
+    assert(badCol.getMessage.contains("not a plain identifier"), badCol.getMessage)
+    val badTable = intercept[IllegalArgumentException] {
+      graft.io.Jdbc.clickhouseDdl("t (x Int64); DROP TABLE y", schema, Seq("id"))
+    }
+    assert(badTable.getMessage.contains("not a plain"), badTable.getMessage)
+    // db-qualified table names are fine
+    assert(graft.io.Jdbc.clickhouseDdl("dwh.events", schema, Seq("id"))
+      .startsWith("CREATE TABLE dwh.events ("))
   }
 
   test("S12 JDBC: ClickHouse-relevant type matrix round-trips both directions, nulls included") {
