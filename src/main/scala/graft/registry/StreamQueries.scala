@@ -260,6 +260,21 @@ object StreamQueries {
           col("length"), base64(col("content")).as("content_b64")),
         maxFilesPerTrigger = Some(5), format = "binaryFile")
         .orderBy("fname")
+    },
+    // st17 — streaming landing-zone PACK (s17's stream twin, the
+    // production steady state): 7 files/trigger → 3 real micro-batches
+    // over the 20-file fixture, each appending its payload rows to the
+    // packed parquet table; the read-back proves the accumulated table
+    // carries exactly the landing bytes (same content-level oracle as
+    // s16/s17 — per-file rows, no cross-batch state, so batch
+    // boundaries are value-invisible).
+    "st17_stream_binary_pack" -> { (s, dir) =>
+      val p = IoQueries.binFilesFixture(s, dir)
+      Streams.runBinaryPackStream(s, s"$p/*.bin", scratch(dir, "st17_ckpt"),
+        scratch(dir, "st17_packed"), maxFilesPerTrigger = Some(7))
+        .select(col("fname"), col("length"),
+          base64(col("content")).as("content_b64"))
+        .orderBy("fname")
     }
   )
 
@@ -299,6 +314,9 @@ object StreamQueries {
     // st16: per-file rows, no cross-batch state — the s16 content-level
     // oracle replays the whole stream as one batch
     "st16_stream_binary_ingest" -> IoQueries.BinFilesSql,
+    // st17 packs the same fixture the st16 stream reads — accumulation
+    // across micro-batches must be byte-invisible, same shared oracle
+    "st17_stream_binary_pack" -> IoQueries.BinFilesSql,
     // inner stream-stream join emits every match exactly once, so the
     // memory sink equals the batch self-join
     "st8_stream_join" ->

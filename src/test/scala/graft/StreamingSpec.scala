@@ -162,4 +162,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.isEmpty)
     assert(out.columns.toSeq === Seq("doc_id", "n_matches", "jac_max", "is_neardup"))
   }
+
+  test("ST17: incremental pack never re-packs seen files; new landings append exactly once") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_st17"
+    Streams.deleteDir(spark, base)
+    def land(n: String, body: String): Unit = {
+      val f = new java.io.File(s"$base/zone/$n")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+    }
+    (0 until 5).foreach(i => land(s"a_$i.bin", s"first wave $i"))
+    // fresh run packs the first wave (reset=true clears ckpt + table)
+    val first = Streams.runBinaryPackStream(spark, s"$base/zone/*.bin",
+      s"$base/ckpt", s"$base/packed", maxFilesPerTrigger = Some(2))
+    assert(first.count() == 5)
+    // a second wave lands; resuming with the SAME checkpoint
+    // (reset=false — the production mode) appends ONLY the new files:
+    // the source's seen-file log is the no-re-pack guarantee
+    (0 until 3).foreach(i => land(s"b_$i.bin", s"second wave $i"))
+    val resumed = Streams.runBinaryPackStream(spark, s"$base/zone/*.bin",
+      s"$base/ckpt", s"$base/packed", maxFilesPerTrigger = Some(2),
+      reset = false)
+    val names = resumed.select("fname").as[String].collect().toSeq.sorted
+    assert(names == (0 until 5).map(i => s"a_$i.bin") ++ (0 until 3).map(i => s"b_$i.bin"),
+      s"exactly one row per landed file, got $names")
+    // byte fidelity of the accumulated table
+    val body = resumed.filter(col("fname") === "b_2.bin")
+      .select(col("content").cast("string")).as[String].head()
+    assert(body == "second wave 2")
+  }
 }
