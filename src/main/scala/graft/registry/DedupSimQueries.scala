@@ -525,6 +525,32 @@ object DedupSimQueries {
           expr("coalesce(hits, 0L) * 1000 div 3").as("recall_milli"))
         .orderBy("query_id")
     },
+    // x24b — the recall gate over the COMPLETE serving chain (x23c's
+    // coarse-prune + codes + exact re-rank): the check a production
+    // deployment runs to size nProbe/shortlist — recall here isolates
+    // what the two pruning knobs lose, since the re-rank removed all
+    // quantization error (1M probe: 0.600 -> 0.994 at k=10).
+    "x24b_rerank_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val idx = s"${corpusScratch(dir)}/pq_index"
+      buildOnce(builtPqIndexes, s"${System.identityHashCode(s)}|$idx") {
+        graft.llm.Pq.buildPqIndex(emb, idx)
+      }
+      val approx = graft.llm.Pq.ivfAdcTopKReranked(s, idx, emb, queries,
+          k = 3, nProbe = 2, shortlist = 12)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          expr("coalesce(hits, 0L) * 1000 div 3").as("recall_milli"))
+        .orderBy("query_id")
+    },
     // sql2 — the extension-injected native `dotq` function driven from
     // the pure SQL surface: quantized-vector dot products over a temp
     // view, proving SparkSessionExtensions functions reach SQL users
@@ -659,6 +685,31 @@ object DedupSimQueries {
            |hits AS (
            |  SELECT e.query_id, COUNT(*) AS hits
            |  FROM exact e JOIN ($X23IvfPqSql) a
+           |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |  GROUP BY e.query_id)
+           |SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           |  CAST(COALESCE(h.hits, 0) * 1000 // 3 AS BIGINT) AS recall_milli
+           |FROM q LEFT JOIN hits h USING (query_id)
+           |ORDER BY q.query_id""".stripMargin,
+      // x24b — identical recall frame with the approx side swapped for
+      // the complete x23c rerank chain (shared CTE discipline: the
+      // subquery IS the x23c oracle, so the gate can never measure a
+      // different pipeline than the one x23c serves)
+      "x24b_rerank_recall" ->
+        s"""WITH c AS (SELECT vec_id AS neighbor_id, ${qvSql("embedding")} AS nv FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, ${qvSql("embedding")} AS qv FROM embeddings WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine
+           |  FROM c, q WHERE neighbor_id != query_id),
+           |exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS rank
+           |    FROM scored)
+           |  WHERE rank <= 3),
+           |hits AS (
+           |  SELECT e.query_id, COUNT(*) AS hits
+           |  FROM exact e JOIN ($X23cRerankSql) a
            |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
            |  GROUP BY e.query_id)
            |SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
