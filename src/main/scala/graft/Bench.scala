@@ -11,12 +11,24 @@ import org.apache.spark.sql.SparkSession
   * compute-heavy projections as nearly free (round-1 verdict note).
   */
 object Bench {
+  /** Fixed normalization reference for the anchor job: the round-15
+    * close-out measurement on an idle box (PROBES.md r15, load < 1).
+    * `queries_normalized` below divides out the measured-anchor /
+    * reference ratio, so a sweep on a contended box reads comparable
+    * to an idle one — the raw numbers are always retained beside it. */
+  val AnchorRefSec = 0.521
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpusRaw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // parsed loudly up front: the value is interpolated into the JSON
+    // env fingerprint as a number, where a non-numeric string would
+    // emit an unparseable bench line (round-15 ADVICE)
+    val cpus = cpusRaw.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"SPARK_GRAFT_CPUS must be an integer, got '$cpusRaw'"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.warehouse.dir", s"${sys.props("java.io.tmpdir")}/graft_warehouse")
@@ -129,6 +141,16 @@ object Bench {
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // anchor-normalized per-query numbers (round-15 verdict item 4):
+    // the anchor job is identical work every round, so raw ÷
+    // (anchor_measured / anchor_ref) divides out box contention —
+    // r15's own anchor moved 0.521→0.667 s same-day, which made every
+    // sub-1.3× cross-round delta unattributable by eye. Raw numbers
+    // stay in `queries`; delta tooling should diff `queries_normalized`.
+    val anchorRatio = anchorSec / AnchorRefSec
+    val qsNorm = results.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(if (v >= 0) v / anchorRatio else v)
+    }.mkString("{", ",", "}")
     // per-query sample counts for every query sampled MORE than `runs`
     // times (the slow tail): cross-round per-query diffs can then tell a
     // real speedup from a min taken over extra samples (round-13 ADVICE)
@@ -136,9 +158,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val env =
-      s"""{"load_avg_1m":${fmt(loadAvg)},"cpus":$cpus,"anchor_cpu_shuffle_sec":${fmt(anchorSec)}}"""
+      s"""{"load_avg_1m":${fmt(loadAvg)},"cpus":$cpus,"anchor_cpu_shuffle_sec":${fmt(anchorSec)},"anchor_ref_sec":${fmt(AnchorRefSec)},"anchor_ratio":${fmt(anchorRatio)}}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"slow_extra_runs":$extraRuns,"slow_thresh_sec":$slowThresh,"n_slow":${slow.size},"slow_samples":$slowSamples,"agg":"min-across-sweeps","env":$env,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(total / anchorRatio)},"unit":"sec","runs":$runs,"slow_extra_runs":$extraRuns,"slow_thresh_sec":$slowThresh,"n_slow":${slow.size},"slow_samples":$slowSamples,"agg":"min-across-sweeps","env":$env,"queries":$qs,"queries_normalized":$qsNorm,"sf":"$sfDir"}"""
     println(full)
     // The full line is >2KB at 100+ queries and the driver keeps only an
     // output TAIL — BENCH_r03/r04 both captured it front-truncated and

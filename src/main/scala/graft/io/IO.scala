@@ -197,6 +197,21 @@ object IO {
           col("length"), col("content"))
       nFiles.fold(rows)(rows.repartition(_))
         .write.mode(SaveMode.Overwrite).parquet(tmp)
+      // fname keys the packed rows on BASENAME: a glob spanning
+      // subdirectories (a date-partitioned landing zone) with repeated
+      // basenames would silently pack colliding fname rows and give
+      // downstream readers ambiguous content (round-15 ADVICE). Fail
+      // loudly INSIDE the publish (the live table stays untouched);
+      // the check reads only the fname column of the just-written
+      // parquet — columnar, no payload bytes move.
+      val packed = spark.read.parquet(tmp)
+      val n = packed.count()
+      val nDistinct = packed.select("fname").distinct().count()
+      require(n == nDistinct,
+        s"packBinaryDir: $srcGlob yields ${n - nDistinct} basename collisions " +
+          s"($n files, $nDistinct distinct names) — rows would be ambiguous to " +
+          "fname-keyed readers; pack each subdirectory separately or rename " +
+          "colliding files")
     }
   }
 

@@ -728,7 +728,8 @@ object Similarity {
     * against them, so there is no require() — threshold is a
     * serve-time knob, deliberately NOT baked into the artifact. */
   def stageSemanticCells(corpus: DataFrame, path: String,
-                         numCells: Int = 16, iters: Int = 2): Unit = {
+                         numCells: Int = 16, iters: Int = 2,
+                         publishMode: Option[String] = None): Unit = {
     graft.functions.LongArrayDot.register(corpus.sparkSession)
     // one scan+quantize serves training AND the assignment, exactly
     // as in the direct path — the artifact must be value-identical
@@ -737,10 +738,12 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = kmeansCodebookQ(v, numCells, iters)
     // publish through the protocol-dispatching entry point: rename-swap
-    // on HDFS/POSIX, versioned-dir + manifest on object stores
-    // (spark.graft.staging.publishMode) — the serving read resolves
-    // either layout
-    graft.io.Staging.publish(corpus.sparkSession, path) { tmp =>
+    // on HDFS/POSIX, versioned-dir + manifest on object stores.
+    // `publishMode` pins the protocol for THIS artifact (the x17b
+    // registry path proves the versioned round-trip without flipping
+    // session conf under concurrent builders — round-15 ADVICE);
+    // None = spark.graft.staging.publishMode decides.
+    graft.io.Staging.publish(corpus.sparkSession, path, publishMode) { tmp =>
       assignCellsQ(v, cents)
         .withColumn("num_cells", lit(numCells))
         .withColumn("iters", lit(iters))

@@ -194,18 +194,14 @@ object DedupSimQueries {
     "x17b_semantic_dedup_staged" -> { (s, dir) =>
       val path = s"${corpusScratch(dir)}/semantic_cells"
       buildOnce(builtSemanticCells, s"${System.identityHashCode(s)}|$path") {
-        val prev = s.conf.getOption(graft.io.Staging.PublishModeKey)
-        s.conf.set(graft.io.Staging.PublishModeKey, "versioned")
-        try Similarity.stageSemanticCells(corpusEmb(s, dir), path,
-          numCells = 16, iters = 2)
-        finally prev match {
-          case Some(p) => s.conf.set(graft.io.Staging.PublishModeKey, p)
-          case None => s.conf.unset(graft.io.Staging.PublishModeKey)
-        }
-        // each JVM's build-once adds a version; retire the previous
-        // one so the scratch root doesn't accumulate builds forever
-        // (the production GC cadence, exercised where it matters)
-        graft.io.Staging.gcVersions(s, path, keep = 1)
+        // protocol pinned per-artifact (publishMode param), never by
+        // flipping session conf around the call — a concurrent staged
+        // build on the same session must not be dragged onto the
+        // versioned protocol mid-window (round-15 ADVICE). Post-publish
+        // GC (keep=1) runs inside Staging.publish, so each JVM's
+        // build-once retires the version before last automatically.
+        Similarity.stageSemanticCells(corpusEmb(s, dir), path,
+          numCells = 16, iters = 2, publishMode = Some("versioned"))
       }
       Similarity.semanticDedupStaged(s, path, threshold = 0.99).orderBy("vec_id")
     },

@@ -205,22 +205,15 @@ object StreamQueries {
         .orderBy("user_id")
     },
     "st5_stream_stitch_tws" -> { (s, dir) =>
-      // modern arbitrary-state API; requires the RocksDB provider —
-      // set for this query, restored after (queries run sequentially)
+      // modern arbitrary-state API; requires the RocksDB provider,
+      // which is now the engine-wide default every runFileStream sets
+      // (round-15 verdict item 1 — Streams.withEngineStateStore)
       val glob = writeMicroBatches(s, dir)
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try Streams
+      Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st5tws_ckpt"),
           df => Streams.stitchDwellTws(s, df), OutputMode.Append(),
           maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
         .orderBy("entry_id")
-      finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None    => s.conf.unset(key)
-      }
     },
     // st15 — streaming near-dup ingest gate: micro-batches of incoming
     // docs swept against the STAGED corpus LSH band artifact (the x14b

@@ -39,6 +39,52 @@ object Streams {
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
+  /** Session knob selecting the state-store backend for every stream
+    * the engine runs: `rocksdb` (default) or `heap` (Spark's
+    * HDFSBackedStateStoreProvider, for A/B comparison). */
+  val StateStoreModeKey = "spark.graft.streaming.stateStore"
+
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Engine-wide state-store default: ROCKSDB, for every stateful
+    * streaming query (round-15 verdict item 1). Spark's default
+    * HDFSBackedStateStoreProvider keeps every state row in executor
+    * HEAP (the loaded-version map) — correct at test scale, but
+    * session windows, stream-stream joins, dedup state and top-k
+    * counts all grow with stream history or key cardinality, so at
+    * 100× stream state the heap provider is the first OOM while
+    * RocksDB pages state to native memory + local disk and its JVM
+    * footprint stays flat (probe: tools/probes/probe_state_store_10x
+    * .sc). transformWithState additionally REQUIRES RocksDB.
+    *
+    * The provider is a session-level SQL conf captured into the
+    * query's checkpoint at START — Spark has no per-query spelling —
+    * so this helper sets it for the duration of the (synchronous)
+    * run and restores after; engine streams run sequentially per
+    * session, and the restore means non-engine queries on the same
+    * session keep whatever the user configured. `heap` mode opts a
+    * session back to the Spark default (the A/B knob the bench
+    * comparison uses); resuming an EXISTING checkpoint under a
+    * different provider is rejected by Spark itself (offsets pin the
+    * provider), so flipping the knob mid-deployment requires a fresh
+    * checkpoint — the standard Spark migration contract. */
+  private def withEngineStateStore[T](spark: SparkSession)(body: => T): T =
+    spark.conf.get(StateStoreModeKey, "rocksdb") match {
+      case "heap" => body
+      case "rocksdb" =>
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, RocksDbProvider)
+        try body
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      case other => throw new IllegalArgumentException(
+        s"$StateStoreModeKey must be 'rocksdb' or 'heap', got '$other'")
+    }
+
   /** ST1 — micro-batch file source. Runs the stream to completion
     * (AvailableNow) into a memory sink and returns the static result. */
   def runFileStream(
@@ -67,7 +113,7 @@ object Streams {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     shufflePartitions.foreach(n => spark.conf.set(key, n))
-    try {
+    try withEngineStateStore(spark) {
       val q = transform(src).writeStream
         .format("memory")
         .queryName(name)
@@ -461,7 +507,16 @@ object Streams {
     * (PROBES round-15: 176k vs 0.4–1.2k files/s). Append-only by
     * design — the landing contract is immutable files with unique
     * names; rotation of ingested files out of the zone (the watermark
-    * S11 pattern) is what keeps the per-trigger relist bounded. */
+    * S11 pattern) is what keeps the per-trigger relist bounded.
+    *
+    * Exactly-once without an upsert: each batch lands in its own
+    * `batch_id=N` directory with overwrite (the st15 pattern) — a
+    * driver crash between the parquet job commit and the checkpoint's
+    * offset commit replays the batch into the SAME directory instead
+    * of appending duplicate rows, which a plain append sink would
+    * (round-15 ADVICE). Readers see the accumulated table through the
+    * directory read below; the inferred batch_id partition column is
+    * dropped — placement metadata, not payload. */
   def runBinaryPackStream(
       spark: SparkSession,
       path: String,
@@ -492,8 +547,8 @@ object Streams {
       .select(element_at(split(col("path"), "/"), -1).as("fname"),
         col("length"), col("content"))
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -504,7 +559,9 @@ object Streams {
     // frame with the packed schema instead of a path-not-found
     val p = new Path(outPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(outPath)
+    val hasBatches = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+    if (hasBatches) spark.read.parquet(outPath).drop("batch_id")
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("fname", StringType), StructField("length", LongType),
         StructField("content", BinaryType))))

@@ -434,9 +434,22 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(readLive() == Seq(2), "failed build must not move the manifest")
     assert(st.liveVersion(spark, root).contains(2L))
+    // a reader resolved BEFORE this publish (v2). The publish's
+    // post-flip GC (keep=1 default, round-15 verdict item 5) retains
+    // live + 1 predecessor, so a concurrent reader mid-GC always
+    // resolves a retained version: the just-retired predecessor
+    // survives exactly one more publish (the reader-grace lag).
+    val pinnedV2 = st.resolveRead(spark, root)
     val v4 = st.publishVersioned(spark, root) { d => Seq(4).toDF("v").write.parquet(d) }
     assert(v4 == 4L, s"torn v3 must not be reused, got $v4")
     assert(readLive() == Seq(4))
+    assert(spark.read.parquet(pinnedV2).as[Int].collect().toSeq == Seq(2),
+      "a reader that resolved just before the publish must survive its GC")
+    // …and the auto-GC retired everything OLDER than that predecessor:
+    // v1 (two publishes stale) and the torn v3 are gone
+    assert(!fs.exists(new Path(s"$root/v=000001")) &&
+      !fs.exists(new Path(s"$root/v=000003")),
+      "post-publish GC must drop versions beyond live + keep and torn dirs")
     // crash AFTER _PUBLISHED but BEFORE the manifest flip = manifest
     // still names the previous version — readers serve that complete
     // build; a missing or torn manifest falls back to the max published
@@ -451,11 +464,20 @@ class OperatorsSpec extends SparkSpec {
     assert(readLive() == Seq(4), "manifest naming an unpublished dir must fall back")
     st.publishVersioned(spark, root) { d => Seq(5).toDF("v").write.parquet(d) }
     assert(readLive() == Seq(5))
-    // GC: live=5, published preds = {1,2,4}; keep=1 retains 4, deletes
-    // 1, 2 and the torn 3 — never the live version or the manifest
-    assert(st.gcVersions(spark, root, keep = 1) == Seq(1L, 2L, 3L))
+    // the publish cadence already GC'd: live=5 retains {4, 5}, v2 was
+    // retired by this publish — an explicit sweep finds nothing left,
+    // and never touches the live version or the manifest
+    assert(st.gcVersions(spark, root, keep = 1) == Seq.empty)
     assert(readLive() == Seq(5))
-    assert(fs.exists(new Path(s"$root/v=000004")) && !fs.exists(new Path(s"$root/v=000001")))
+    assert(fs.exists(new Path(s"$root/v=000004")) && !fs.exists(new Path(s"$root/v=000002")))
+    // gcKeep=None opts the publish out of the cadence (the stated-
+    // reason escape hatch for audit/snapshot retention policies)
+    st.publishVersioned(spark, root, gcKeep = None) { d =>
+      Seq(6).toDF("v").write.parquet(d)
+    }
+    assert(readLive() == Seq(6))
+    assert(fs.exists(new Path(s"$root/v=000004")) && fs.exists(new Path(s"$root/v=000005")),
+      "gcKeep=None must leave every published predecessor on disk")
     // publish() dispatches on the session conf; bad values are loud
     val modeKey = st.PublishModeKey
     spark.conf.set(modeKey, "versioned")
