@@ -40,6 +40,11 @@ object Bench {
     // the object-store protocol — the A/B that prices resolveRead on
     // the serving hot path (PROBES round-15)
     graft.io.Staging.applyPublishModeFromEnv(spark)
+    // SPARK_GRAFT_STATE_STORE=heap|rocksdb: the st-family A/B knob —
+    // rocksdb is the engine default, heap reverts to Spark's
+    // HDFSBackedStateStoreProvider for comparison
+    sys.env.get("SPARK_GRAFT_STATE_STORE")
+      .foreach(m => spark.conf.set(graft.streaming.Streams.StateStoreModeKey, m))
     // warm-up: exercise scan + window + aggregate + sort codegen paths
     // so JVM/codegen startup isn't billed to the first timed query
     locally {

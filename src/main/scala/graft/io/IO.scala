@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, element_at, lit, shiftleft, shiftright, split}
+import org.apache.spark.sql.functions.{col, count, countDistinct, element_at, hash, lit, pmod, shiftleft, shiftright, split, sum}
 
 /** Source/sink format matrix (SURVEY §2.1/§2.2).
   *
@@ -219,6 +219,136 @@ object IO {
     * protocol wrote it (crash-window availability — Staging contract). */
   def readPackedBinary(spark: SparkSession, dest: String): DataFrame =
     spark.read.parquet(Staging.resolveRead(spark, dest))
+
+  // ---- S18: manifest-listed binary landing zone (round-15 verdict
+  // item 3). The round-15 probe measured the batch binaryFile source
+  // LISTING-bound at 100k files (26.3 s driver listing vs 5.6 s scan)
+  // and the stream drain capped at ~1.2k files/s: InMemoryFileIndex
+  // stats every file on the DRIVER before the first task runs, O(files)
+  // serial metadata RPCs that no executor count dilutes. s17/st17 pack
+  // AFTER ingest, so the FIRST pass still paid O(files) listing. The
+  // manifest source removes it: the WRITER side (the agent that lands
+  // files — it already knows every path it wrote) appends each wave's
+  // (path, length) rows to an append-only manifest (the watermark-table
+  // pattern, one small segment per wave); the READER plans its splits
+  // from the manifest — one glob over O(segments) tiny files — and the
+  // per-file opens happen in EXECUTORS, hash-packed to
+  // ~maxPartitionBytes per task. Driver cost is flat in file count;
+  // total open cost is the same O(files) but distributed.
+  //
+  // Rotation protocol (the bounded-zone contract, S11's watermark
+  // pattern applied to media): once a wave is packed/ingested, its
+  // segment files are MOVED to an archive prefix in the same commit
+  // that advances the ingest watermark — readers glob only live
+  // segments, so the manifest dir stays O(un-ingested waves). A file
+  // rotated out of the zone while still manifested fails the read
+  // LOUDLY (missing path / length drift below) rather than silently
+  // shipping partial bytes; rotate manifest and files together.
+
+  /** Spark size confs round-trip with a unit suffix ("128mb",
+    * "134217728b"); parse the handful of binary-prefix forms loudly. */
+  private def parseByteString(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult): (String, Long) =
+      if (t.endsWith("kb")) (t.dropRight(2), 1L << 10)
+      else if (t.endsWith("mb")) (t.dropRight(2), 1L << 20)
+      else if (t.endsWith("gb")) (t.dropRight(2), 1L << 30)
+      else if (t.endsWith("k")) (t.dropRight(1), 1L << 10)
+      else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
+      else if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
+      else if (t.endsWith("b")) (t.dropRight(1), 1L)
+      else (t, 1L)
+    num.trim.toLongOption.map(_ * mult).getOrElse(throw new IllegalArgumentException(
+      s"cannot parse byte size '$s'"))
+  }
+
+  /** Append one landing WAVE to the manifest: `entries` is (path,
+    * length) for the files just landed. Each wave lands as its own
+    * immutable segment directory — append-only, no read-modify-write,
+    * safe under concurrent waves (segment names are unique). */
+  def appendLandingManifest(spark: SparkSession, manifestDir: String,
+                            entries: DataFrame): Unit = {
+    val seg = s"$manifestDir/seg_${System.currentTimeMillis()}_${System.nanoTime() % 1000000}.json"
+    writeJsonLines(entries.select(col("path"), col("length")), seg, singleFile = true)
+  }
+
+  /** The accumulated manifest: (path, length), one row per landed file.
+    * One glob over O(segments) small files — never O(landed files)
+    * driver work. */
+  def readLandingManifest(spark: SparkSession, manifestDir: String): DataFrame =
+    spark.read.json(s"$manifestDir/seg_*.json/*.json")
+      .select(col("path"), col("length").cast("long").as("length"))
+
+  /** S18 — read a binary landing zone through its manifest: same
+    * (fname, length, content) rows as the `binaryFile` source, but
+    * split planning comes from the manifest instead of
+    * InMemoryFileIndex — no per-file driver metadata calls, so the
+    * driver-side cost is flat in file count (probe:
+    * tools/probes/probe_s18_manifest_listing.sc). Files hash-pack into
+    * ~`spark.sql.files.maxPartitionBytes` tasks (balanced in
+    * expectation — control-metadata shuffle only, the payload bytes
+    * move exactly once, executor-side). Drift fails LOUDLY: a
+    * manifested path that is missing, or whose on-disk length differs,
+    * raises with the rotation contract named — silently skipping would
+    * ship a partial corpus downstream. */
+  def readBinaryFromManifest(spark: SparkSession, manifestDir: String): DataFrame = {
+    val manifest = readLandingManifest(spark, manifestDir)
+    // basename keys the downstream rows (the packBinaryDir contract):
+    // collisions across subdirectories are ambiguous — fail on the
+    // cheap metadata before any payload byte moves
+    val stats = manifest.agg(
+      count(lit(1)).as("n"),
+      countDistinct(element_at(split(col("path"), "/"), -1)).as("nd"),
+      sum(col("length")).as("bytes")).head()
+    val (n, nd, bytes) = (stats.getLong(0), stats.getLong(1),
+      if (stats.isNullAt(2)) 0L else stats.getLong(2))
+    require(n == nd, s"manifest at $manifestDir has ${n - nd} basename " +
+      "collisions — fname-keyed readers would be ambiguous; rename or " +
+      "pack colliding waves separately")
+    val maxPB = parseByteString(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    val nSplits = math.max(1L, (bytes + maxPB - 1) / maxPB).toInt
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val rows = manifest
+      .repartition(nSplits, pmod(hash(col("path")), lit(nSplits)))
+      .select("path", "length")
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val p = new Path(r.getString(0))
+          val want = r.getLong(1)
+          require(want <= Int.MaxValue.toLong,
+            s"$p: files over 2 GiB exceed a single binary cell (same bound " +
+              "as the binaryFile source); shard or stream such payloads")
+          val f = p.getFileSystem(confBc.value.value)
+          val st =
+            try f.getFileStatus(p)
+            catch {
+              case _: java.io.FileNotFoundException => throw new IllegalStateException(
+                s"manifested file $p is missing — it was rotated out of the " +
+                  "landing zone while still manifested; rotate manifest " +
+                  "segments and files together (S18 rotation contract)")
+            }
+          require(st.getLen == want,
+            s"manifest drift: $p is ${st.getLen} bytes on disk but manifested " +
+              s"as $want — the landing contract is immutable files; re-land " +
+              "the file under a new name and re-manifest")
+          val buf = new Array[Byte](want.toInt)
+          val in = f.open(p)
+          try org.apache.hadoop.io.IOUtils.readFully(in, buf, 0, want.toInt)
+          finally in.close()
+          org.apache.spark.sql.Row(p.getName, want, buf)
+        }
+      }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fname",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType, nullable = false))))
+  }
 
   /** Restore a directory from a half-completed [[replaceDir]] swap: a
     * crash between the two renames leaves the data at `path.__swap_old`

@@ -331,10 +331,16 @@ object Pq {
     * `shortlist` can't be recovered (raise `shortlist`). */
   def ivfAdcTopKReranked(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                          corpus: DataFrame, queries: DataFrame, k: Int,
-                         m: Int = 8, nProbe: Int = 2, shortlist: Int = 12): DataFrame = {
+                         m: Int = 8, nProbe: Int = 2, shortlist: Int = 12,
+                         minCandidates: Option[Long] = None): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     graft.functions.LongArrayDot.register(spark)
-    val short = ivfAdcTopKPrebuilt(spark, indexDir, queries, k = shortlist, m, nProbe)
+    // minCandidates = Some(target) swaps the fixed nProbe for the
+    // occupancy-ADAPTIVE probe policy (ivfAdcTopKPrebuilt) — the knob
+    // that closes the coarse-prune recall loss the x24b gate isolated,
+    // at a data-bounded probe budget
+    val short = ivfAdcTopKPrebuilt(spark, indexDir, queries, k = shortlist, m,
+      nProbe, minCandidates)
     rerankExact(corpus, queries, short, k)
   }
 
@@ -410,7 +416,8 @@ object Pq {
     val v = corpus.select(col("vec_id"), Similarity.quantize(col("embedding")).as("nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (coarse, pqCents, codes) = buildCodes(v, m, numCells, coarseCells, iters)
-    val out2 = queryCodes(codes, coarse, pqCents, queries, k, m, nProbe)
+    val probes = probeResiduals(queries, coarse, nProbe, None)
+    val out2 = queryCodes(codes, pqCents, probes, k, m)
     graft.Caching.releaseAfterFirstUse(out2, v)
   }
 
@@ -432,22 +439,61 @@ object Pq {
     (coarse, pqCents, graft.Caching.releaseAfterFirstUse(codes, members))
   }
 
-  /** Query-time half of IVFADC, against an already-encoded corpus. */
-  private def queryCodes(codes: DataFrame, coarse: DataFrame, pqCents: DataFrame,
-                         queries: DataFrame, k: Int, m: Int, nProbe: Int): DataFrame = {
-    // query side: nProbe nearest coarse cells, residual per probed cell
+  /** Per-query probed-cell residual frame (query_id, cell_id, nv =
+    * query − coarse centroid), the coarse-prune stage of every IVFADC
+    * query. Cells rank by (cosine desc, cell_id); which survive is the
+    * probe POLICY:
+    *   - fixed (`minCandidates` = None): the top `nProbe` cells — the
+    *     classic knob, recall capped by whatever fraction of true
+    *     neighbors the nProbe nearest cells happen to hold;
+    *   - adaptive (`minCandidates` = Some((target, occ))): keep cells
+    *     while the members of the cells ranked BEFORE them total
+    *     < `target` — each query probes exactly as deep as the actual
+    *     cell OCCUPANCY requires (round-15 verdict item 2: x24b
+    *     isolated coarse-prune casualties as the only remaining recall
+    *     loss; a fixed nProbe under-probes queries that land in small
+    *     cells and over-probes ones in giant cells). The budget is
+    *     data-bounded: a query stops as soon as its candidate pool
+    *     reaches `target`, so expected probes ≈ target / mean
+    *     occupancy, and the shortlist-bound re-rank cost downstream is
+    *     unchanged. `occ` is (cell_id, n_members); empty cells join as
+    *     0 and ride through free.
+    * Both policies are pure Column arithmetic over a broadcast
+    * codebook (#queries·coarseCells rows), so they replay exactly in
+    * the DuckDB oracle. */
+  private def probeResiduals(queries: DataFrame, coarse: DataFrame, nProbe: Int,
+                             minCandidates: Option[(Long, DataFrame)]): DataFrame = {
     val w0 = Window.partitionBy("query_id")
       .orderBy(col("cell_sim").desc, col("cell_id"))
-    val probes = queries
+    val ranked = queries
       .select(col("vec_id").as("query_id"), Similarity.quantize(col("embedding")).as("qv"))
       .crossJoin(broadcast(coarse))
       .withColumn("cell_sim", Similarity.cosineQ(col("qv"), col("cv")))
       .withColumn("cell_rank", row_number().over(w0))
-      .filter(col("cell_rank") <= nProbe)
-      .select(col("query_id"), col("cell_id"),
-        zip_with(col("qv"), col("cv"), _ - _).as("nv"))
+    val kept = minCandidates match {
+      case None => ranked.filter(col("cell_rank") <= nProbe)
+      case Some((target, occ)) =>
+        require(target >= 1, s"minCandidates must be >= 1, got $target")
+        val wc = Window.partitionBy("query_id").orderBy("cell_rank")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ranked
+          .join(broadcast(occ), Seq("cell_id"), "left")
+          .withColumn("n_members", coalesce(col("n_members"), lit(0L)))
+          .withColumn("cum_before",
+            sum(col("n_members")).over(wc) - col("n_members"))
+          .filter(col("cum_before") < target)
+    }
+    kept.select(col("query_id"), col("cell_id"),
+      zip_with(col("qv"), col("cv"), _ - _).as("nv"))
+  }
+
+  /** Query-time half of IVFADC, against an already-encoded corpus;
+    * `probes` is the [[probeResiduals]] frame (the policy is the
+    * caller's). */
+  private def queryCodes(codes: DataFrame, pqCents: DataFrame,
+                         probes: DataFrame, k: Int, m: Int): DataFrame = {
     // LUT: exact query-residual → PQ-centroid distances, one table per
-    // (query, probed cell) — #queries·nProbe·m·numCells rows
+    // (query, probed cell) — #queries·probedCells·m·numCells rows
     val lut = subVectors(
         probes.withColumnRenamed("query_id", "vec_id"), m, carry = Seq("cell_id"))
       .withColumnRenamed("vec_id", "query_id")
@@ -491,6 +537,12 @@ object Pq {
       // repartition every encode task opens a file per touched cell
       codes.repartition(col("cell_id"))
         .write.mode("overwrite").partitionBy("cell_id").parquet(s"$tmp/codes")
+      // coarse-cell occupancy (coarseCells rows): the adaptive probe
+      // policy's input, staged at build time so serving never re-scans
+      // the code table for counts (s=0 slice = one row per member)
+      codes.filter(col("s") === 0)
+        .groupBy("cell_id").agg(count(lit(1)).as("n_members"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/cell_stats")
       writeParams(corpus.sparkSession, tmp, m, numCells, coarseCells)
     }
     purgeValidated(indexDir)
@@ -498,31 +550,55 @@ object Pq {
   }
 
   /** Query a [[buildPqIndex]] index: the probed-cell list is collected
-    * to the driver — O(#queries·nProbe) values, never corpus-sized —
-    * and inlined as a literal IN filter on the RAW partition column
-    * (directory-name inference narrows cell_id to int; literals widen,
-    * so parquet partition pruning stays effective — the
-    * [[Similarity.ivfTopKPrebuilt]] contract). */
+    * to the driver — O(#queries·probedCells) values, never
+    * corpus-sized — and inlined as a literal IN filter on the RAW
+    * partition column (directory-name inference narrows cell_id to
+    * int; literals widen, so parquet partition pruning stays effective
+    * — the [[Similarity.ivfTopKPrebuilt]] contract).
+    *
+    * `minCandidates = Some(target)` switches the coarse prune to the
+    * occupancy-ADAPTIVE policy ([[probeResiduals]]): each query keeps
+    * probing next-nearest cells until the cells already kept hold
+    * ≥ `target` candidate vectors — the fix for the recall loss x24b
+    * isolated (a fixed nProbe under-probes queries landing in small
+    * cells). Occupancy comes from the index's `cell_stats` table
+    * (written by [[buildPqIndex]]); an index built before cell_stats
+    * existed derives it from the thin code table (one column-pruned
+    * scan) so old artifacts stay queryable. */
   def ivfAdcTopKPrebuilt(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                          queries: DataFrame, k: Int,
-                         m: Int = 8, nProbe: Int = 2): DataFrame = {
+                         m: Int = 8, nProbe: Int = 2,
+                         minCandidates: Option[Long] = None): DataFrame = {
     graft.functions.LongArrayDot.register(spark)
     val live = requireParamMatch(spark, indexDir, m)
     val coarse = spark.read.parquet(s"$live/coarse")
     val pqCents = spark.read.parquet(s"$live/pq_centroids")
-    val w0 = Window.partitionBy("query_id")
-      .orderBy(col("cell_sim").desc, col("cell_id"))
-    val probedCells = queries
-      .select(col("vec_id").as("query_id"), Similarity.quantize(col("embedding")).as("qv"))
-      .crossJoin(broadcast(coarse))
-      .withColumn("cell_sim", Similarity.cosineQ(col("qv"), col("cv")))
-      .withColumn("cell_rank", row_number().over(w0))
-      .filter(col("cell_rank") <= nProbe)
-      .select("cell_id").distinct()
+    val adaptive = minCandidates.map(t => (t, cellStats(spark, live)))
+    // eager, #queries·probedCells-sized: the distinct-cell collect and
+    // the LUT join below reuse ONE execution of the probe stage
+    val probes = probeResiduals(queries, coarse, nProbe, adaptive).localCheckpoint()
+    val probedCells = probes.select("cell_id").distinct()
       .collect().map(_.getLong(0)).sorted
     val codes = spark.read.parquet(s"$live/codes")
       .filter(col("cell_id").isin(probedCells.toSeq: _*))
       .withColumn("cell_id", col("cell_id").cast("long"))
-    queryCodes(codes, coarse, pqCents, queries, k, m, nProbe)
+    queryCodes(codes, pqCents, probes, k, m)
+  }
+
+  /** (cell_id, n_members) of a live IVFADC index: the staged
+    * `cell_stats` table when present, else derived from the code
+    * table's s=0 slice (exactly one row per member vector; cell_id and
+    * s are partition/metadata columns, so the fallback scan moves no
+    * code payload). Coarse-cell counts, numCells rows — broadcast-sized
+    * by construction. */
+  private def cellStats(spark: org.apache.spark.sql.SparkSession,
+                        live: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$live/cell_stats")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) spark.read.parquet(p.toString)
+    else spark.read.parquet(s"$live/codes")
+      .filter(col("s") === 0)
+      .groupBy(col("cell_id").cast("long").as("cell_id"))
+      .agg(count(lit(1)).as("n_members"))
   }
 }

@@ -661,22 +661,39 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** SemDeDup cell-count sizing: pair-comparison cost is Σ|cell|² ≈
+    * n²/C (balanced cells) while training/assignment is n·C, so
+    * C = √n balances the two corpus-linear terms — the same √n
+    * convention IVF codebooks use. At n = 1 B this derives ~32k cells;
+    * the fixed-16 default it replaces would put 62 M vectors in every
+    * cell and go quadratic (round-15 verdict item 6). Floor 16 keeps
+    * tiny test corpora on the historical geometry. */
+  private[graft] def derivedNumCells(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the embedding space with the trained
     * [[kmeansCodebook]], then WITHIN each cell drop every vector that
     * has a lower-id cell-mate with cosine ≥ `threshold` (the paper's
     * keep-one-per-semantic-group rule — no transitive closure across
-    * cells, by design: pair-comparison cost is Σ|cell|², and numCells
-    * is chosen so cells stay pairwise-tractable; at corpus scale that
-    * is ~√n·k cells, not 16). Returns the KEPT (vec_id, cell_id) rows.
+    * cells, by design). Returns the KEPT (vec_id, cell_id) rows.
+    *
+    * `numCells` defaults to the COUNT-DERIVED [[derivedNumCells]] (√n;
+    * one cheap `count()` of the already-persisted quantized frame — or
+    * free when the caller passes `corpusSize`): a 1 B-vector caller on
+    * the old fixed-16 default got quadratic cells unless they found
+    * the sizing comment. Pass `numCells = Some(c)` to pin the
+    * geometry explicitly (the registry's x17 does, keeping its oracle
+    * byte-stable).
     *
     * Every step replays cross-engine: deterministic codebook, argmax
     * assignment with (sim desc, cell_id) tie-break, exact integer-dot
     * cosine verify. One corpus shuffle on cell_id for the pair join;
     * assignment is a broadcast cross join + hash argmax, and the final
     * anti-join moves only the drop set. */
-  def semanticDedup(corpus: DataFrame, numCells: Int = 16, iters: Int = 2,
-                    threshold: Double = 0.99): DataFrame = {
+  def semanticDedup(corpus: DataFrame, numCells: Option[Int] = None, iters: Int = 2,
+                    threshold: Double = 0.99,
+                    corpusSize: Option[Long] = None): DataFrame = {
     graft.functions.LongArrayDot.register(corpus.sparkSession)
     // ONE scan+quantize serves training AND the final assignment (the
     // public kmeansCodebook would rebuild the identical projection);
@@ -685,7 +702,9 @@ object Similarity {
     val v = spread(corpus)
       .select(col("vec_id"), quantize(col("embedding")).as("nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = kmeansCodebookQ(v, numCells, iters)
+    val cells = numCells.getOrElse(
+      derivedNumCells(corpusSize.getOrElse(v.count())))
+    val cents = kmeansCodebookQ(v, cells, iters)
     val assigned = assignCellsQ(v, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell_id"), col("vec_id").as("id_a"), col("nv").as("nv_a"))
@@ -728,15 +747,19 @@ object Similarity {
     * against them, so there is no require() — threshold is a
     * serve-time knob, deliberately NOT baked into the artifact. */
   def stageSemanticCells(corpus: DataFrame, path: String,
-                         numCells: Int = 16, iters: Int = 2,
-                         publishMode: Option[String] = None): Unit = {
+                         numCells: Option[Int] = None, iters: Int = 2,
+                         publishMode: Option[String] = None,
+                         corpusSize: Option[Long] = None): Unit = {
     graft.functions.LongArrayDot.register(corpus.sparkSession)
     // one scan+quantize serves training AND the assignment, exactly
     // as in the direct path — the artifact must be value-identical
+    // (numCells derives by the same [[derivedNumCells]] rule)
     val v = spread(corpus)
       .select(col("vec_id"), quantize(col("embedding")).as("nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = kmeansCodebookQ(v, numCells, iters)
+    val cells = numCells.getOrElse(
+      derivedNumCells(corpusSize.getOrElse(v.count())))
+    val cents = kmeansCodebookQ(v, cells, iters)
     // publish through the protocol-dispatching entry point: rename-swap
     // on HDFS/POSIX, versioned-dir + manifest on object stores.
     // `publishMode` pins the protocol for THIS artifact (the x17b
@@ -745,7 +768,7 @@ object Similarity {
     // None = spark.graft.staging.publishMode decides.
     graft.io.Staging.publish(corpus.sparkSession, path, publishMode) { tmp =>
       assignCellsQ(v, cents)
-        .withColumn("num_cells", lit(numCells))
+        .withColumn("num_cells", lit(cells))
         .withColumn("iters", lit(iters))
         .repartition(col("cell_id"))
         .write.mode("overwrite").parquet(tmp)

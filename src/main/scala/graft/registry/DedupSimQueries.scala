@@ -174,7 +174,7 @@ object DedupSimQueries {
     // drops the higher id of each similar cell-mate pair — keeps one
     // representative per semantic group without any LSH recall gamble
     "x17_semantic_dedup" -> { (s, dir) =>
-      Similarity.semanticDedup(corpusEmb(s, dir), numCells = 16, iters = 2,
+      Similarity.semanticDedup(corpusEmb(s, dir), numCells = Some(16), iters = 2,
         threshold = 0.99)
         .orderBy("vec_id")
     },
@@ -201,7 +201,7 @@ object DedupSimQueries {
         // GC (keep=1) runs inside Staging.publish, so each JVM's
         // build-once retires the version before last automatically.
         Similarity.stageSemanticCells(corpusEmb(s, dir), path,
-          numCells = 16, iters = 2, publishMode = Some("versioned"))
+          numCells = Some(16), iters = 2, publishMode = Some("versioned"))
       }
       Similarity.semanticDedupStaged(s, path, threshold = 0.99).orderBy("vec_id")
     },
@@ -547,6 +547,36 @@ object DedupSimQueries {
           expr("coalesce(hits, 0L) * 1000 div 3").as("recall_milli"))
         .orderBy("query_id")
     },
+    // x24c — the recall gate over the ADAPTIVE serving chain (round-15
+    // verdict item 2): x24b isolated coarse-prune casualties as the
+    // chain's only remaining recall loss — a fixed nProbe under-probes
+    // queries landing in small cells. Here the coarse prune is
+    // occupancy-adaptive (keep next-nearest cells until the kept cells
+    // hold >= 64 candidates — Pq.probeResiduals), shortlist 32, exact
+    // re-rank to top-10: recall@10 measured against brute force, the
+    // production knob-sizing check. 1M probe
+    // (tools/probes/probe_x24c_adaptive_1m.sc) extends the x22c table.
+    "x24c_adaptive_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val idx = s"${corpusScratch(dir)}/pq_index"
+      buildOnce(builtPqIndexes, s"${System.identityHashCode(s)}|$idx") {
+        graft.llm.Pq.buildPqIndex(emb, idx)
+      }
+      val approx = graft.llm.Pq.ivfAdcTopKReranked(s, idx, emb, queries,
+          k = 10, shortlist = 32, minCandidates = Some(64L))
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          expr("coalesce(hits, 0L) * 1000 div 10").as("recall_milli"))
+        .orderBy("query_id")
+    },
     // sql2 — the extension-injected native `dotq` function driven from
     // the pure SQL surface: quantized-vector dot products over a temp
     // view, proving SparkSessionExtensions functions reach SQL users
@@ -710,6 +740,31 @@ object DedupSimQueries {
            |  GROUP BY e.query_id)
            |SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
            |  CAST(COALESCE(h.hits, 0) * 1000 // 3 AS BIGINT) AS recall_milli
+           |FROM q LEFT JOIN hits h USING (query_id)
+           |ORDER BY q.query_id""".stripMargin,
+      // x24c — the x24b recall frame at k=10 with the approx side
+      // swapped for the ADAPTIVE chain (occupancy-driven probe depth,
+      // shortlist 32, exact re-rank; the subquery IS the chain's own
+      // oracle SQL, same shared-CTE discipline as x24b)
+      "x24c_adaptive_recall" ->
+        s"""WITH c AS (SELECT vec_id AS neighbor_id, ${qvSql("embedding")} AS nv FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, ${qvSql("embedding")} AS qv FROM embeddings WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine
+           |  FROM c, q WHERE neighbor_id != query_id),
+           |exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS rank
+           |    FROM scored)
+           |  WHERE rank <= 10),
+           |hits AS (
+           |  SELECT e.query_id, COUNT(*) AS hits
+           |  FROM exact e JOIN ($X24cAdaptiveChainSql) a
+           |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |  GROUP BY e.query_id)
+           |SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           |  CAST(COALESCE(h.hits, 0) * 1000 // 10 AS BIGINT) AS recall_milli
            |FROM q LEFT JOIN hits h USING (query_id)
            |ORDER BY q.query_id""".stripMargin,
       "x21_span_removal" ->

@@ -27,6 +27,10 @@ object IoQueries {
   private val binFileDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** (sessionUUID|dir) landing manifests this JVM already wrote (s18). */
+  private val binManifests =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** The s16/st16 landing-volume fixture: 20 deterministic .bin files
     * (UTF-8 prefixes of the documents table), written once per JVM —
     * bounded test scaffolding (in production the media files
@@ -280,6 +284,37 @@ object IoQueries {
     // parquet speed instead of re-paying per-file listing/open costs
     // (measured 176k vs 18k files/s at 100k files — PROBES round-15).
     // Same content-level oracle as s16: packing must be byte-invisible.
+    // s18 — manifest-listed landing ingest (round-15 verdict item 3):
+    // the reader plans its splits from the landing MANIFEST (the
+    // append-only (path, length) log the uploader writes per wave)
+    // instead of InMemoryFileIndex — at 100k files the binaryFile
+    // source pays 26.3 s of serial DRIVER listing before the first
+    // task; this path's driver cost is one tiny-segment glob, flat in
+    // file count (probe_s18_manifest_listing.sc), and the per-file
+    // opens run in executors packed to ~maxPartitionBytes tasks. Two
+    // manifest segments here exercise the append-only accumulation;
+    // same content-level oracle as s16 — the planner must be
+    // byte-invisible.
+    "s18_manifest_ingest" -> { (s, dir) =>
+      val p = binFilesFixture(s, dir)
+      val man = scratch(dir, "bin_manifest")
+      LlmFixtures.buildOnce(binManifests, s"${System.identityHashCode(s)}|$man") {
+        graft.streaming.Streams.deleteDir(s, man)
+        // the writer side: each landing wave logs exactly the files it
+        // landed — here replayed from the fixture dir in two waves
+        val waves = new java.io.File(p).listFiles().toSeq
+          .filter(_.getName.endsWith(".bin")).sortBy(_.getName)
+          .map(f => (f.getAbsolutePath, f.length()))
+          .grouped(10).toSeq
+        import s.implicits._
+        waves.foreach(w =>
+          IO.appendLandingManifest(s, man, w.toDF("path", "length")))
+      }
+      IO.readBinaryFromManifest(s, man)
+        .select(col("fname"), col("length"),
+          base64(col("content")).as("content_b64"))
+        .orderBy("fname")
+    },
     "s17_binary_pack" -> { (s, dir) =>
       val p = binFilesFixture(s, dir)
       val dest = scratch(dir, "binpacked")
@@ -521,6 +556,9 @@ object IoQueries {
     // length and base64 payload recomputed from the documents table —
     // a content-level compare of what binaryFile actually read
     "s16_binaryfile_ingest" -> BinFilesSql,
+    // s18 plans from the manifest instead of the file index — the
+    // planner must be byte-invisible, same shared content oracle
+    "s18_manifest_ingest" -> BinFilesSql,
     // s17 packs the same fixture the s16 source reads — byte-invisible
     // by contract, so the oracle is shared verbatim
     "s17_binary_pack" -> BinFilesSql,

@@ -602,11 +602,36 @@ private[registry] object LlmFixtures {
        |  FROM rer)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  /** Shared CTE prefix of the IVFADC family (x23/x23b/x23c): coarse
-    * k-means, residual sub-codebooks, encode, per-probed-cell LUT, ADC
-    * sums — everything up to the final ranking, shared so the re-rank
-    * twin composes the identical approximate stage. */
-  private lazy val x23AdcCtes: String =
+  /** Fixed-nProbe probe policy: the top `nProbe` cells per query (the
+    * classic IVFADC knob; x23/x23b/x23c/x24/x24b). */
+  private def probesFixedCte(nProbe: Int): String =
+    s"""probes AS (
+       |  SELECT query_id, cell_id, qv FROM ranked_probes
+       |  WHERE cell_rank <= $nProbe)""".stripMargin
+
+  /** Occupancy-ADAPTIVE probe policy (x24c; the Pq.probeResiduals
+    * twin): keep cells while the members of the cells ranked before
+    * them total < `minCandidates` — each query probes exactly as deep
+    * as the actual cell occupancy requires. */
+  private def probesAdaptiveCte(minCandidates: Int): String =
+    s"""occ AS (SELECT cell_id, COUNT(*) AS n FROM members GROUP BY cell_id),
+       |probes AS (
+       |  SELECT query_id, cell_id, qv FROM (
+       |    SELECT r.query_id, r.cell_id, r.qv,
+       |      SUM(COALESCE(o.n, 0)) OVER (PARTITION BY r.query_id
+       |        ORDER BY r.cell_rank
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |        - COALESCE(o.n, 0) AS cum_before
+       |    FROM ranked_probes r LEFT JOIN occ o USING (cell_id))
+       |  WHERE cum_before < $minCandidates)""".stripMargin
+
+  /** Shared CTE prefix of the IVFADC family (x23/x23b/x23c/x24c):
+    * coarse k-means, residual sub-codebooks, encode, per-probed-cell
+    * LUT, ADC sums — everything up to the final ranking, shared so the
+    * re-rank twins compose the identical approximate stage.
+    * `probesCte` is the probe POLICY (fixed nProbe or occupancy-
+    * adaptive), filtered off the shared `ranked_probes` cell ranking. */
+  private def x23AdcCtesWith(probesCte: String): String =
     s"""WITH v AS (
        |  SELECT vec_id, ${qvSql("embedding")} AS nv FROM embeddings),
        |c0 AS (
@@ -636,13 +661,12 @@ private[registry] object LlmFixtures {
        |        ORDER BY ${l2Sql("rsub.sv", "c.cv")}, c.cell_id) AS rnk
        |    FROM rsub JOIN rc2 c ON rsub.s = c.s)
        |  WHERE rnk = 1),
-       |probes AS (
-       |  SELECT query_id, cell_id, qv FROM (
-       |    SELECT q.vec_id AS query_id, q.nv AS qv, c.cell_id,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${cosineSql("q.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
-       |    FROM (SELECT * FROM v WHERE vec_id < 5) q CROSS JOIN c2 c)
-       |  WHERE cell_rank <= 2),
+       |ranked_probes AS (
+       |  SELECT q.vec_id AS query_id, q.nv AS qv, c.cell_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosineSql("q.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
+       |  FROM (SELECT * FROM v WHERE vec_id < 5) q CROSS JOIN c2 c),
+       |$probesCte,
        |qrsub AS (
        |  SELECT p.query_id, p.cell_id AS coarse_cell, t.s,
        |    list_transform(generate_series(1, 8),
@@ -664,7 +688,7 @@ private[registry] object LlmFixtures {
     * codebooks and per-probed-cell ADC. Every arithmetic step is the
     * BIGINT twin of [[graft.llm.Pq.ivfAdcTopK]]. */
   lazy val X23IvfPqSql: String =
-    s"""$x23AdcCtes
+    s"""${x23AdcCtesWith(probesFixedCte(2))}
        |SELECT query_id, rank, neighbor_id, adc_dist FROM (
        |  SELECT query_id, vec_id AS neighbor_id, adc_dist,
        |    CAST(row_number() OVER (PARTITION BY query_id
@@ -672,18 +696,18 @@ private[registry] object LlmFixtures {
        |  FROM adc WHERE vec_id != query_id)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  /** Oracle for x23c: the SAME IVFADC stage ranked to a 12-deep
-    * shortlist, then exact integer-cosine re-rank — the BIGINT twin of
-    * [[graft.llm.Pq.ivfAdcTopKReranked]]. */
-  lazy val X23cRerankSql: String =
-    s"""$x23AdcCtes,
+  /** IVFADC shortlist + exact integer-cosine re-rank over any probe
+    * policy — the BIGINT twin of [[graft.llm.Pq.ivfAdcTopKReranked]];
+    * shared by the fixed-probe x23c and the adaptive x24c chain. */
+  private def x23RerankSqlWith(probesCte: String, shortlist: Int, k: Int): String =
+    s"""${x23AdcCtesWith(probesCte)},
        |short AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY adc_dist, vec_id) AS rnk
        |    FROM adc WHERE vec_id != query_id)
-       |  WHERE rnk <= 12),
+       |  WHERE rnk <= $shortlist),
        |rer AS (
        |  SELECT sh.query_id, sh.vec_id AS neighbor_id,
        |    ${cosineSql("q.nv", "n.nv")} AS cosine
@@ -695,7 +719,18 @@ private[registry] object LlmFixtures {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
        |  FROM rer)
-       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for x23c: the x23 IVFADC stage (fixed nProbe=2) ranked to
+    * a 12-deep shortlist, then exact re-rank to top-3. */
+  lazy val X23cRerankSql: String =
+    x23RerankSqlWith(probesFixedCte(2), shortlist = 12, k = 3)
+
+  /** The x24c serving chain: occupancy-ADAPTIVE coarse probe
+    * (minCandidates = 64), 32-deep shortlist, exact re-rank to top-10
+    * — the BIGINT twin of `ivfAdcTopKReranked(minCandidates=Some(64))`. */
+  lazy val X24cAdaptiveChainSql: String =
+    x23RerankSqlWith(probesAdaptiveCte(64), shortlist = 32, k = 10)
 
     def bucketSql(v: String, prefix: String): String =
       Similarity.planes(4, 64, prefix).map { plane =>

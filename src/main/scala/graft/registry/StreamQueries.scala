@@ -205,14 +205,16 @@ object StreamQueries {
         .orderBy("user_id")
     },
     "st5_stream_stitch_tws" -> { (s, dir) =>
-      // modern arbitrary-state API; requires the RocksDB provider,
-      // which is now the engine-wide default every runFileStream sets
-      // (round-15 verdict item 1 — Streams.withEngineStateStore)
+      // modern arbitrary-state API; requires the RocksDB provider —
+      // the engine default (round-15 verdict item 1), PINNED here so
+      // the heap A/B knob can't put this query on a provider that
+      // cannot run it
       val glob = writeMicroBatches(s, dir)
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st5tws_ckpt"),
           df => Streams.stitchDwellTws(s, df), OutputMode.Append(),
-          maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
+          maxFilesPerTrigger = Some(2), shufflePartitions = Some(4),
+          stateStoreMode = Some("rocksdb"))
         .orderBy("entry_id")
     },
     // st15 — streaming near-dup ingest gate: micro-batches of incoming

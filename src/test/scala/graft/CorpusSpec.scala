@@ -489,11 +489,11 @@ class CorpusSpec extends SparkSpec {
           .as("embedding"))
     val dir = s"${sys.props("java.io.tmpdir")}/graft_test_x17b_cells"
     graft.streaming.Streams.deleteDir(spark, dir)
-    graft.llm.Similarity.stageSemanticCells(corpus, dir, numCells = 4, iters = 2)
+    graft.llm.Similarity.stageSemanticCells(corpus, dir, numCells = Some(4), iters = 2)
     val staged = graft.llm.Similarity.semanticDedupStaged(spark, dir, threshold = 0.99)
       .orderBy("vec_id")
     val direct = graft.llm.Similarity
-      .semanticDedup(corpus, numCells = 4, iters = 2, threshold = 0.99)
+      .semanticDedup(corpus, numCells = Some(4), iters = 2, threshold = 0.99)
       .orderBy("vec_id")
     val got = staged.collect().toSeq
     assert(got.nonEmpty && got == direct.collect().toSeq)
@@ -1066,7 +1066,7 @@ class CorpusSpec extends SparkSpec {
       s.embeddingNearDupPairs(bad, threshold = 0.99).collect()
     }
     assertOverflow("x17 semanticDedup") {
-      s.semanticDedup(bad, numCells = 2, iters = 1, threshold = 0.99).collect()
+      s.semanticDedup(bad, numCells = Some(2), iters = 1, threshold = 0.99).collect()
     }
     assertOverflow("x22 Pq.adcTopK") {
       graft.llm.Pq.adcTopK(bad, bad.limit(2), 3, m = 4, numCells = 2, iters = 1).collect()

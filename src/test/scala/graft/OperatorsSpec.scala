@@ -1515,10 +1515,34 @@ class OperatorsSpec extends SparkSpec {
     val clones = (0 until 8).map(i => (i + 1000L, vec(i)))
     val emb = (base ++ clones).toDF("vec_id", "embedding")
     val kept = graft.llm.Similarity
-      .semanticDedup(emb, numCells = 4, iters = 2, threshold = 0.99)
+      .semanticDedup(emb, numCells = Some(4), iters = 2, threshold = 0.99)
       .select("vec_id").as[Long].collect().toSet
     assert(kept == (0L until 32L).toSet,
       s"every clone must drop, every distinct vector survive; got $kept")
+  }
+
+  test("semanticDedup derives numCells from the corpus when not pinned (x17 scale default)") {
+    import spark.implicits._
+    val s = graft.llm.Similarity
+    // the sizing rule: sqrt(n) balances assign (n*C) vs verify (n^2/C);
+    // floor 16 keeps small corpora on the historical geometry
+    assert(s.derivedNumCells(0L) == 16 && s.derivedNumCells(200L) == 16)
+    assert(s.derivedNumCells(1000000L) == 1000)
+    assert(s.derivedNumCells(1000000000L) == 31623,
+      "a 1B-vector corpus must derive ~32k cells, not inherit 16")
+    // on a sub-256 corpus the derived default floors at 16 — value-
+    // identical to the historical fixed-16 call, and the corpusSize
+    // hint (skips the count) must change nothing
+    def vec(seed: Long) = (0 until 64).map(j => ((seed * 31 + j * 7) % 97).toFloat / 97f)
+    val emb = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    def keys(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = keys(s.semanticDedup(emb, numCells = Some(16)))
+    assert(keys(s.semanticDedup(emb)) == fixed,
+      "derived default must equal fixed-16 below the floor")
+    assert(keys(s.semanticDedup(emb, corpusSize = Some(40L))) == fixed,
+      "the corpusSize hint must be value-invisible")
   }
 
   test("Multimodal: windowed audio energy partitions the exact sample energy") {
@@ -2016,7 +2040,7 @@ class OperatorsSpec extends SparkSpec {
         (if (j == cluster * 2) 10f else 0f) + ((i * 31 + j * 7) % 5) * 0.1f)
     val rows = for (c <- 0 until 4; i <- 0 until 30) yield ((i * 4 + c).toLong, vec(c, i))
     val kept = graft.llm.Similarity
-      .semanticDedup(rows.toDF("vec_id", "embedding"), numCells = 4, iters = 2,
+      .semanticDedup(rows.toDF("vec_id", "embedding"), numCells = Some(4), iters = 2,
         threshold = 0.999)
     assert(kept.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
       "consumer's first action would recompute instead of reading cache")

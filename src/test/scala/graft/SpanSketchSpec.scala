@@ -166,6 +166,70 @@ class SpanSketchSpec extends SparkSpec {
     } finally graft.streaming.Streams.deleteDir(spark, idx)
   }
 
+  test("adaptive multi-probe keeps cells by occupancy target and converges to the full scan (x24c)") {
+    import spark.implicits._
+    graft.functions.LongArrayDot.register(spark)
+    def vec(seed: Long) = (0 until 64).map(j => ((seed * 37 + j * 11) % 101).toFloat / 101f)
+    val emb = (0L until 64L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 7L)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_adaptive").toString
+    try {
+      Pq.buildPqIndex(emb, idx)
+      val live = graft.io.Staging.resolveRead(spark, idx)
+      // a target >= corpus probes every cell: value-identical to the
+      // fixed policy at nProbe = numCells (the convergence contract)
+      def keyOf(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))
+      val full = Pq.ivfAdcTopKPrebuilt(spark, idx, q, k = 10, nProbe = 16)
+        .collect().sortBy(_.getAs[Int]("rank")).map(keyOf).toSeq
+      val adFull = Pq.ivfAdcTopKPrebuilt(spark, idx, q, k = 10,
+          minCandidates = Some(1000L))
+        .collect().sortBy(_.getAs[Int]("rank")).map(keyOf).toSeq
+      assert(adFull === full, "target >= corpus must equal the full scan")
+      // the kept-cell RULE, pinned against a driver-side replica over
+      // the staged cell_stats: cells rank by (cosine desc, cell_id);
+      // keep while the members of the cells ranked before total < 4
+      val target = 4L
+      val occ = spark.read.parquet(s"$live/cell_stats").collect()
+        .map(r => r.getAs[Long]("cell_id") -> r.getAs[Long]("n_members")).toMap
+      val coarse = spark.read.parquet(s"$live/coarse")
+      val qv = graft.llm.Similarity.quantize(col("embedding"))
+      val rankedCells = q.select(qv.as("qv")).crossJoin(coarse)
+        .select(col("cell_id"),
+          graft.llm.Similarity.cosineQ(col("qv"), col("cv")).as("sim"))
+        .collect().map(r => (r.getAs[Long]("cell_id"), r.getAs[Double]("sim")))
+        .sortBy { case (id, sim) => (-sim, id) }.map(_._1)
+      var cum = 0L
+      val keptCells = rankedCells.takeWhile { c =>
+        val keep = cum < target; cum += occ.getOrElse(c, 0L); keep
+      }.toSet
+      val expected = spark.read.parquet(s"$live/codes")
+        .filter(col("s") === 0)
+        .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"))
+        .collect()
+        .filter(r => keptCells(r.getAs[Long]("cell_id")))
+        .map(_.getAs[Long]("vec_id")).toSet - 7L
+      assert(cum >= target || keptCells == rankedCells.toSet,
+        "the rule stops only once the target is met (or cells run out)")
+      val adSmall = Pq.ivfAdcTopKPrebuilt(spark, idx, q, k = 64,
+          minCandidates = Some(target))
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      assert(adSmall === expected,
+        s"adaptive candidates must be exactly the kept cells' members: " +
+          s"got ${adSmall.toSeq.sorted}, want ${expected.toSeq.sorted}")
+      assert(adSmall.size < 64, "a small target must actually prune")
+      // an index built BEFORE cell_stats existed stays queryable: the
+      // occupancy derives from the thin code table, same answer
+      val statsPath = new org.apache.hadoop.fs.Path(s"$live/cell_stats")
+      statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(statsPath, true)
+      val adNoStats = Pq.ivfAdcTopKPrebuilt(spark, idx, q, k = 64,
+          minCandidates = Some(target))
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      assert(adNoStats === adSmall, "cell_stats fallback must be value-invisible")
+    } finally graft.streaming.Streams.deleteDir(spark, idx)
+  }
+
   test("plain-ADC persisted index round-trip is value-invisible (x22b)") {
     import spark.implicits._
     def vec(seed: Long) = (0 until 64).map(j => ((seed * 31 + j * 7) % 97).toFloat / 97f)

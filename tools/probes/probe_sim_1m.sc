@@ -37,7 +37,7 @@ val corpus = base.unionByName(clones)
 
 // x17 SemDeDup: cells sized ~sqrt-corpus (1024 cells ~ 1000/cell)
 var t0 = System.nanoTime
-val kept = graft.llm.Similarity.semanticDedup(corpus, numCells = 1024, iters = 2,
+val kept = graft.llm.Similarity.semanticDedup(corpus, numCells = Some(1024), iters = 2,
   threshold = 0.999999).count
 println(f"PROBE_SIM_1M semantic_dedup kept=$kept of ${2 * N} wall_s=${(System.nanoTime - t0) / 1e9}%.1f")
 

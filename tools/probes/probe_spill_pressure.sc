@@ -76,7 +76,7 @@ val emb = spark.range(250000L).select(col("id").as("vec_id"), vecExpr.as("embedd
 // per-row hashes pins the exact member set (a truncated/modular form
 // would let different survivor sets of the same size collide)
 timed("x17_semdedup_250k") {
-  val r = graft.llm.Similarity.semanticDedup(emb, numCells = 256, iters = 2, threshold = 0.99)
+  val r = graft.llm.Similarity.semanticDedup(emb, numCells = Some(256), iters = 2, threshold = 0.99)
     .agg(count(lit(1)),
       sum(xxhash64(col("vec_id")).cast("decimal(38,0)"))).head()
   s"${r.getLong(0)}_${r.getDecimal(1)}"

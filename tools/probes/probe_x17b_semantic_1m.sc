@@ -69,14 +69,14 @@ def checksum(kept: org.apache.spark.sql.DataFrame): (Long, Long) = {
 
 // A -- the per-sweep cost today: train + assign + dedup in one call
 val ((nDirect, ckDirect), tDirect) = timed("direct_sweep_t0.99") {
-  checksum(graft.llm.Similarity.semanticDedup(corpus, numCells = CELLS,
+  checksum(graft.llm.Similarity.semanticDedup(corpus, numCells = Some(CELLS),
     iters = 2, threshold = 0.99))
 }
 
 // B -- once per corpus snapshot: train + assign, cells to parquet
 val (_, tBuild) = timed("build_cell_artifact") {
   graft.llm.Similarity.stageSemanticCells(corpus, s"$root/cells",
-    numCells = CELLS, iters = 2)
+    numCells = Some(CELLS), iters = 2)
 }
 
 // C -- the per-sweep cost after: self-join + verify only
