@@ -268,6 +268,10 @@ object IO {
     * safe under concurrent waves (segment names are unique). */
   def appendLandingManifest(spark: SparkSession, manifestDir: String,
                             entries: DataFrame): Unit = {
+    // a wave that landed nothing has nothing to manifest — and an
+    // empty JSON segment is schema-less on read-back, which would
+    // break the reader's column projection with a confusing error
+    if (entries.isEmpty) return
     val seg = s"$manifestDir/seg_${System.currentTimeMillis()}_${System.nanoTime() % 1000000}.json"
     writeJsonLines(entries.select(col("path"), col("length")), seg, singleFile = true)
   }

@@ -527,6 +527,64 @@ class OperatorsSpec extends SparkSpec {
       "the adopted version retires like any predecessor")
   }
 
+  test("S18 manifest ingest: waves accumulate, drift fails loudly, empty waves are no-ops") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val zone = s"${sys.props("java.io.tmpdir")}/graft_test_s18_zone"
+    val man = s"${sys.props("java.io.tmpdir")}/graft_test_s18_man"
+    val fs = new Path(man).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(zone), true); fs.delete(new Path(man), true)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(zone))
+    def land(name: String, body: String): (String, Long) = {
+      val p = java.nio.file.Paths.get(zone, name)
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+      (p.toString, body.getBytes("UTF-8").length.toLong)
+    }
+    // two waves + an empty one (the no-op contract)
+    val w1 = Seq(land("a.bin", "alpha"), land("b.bin", "bravo two"))
+    graft.io.IO.appendLandingManifest(spark, man, w1.toDF("path", "length"))
+    graft.io.IO.appendLandingManifest(spark, man,
+      Seq.empty[(String, Long)].toDF("path", "length"))
+    val w2 = Seq(land("c.bin", "charlie three"))
+    graft.io.IO.appendLandingManifest(spark, man, w2.toDF("path", "length"))
+    val got = graft.io.IO.readBinaryFromManifest(spark, man)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8"))).sortBy(_._1)
+    assert(got.toSeq == Seq(("a.bin", 5L, "alpha"), ("b.bin", 9L, "bravo two"),
+      ("c.bin", 13L, "charlie three")),
+      s"accumulated waves must read back byte-exact, got ${got.mkString(";")}")
+    // length drift fails loudly (immutable-file landing contract)
+    java.nio.file.Files.write(java.nio.file.Paths.get(zone, "c.bin"),
+      "mutated!".getBytes("UTF-8"))
+    val drift = intercept[org.apache.spark.SparkException] {
+      graft.io.IO.readBinaryFromManifest(spark, man).collect()
+    }
+    assert(drift.getMessage.contains("manifest drift")
+      || Option(drift.getCause).exists(_.getMessage.contains("manifest drift")),
+      s"drift must be named: ${drift.getMessage}")
+    // a manifested file rotated out of the zone fails with the contract
+    java.nio.file.Files.write(java.nio.file.Paths.get(zone, "c.bin"),
+      "charlie three".getBytes("UTF-8"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(zone, "a.bin"))
+    val gone = intercept[org.apache.spark.SparkException] {
+      graft.io.IO.readBinaryFromManifest(spark, man).collect()
+    }
+    assert(gone.getMessage.contains("rotated out")
+      || Option(gone.getCause).exists(_.getMessage.contains("rotated out")),
+      s"rotation race must be named: ${gone.getMessage}")
+    land("a.bin", "alpha")
+    // basename collision across subdirectories is refused on metadata
+    val sub = java.nio.file.Paths.get(zone, "sub")
+    java.nio.file.Files.createDirectories(sub)
+    java.nio.file.Files.write(sub.resolve("a.bin"), "other alpha".getBytes("UTF-8"))
+    graft.io.IO.appendLandingManifest(spark, man,
+      Seq((sub.resolve("a.bin").toString, 11L)).toDF("path", "length"))
+    val dup = intercept[IllegalArgumentException] {
+      graft.io.IO.readBinaryFromManifest(spark, man).collect()
+    }
+    assert(dup.getMessage.contains("basename"), dup.getMessage)
+  }
+
   test("S17 packBinaryDir: packing is byte-invisible, bounds output files, and serving never touches the file source") {
     import org.apache.hadoop.fs.Path
     val src = s"${sys.props("java.io.tmpdir")}/graft_test_binpack_src"

@@ -71,23 +71,42 @@ def genManifest(n: Int, dir: String): String = {
   man
 }
 
+// codegen/scan warmup so the first timed case isn't billed JVM startup
+locally {
+  val w = genFiles(20000)
+  spark.read.format("binaryFile").load(s"$w/doc_000000*.bin")
+    .select(md5(col("content"))).count()
+}
+
 Seq(20000, 100000, 300000).foreach { n =>
   val dir = genFiles(n)
   val man = genManifest(n, dir)
   println(s"PROBE ==== n=$n files ====")
-  var viaSrc = 0L
-  val tSrc = timed(s"binaryFile-read-$n") {
-    viaSrc = spark.read.format("binaryFile").load(s"$dir/*.bin")
-      .select(md5(col("content"))).count()
+  // the claim under test is the PLANNING phase: InMemoryFileIndex stats
+  // every file on the driver before task 1; the manifest plan is a scan
+  // of O(segments) tiny files. Isolate it from payload reads.
+  val tPlanMan = timed(s"manifest-plan-only-$n") {
+    require(graft.io.IO.readLandingManifest(spark, man).count() == n)
   }
+  val tPlanSrc = timed(s"binaryFile-listing-only-$n") {
+    require(spark.read.format("binaryFile").load(s"$dir/*.bin")
+      .inputFiles.length == n)
+  }
+  // full ingest walls (manifest first, so any page-cache warming favors
+  // the binaryFile side -- conservative for the claim)
   var viaMan = 0L
   val tMan = timed(s"manifest-read-$n") {
     viaMan = graft.io.IO.readBinaryFromManifest(spark, man)
       .select(md5(col("content"))).count()
   }
+  var viaSrc = 0L
+  val tSrc = timed(s"binaryFile-read-$n") {
+    viaSrc = spark.read.format("binaryFile").load(s"$dir/*.bin")
+      .select(md5(col("content"))).count()
+  }
   require(viaSrc == n && viaMan == n, s"row counts: src=$viaSrc man=$viaMan")
-  println(f"PROBE n=$n%-7d binaryFile=${n / tSrc}%8.0f files/s  " +
-    f"manifest=${n / tMan}%8.0f files/s  speedup=${tSrc / tMan}%5.2f x")
+  println(f"PROBE n=$n%-7d plan: binaryFile=$tPlanSrc%6.1f s manifest=$tPlanMan%6.1f s | " +
+    f"ingest: binaryFile=${n / tSrc}%8.0f files/s manifest=${n / tMan}%8.0f files/s")
 }
 
 // content equality at the smallest size (cheap): both paths must agree

@@ -26,10 +26,13 @@ val schema = StructType(Seq(
 // FIXED FRACTION of n -- 10x events = 10x state rows by construction
 def writeFixture(n: Long, dir: String): Unit = {
   val spanUs = 3L * 24 * 3600 * 1000000
+  // integer step: long/long division in Column land yields DOUBLE and
+  // the JSON roundtrip would null out the LongType schema read
+  val stepUs = spanUs / n
   val ev = spark.range(n).select(
     col("id").as("entry_id"),
     (col("id") % 5000L).as("user_id"),
-    (lit(1704067200000000L) + (col("id") * spanUs / n)).as("ts_us"))
+    (lit(1704067200000000L) + col("id") * stepUs).as("ts_us"))
   val files = 8
   (0 until files).foreach { i =>
     ev.filter(col("entry_id") % files === i)
