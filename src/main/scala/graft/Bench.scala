@@ -12,10 +12,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** Fixed normalization reference for the anchor job: the round-15
-    * close-out measurement on an idle box (PROBES.md r15, load < 1).
-    * `queries_normalized` below divides out the measured-anchor /
-    * reference ratio, so a sweep on a contended box reads comparable
-    * to an idle one — the raw numbers are always retained beside it. */
+    * close-out measurement (PROBES.md r15 delta table, anchor 0.521 s —
+    * the least-contended anchor sample of that round; the same round's
+    * full-sweep anchor read 0.667 s, the 28% same-day swing that
+    * motivated normalizing at all). `queries_normalized` below divides
+    * out the measured-anchor / reference ratio, so a sweep on a
+    * contended box reads comparable across rounds — the raw numbers
+    * are always retained beside it. */
   val AnchorRefSec = 0.521
 
   def main(args: Array[String]): Unit = {

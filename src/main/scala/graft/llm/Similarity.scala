@@ -351,8 +351,17 @@ object Similarity {
     * is what turns the member read into parquet PARTITION PRUNING
     * (spec-asserted): at 100 TB with √n·k cells, a query touches
     * nProbe/numCells of the index files and the rest are never opened. */
+  /** `minCandidates = Some(target)` switches the coarse prune to the
+    * occupancy-ADAPTIVE policy (the [[graft.llm.Pq]] x24c rule applied
+    * to IVF-flat): keep next-nearest cells until the kept cells hold
+    * ≥ `target` members, so small-cell queries probe deeper and
+    * giant-cell queries stop early. Occupancy derives from the member
+    * table's partition metadata (a column-pruned count per cell — and
+    * it stays correct under [[appendToIvfIndex]], which a staged stats
+    * table would not). */
   def ivfTopKPrebuilt(spark: SparkSession, indexDir: String, queries: DataFrame,
-                      k: Int, nProbe: Int = 2): DataFrame = {
+                      k: Int, nProbe: Int = 2,
+                      minCandidates: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.LongArrayDot.register(spark)
     // crash-window availability on either publish protocol: heal a
@@ -366,9 +375,24 @@ object Similarity {
       .crossJoin(broadcast(cents))
       .withColumn("cell_sim", cosineQ(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cell_sim").desc, col("cell_id"))
-    val probes = scoredQ
-      .withColumn("cell_rank", row_number().over(w))
-      .filter(col("cell_rank") <= nProbe)
+    val ranked = scoredQ.withColumn("cell_rank", row_number().over(w))
+    val kept = minCandidates match {
+      case None => ranked.filter(col("cell_rank") <= nProbe)
+      case Some(target) =>
+        require(target >= 1, s"minCandidates must be >= 1, got $target")
+        val occ = spark.read.parquet(s"$live/members")
+          .groupBy(col("cell_id").cast("long").as("cell_id"))
+          .agg(count(lit(1)).as("n_members"))
+        val wc = Window.partitionBy("query_id").orderBy("cell_rank")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ranked
+          .join(broadcast(occ), Seq("cell_id"), "left")
+          .withColumn("n_members", coalesce(col("n_members"), lit(0L)))
+          .withColumn("cum_before",
+            sum(col("n_members")).over(wc) - col("n_members"))
+          .filter(col("cum_before") < target)
+    }
+    val probes = kept
       .select(col("query_id"), col("qv"), col("cell_id"))
       .localCheckpoint() // tiny; reused by the collect below AND the join
     val probedCells = probes.select("cell_id").distinct()

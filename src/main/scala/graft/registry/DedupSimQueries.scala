@@ -161,6 +161,22 @@ object DedupSimQueries {
       Similarity.ivfTopKPrebuilt(s, idx, emb.filter(col("vec_id") < 5), k = 3, nProbe = 2)
         .orderBy("query_id", "rank")
     },
+    // x7c — the occupancy-ADAPTIVE probe policy on the flat-member IVF
+    // index (the x24c rule applied to x7b): each query keeps probing
+    // next-nearest cells until the kept cells hold >= 64 members, so
+    // probe depth follows actual occupancy instead of a fixed nProbe.
+    // Occupancy derives from the member table itself (stays correct
+    // under appendToIvfIndex). Same build-once index as x7b.
+    "x7c_ann_ivf_adaptive" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = s"${corpusScratch(dir)}/ivf_index"
+      buildOnce(builtIvfIndexes, s"${System.identityHashCode(s)}|$idx") {
+        Similarity.buildIvfIndex(emb, idx, numCells = 16, iters = 2)
+      }
+      Similarity.ivfTopKPrebuilt(s, idx, emb.filter(col("vec_id") < 5), k = 3,
+          minCandidates = Some(64L))
+        .orderBy("query_id", "rank")
+    },
     "x9_embed_neardup" -> { (s, dir) =>
       // vector-space dedup: LSH-bucketed candidates (4 planes × 2
       // tables here for test-corpus recall; production raises numPlanes
@@ -878,6 +894,8 @@ object DedupSimQueries {
       "x7_ann_ivf" -> X7IvfSql,
       // identical semantics through the persisted-index round-trip
       "x7b_ann_ivf_prebuilt" -> X7IvfSql,
+      // the adaptive probe rule replayed over the same trained members
+      "x7c_ann_ivf_adaptive" -> X7cAdaptiveSql,
       "x17_semantic_dedup" -> X17SemanticSql,
       // identical semantics through the staged-assignment round-trip
       "x17b_semantic_dedup_staged" -> X17SemanticSql,

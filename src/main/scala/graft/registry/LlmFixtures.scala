@@ -450,10 +450,13 @@ private[registry] object LlmFixtures {
        |    GROUP BY cell_id, g.pos)
        |  GROUP BY cell_id)""".stripMargin
 
-  /** Oracle for BOTH x7 (train+query in one pass) and x7b (query
-    * against the persisted index): the index round-trip must be
-    * value-invisible, so one SQL body serves both. */
-  lazy val X7IvfSql: String =
+  /** IVF-flat oracle body over any probe policy: trained coarse
+    * k-means, member assignment, probe selection (`probesCte`, filtered
+    * off the shared `ranked_probes` ranking), cosine scoring of probed
+    * cells' members, top-3 — shared by x7/x7b (fixed nProbe) and x7c
+    * (occupancy-adaptive), so the policies can never drift from one
+    * training replay. */
+  private def x7IvfSqlWith(probesCte: String): String =
     s"""WITH v AS (
        |  SELECT vec_id, ${qvSql("embedding")} AS nv FROM embeddings),
        |c0 AS (
@@ -467,13 +470,12 @@ private[registry] object LlmFixtures {
        |        ORDER BY ${cosineSql("v.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
        |    FROM v CROSS JOIN c2 c)
        |  WHERE cell_rank = 1),
-       |probes AS (
-       |  SELECT query_id, qv, cell_id FROM (
-       |    SELECT q.vec_id AS query_id, q.nv AS qv, c.cell_id,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${cosineSql("q.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
-       |    FROM (SELECT * FROM v WHERE vec_id < 5) q CROSS JOIN c2 c)
-       |  WHERE cell_rank <= 2),
+       |ranked_probes AS (
+       |  SELECT q.vec_id AS query_id, q.nv AS qv, c.cell_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosineSql("q.nv", "c.cv")} DESC, c.cell_id) AS cell_rank
+       |  FROM (SELECT * FROM v WHERE vec_id < 5) q CROSS JOIN c2 c),
+       |$probesCte,
        |scored AS (
        |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cosine
        |  FROM members JOIN probes USING (cell_id)
@@ -483,6 +485,30 @@ private[registry] object LlmFixtures {
        |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
        |  FROM scored)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for BOTH x7 (train+query in one pass) and x7b (query
+    * against the persisted index): the index round-trip must be
+    * value-invisible, so one SQL body serves both. */
+  lazy val X7IvfSql: String = x7IvfSqlWith(
+    s"""probes AS (
+       |  SELECT query_id, qv, cell_id FROM ranked_probes
+       |  WHERE cell_rank <= 2)""".stripMargin)
+
+  /** Oracle for x7c: the same IVF-flat body with the occupancy-
+    * adaptive probe rule (keep cells while members-before < 64) —
+    * the x24c policy on the flat-member index. The member counts come
+    * from the SAME `members` CTE the scoring uses. */
+  lazy val X7cAdaptiveSql: String = x7IvfSqlWith(
+    s"""occ AS (SELECT cell_id, COUNT(*) AS n FROM members GROUP BY cell_id),
+       |probes AS (
+       |  SELECT query_id, qv, cell_id FROM (
+       |    SELECT r.query_id, r.qv, r.cell_id,
+       |      SUM(COALESCE(o.n, 0)) OVER (PARTITION BY r.query_id
+       |        ORDER BY r.cell_rank
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |        - COALESCE(o.n, 0) AS cum_before
+       |    FROM ranked_probes r LEFT JOIN occ o USING (cell_id))
+       |  WHERE cum_before < 64)""".stripMargin)
 
   /** Oracle for BOTH x17 (train+assign+dedup in one pass) and x17b
     * (dedup against the staged cell-assignment artifact): the

@@ -571,8 +571,18 @@ object Streams {
     // frame with the packed schema instead of a path-not-found
     val p = new Path(outPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasBatches = fs.exists(p) &&
-      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+    val entries =
+      if (fs.exists(p)) fs.listStatus(p).toSeq.map(_.getPath.getName) else Seq.empty
+    val hasBatches = entries.exists(_.startsWith("batch_id="))
+    // a pre-batch-layout table (flat part files from the append-sink
+    // era) must not silently read back as EMPTY — the operator either
+    // re-packs into a fresh outPath or keeps the old reader; mixing
+    // layouts would corrupt partition discovery, so refuse loudly
+    require(hasBatches || !entries.exists(n =>
+        n.startsWith("part-") && !n.startsWith("_") && !n.startsWith(".")),
+      s"$outPath holds a flat (pre-batch-layout) packed table; this packer " +
+        "now writes idempotent batch_id=N directories — drain into a fresh " +
+        "outPath (and checkpoint), or migrate the old table first")
     if (hasBatches) spark.read.parquet(outPath).drop("batch_id")
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("fname", StringType), StructField("length", LongType),

@@ -1429,6 +1429,21 @@ class OperatorsSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [") && scan.contains("cell_id"),
       s"expected a cell_id partition filter on the member scan, got:\n$scan")
 
+    // the occupancy-ADAPTIVE probe policy (x7c): a target >= corpus
+    // probes every cell — value-identical to nProbe = numCells; a
+    // 1-member target probes exactly the nearest non-empty cell chain
+    // (the first cell always probes), so results are a subset of full
+    val allCells = rowsOf(Similarity.ivfTopKPrebuilt(spark, idx, queries, k = 5, nProbe = 4))
+    val adAll = rowsOf(Similarity.ivfTopKPrebuilt(spark, idx, queries, k = 5,
+      minCandidates = Some(10000L)))
+    assert(adAll == allCells, "adaptive with target >= corpus must equal the full scan")
+    val adTight = Similarity.ivfTopKPrebuilt(spark, idx, queries, k = 5,
+        minCandidates = Some(1L))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val allPairs = allCells.map(t => (t._1, t._3))
+    assert(adTight.nonEmpty && adTight.subsetOf(allPairs),
+      "a tight target must prune to a subset of the full scan's candidates")
+
     // incremental append: build on even ids, append odd ids — results
     // must equal an inline run over the FULL corpus against the
     // even-trained codebook (append never retrains)
