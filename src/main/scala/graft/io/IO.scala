@@ -295,8 +295,18 @@ object IO {
     * manifested path that is missing, or whose on-disk length differs,
     * raises with the rotation contract named — silently skipping would
     * ship a partial corpus downstream. */
-  def readBinaryFromManifest(spark: SparkSession, manifestDir: String): DataFrame = {
-    val manifest = readLandingManifest(spark, manifestDir)
+  def readBinaryFromManifest(spark: SparkSession, manifestDir: String): DataFrame =
+    openManifested(spark, readLandingManifest(spark, manifestDir))
+
+  /** The executor-side open kernel shared by the batch reader above
+    * and the ST18 manifest STREAM (each micro-batch of manifest rows
+    * passes through here): plan splits from the (path, length) frame,
+    * open + read each file in executors, emit (fname, length, content).
+    * The basename-collision check runs over whatever frame is passed —
+    * the whole manifest on the batch path, one wave on the stream path
+    * (cross-wave collisions there are the packed table's post-hoc
+    * check: fname-keyed consumers re-assert distinctness on read). */
+  private[graft] def openManifested(spark: SparkSession, manifest: DataFrame): DataFrame = {
     // basename keys the downstream rows (the packBinaryDir contract):
     // collisions across subdirectories are ambiguous — fail on the
     // cheap metadata before any payload byte moves
@@ -306,9 +316,9 @@ object IO {
       sum(col("length")).as("bytes")).head()
     val (n, nd, bytes) = (stats.getLong(0), stats.getLong(1),
       if (stats.isNullAt(2)) 0L else stats.getLong(2))
-    require(n == nd, s"manifest at $manifestDir has ${n - nd} basename " +
-      "collisions — fname-keyed readers would be ambiguous; rename or " +
-      "pack colliding waves separately")
+    require(n == nd, s"manifest frame has ${n - nd} basename collisions " +
+      "— fname-keyed readers would be ambiguous; rename or pack " +
+      "colliding waves separately")
     val maxPB = parseByteString(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     val nSplits = math.max(1L, (bytes + maxPB - 1) / maxPB).toInt

@@ -31,6 +31,27 @@ object IoQueries {
   private val binManifests =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** The s18/st18 landing MANIFEST over [[binFilesFixture]]'s 20 files:
+    * the writer side replayed as two waves (each landing wave logs
+    * exactly the files it landed — in production the uploader knows
+    * its paths; no directory listing feeds the manifest). Written once
+    * per JVM; the batch reader and the manifest stream share it. */
+  private[registry] def binManifestFixture(s: SparkSession, dir: String): String = {
+    val p = binFilesFixture(s, dir)
+    val man = scratch(dir, "bin_manifest")
+    LlmFixtures.buildOnce(binManifests, s"${System.identityHashCode(s)}|$man") {
+      graft.streaming.Streams.deleteDir(s, man)
+      val waves = new java.io.File(p).listFiles().toSeq
+        .filter(_.getName.endsWith(".bin")).sortBy(_.getName)
+        .map(f => (f.getAbsolutePath, f.length()))
+        .grouped(10).toSeq
+      import s.implicits._
+      waves.foreach(w =>
+        IO.appendLandingManifest(s, man, w.toDF("path", "length")))
+    }
+    man
+  }
+
   /** The s16/st16 landing-volume fixture: 20 deterministic .bin files
     * (UTF-8 prefixes of the documents table), written once per JVM —
     * bounded test scaffolding (in production the media files
@@ -296,21 +317,7 @@ object IoQueries {
     // same content-level oracle as s16 — the planner must be
     // byte-invisible.
     "s18_manifest_ingest" -> { (s, dir) =>
-      val p = binFilesFixture(s, dir)
-      val man = scratch(dir, "bin_manifest")
-      LlmFixtures.buildOnce(binManifests, s"${System.identityHashCode(s)}|$man") {
-        graft.streaming.Streams.deleteDir(s, man)
-        // the writer side: each landing wave logs exactly the files it
-        // landed — here replayed from the fixture dir in two waves
-        val waves = new java.io.File(p).listFiles().toSeq
-          .filter(_.getName.endsWith(".bin")).sortBy(_.getName)
-          .map(f => (f.getAbsolutePath, f.length()))
-          .grouped(10).toSeq
-        import s.implicits._
-        waves.foreach(w =>
-          IO.appendLandingManifest(s, man, w.toDF("path", "length")))
-      }
-      IO.readBinaryFromManifest(s, man)
+      IO.readBinaryFromManifest(s, binManifestFixture(s, dir))
         .select(col("fname"), col("length"),
           base64(col("content")).as("content_b64"))
         .orderBy("fname")

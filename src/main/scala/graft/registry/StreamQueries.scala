@@ -270,6 +270,23 @@ object StreamQueries {
         .select(col("fname"), col("length"),
           base64(col("content")).as("content_b64"))
         .orderBy("fname")
+    },
+    // st18 — streaming MANIFEST-driven landing ingest (s18's stream
+    // twin): the stream's file source watches only the tiny manifest
+    // segments (per-trigger relist O(waves), never O(landed files) —
+    // the r15 binaryFile-stream knee removed at the source), each
+    // micro-batch opens its wave's files executor-side and lands
+    // idempotent batch_id=N output. Two waves → two real triggers at
+    // one segment per trigger; per-file rows with no cross-batch
+    // state ⇒ batch-boundary independent ⇒ the shared s16 content
+    // oracle replays it as one batch.
+    "st18_stream_manifest_ingest" -> { (s, dir) =>
+      val man = IoQueries.binManifestFixture(s, dir)
+      Streams.runManifestIngestStream(s, man, scratch(dir, "st18_ckpt"),
+        scratch(dir, "st18_out"), maxFilesPerTrigger = Some(1))
+        .select(col("fname"), col("length"),
+          base64(col("content")).as("content_b64"))
+        .orderBy("fname")
     }
   )
 
@@ -312,6 +329,9 @@ object StreamQueries {
     // st17 packs the same fixture the st16 stream reads — accumulation
     // across micro-batches must be byte-invisible, same shared oracle
     "st17_stream_binary_pack" -> IoQueries.BinFilesSql,
+    // st18 drains the same fixture through the manifest stream — wave
+    // boundaries must be byte-invisible, same shared content oracle
+    "st18_stream_manifest_ingest" -> IoQueries.BinFilesSql,
     // inner stream-stream join emits every match exactly once, so the
     // memory sink equals the batch self-join
     "st8_stream_join" ->

@@ -589,6 +589,65 @@ object Streams {
         StructField("content", BinaryType))))
   }
 
+  /** ST18 — streaming MANIFEST-driven landing ingest: the stream twin
+    * of [[graft.io.IO.readBinaryFromManifest]] (s18), and the fix for
+    * the OTHER half of the round-15 listing knee: the binaryFile
+    * STREAM source re-lists the whole landing directory EVERY trigger
+    * and diffs it against its seen-files log — O(N/m) listings of O(N)
+    * entries to drain N files, the quadratic cap measured at 0.4–1.2k
+    * files/s. Here the stream's file source watches only the MANIFEST
+    * segments (one tiny file per landed wave, so each per-trigger
+    * relist is O(waves)), and each micro-batch opens its wave's files
+    * in EXECUTORS via the shared [[graft.io.IO.openManifested]] kernel
+    * — per-trigger cost scales with the wave's payload, never with the
+    * zone's history. Output lands in idempotent `batch_id=N`
+    * directories (the st15/st17 pattern: a crash between the parquet
+    * commit and the offset commit replays into the same directory, no
+    * duplicates). `reset = false` + a kept checkpoint is the
+    * production steady state: only segments that arrived since the
+    * last drain are processed. Cross-wave basename collisions are the
+    * packed table's post-hoc check (each wave is checked on ingest;
+    * fname-keyed consumers re-assert distinctness on read). */
+  def runManifestIngestStream(
+      spark: SparkSession,
+      manifestDir: String,
+      checkpoint: String,
+      outPath: String,
+      maxFilesPerTrigger: Option[Int] = Some(1),
+      reset: Boolean = true
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    if (reset) {
+      deleteDir(spark, checkpoint)
+      deleteDir(spark, outPath)
+    }
+    val manSchema = StructType(Seq(
+      StructField("path", StringType), StructField("length", LongType)))
+    val reader = spark.readStream.schema(manSchema)
+    val src = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader)
+      .json(s"$manifestDir/seg_*.json/*.json")
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.io.IO.openManifested(spark, batch.toDF())
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val p = new Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+    if (hasBatches) spark.read.parquet(outPath).drop("batch_id")
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("fname", StringType), StructField("length", LongType),
+        StructField("content", BinaryType))))
+  }
+
   def runFileStreamNearDupGate(
       spark: SparkSession,
       path: String,

@@ -191,4 +191,55 @@ class StreamingSpec extends SparkSpec {
       .select(col("content").cast("string")).as[String].head()
     assert(body == "second wave 2")
   }
+
+  test("ST18: manifest stream drains per wave; resume ingests only newly-manifested waves") {
+    import spark.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_st18"
+    Streams.deleteDir(spark, base)
+    def land(n: String, body: String): (String, Long) = {
+      val f = new java.io.File(s"$base/zone/$n")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+      (f.getAbsolutePath, body.getBytes("UTF-8").length.toLong)
+    }
+    val w1 = (0 until 3).map(i => land(s"a_$i.bin", s"wave one $i"))
+    graft.io.IO.appendLandingManifest(spark, s"$base/man", w1.toDF("path", "length"))
+    val first = Streams.runManifestIngestStream(spark, s"$base/man",
+      s"$base/ckpt", s"$base/out")
+    assert(first.count() == 3)
+    // a second wave lands AND manifests; resuming with the same
+    // checkpoint (reset=false, the production steady state) processes
+    // only the new segment — the source's seen-segment log, O(waves)
+    // per-trigger relist, never a zone listing
+    val w2 = (0 until 2).map(i => land(s"b_$i.bin", s"wave two $i"))
+    graft.io.IO.appendLandingManifest(spark, s"$base/man", w2.toDF("path", "length"))
+    val resumed = Streams.runManifestIngestStream(spark, s"$base/man",
+      s"$base/ckpt", s"$base/out", reset = false)
+    val names = resumed.select("fname").as[String].collect().toSeq.sorted
+    assert(names == (0 until 3).map(i => s"a_$i.bin") ++ (0 until 2).map(i => s"b_$i.bin"),
+      s"exactly one row per manifested file, got $names")
+    val body = resumed.filter(col("fname") === "b_1.bin")
+      .select(col("content").cast("string")).as[String].head()
+    assert(body == "wave two 1")
+    // crash-replay idempotence (the batch_id=N overwrite contract): a
+    // driver crash between the sink's parquet commit and the
+    // checkpoint's offset commit replays the batch — simulate it by
+    // deleting the
+    // last commit marker, forcing the engine to re-run that batch into
+    // the SAME directory; the accumulated table must not grow
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty, "checkpoint must hold commit markers")
+    val last = commits.last
+    // drop the checksum sidecar too: a stale .crc under the local
+    // ChecksumFileSystem makes the engine's commit-log rewrite read as
+    // a concurrent-query conflict instead of a clean replay
+    new java.io.File(last.getParentFile, s".${last.getName}.crc").delete()
+    assert(last.delete(), "failed to simulate the crash window")
+    val replayed = Streams.runManifestIngestStream(spark, s"$base/man",
+      s"$base/ckpt", s"$base/out", reset = false)
+    assert(replayed.count() == 5,
+      "a replayed batch must overwrite its own directory, never append duplicates")
+    assert(replayed.select("fname").as[String].collect().toSeq.sorted == names)
+  }
 }

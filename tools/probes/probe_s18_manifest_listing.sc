@@ -54,18 +54,25 @@ def genFiles(n: Int): String = {
 // writer-side manifest: in production each landing wave appends the
 // files it just wrote; here the generator replays that knowledge in
 // 32 executor-built waves (NO directory listing anywhere on this path)
-def genManifest(n: Int, dir: String): String = {
+def genManifest(n: Int, dir: String, waves: Int = 4): String = {
   val man = s"$root/man$n"
   val done = java.nio.file.Paths.get(s"$man/_GENDONE")
   if (!java.nio.file.Files.exists(done)) {
     graft.streaming.Streams.deleteDir(spark, man)
     // exact byte length of the generated body: "payload " (8) + digits
     // of i + " " (1) + 80 + i%37 x's -- the reader REQUIRES the
-    // manifested length to match on disk, so the writer must know it
-    val entries = spark.range(0L, n.toLong, 1L, 32).select(
-      format_string(s"$dir/doc_%08d.bin", col("id")).as("path"),
-      (lit(89L) + length(col("id").cast("string")) + col("id") % 37L).as("length"))
-    graft.io.IO.appendLandingManifest(spark, man, entries)
+    // manifested length to match on disk, so the writer must know it.
+    // `waves` segments replay the writer's append-only cadence (and
+    // give the ST18 stream real per-wave triggers).
+    (0 until waves).foreach { w =>
+      val entries = spark.range(0L, n.toLong, 1L, 32)
+        .filter(col("id") % waves === w)
+        .select(
+          format_string(s"$dir/doc_%08d.bin", col("id")).as("path"),
+          (lit(89L) + length(col("id").cast("string")) + col("id") % 37L).as("length"))
+      graft.io.IO.appendLandingManifest(spark, man, entries)
+      Thread.sleep(5) // distinct segment names (millis-stamped)
+    }
     java.nio.file.Files.createFile(done)
   }
   man
@@ -107,6 +114,30 @@ Seq(20000, 100000, 300000).foreach { n =>
   require(viaSrc == n && viaMan == n, s"row counts: src=$viaSrc man=$viaMan")
   println(f"PROBE n=$n%-7d plan: binaryFile=$tPlanSrc%6.1f s manifest=$tPlanMan%6.1f s | " +
     f"ingest: binaryFile=${n / tSrc}%8.0f files/s manifest=${n / tMan}%8.0f files/s")
+}
+
+// STREAM drain at 100k files: the binaryFile stream re-lists the whole
+// zone every trigger (r15 knee: 0.4-1.2k files/s); the ST18 manifest
+// stream's source watches only the manifest segments, so a trigger's
+// relist is O(waves). Both drain in 4 triggers for comparability.
+locally {
+  val n = 100000
+  val dir = genFiles(n)
+  val man = genManifest(n, dir)
+  val tBin = timed(s"binaryFile-STREAM-drain-$n") {
+    val out = graft.streaming.Streams.runBinaryPackStream(spark,
+      s"$dir/*.bin", s"$root/st_ckpt_bin", s"$root/st_out_bin",
+      maxFilesPerTrigger = Some(25000))
+    require(out.count() == n)
+  }
+  val tMan = timed(s"manifest-STREAM-drain-$n") {
+    val out = graft.streaming.Streams.runManifestIngestStream(spark,
+      man, s"$root/st_ckpt_man", s"$root/st_out_man",
+      maxFilesPerTrigger = Some(1))
+    require(out.count() == n)
+  }
+  println(f"PROBE stream-drain n=$n binaryFile=${n / tBin}%8.0f files/s  " +
+    f"manifest=${n / tMan}%8.0f files/s  speedup=${tBin / tMan}%5.2f x")
 }
 
 // content equality at the smallest size (cheap): both paths must agree
