@@ -202,11 +202,12 @@ object IO {
       // basenames would silently pack colliding fname rows and give
       // downstream readers ambiguous content (round-15 ADVICE). Fail
       // loudly INSIDE the publish (the live table stays untouched);
-      // the check reads only the fname column of the just-written
-      // parquet — columnar, no payload bytes move.
-      val packed = spark.read.parquet(tmp)
-      val n = packed.count()
-      val nDistinct = packed.select("fname").distinct().count()
+      // ONE single-agg job over the fname column of the just-written
+      // parquet — columnar, no payload bytes move (the openManifested
+      // check shape).
+      val st = spark.read.parquet(tmp)
+        .agg(count(lit(1)).as("n"), countDistinct(col("fname")).as("nd")).head()
+      val (n, nDistinct) = (st.getLong(0), st.getLong(1))
       require(n == nDistinct,
         s"packBinaryDir: $srcGlob yields ${n - nDistinct} basename collisions " +
           s"($n files, $nDistinct distinct names) — rows would be ambiguous to " +
@@ -256,6 +257,10 @@ object IO {
       else if (t.endsWith("k")) (t.dropRight(1), 1L << 10)
       else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
       else if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
+      else if (t.endsWith("tb")) (t.dropRight(2), 1L << 40)
+      else if (t.endsWith("t")) (t.dropRight(1), 1L << 40)
+      else if (t.endsWith("pb")) (t.dropRight(2), 1L << 50)
+      else if (t.endsWith("p")) (t.dropRight(1), 1L << 50)
       else if (t.endsWith("b")) (t.dropRight(1), 1L)
       else (t, 1L)
     num.trim.toLongOption.map(_ * mult).getOrElse(throw new IllegalArgumentException(
@@ -272,16 +277,38 @@ object IO {
     // empty JSON segment is schema-less on read-back, which would
     // break the reader's column projection with a confusing error
     if (entries.isEmpty) return
-    val seg = s"$manifestDir/seg_${System.currentTimeMillis()}_${System.nanoTime() % 1000000}.json"
+    // UUID suffix: segment names must be unique under CONCURRENT
+    // writers — a millis+nanos stamp alone can collide across JVMs,
+    // and the Overwrite write below would then silently replace
+    // another wave's rows, un-manifesting its landed files
+    // (round-16 review finding)
+    val seg = s"$manifestDir/seg_${System.currentTimeMillis()}_" +
+      s"${java.util.UUID.randomUUID().toString.take(8)}.json"
     writeJsonLines(entries.select(col("path"), col("length")), seg, singleFile = true)
   }
 
   /** The accumulated manifest: (path, length), one row per landed file.
     * One glob over O(segments) small files — never O(landed files)
     * driver work. */
-  def readLandingManifest(spark: SparkSession, manifestDir: String): DataFrame =
-    spark.read.json(s"$manifestDir/seg_*.json/*.json")
+  def readLandingManifest(spark: SparkSession, manifestDir: String): DataFrame = {
+    // no segments yet (a consumer polling before the first non-empty
+    // wave lands, or a fresh manifest dir): an empty manifest, not a
+    // PATH_NOT_FOUND crash — the batch twin of the stream runners'
+    // zero-batches fallback
+    val root = new Path(manifestDir)
+    val f = fs(spark, manifestDir)
+    val hasSegments = f.exists(root) &&
+      f.globStatus(new Path(s"$manifestDir/seg_*.json")).nonEmpty
+    if (!hasSegments)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("length",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.json(s"$manifestDir/seg_*.json/*.json")
       .select(col("path"), col("length").cast("long").as("length"))
+  }
 
   /** S18 — read a binary landing zone through its manifest: same
     * (fname, length, content) rows as the `binaryFile` source, but
@@ -332,8 +359,11 @@ object IO {
         it.map { r =>
           val p = new Path(r.getString(0))
           val want = r.getLong(1)
-          require(want <= Int.MaxValue.toLong,
-            s"$p: files over 2 GiB exceed a single binary cell (same bound " +
+          // strict bound: HotSpot caps array sizes a few elements below
+          // Int.MaxValue, so exactly-2GiB would OOM with a VM-limit
+          // error instead of this curated message
+          require(want < Int.MaxValue.toLong - 8,
+            s"$p: files at/over 2 GiB exceed a single binary cell (same bound " +
               "as the binaryFile source); shard or stream such payloads")
           val f = p.getFileSystem(confBc.value.value)
           val st =

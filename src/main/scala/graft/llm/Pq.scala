@@ -539,9 +539,17 @@ object Pq {
         .write.mode("overwrite").partitionBy("cell_id").parquet(s"$tmp/codes")
       // coarse-cell occupancy (coarseCells rows): the adaptive probe
       // policy's input, staged at build time so serving never re-scans
-      // the code table for counts (s=0 slice = one row per member)
-      codes.filter(col("s") === 0)
-        .groupBy("cell_id").agg(count(lit(1)).as("n_members"))
+      // the code table for counts (s=0 slice = one row per member).
+      // Counted from the JUST-WRITTEN parquet, not the `codes` frame:
+      // the write above was codes' first action, which released its
+      // upstream persists (graft.Caching), so re-running the frame here
+      // would re-encode the whole corpus — a build-time doubling
+      // (round-16 review finding); the read-back is a column-pruned
+      // scan of the thin table instead.
+      corpus.sparkSession.read.parquet(s"$tmp/codes")
+        .filter(col("s") === 0)
+        .groupBy(col("cell_id").cast("long").as("cell_id"))
+        .agg(count(lit(1)).as("n_members"))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/cell_stats")
       writeParams(corpus.sparkSession, tmp, m, numCells, coarseCells)
     }

@@ -70,28 +70,36 @@ object Streams {
     * provider), so flipping the knob mid-deployment requires a fresh
     * checkpoint — the standard Spark migration contract. */
   private def withEngineStateStore[T](spark: SparkSession,
-                                      force: Option[String] = None)(body: => T): T =
+                                      force: Option[String] = None)(body: => T): T = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val logKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    def withConfs(values: Seq[(String, String)])(b: => T): T = {
+      val prev = values.map { case (k, _) => k -> spark.conf.getOption(k) }
+      values.foreach { case (k, v) => spark.conf.set(k, v) }
+      try b
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
     force.getOrElse(spark.conf.get(StateStoreModeKey, "rocksdb")) match {
-      case "heap" => body
+      // heap PINS the HDFS-backed provider rather than merely skipping
+      // the RocksDB set: on a session whose defaults already pin
+      // providerClass, a skip would silently A/B rocksdb against
+      // rocksdb (round-16 review finding)
+      case "heap" => withConfs(Seq(provKey ->
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"))(body)
       case "rocksdb" =>
-        val provKey = "spark.sql.streaming.stateStore.providerClass"
         // changelog checkpointing: commit uploads the delta, not a full
         // snapshot — the per-trigger RocksDB commit cost that dominates
         // small-state benches (st8 A/B: 7.6 s vs heap 3.5 s without it)
         // and the recommended production config at large state
-        val logKey =
-          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-        val prev = Seq(provKey, logKey).map(k => k -> spark.conf.getOption(k))
-        spark.conf.set(provKey, RocksDbProvider)
-        spark.conf.set(logKey, "true")
-        try body
-        finally prev.foreach {
-          case (k, Some(v)) => spark.conf.set(k, v)
-          case (k, None)    => spark.conf.unset(k)
-        }
+        withConfs(Seq(provKey -> RocksDbProvider, logKey -> "true"))(body)
       case other => throw new IllegalArgumentException(
         s"$StateStoreModeKey must be 'rocksdb' or 'heap', got '$other'")
     }
+  }
 
   /** ST1 — micro-batch file source. Runs the stream to completion
     * (AvailableNow) into a memory sink and returns the static result. */
@@ -547,6 +555,22 @@ object Streams {
       deleteDir(spark, checkpoint)
       deleteDir(spark, outPath)
     }
+    val outP = new Path(outPath)
+    val outFs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def outEntries(): Seq[String] =
+      if (outFs.exists(outP)) outFs.listStatus(outP).toSeq.map(_.getPath.getName)
+      else Seq.empty
+    // a pre-batch-layout table (flat part files from the append-sink
+    // era) must be refused BEFORE the stream writes batch_id=N dirs
+    // beside the flat files — checked only after would let one resumed
+    // drain pollute the table into a mixed layout that Spark's
+    // partition discovery then rejects with a generic error
+    // (round-16 review finding). The operator either drains into a
+    // fresh outPath (and checkpoint) or migrates the old table first.
+    require(!outEntries().exists(n => n.startsWith("part-")),
+      s"$outPath holds a flat (pre-batch-layout) packed table; this packer " +
+        "writes idempotent batch_id=N directories — drain into a fresh " +
+        "outPath (and checkpoint), or migrate the old table first")
     val binSchema = StructType(Seq(
       StructField("path", StringType), StructField("modificationTime", TimestampType),
       StructField("length", LongType), StructField("content", BinaryType)))
@@ -569,21 +593,8 @@ object Streams {
     q.awaitTermination()
     // zero matched files → zero batches → no table; hand back an empty
     // frame with the packed schema instead of a path-not-found
-    val p = new Path(outPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries =
-      if (fs.exists(p)) fs.listStatus(p).toSeq.map(_.getPath.getName) else Seq.empty
-    val hasBatches = entries.exists(_.startsWith("batch_id="))
-    // a pre-batch-layout table (flat part files from the append-sink
-    // era) must not silently read back as EMPTY — the operator either
-    // re-packs into a fresh outPath or keeps the old reader; mixing
-    // layouts would corrupt partition discovery, so refuse loudly
-    require(hasBatches || !entries.exists(n =>
-        n.startsWith("part-") && !n.startsWith("_") && !n.startsWith(".")),
-      s"$outPath holds a flat (pre-batch-layout) packed table; this packer " +
-        "now writes idempotent batch_id=N directories — drain into a fresh " +
-        "outPath (and checkpoint), or migrate the old table first")
-    if (hasBatches) spark.read.parquet(outPath).drop("batch_id")
+    if (outEntries().exists(_.startsWith("batch_id=")))
+      spark.read.parquet(outPath).drop("batch_id")
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("fname", StringType), StructField("length", LongType),
         StructField("content", BinaryType))))
