@@ -64,6 +64,79 @@ object Contamination {
     graft.Caching.releaseAfterFirstUse(out, hits)
   }
 
+  /** Stage the corpus n-gram INVERTED INDEX for contamination
+    * screening: one row per (gram, doc_id) posting with the gram's
+    * full-corpus document frequency denormalized on (RLE-compresses to
+    * nothing clustered by gram), hive-partitioned by a gram-hash
+    * bucket. This is the x14b/x17b materialize-once split applied to
+    * x12: the corpus side of a contamination sweep — tokenize, shingle,
+    * df-count the whole corpus — re-ran per screened benchmark, but the
+    * CORPUS is the big fixed side and benchmarks are what change; with
+    * the index staged, screening a new eval set costs a scan of thin
+    * posting rows (no text ever re-tokenized), and when the eval set is
+    * small enough its grams' hash buckets prune the posting scan the
+    * same way probed cells prune the IVF member read. df stored is the
+    * FULL-corpus value — identical to what the direct path computes on
+    * its eval-restricted set, since restricting by gram identity keeps
+    * every posting of a surviving gram. `n`/`nBuckets` are stamped and
+    * require()d at serve time (a mismatched n would silently screen
+    * with different-width shingles — the PQ index_params convention). */
+  def stageCorpusGrams(corpus: DataFrame, path: String, idCol: String,
+                       textCol: String, n: Int = 3, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val g = corpus.select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("tk"))
+      .select(col("doc_id"), explode(DedupLsh.shinglesFromTokens(col("tk"), n)).as("g"))
+    // df via an unbounded window over the gram partition: one sort
+    // shuffle, streams per-gram (a collect_list agg would buffer a
+    // stop-word gram's whole posting list in one task's memory)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    graft.io.Staging.publish(spark, path) { tmp =>
+      g.withColumn("df", count(lit(1)).over(w))
+        .withColumn("bucket", pmod(xxhash64(col("g")), lit(nBuckets.toLong)))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/postings")
+      Seq((n, nBuckets)).toDF("n", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/gram_params")
+    }
+  }
+
+  /** [[overlapPairs]] against a [[stageCorpusGrams]] artifact: same
+    * output, same df-cap semantics, but the corpus side is a
+    * (bucket-pruned, df-pushed) scan of the staged postings instead of
+    * a full re-tokenize + re-shingle + df-count per screened benchmark.
+    * The df cap lands directly on the parquet scan (PushedFilters); the
+    * eval grams' buckets are collected to the driver — O(|eval grams|)
+    * values, benchmark-sized — and inlined as a partition IN filter. */
+  def overlapPairsStaged(spark: org.apache.spark.sql.SparkSession, path: String,
+                         eval: DataFrame, evalIdCol: String, textCol: String,
+                         n: Int = 3, minShared: Int = 2, maxDf: Long = 50L): DataFrame = {
+    val live = graft.io.Staging.resolveRead(spark, path)
+    val params = spark.read.parquet(s"$live/gram_params").collect()
+    require(params.nonEmpty, s"gram index at $path has no gram_params stamp — rebuild")
+    val builtN = params(0).getAs[Int]("n")
+    require(builtN == n,
+      s"gram index at $path was built with n=$builtN but queried with n=$n — " +
+        "shingle widths would silently disagree; rebuild or match n")
+    val nBuckets = params(0).getAs[Int]("n_buckets")
+    val eg = eval.select(col(evalIdCol), split(col(textCol), "\\s+").as("tk"))
+      .select(col(evalIdCol), explode(DedupLsh.shinglesFromTokens(col("tk"), n)).as("g"))
+      .localCheckpoint() // eager, eval-sized: bucket collect + two joins reuse it
+    val buckets = eg
+      .select(pmod(xxhash64(col("g")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val posts = spark.read.parquet(s"$live/postings")
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+      .filter(col("df") <= maxDf)
+    posts
+      .join(broadcast(eg.select(col("g")).distinct()), Seq("g"), "left_semi")
+      .join(broadcast(eg), Seq("g"))
+      .groupBy(col("doc_id"), col(evalIdCol))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+  }
+
   /** Gopher/C4-style intra-document repetition signal: the fraction of
     * word n-grams that are duplicates of an earlier n-gram in the same
     * document (0.0 for docs shorter than n tokens). High values mark

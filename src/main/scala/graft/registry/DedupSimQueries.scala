@@ -235,6 +235,21 @@ object DedupSimQueries {
         n = 3, minShared = 2, maxDf = 50L)
         .orderBy("doc_id", "eval_id")
     },
+    // x12b — x12 against the STAGED corpus gram index (the corpus is
+    // the big FIXED side of contamination screening; benchmarks are
+    // what change): the sweep scans the (g, df, doc_id) postings —
+    // bucket-pruned by the eval grams' hashes, df cap pushed to the
+    // parquet scan — instead of re-tokenizing + re-shingling +
+    // df-counting the corpus per screened benchmark. Same oracle as
+    // x12: staging must be value-invisible.
+    "x12b_contamination_staged" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Contamination.overlapPairsStaged(s, stagedCorpusGrams(s, dir),
+        docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eval_id"), col("text")),
+        "eval_id", "text", n = 3, minShared = 2, maxDf = 50L)
+        .orderBy("doc_id", "eval_id")
+    },
     // x13 — batched embedding inference: the REAL feature-hashing
     // n-gram projection (uni+bigrams → 64 signed buckets → fixed-point
     // L2 normalize) through the typed mapPartitions batch plumbing;
@@ -609,6 +624,27 @@ object DedupSimQueries {
     },
   )
 
+  // oracle for BOTH x12 (direct) and x12b (staged gram index): the
+  // staging round-trip must be value-invisible, so one SQL serves both
+  private val x12ContaminationSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, UNNEST(list_distinct(
+      |    CASE WHEN len(t) >= 3
+      |         THEN list_transform(generate_series(1, len(t) - 2),
+      |                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |         ELSE []::VARCHAR[] END)) AS g
+      |  FROM tk),
+      |cg AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+      |eg AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 97 = 0),
+      |rare AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) <= 50)
+      |SELECT cg.doc_id, eg.eval_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+      |FROM cg JOIN rare USING (g) JOIN eg USING (g)
+      |GROUP BY cg.doc_id, eg.eval_id
+      |HAVING COUNT(*) >= 2
+      |ORDER BY doc_id, eval_id""".stripMargin
+
   // shared CTE prefix for x19/x20/x21: corpus → raw tokens → k=8
   // token-window md5 hashes with 1-based start positions
   private val spanWinsCte =
@@ -913,24 +949,9 @@ object DedupSimQueries {
            |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
            |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
            |ORDER BY id_a, id_b""".stripMargin,
-      "x12_contamination" ->
-        """WITH tk AS (
-          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
-          |g AS (
-          |  SELECT doc_id, UNNEST(list_distinct(
-          |    CASE WHEN len(t) >= 3
-          |         THEN list_transform(generate_series(1, len(t) - 2),
-          |                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-          |         ELSE []::VARCHAR[] END)) AS g
-          |  FROM tk),
-          |cg AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
-          |eg AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 97 = 0),
-          |rare AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) <= 50)
-          |SELECT cg.doc_id, eg.eval_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
-          |FROM cg JOIN rare USING (g) JOIN eg USING (g)
-          |GROUP BY cg.doc_id, eg.eval_id
-          |HAVING COUNT(*) >= 2
-          |ORDER BY doc_id, eval_id""".stripMargin,
+      "x12_contamination" -> x12ContaminationSql,
+      // the staged gram-index round-trip must be value-invisible
+      "x12b_contamination_staged" -> x12ContaminationSql,
       // full replay of the feature-hashing projection: tokenize →
       // uni+bigrams → md5 bucket/sign → signed bucket sums →
       // fixed-point L2 normalize — the encoder is real enough that an

@@ -291,6 +291,23 @@ private[registry] object LlmFixtures {
     readStaged(s, path)
   }
 
+  /** The x12b staged contamination index over the x12 corpus side
+    * (docs with doc_id % 97 != 0): built once per JVM through the
+    * publish protocol; serving screens the eval set against the
+    * postings. Returns the artifact root. */
+  def stagedCorpusGrams(s: SparkSession, dir: String): String = {
+    val path = s"${corpusScratch(dir)}/corpus_grams"
+    buildOnce(stagedGramIndexes, s"${System.identityHashCode(s)}|$path") {
+      graft.llm.Contamination.stageCorpusGrams(
+        Tables.documents(s, dir).filter(col("doc_id") % 97 =!= 0),
+        path, "doc_id", "text", n = 3)
+    }
+    path
+  }
+
+  val stagedGramIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** The CASE arm of the synthetic ingest batch, shared by the Spark
     * side ([[syntheticIngestBatch]]) and the oracles ([[IngestBatchSql]])
     * so the four call sites can never drift: docs ≡ 0 mod 5, thirds =

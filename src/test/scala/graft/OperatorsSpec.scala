@@ -784,6 +784,40 @@ class OperatorsSpec extends SparkSpec {
       .overlapPairs(corpus, eval, "doc_id", "text", "eval_id", n = 3, minShared = 1, maxDf = 10L)
       .select("doc_id", "eval_id").as[(Long, Long)].collect().toSet
     assert(loose == Set((1L, 100L), (3L, 101L), (4L, 101L), (5L, 101L)))
+    // the STAGED gram index (x12b) must be value-invisible at both
+    // knob settings — the df stored is the full-corpus value, so the
+    // cap and the minShared floor replay identically
+    val idx = java.nio.file.Files.createTempDirectory("graft_gram_idx").toString
+    try {
+      graft.llm.Contamination.stageCorpusGrams(corpus, idx, "doc_id", "text", n = 3)
+      val stagedTight = graft.llm.Contamination
+        .overlapPairsStaged(spark, idx, eval, "eval_id", "text",
+          n = 3, minShared = 2, maxDf = 2L)
+        .select("doc_id", "eval_id", "shared_grams").as[(Long, Long, Long)].collect().toSet
+      assert(stagedTight == got, "staged sweep diverged from the direct path")
+      val stagedLoose = graft.llm.Contamination
+        .overlapPairsStaged(spark, idx, eval, "eval_id", "text",
+          n = 3, minShared = 1, maxDf = 10L)
+        .select("doc_id", "eval_id").as[(Long, Long)].collect().toSet
+      assert(stagedLoose == loose)
+      // the postings scan is bucket-pruned AND the df cap is pushed
+      val plan = graft.llm.Contamination
+        .overlapPairsStaged(spark, idx, eval, "eval_id", "text",
+          n = 3, minShared = 2, maxDf = 2L)
+        .queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).find(_.contains("postings"))
+        .getOrElse(fail("no postings scan in the staged plan"))
+      assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
+        s"expected a bucket partition filter on the postings scan:\n$plan")
+      assert(plan.contains("PushedFilters") && plan.contains("df"),
+        s"expected the df cap pushed to the postings scan:\n$plan")
+      // a mismatched shingle width fails loudly (the stamp guard)
+      val bad = intercept[IllegalArgumentException] {
+        graft.llm.Contamination.overlapPairsStaged(spark, idx, eval,
+          "eval_id", "text", n = 2)
+      }
+      assert(bad.getMessage.contains("n=3"), bad.getMessage)
+    } finally graft.streaming.Streams.deleteDir(spark, idx)
   }
 
   test("Cluster assignment: chains and triangles collapse to min-id components") {
