@@ -70,12 +70,18 @@ object Contamination {
     * nothing clustered by gram), hive-partitioned by a gram-hash
     * bucket. This is the x14b/x17b materialize-once split applied to
     * x12: the corpus side of a contamination sweep — tokenize, shingle,
-    * df-count the whole corpus — re-ran per screened benchmark, but the
-    * CORPUS is the big fixed side and benchmarks are what change; with
-    * the index staged, screening a new eval set costs a scan of thin
-    * posting rows (no text ever re-tokenized), and when the eval set is
-    * small enough its grams' hash buckets prune the posting scan the
-    * same way probed cells prune the IVF member read. df stored is the
+    * df-count the whole corpus — re-ran per screened benchmark; with
+    * the index staged, screening a new eval set scans posting rows
+    * instead of text. MEASURED HONESTLY at 1M (probe_x12b_staged_grams
+    * _1m.sc): per-screen wall is PARITY with the direct path, not a
+    * win — contamination's corpus-linear term is cheap (tokenize +
+    * shingle, no hashing; unlike the minhash/simhash stages the other
+    * staged twins remove), and the posting table is text-sized. What
+    * staging genuinely buys: (a) screening WITHOUT RETAINING RAW TEXT —
+    * a corpus whose text is redacted/deleted after ingest stays
+    * screenable; (b) df computed once per snapshot instead of per
+    * screen; (c) the bucket layout prunes when a benchmark's gram set
+    * touches few of `nBuckets` partitions. df stored is the
     * FULL-corpus value — identical to what the direct path computes on
     * its eval-restricted set, since restricting by gram identity keeps
     * every posting of a surviving gram. `n`/`nBuckets` are stamped and

@@ -235,13 +235,14 @@ object DedupSimQueries {
         n = 3, minShared = 2, maxDf = 50L)
         .orderBy("doc_id", "eval_id")
     },
-    // x12b — x12 against the STAGED corpus gram index (the corpus is
-    // the big FIXED side of contamination screening; benchmarks are
-    // what change): the sweep scans the (g, df, doc_id) postings —
-    // bucket-pruned by the eval grams' hashes, df cap pushed to the
-    // parquet scan — instead of re-tokenizing + re-shingling +
-    // df-counting the corpus per screened benchmark. Same oracle as
-    // x12: staging must be value-invisible.
+    // x12b — x12 against the STAGED corpus gram index: the sweep scans
+    // the (g, df, doc_id) postings — bucket-pruned by the eval grams'
+    // hashes, df cap pushed to the parquet scan — instead of the corpus
+    // text. 1M probe measured per-screen wall PARITY with direct (the
+    // corpus term here is cheap: no hashing); what staging buys is
+    // screening without retaining raw text and once-per-snapshot df
+    // (see Contamination scaladoc). Same oracle as x12: staging must
+    // be value-invisible.
     "x12b_contamination_staged" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       Contamination.overlapPairsStaged(s, stagedCorpusGrams(s, dir),
