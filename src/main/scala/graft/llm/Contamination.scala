@@ -81,7 +81,11 @@ object Contamination {
     * a corpus whose text is redacted/deleted after ingest stays
     * screenable; (b) df computed once per snapshot instead of per
     * screen; (c) the bucket layout prunes when a benchmark's gram set
-    * touches few of `nBuckets` partitions. df stored is the
+    * touches few of `nBuckets` partitions — and nBuckets must stay
+    * LISTING-cheap (the probe measured 7.7 s just to list a 4096-dir
+    * layout; the 64 default keeps the per-screen listing trivial, and
+    * realistic benchmarks hash-spread across buckets anyway). df
+    * stored is the
     * FULL-corpus value — identical to what the direct path computes on
     * its eval-restricted set, since restricting by gram identity keeps
     * every posting of a surviving gram. `n`/`nBuckets` are stamped and
