@@ -329,22 +329,31 @@ object IO {
     * and the ST18 manifest STREAM (each micro-batch of manifest rows
     * passes through here): plan splits from the (path, length) frame,
     * open + read each file in executors, emit (fname, length, content).
-    * The basename-collision check runs over whatever frame is passed —
-    * the whole manifest on the batch path, one wave on the stream path
-    * (cross-wave collisions there are the packed table's post-hoc
-    * check: fname-keyed consumers re-assert distinctness on read). */
-  private[graft] def openManifested(spark: SparkSession, manifest: DataFrame): DataFrame = {
+    * The basename-collision check runs over whatever frame is passed;
+    * `collisionScope` names a column that scopes it — the stream path
+    * passes its segment column so a multi-wave micro-batch checks PER
+    * WAVE (identical semantics at every trigger batching; cross-wave
+    * collisions stay the packed table's post-hoc check and must not
+    * poison a resumable drain), the batch path leaves it None and
+    * checks the whole manifest. */
+  private[graft] def openManifested(spark: SparkSession, manifest: DataFrame,
+                                    collisionScope: Option[String] = None): DataFrame = {
     // basename keys the downstream rows (the packBinaryDir contract):
-    // collisions across subdirectories are ambiguous — fail on the
-    // cheap metadata before any payload byte moves
+    // collisions (within the scope) are ambiguous — fail on the cheap
+    // metadata before any payload byte moves
+    val basename = element_at(split(col("path"), "/"), -1)
+    val distinctKey = collisionScope
+      .map(sc => countDistinct(col(sc), basename))
+      .getOrElse(countDistinct(basename))
     val stats = manifest.agg(
       count(lit(1)).as("n"),
-      countDistinct(element_at(split(col("path"), "/"), -1)).as("nd"),
+      distinctKey.as("nd"),
       sum(col("length")).as("bytes")).head()
     val (n, nd, bytes) = (stats.getLong(0), stats.getLong(1),
       if (stats.isNullAt(2)) 0L else stats.getLong(2))
-    require(n == nd, s"manifest frame has ${n - nd} basename collisions " +
-      "— fname-keyed readers would be ambiguous; rename or pack " +
+    require(n == nd, s"manifest frame has ${n - nd} basename collisions" +
+      collisionScope.fold("")(_ => " within a single wave") +
+      " — fname-keyed readers would be ambiguous; rename or pack " +
       "colliding waves separately")
     val maxPB = parseByteString(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))

@@ -139,8 +139,12 @@ object Contamination {
     val posts = spark.read.parquet(s"$live/postings")
       .filter(col("bucket").isin(buckets.toSeq: _*))
       .filter(col("df") <= maxDf)
+    // no semi-join prefix here: the direct path needs one to restrict
+    // BEFORE its df aggregation, but df is precomputed in the postings,
+    // so the inner eval-gram join below is the whole restriction — a
+    // semi first would be one redundant broadcast probe per posting row
+    // (round-16 review finding)
     posts
-      .join(broadcast(eg.select(col("g")).distinct()), Seq("g"), "left_semi")
       .join(broadcast(eg), Seq("g"))
       .groupBy(col("doc_id"), col(evalIdCol))
       .agg(count(lit(1)).as("shared_grams"))

@@ -537,14 +537,23 @@ object Streams {
     * (round-15 ADVICE). Readers see the accumulated table through the
     * directory read below; the inferred batch_id partition column is
     * dropped — placement metadata, not payload. */
-  def runBinaryPackStream(
+  /** Shared scaffolding of the batch_id-keyed landing drains (st17
+    * pack / st18 manifest): reset handling, the PRE-START flat-layout
+    * refusal (a mixed layout written beside old flat part files is the
+    * failure the guard exists to prevent — it must run before any
+    * batch_id dir lands), the AvailableNow drain of the caller-built
+    * query, and the read-back-or-empty epilogue. One implementation so
+    * the two runners' contract cannot drift (round-16 review finding:
+    * the guard existed in one and not the other). `transform` maps each
+    * micro-batch of source rows to the (fname, length, content) rows of
+    * its batch_id directory. */
+  private def drainToBatchDirs(
       spark: SparkSession,
-      path: String,
       checkpoint: String,
       outPath: String,
-      maxFilesPerTrigger: Option[Int] = Some(7),
-      reset: Boolean = true
-  ): DataFrame = {
+      reset: Boolean,
+      source: DataFrame,
+      transform: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     // reset=true is the replayable-registry convention (every run packs
     // from scratch); production passes reset=false and KEEPS the
@@ -560,31 +569,14 @@ object Streams {
     def outEntries(): Seq[String] =
       if (outFs.exists(outP)) outFs.listStatus(outP).toSeq.map(_.getPath.getName)
       else Seq.empty
-    // a pre-batch-layout table (flat part files from the append-sink
-    // era) must be refused BEFORE the stream writes batch_id=N dirs
-    // beside the flat files — checked only after would let one resumed
-    // drain pollute the table into a mixed layout that Spark's
-    // partition discovery then rejects with a generic error
-    // (round-16 review finding). The operator either drains into a
-    // fresh outPath (and checkpoint) or migrates the old table first.
     require(!outEntries().exists(n => n.startsWith("part-")),
-      s"$outPath holds a flat (pre-batch-layout) packed table; this packer " +
+      s"$outPath holds a flat (pre-batch-layout) packed table; this drain " +
         "writes idempotent batch_id=N directories — drain into a fresh " +
         "outPath (and checkpoint), or migrate the old table first")
-    val binSchema = StructType(Seq(
-      StructField("path", StringType), StructField("modificationTime", TimestampType),
-      StructField("length", LongType), StructField("content", BinaryType)))
-    val reader = spark.readStream.schema(binSchema)
-    val src = maxFilesPerTrigger
-      .map(n => reader.option("maxFilesPerTrigger", n))
-      .getOrElse(reader)
-      .format("binaryFile").load(path)
-    val q = src
-      .select(element_at(split(col("path"), "/"), -1).as("fname"),
-        col("length"), col("content"))
-      .writeStream
+    val q = source.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        transform(batch.toDF())
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -598,6 +590,28 @@ object Streams {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("fname", StringType), StructField("length", LongType),
         StructField("content", BinaryType))))
+  }
+
+  def runBinaryPackStream(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outPath: String,
+      maxFilesPerTrigger: Option[Int] = Some(7),
+      reset: Boolean = true
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val reader = spark.readStream.schema(binSchema)
+    val src = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader)
+      .format("binaryFile").load(path)
+      .select(element_at(split(col("path"), "/"), -1).as("fname"),
+        col("length"), col("content"))
+    drainToBatchDirs(spark, checkpoint, outPath, reset, src, identity)
   }
 
   /** ST18 — streaming MANIFEST-driven landing ingest: the stream twin
@@ -628,35 +642,23 @@ object Streams {
       reset: Boolean = true
   ): DataFrame = {
     import org.apache.spark.sql.types._
-    if (reset) {
-      deleteDir(spark, checkpoint)
-      deleteDir(spark, outPath)
-    }
     val manSchema = StructType(Seq(
       StructField("path", StringType), StructField("length", LongType)))
     val reader = spark.readStream.schema(manSchema)
+    // __seg = the manifest segment each row came from: the basename-
+    // collision check scopes PER WAVE, so a multi-segment micro-batch
+    // (maxFilesPerTrigger > 1, or segments coalescing under
+    // AvailableNow) behaves exactly like one-segment triggers — a
+    // cross-wave collision must NOT become a drain-poisoning abort
+    // that a resume can never get past (round-16 review finding);
+    // cross-wave ambiguity stays the packed table's post-hoc check.
     val src = maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n))
       .getOrElse(reader)
       .json(s"$manifestDir/seg_*.json/*.json")
-    val q = src.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.io.IO.openManifested(spark, batch.toDF())
-          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val p = new Path(outPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasBatches = fs.exists(p) &&
-      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
-    if (hasBatches) spark.read.parquet(outPath).drop("batch_id")
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("fname", StringType), StructField("length", LongType),
-        StructField("content", BinaryType))))
+      .withColumn("__seg", input_file_name())
+    drainToBatchDirs(spark, checkpoint, outPath, reset, src,
+      batch => graft.io.IO.openManifested(spark, batch, collisionScope = Some("__seg")))
   }
 
   def runFileStreamNearDupGate(

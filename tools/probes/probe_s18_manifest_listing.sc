@@ -53,7 +53,7 @@ def genFiles(n: Int): String = {
 
 // writer-side manifest: in production each landing wave appends the
 // files it just wrote; here the generator replays that knowledge in
-// 32 executor-built waves (NO directory listing anywhere on this path)
+// executor-built waves (NO directory listing anywhere on this path)
 def genManifest(n: Int, dir: String, waves: Int = 4): String = {
   val man = s"$root/man$n"
   val done = java.nio.file.Paths.get(s"$man/_GENDONE")
@@ -62,16 +62,16 @@ def genManifest(n: Int, dir: String, waves: Int = 4): String = {
     // exact byte length of the generated body: "payload " (8) + digits
     // of i + " " (1) + 80 + i%37 x's -- the reader REQUIRES the
     // manifested length to match on disk, so the writer must know it.
-    // `waves` segments replay the writer's append-only cadence (and
-    // give the ST18 stream real per-wave triggers).
+    // `waves` segments (default 4) replay the writer's append-only
+    // cadence and give the ST18 stream real per-wave triggers.
     (0 until waves).foreach { w =>
       val entries = spark.range(0L, n.toLong, 1L, 32)
         .filter(col("id") % waves === w)
         .select(
           format_string(s"$dir/doc_%08d.bin", col("id")).as("path"),
           (lit(89L) + length(col("id").cast("string")) + col("id") % 37L).as("length"))
+      // segment-name uniqueness is the UUID suffix's job (IO contract)
       graft.io.IO.appendLandingManifest(spark, man, entries)
-      Thread.sleep(5) // distinct segment names (millis-stamped)
     }
     java.nio.file.Files.createFile(done)
   }

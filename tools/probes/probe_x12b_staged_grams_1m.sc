@@ -46,7 +46,9 @@ timed("setup_write_corpus") {
 }
 val docs = spark.read.parquet(s"$root/corpus")
 // the benchmark: 100 eval docs, each the leak span of its family plus
-// its own filler -- every eval doc is contaminated by ~N/1000/100 docs
+// its own filler -- eval doc e is contaminated by exactly ONE corpus
+// doc (id = e*1000); the other 900 leaked corpus docs match no eval
+// doc, so the expected pair count is 100
 val evalDocs = spark.range(100).select(
   col("id").as("eval_id"),
   concat_ws(" ",
