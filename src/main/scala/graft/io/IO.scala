@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, countDistinct, element_at, hash, lit, pmod, shiftleft, shiftright, split, sum}
+import org.apache.spark.sql.functions.{col, count, countDistinct, element_at, lit, min, shiftleft, shiftright, split, sum}
 
 /** Source/sink format matrix (SURVEY §2.1/§2.2).
   *
@@ -247,8 +247,13 @@ object IO {
   // shipping partial bytes; rotate manifest and files together.
 
   /** Spark size confs round-trip with a unit suffix ("128mb",
-    * "134217728b"); parse the handful of binary-prefix forms loudly. */
-  private def parseByteString(s: String): Long = {
+    * "134217728b"); parse the handful of binary-prefix forms loudly.
+    * The multiply is exact-checked: a nonsense size like "99999999p"
+    * would otherwise wrap Long negative and feed a garbage split count
+    * downstream instead of failing here (round-16 ADVICE; Spark's own
+    * conf layer also rejects such values at set-time, so this guard is
+    * for strings that reach the parser through any other door). */
+  private[graft] def parseByteString(s: String): Long = {
     val t = s.trim.toLowerCase
     val (num, mult): (String, Long) =
       if (t.endsWith("kb")) (t.dropRight(2), 1L << 10)
@@ -263,7 +268,13 @@ object IO {
       else if (t.endsWith("p")) (t.dropRight(1), 1L << 50)
       else if (t.endsWith("b")) (t.dropRight(1), 1L)
       else (t, 1L)
-    num.trim.toLongOption.map(_ * mult).getOrElse(throw new IllegalArgumentException(
+    num.trim.toLongOption.map { n =>
+      try Math.multiplyExact(n, mult)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"byte size '$s' overflows Long — not a usable size conf")
+      }
+    }.getOrElse(throw new IllegalArgumentException(
       s"cannot parse byte size '$s'"))
   }
 
@@ -273,10 +284,17 @@ object IO {
     * safe under concurrent waves (segment names are unique). */
   def appendLandingManifest(spark: SparkSession, manifestDir: String,
                             entries: DataFrame): Unit = {
+    // snapshot BEFORE the emptiness probe: `entries` may be expensive
+    // or nondeterministic, and two separate actions on it (isEmpty,
+    // then the write) could manifest rows that differ from what the
+    // probe saw (round-16 ADVICE). localCheckpoint materializes the
+    // control-sized (path, length) frame once; both actions below read
+    // the materialized blocks.
+    val snap = entries.select(col("path"), col("length")).localCheckpoint()
     // a wave that landed nothing has nothing to manifest — and an
     // empty JSON segment is schema-less on read-back, which would
     // break the reader's column projection with a confusing error
-    if (entries.isEmpty) return
+    if (snap.isEmpty) return
     // UUID suffix: segment names must be unique under CONCURRENT
     // writers — a millis+nanos stamp alone can collide across JVMs,
     // and the Overwrite write below would then silently replace
@@ -284,30 +302,117 @@ object IO {
     // (round-16 review finding)
     val seg = s"$manifestDir/seg_${System.currentTimeMillis()}_" +
       s"${java.util.UUID.randomUUID().toString.take(8)}.json"
-    writeJsonLines(entries.select(col("path"), col("length")), seg, singleFile = true)
+    writeJsonLines(snap, seg, singleFile = true)
   }
 
+  /** The manifest's one schema, passed EXPLICITLY to every segment
+    * read: schema inference would cost an extra pass per read and
+    * surface a corrupt segment as `_corrupt_record`/missing-column
+    * analysis noise instead of the manifest columns simply reading
+    * null (round-16 ADVICE; the ST18 stream reader always passed it). */
+  private[graft] val ManifestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The compacted-manifest checkpoint table under a manifest root.
+    * The name is outside the `seg_*.json` glob, so neither the batch
+    * segment read nor the ST18 stream source ever sees it as a wave. */
+  private def manifestCheckpointDir(manifestDir: String): String =
+    s"$manifestDir/_checkpoint"
+
   /** The accumulated manifest: (path, length), one row per landed file.
-    * One glob over O(segments) small files — never O(landed files)
-    * driver work. */
+    * Reads the parquet CHECKPOINT (if [[compactLandingManifest]] has
+    * run) plus the live `seg_*.json` segments appended since — one glob
+    * over O(un-compacted waves) small files, never O(landed files)
+    * driver work. When both sources exist the union is deduplicated by
+    * exact (path, length): the only legitimate overlap is the
+    * compaction crash window (checkpoint swapped in, folded segments
+    * not yet deleted), and the dedup makes that window invisible to
+    * readers — a control-plane shuffle over thin metadata rows, never
+    * payload bytes. */
   def readLandingManifest(spark: SparkSession, manifestDir: String): DataFrame = {
-    // no segments yet (a consumer polling before the first non-empty
-    // wave lands, or a fresh manifest dir): an empty manifest, not a
-    // PATH_NOT_FOUND crash — the batch twin of the stream runners'
-    // zero-batches fallback
-    val root = new Path(manifestDir)
     val f = fs(spark, manifestDir)
-    val hasSegments = f.exists(root) &&
-      f.globStatus(new Path(s"$manifestDir/seg_*.json")).nonEmpty
-    if (!hasSegments)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("path",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("length",
-            org.apache.spark.sql.types.LongType))))
-    else spark.read.json(s"$manifestDir/seg_*.json/*.json")
-      .select(col("path"), col("length").cast("long").as("length"))
+    val ckpt = manifestCheckpointDir(manifestDir)
+    // heal a compaction that crashed between its two renames, or the
+    // checkpoint read below sees a missing dir (replaceDir contract)
+    if (f.exists(new Path(manifestDir))) recoverSwap(spark, ckpt)
+    val hasCkpt = f.exists(new Path(ckpt))
+    val segDirs =
+      if (f.exists(new Path(manifestDir)))
+        f.globStatus(new Path(s"$manifestDir/seg_*.json")).map(_.getPath.toString).toSeq
+      else Seq.empty[String]
+    val hasSegments = segDirs.nonEmpty
+    // concrete segment DIRS, not a glob string: an explicit-schema read
+    // of an unexpanded glob trips the sink-metadata probe's literal
+    // getFileStatus (and the dirs are already listed for the existence
+    // check anyway — no extra metadata call)
+    def segments = spark.read.schema(ManifestSchema).json(segDirs: _*)
+    def checkpoint = spark.read.parquet(ckpt)
+    (hasCkpt, hasSegments) match {
+      case (true, true)   => checkpoint.unionByName(segments).distinct()
+      case (true, false)  => checkpoint
+      case (false, true)  => segments
+      // no manifest at all (a consumer polling before the first
+      // non-empty wave lands): an empty manifest, not a
+      // PATH_NOT_FOUND crash — the batch twin of the stream runners'
+      // zero-batches fallback
+      case (false, false) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ManifestSchema)
+    }
+  }
+
+  /** Fold the accumulated `seg_*.json` segments into ONE parquet
+    * checkpoint (round-16 verdict item 1): without this, the manifest
+    * re-grows the small-files problem it was built to kill — one tiny
+    * JSON segment per wave forever means a year of 5-minute waves puts
+    * ~100k files under the very glob whose flatness the s18 probe
+    * measured. After compaction a read is one parquet scan plus a glob
+    * over only the segments appended SINCE — run it on the ingest
+    * cadence (e.g. daily) and the live segment count stays O(waves per
+    * cadence), probe: tools/probes/probe_manifest_compaction.sc.
+    *
+    * Crash-safe and concurrent-append-safe: the segment list is
+    * snapshotted FIRST, so waves appended while the fold runs are
+    * untouched; the checkpoint swaps in via the two-rename
+    * [[replaceDir]] protocol; and a crash between the swap and the
+    * segment deletes leaves duplicate rows that [[readLandingManifest]]
+    * dedups and the next compaction folds away — every window is
+    * either invisible or self-healing, never silent loss.
+    *
+    * Consumer contract: the BATCH reader ([[readBinaryFromManifest]])
+    * sees an identical manifest before and after. A RESUMED st18 drain
+    * (kept checkpoint) is also unaffected — its seen-file log already
+    * covers the folded segments, and its per-trigger relist SHRINKS. A
+    * FRESH stream drain started after compaction sees only live
+    * segments, so bootstrap new consumers from the batch read (or the
+    * packed table) first — same rule as any log-compacted source.
+    * Returns (segmentsFolded, checkpointRows). */
+  def compactLandingManifest(spark: SparkSession, manifestDir: String): (Int, Long) = {
+    val f = fs(spark, manifestDir)
+    val ckpt = manifestCheckpointDir(manifestDir)
+    if (!f.exists(new Path(manifestDir))) return (0, 0L)
+    recoverSwap(spark, ckpt)
+    val segs = f.globStatus(new Path(s"$manifestDir/seg_*.json")).map(_.getPath)
+    if (segs.isEmpty) return (0, 0L)
+    val hasCkpt = f.exists(new Path(ckpt))
+    val segRows = spark.read.schema(ManifestSchema)
+      .json(segs.map(_.toString).toSeq: _*)
+    // distinct makes a re-run after ANY crash idempotent: re-folding
+    // rows the checkpoint already holds (crash before the deletes)
+    // cannot duplicate them
+    val folded =
+      (if (hasCkpt) spark.read.parquet(ckpt).unionByName(segRows) else segRows)
+        .distinct()
+    replaceDir(spark, ckpt) { tmp =>
+      folded.write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+    // delete exactly the snapshotted segments — waves appended during
+    // the fold keep their segments and fold next time
+    segs.foreach(p => f.delete(p, true))
+    (segs.length, spark.read.parquet(ckpt).count())
   }
 
   /** S18 — read a binary landing zone through its manifest: same
@@ -324,6 +429,31 @@ object IO {
     * ship a partial corpus downstream. */
   def readBinaryFromManifest(spark: SparkSession, manifestDir: String): DataFrame =
     openManifested(spark, readLandingManifest(spark, manifestDir))
+
+  /** Byte-aware split assignment (round-16 verdict item 3): hash-
+    * packing paths into splits balances only IN EXPECTATION — one
+    * near-2 GiB file amid thousands of tiny ones lands wherever its
+    * hash falls and skews that task ~15× at the default target. This
+    * packs CONTIGUOUSLY by cumulative bytes instead: rows are ordered
+    * (length desc, path) — the LPT convention, giants first — a
+    * distributed prefix sum ([[graft.ops.Cumsum]], O(partitions)
+    * driver work, one control-row exchange) yields each file's
+    * exclusive byte offset, and `__split = offset / targetBytes`.
+    * Every split's total is then ≤ targetBytes + its own largest file
+    * (≤ 2× target whenever files fit the target; an over-target file
+    * sits alone in its split, the unavoidable single-row floor).
+    * Returns (path, length, __split) with __split ∈ [0, ceil(bytes /
+    * targetBytes)). */
+  private[graft] def assignByteSplits(manifest: DataFrame,
+                                      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    graft.ops.Cumsum.globalCumsum(
+      manifest.select("path", "length"),
+      Seq(col("length").desc, col("path")), col("length"), "__cum")
+      .withColumn("__split",
+        ((col("__cum") - col("length")) / lit(targetBytes)).cast("long"))
+      .drop("__cum")
+  }
 
   /** The executor-side open kernel shared by the batch reader above
     * and the ST18 manifest STREAM (each micro-batch of manifest rows
@@ -348,26 +478,45 @@ object IO {
     val stats = manifest.agg(
       count(lit(1)).as("n"),
       distinctKey.as("nd"),
-      sum(col("length")).as("bytes")).head()
+      sum(col("length")).as("bytes"),
+      min(col("length")).as("min_len")).head()
     val (n, nd, bytes) = (stats.getLong(0), stats.getLong(1),
       if (stats.isNullAt(2)) 0L else stats.getLong(2))
     require(n == nd, s"manifest frame has ${n - nd} basename collisions" +
       collisionScope.fold("")(_ => " within a single wave") +
       " — fname-keyed readers would be ambiguous; rename or pack " +
       "colliding waves separately")
+    // a negative manifested length is manifest corruption — caught on
+    // the cheap metadata with the drift wording, not as a
+    // NegativeArraySizeException at the executor alloc (round-16 ADVICE)
+    require(stats.isNullAt(3) || stats.getLong(3) >= 0L,
+      s"manifest drift: a manifested length is negative (${stats.getLong(3)}) " +
+        "— the manifest is corrupt; re-land the wave and re-manifest")
     val maxPB = parseByteString(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     val nSplits = math.max(1L, (bytes + maxPB - 1) / maxPB).toInt
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
-    val rows = manifest
-      .repartition(nSplits, pmod(hash(col("path")), lit(nSplits)))
-      .select("path", "length")
-      .rdd.mapPartitions { it =>
-        it.map { r =>
-          val p = new Path(r.getString(0))
-          val want = r.getLong(1)
+    // byte-aware contiguous packing, then EXACT placement: a hash
+    // repartition on __split could hash two split ids into one task
+    // and leave another empty, re-introducing the skew the assignment
+    // just removed — the key-as-partition-id partitioner is exact
+    val rows = assignByteSplits(manifest, maxPB)
+      .select("__split", "path", "length")
+      .rdd
+      // clamp: a ZERO-length file whose exclusive offset equals the
+      // total (bytes divisible by the target) computes split == nSplits
+      // — fold it into the last split instead of indexing past the end
+      .map(r => (math.min(r.getLong(0), (nSplits - 1).toLong).toInt,
+        (r.getString(1), r.getLong(2))))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nSplits
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .mapPartitions { it =>
+        it.map { case (_, (path, want)) =>
+          val p = new Path(path)
           // strict bound: HotSpot caps array sizes a few elements below
           // Int.MaxValue, so exactly-2GiB would OOM with a VM-limit
           // error instead of this curated message

@@ -322,6 +322,38 @@ object IoQueries {
           base64(col("content")).as("content_b64"))
         .orderBy("fname")
     },
+    // s19 — manifest COMPACTION (round-16 verdict item 1): the
+    // append-only manifest grows one tiny segment per wave forever, so
+    // at ~100k waves the segment glob itself re-grows the listing
+    // bottleneck s18 exists to kill; compactLandingManifest folds the
+    // accumulated segments into ONE parquet checkpoint (crash-safe
+    // two-rename swap, idempotent re-runs, concurrent appends
+    // untouched) and reads resolve checkpoint + post-compaction
+    // segments. Built fresh per query run (its own manifest dir —
+    // compaction deletes segments, which must not perturb the shared
+    // s18/st18 fixture); the oracle is the shared byte-content SQL:
+    // compaction must be byte-invisible to readers.
+    "s19_manifest_compact" -> { (s, dir) =>
+      import s.implicits._
+      val p = binFilesFixture(s, dir)
+      val man = scratch(dir, "bin_manifest_compact")
+      graft.streaming.Streams.deleteDir(s, man)
+      val waves = new java.io.File(p).listFiles().toSeq
+        .filter(_.getName.endsWith(".bin")).sortBy(_.getName)
+        .map(f => (f.getAbsolutePath, f.length()))
+        .grouped(7).toSeq
+      // first two waves land, fold into the checkpoint; the remaining
+      // waves stay live segments — the read unions both sides
+      waves.take(2).foreach(w =>
+        IO.appendLandingManifest(s, man, w.toDF("path", "length")))
+      IO.compactLandingManifest(s, man)
+      waves.drop(2).foreach(w =>
+        IO.appendLandingManifest(s, man, w.toDF("path", "length")))
+      IO.readBinaryFromManifest(s, man)
+        .select(col("fname"), col("length"),
+          base64(col("content")).as("content_b64"))
+        .orderBy("fname")
+    },
     "s17_binary_pack" -> { (s, dir) =>
       val p = binFilesFixture(s, dir)
       val dest = scratch(dir, "binpacked")
@@ -566,6 +598,9 @@ object IoQueries {
     // s18 plans from the manifest instead of the file index — the
     // planner must be byte-invisible, same shared content oracle
     "s18_manifest_ingest" -> BinFilesSql,
+    // s19 folds manifest segments into the parquet checkpoint —
+    // compaction must be byte-invisible too, same shared oracle
+    "s19_manifest_compact" -> BinFilesSql,
     // s17 packs the same fixture the s16 source reads — byte-invisible
     // by contract, so the oracle is shared verbatim
     "s17_binary_pack" -> BinFilesSql,

@@ -585,6 +585,101 @@ class OperatorsSpec extends SparkSpec {
     assert(dup.getMessage.contains("basename"), dup.getMessage)
   }
 
+  test("S19 manifest compaction: fold segments to one checkpoint, reads stay identical, crash window self-heals") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val zone = s"${sys.props("java.io.tmpdir")}/graft_test_s19_zone"
+    val man = s"${sys.props("java.io.tmpdir")}/graft_test_s19_man"
+    val fs = new Path(man).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(zone), true); fs.delete(new Path(man), true)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(zone))
+    def land(name: String, body: String): (String, Long) = {
+      val p = java.nio.file.Paths.get(zone, name)
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+      (p.toString, body.getBytes("UTF-8").length.toLong)
+    }
+    def segCount(): Int = fs.globStatus(new Path(s"$man/seg_*.json")).length
+    def readAll(): Seq[(String, Long)] =
+      graft.io.IO.readLandingManifest(spark, man)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    // compacting an empty/missing manifest is a no-op, not a crash
+    assert(graft.io.IO.compactLandingManifest(spark, man) == ((0, 0L)))
+    val w1 = Seq(land("a.bin", "alpha"), land("b.bin", "bravo"))
+    val w2 = Seq(land("c.bin", "charlie"))
+    graft.io.IO.appendLandingManifest(spark, man, w1.toDF("path", "length"))
+    graft.io.IO.appendLandingManifest(spark, man, w2.toDF("path", "length"))
+    val before = readAll()
+    assert(segCount() == 2)
+    val (folded, rows) = graft.io.IO.compactLandingManifest(spark, man)
+    assert(folded == 2 && rows == 3L, s"fold all segments, got ($folded, $rows)")
+    assert(segCount() == 0, "folded segments must be deleted")
+    assert(readAll() == before, "compaction must be invisible to readers")
+    // waves appended AFTER compaction union with the checkpoint
+    val w3 = Seq(land("d.bin", "delta four"))
+    graft.io.IO.appendLandingManifest(spark, man, w3.toDF("path", "length"))
+    assert(segCount() == 1)
+    assert(readAll().map(_._1.split('/').last) == Seq("a.bin", "b.bin", "c.bin", "d.bin"))
+    // the payload read is also unchanged across checkpoint + live segment
+    val got = graft.io.IO.readBinaryFromManifest(spark, man)
+      .select("fname").as[String].collect().toSeq.sorted
+    assert(got == Seq("a.bin", "b.bin", "c.bin", "d.bin"))
+    // crash window: checkpoint swapped in but folded segments NOT yet
+    // deleted (duplicate rows in both sources) — the read dedups, the
+    // re-run folds the leftovers away and stays idempotent
+    val (folded2, rows2) = graft.io.IO.compactLandingManifest(spark, man)
+    assert(folded2 == 1 && rows2 == 4L)
+    graft.io.IO.appendLandingManifest(spark, man,
+      Seq(w3.head).toDF("path", "length")) // re-manifest = the leftover segment
+    assert(readAll().map(_._1.split('/').last) == Seq("a.bin", "b.bin", "c.bin", "d.bin"),
+      "duplicate rows from the crash window must dedup on read")
+    val (folded3, rows3) = graft.io.IO.compactLandingManifest(spark, man)
+    assert(folded3 == 1 && rows3 == 4L, "re-folding the leftover must not duplicate rows")
+    assert(readAll().map(_._1.split('/').last) == Seq("a.bin", "b.bin", "c.bin", "d.bin"))
+  }
+
+  test("openManifested packs splits by BYTES and fails loudly on corrupt lengths/size confs") {
+    import spark.implicits._
+    // byte-aware assignment on a skewed mix: one over-target file plus
+    // many small ones. Contract: every split's bytes <= target + its
+    // own largest file (the single-row floor); splits of only
+    // under-target files stay <= 2x target.
+    val target = 100L
+    val files = Seq(("giant", 250L)) ++ (0 until 20).map(i => (f"s$i%02d", 35L))
+    val assigned = graft.io.IO.assignByteSplits(files.toDF("path", "length"), target)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byteses = assigned.groupBy(_._3).map { case (_, rs) =>
+      (rs.map(_._2).sum, rs.map(_._2).max) }
+    byteses.foreach { case (total, largest) =>
+      assert(total <= target + largest,
+        s"split holds $total bytes with largest file $largest — over the packing bound")
+    }
+    assert(byteses.filter(_._2 <= target).forall(_._1 <= 2 * target),
+      "splits without an over-target file must stay <= 2x target")
+    // every row assigned exactly once
+    assert(assigned.length == files.length)
+    // zero-length rows at an exact target boundary clamp into the last
+    // split instead of indexing past the partitioner
+    val zeros = Seq(("z0", 100L), ("z1", 100L), ("empty", 0L))
+    val za = graft.io.IO.assignByteSplits(zeros.toDF("path", "length"), 100L)
+      .collect().map(r => r.getLong(2))
+    assert(za.forall(s => s >= 0L && s <= 2L))
+    // a negative manifested length is named manifest corruption, caught
+    // on metadata before any file opens
+    val neg = intercept[IllegalArgumentException] {
+      graft.io.IO.openManifested(spark,
+        Seq(("/nowhere/x.bin", -5L)).toDF("path", "length")).collect()
+    }
+    assert(neg.getMessage.contains("negative"), neg.getMessage)
+    // an overflowing size string fails loudly instead of wrapping Long
+    // (Spark's conf layer rejects these at set-time; the parser guards
+    // every other door)
+    assert(graft.io.IO.parseByteString("128mb") == 128L << 20)
+    val overflow = intercept[IllegalArgumentException] {
+      graft.io.IO.parseByteString("99999999p")
+    }
+    assert(overflow.getMessage.contains("overflows"), overflow.getMessage)
+  }
+
   test("S17 packBinaryDir: packing is byte-invisible, bounds output files, and serving never touches the file source") {
     import org.apache.hadoop.fs.Path
     val src = s"${sys.props("java.io.tmpdir")}/graft_test_binpack_src"

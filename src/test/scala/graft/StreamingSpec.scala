@@ -241,5 +241,45 @@ class StreamingSpec extends SparkSpec {
     assert(replayed.count() == 5,
       "a replayed batch must overwrite its own directory, never append duplicates")
     assert(replayed.select("fname").as[String].collect().toSeq.sorted == names)
+    // --- resume ACROSS A COMPACTION (round-16 verdict item 1): folding
+    // the seen segments into the parquet checkpoint must be invisible
+    // to a kept-checkpoint drain — its seen-file log already covers
+    // them, and the next trigger ingests exactly the newly-manifested
+    // wave from the now-smaller segment glob
+    val (foldedSegs, ckptRows) = graft.io.IO.compactLandingManifest(spark, s"$base/man")
+    assert(foldedSegs == 2 && ckptRows == 5L, s"got ($foldedSegs, $ckptRows)")
+    val w3 = Seq(land("c_0.bin", "wave three 0"))
+    graft.io.IO.appendLandingManifest(spark, s"$base/man", w3.toDF("path", "length"))
+    val afterCompact = Streams.runManifestIngestStream(spark, s"$base/man",
+      s"$base/ckpt", s"$base/out", reset = false)
+    assert(afterCompact.select("fname").as[String].collect().toSeq.sorted ==
+      names :+ "c_0.bin",
+      "a compaction between drains must cost nothing and lose nothing")
+    // --- kill MID-WAVE (round-16 verdict item 5): a drain that dies
+    // between starting the sink's parquet job and the offset commit
+    // leaves a PARTIAL batch_id dir (stray part file, _temporary) and
+    // no commit marker — the resume must re-run that batch into the
+    // same directory, replacing the partial junk, no dup, no loss
+    val w4 = Seq(land("d_0.bin", "wave four 0"))
+    graft.io.IO.appendLandingManifest(spark, s"$base/man", w4.toDF("path", "length"))
+    val nextBatch = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).map(_.getName.toInt).max + 1
+    val partial = new java.io.File(s"$base/out/batch_id=$nextBatch")
+    new java.io.File(partial, "_temporary/0").mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(partial, "part-00000-killed.snappy.parquet").toPath,
+      "torn write".getBytes("UTF-8"))
+    val recovered = Streams.runManifestIngestStream(spark, s"$base/man",
+      s"$base/ckpt", s"$base/out", reset = false)
+    assert(recovered.count() == 7,
+      "the killed wave must land exactly once across the restart")
+    assert(recovered.select("fname").as[String].collect().toSeq.sorted ==
+      (names :+ "c_0.bin" :+ "d_0.bin"),
+      "no duplicate and no lost file after a mid-wave kill")
+    assert(!new java.io.File(partial, "part-00000-killed.snappy.parquet").exists(),
+      "the partial dir's torn file must be replaced by the re-run batch")
+    val body4 = recovered.filter(col("fname") === "d_0.bin")
+      .select(col("content").cast("string")).as[String].head()
+    assert(body4 == "wave four 0")
   }
 }
