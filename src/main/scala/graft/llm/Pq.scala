@@ -179,6 +179,8 @@ object Pq {
                     m: Int = 8, numCells: Int = 16, iters: Int = 2): Unit = {
     val v = corpus.select(col("vec_id"), Similarity.quantize(col("embedding")).as("nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.functions.LongArrayDot.register(corpus.sparkSession)
+    val unitNorm = Similarity.isUnitNormQ(v)
     val cents = trainCodebooks(v, m, numCells, iters)
     // the three tables swap live as ONE unit (graft.io.Staging): a
     // reader can never pair centroids from one build with codes or a
@@ -186,7 +188,7 @@ object Pq {
     graft.io.Staging.publish(corpus.sparkSession, indexDir) { tmp =>
       cents.write.mode("overwrite").parquet(s"$tmp/pq_centroids")
       encode(v, cents, m).write.mode("overwrite").parquet(s"$tmp/codes")
-      writeParams(corpus.sparkSession, tmp, m, numCells, coarseCells = 0)
+      writeParams(corpus.sparkSession, tmp, m, numCells, coarseCells = 0, unitNorm)
     }
     purgeValidated(indexDir)
     v.unpersist(false)
@@ -197,12 +199,24 @@ object Pq {
     * with a mismatched `m` would not fail — the LUT's subvector split
     * partially inner-joins the stored (s, code) rows and silently
     * drops per-subvector terms — so the prebuilt readers require() a
-    * match and fail loudly on drift instead. */
+    * match and fail loudly on drift instead.
+    *
+    * `unit_norm` stamps the METRIC contract (round-16 verdict item 2):
+    * ADC orders by L2 over the stored codes while the coarse probe and
+    * the exact re-rank order by cosine — the two agree exactly when
+    * the corpus is unit-norm and silently DISAGREE otherwise (the x24c
+    * 1M probe isolated the last recall plateau, 0.944 vs 1.000, as
+    * precisely this mismatch on raw random vectors; a unit-norm rerun
+    * recovered it). [[Similarity.quantize]] guards per-component
+    * amplitude only, so without the stamp a raw-embedding corpus
+    * builds fine and loses recall with no error anywhere — the
+    * metric-mixing serve paths require() the stamp instead. */
   private def writeParams(spark: org.apache.spark.sql.SparkSession,
                           indexDir: String, m: Int, numCells: Int,
-                          coarseCells: Int): Unit = {
+                          coarseCells: Int, unitNorm: Boolean): Unit = {
     import spark.implicits._
-    Seq((m, numCells, coarseCells)).toDF("m", "num_cells", "coarse_cells")
+    Seq((m, numCells, coarseCells, unitNorm))
+      .toDF("m", "num_cells", "coarse_cells", "unit_norm")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/index_params")
   }
 
@@ -212,10 +226,12 @@ object Pq {
     * staging directory, whose path never appears in the memo). */
   private def purgeValidated(indexDir: String): Unit =
     // both key shapes: "<root>|..." (rename-swap) and "<root>/v=N|..."
-    validatedParams.removeIf(k =>
+    validatedParams.keySet().removeIf(k =>
       k.startsWith(indexDir + "|") || k.startsWith(indexDir + "/"))
 
-  /** (liveDir, m, stampMtime) triples already checked this JVM.
+  /** (liveDir, m, stampMtime) triples already checked this JVM,
+    * mapped to the build's unit_norm stamp (None = a pre-norm-stamp
+    * external build) so memoized calls return it without re-reading.
     * The guard's expensive part is a single-row parquet read — same
     * order uncached as the whole x22b serve path (~0.1 s vs 0.5 s) —
     * so repeated queries against an unchanged index (the prebuilt
@@ -229,14 +245,18 @@ object Pq {
     * ANOTHER process (or, under the versioned layout, a rebuild moving
     * the live dir itself) invalidates the stale verdict — the exact
     * silent-ADC-drop window the guard exists to close. */
-  private val validatedParams = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val validatedParams =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Boolean]]()
 
   /** Returns the RESOLVED live artifact directory (the root itself
     * under the rename-swap layout, the live `v=N` dir under the
-    * versioned one — [[graft.io.Staging.resolveRead]]); readers scan
-    * the index tables under it, never under the raw root. */
+    * versioned one — [[graft.io.Staging.resolveRead]]) plus the
+    * build's `unit_norm` stamp (None on a pre-norm-stamp external
+    * build); readers scan the index tables under the resolved dir,
+    * never under the raw root, and the metric-mixing serve paths gate
+    * on the stamp via [[requireUnitNorm]]. */
   private def requireParamMatch(spark: org.apache.spark.sql.SparkSession,
-                                indexDir: String, m: Int): String = {
+                                indexDir: String, m: Int): (String, Option[Boolean]) = {
     // crash-window availability on either publish protocol: heal a
     // crashed rename-swap, or resolve the live published version
     // (graft.io.Staging contract)
@@ -264,7 +284,7 @@ object Pq {
     // keyed on the RESOLVED dir: under the versioned layout a rebuild
     // changes the path itself, so stale verdicts can never be reused
     val key = s"$live|$m|$mtime"
-    if (!validatedParams.contains(key)) {
+    val unitNorm = Option(validatedParams.get(key)).getOrElse {
       val rows =
         try spark.read.parquet(stampPath.toString).collect()
         catch {
@@ -282,9 +302,42 @@ object Pq {
         s"PQ index at $indexDir was built with m=$builtM but queried with " +
           s"m=$m — per-subvector ADC terms would be silently dropped; " +
           "rebuild the artifact or match the query's m")
-      validatedParams.add(key)
+      // None = the column predates the norm contract (external build)
+      val un = scala.util.Try(p.fieldIndex("unit_norm")).toOption
+        .map(i => p.getBoolean(i))
+      validatedParams.put(key, un)
+      un
     }
-    live
+    (live, unitNorm)
+  }
+
+  /** Gate a metric-MIXING serve path on the build's norm stamp: ADC
+    * orders by L2, the coarse probe and exact re-rank by cosine — on a
+    * unit-norm corpus they agree exactly; on raw embeddings they
+    * silently disagree and recall degrades with no error anywhere (the
+    * x24c 1M probe: recall@10 plateaued at 0.944 on raw random
+    * vectors, 1.000 after unit-normalizing — metric mismatch, not
+    * probe/shortlist budget). Loud failure here is the fix: quantize's
+    * amplitude guard cannot see norms, and a recall loss is invisible
+    * in any single query's output. `allowRaw = true` is the EXPLICIT
+    * opt-out for callers that accept the mixed-metric recall property
+    * (diagnostics, geometry tests, corpora where L2 neighborhood is
+    * the intended semantics) — the default stays loud. */
+  private def requireUnitNorm(indexDir: String, unitNorm: Option[Boolean],
+                              what: String, allowRaw: Boolean): Unit =
+    if (!allowRaw) unitNorm match {
+    case Some(true) => ()
+    case Some(false) => throw new IllegalArgumentException(
+      s"PQ index at $indexDir was built from UN-normalized embeddings, but " +
+        s"$what mixes metrics (ADC ranks by L2, the coarse probe and exact " +
+        "re-rank by cosine) — on raw vectors they disagree and recall " +
+        "silently degrades (1M probe: recall@10 0.944 raw vs 1.000 " +
+        "unit-norm). Unit-normalize the embeddings and rebuild, or serve " +
+        "through adcTopKPrebuilt (pure L2, metric-consistent)")
+    case None => throw new IllegalArgumentException(
+      s"PQ index at $indexDir carries no unit_norm stamp (a pre-norm-contract " +
+        s"or external build) — $what cannot verify the cosine/L2 agreement " +
+        "it assumes; rebuild the artifact with buildAdcIndex/buildPqIndex")
   }
 
   /** Query a [[buildAdcIndex]] index: centroid + code reads only —
@@ -292,7 +345,9 @@ object Pq {
     * index round-trip stores the exact integer codes and centroids. */
   def adcTopKPrebuilt(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                       queries: DataFrame, k: Int, m: Int = 8): DataFrame = {
-    val live = requireParamMatch(spark, indexDir, m)
+    // no norm gate here: plain ADC is pure L2 end to end —
+    // metric-consistent on any corpus, normalized or not
+    val (live, _) = requireParamMatch(spark, indexDir, m)
     val cents = spark.read.parquet(s"$live/pq_centroids")
     val codes = spark.read.parquet(s"$live/codes")
     queryAdcCodes(codes, cents, queries, k, m)
@@ -315,9 +370,15 @@ object Pq {
     * family, so reranked and brute-force scores are bit-identical. */
   def adcTopKReranked(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                       corpus: DataFrame, queries: DataFrame, k: Int,
-                      m: Int = 8, shortlist: Int = 12): DataFrame = {
+                      m: Int = 8, shortlist: Int = 12,
+                      allowRawNorms: Boolean = false): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     graft.functions.LongArrayDot.register(spark)
+    // the cosine re-rank over an L2-ranked shortlist assumes the two
+    // metrics agree — enforced by the build's norm stamp (memoized
+    // read, the m-guard pays it anyway)
+    val (_, unitNorm) = requireParamMatch(spark, indexDir, m)
+    requireUnitNorm(indexDir, unitNorm, "adcTopKReranked", allowRawNorms)
     val short = adcTopKPrebuilt(spark, indexDir, queries, k = shortlist, m)
     rerankExact(corpus, queries, short, k)
   }
@@ -332,15 +393,17 @@ object Pq {
   def ivfAdcTopKReranked(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                          corpus: DataFrame, queries: DataFrame, k: Int,
                          m: Int = 8, nProbe: Int = 2, shortlist: Int = 12,
-                         minCandidates: Option[Long] = None): DataFrame = {
+                         minCandidates: Option[Long] = None,
+                         allowRawNorms: Boolean = false): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     graft.functions.LongArrayDot.register(spark)
     // minCandidates = Some(target) swaps the fixed nProbe for the
     // occupancy-ADAPTIVE probe policy (ivfAdcTopKPrebuilt) — the knob
     // that closes the coarse-prune recall loss the x24b gate isolated,
-    // at a data-bounded probe budget
+    // at a data-bounded probe budget. The norm gate fires inside the
+    // prebuilt call (IVFADC mixes metrics by construction).
     val short = ivfAdcTopKPrebuilt(spark, indexDir, queries, k = shortlist, m,
-      nProbe, minCandidates)
+      nProbe, minCandidates, allowRawNorms)
     rerankExact(corpus, queries, short, k)
   }
 
@@ -528,6 +591,7 @@ object Pq {
     graft.functions.LongArrayDot.register(corpus.sparkSession)
     val v = corpus.select(col("vec_id"), Similarity.quantize(col("embedding")).as("nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val unitNorm = Similarity.isUnitNormQ(v)
     val (coarse, pqCents, codes) = buildCodes(v, m, numCells, coarseCells, iters)
     // all four tables swap live as ONE unit (see buildAdcIndex)
     graft.io.Staging.publish(corpus.sparkSession, indexDir) { tmp =>
@@ -551,7 +615,7 @@ object Pq {
         .groupBy(col("cell_id").cast("long").as("cell_id"))
         .agg(count(lit(1)).as("n_members"))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/cell_stats")
-      writeParams(corpus.sparkSession, tmp, m, numCells, coarseCells)
+      writeParams(corpus.sparkSession, tmp, m, numCells, coarseCells, unitNorm)
     }
     purgeValidated(indexDir)
     v.unpersist(false)
@@ -576,9 +640,13 @@ object Pq {
   def ivfAdcTopKPrebuilt(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                          queries: DataFrame, k: Int,
                          m: Int = 8, nProbe: Int = 2,
-                         minCandidates: Option[Long] = None): DataFrame = {
+                         minCandidates: Option[Long] = None,
+                         allowRawNorms: Boolean = false): DataFrame = {
     graft.functions.LongArrayDot.register(spark)
-    val live = requireParamMatch(spark, indexDir, m)
+    val (live, unitNorm) = requireParamMatch(spark, indexDir, m)
+    // IVFADC mixes metrics BY CONSTRUCTION (cosine coarse probe over
+    // L2-ranked codes) — gate on the build's norm stamp
+    requireUnitNorm(indexDir, unitNorm, "ivfAdcTopKPrebuilt", allowRawNorms)
     val coarse = spark.read.parquet(s"$live/coarse")
     val pqCents = spark.read.parquet(s"$live/pq_centroids")
     val adaptive = minCandidates.map(t => (t, cellStats(spark, live)))

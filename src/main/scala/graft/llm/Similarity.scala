@@ -56,6 +56,26 @@ object Similarity {
         maxAbs, bound, size(v))))
   }
 
+  /** Unit-norm tolerance for [[isUnitNormQ]]: quantization puts the
+    * norm² of a truly unit vector within ~2·√d·10⁻⁶ of 1 (≈ 8·10⁻⁵ at
+    * d = 1536), while genuinely raw embeddings sit tens of percent
+    * off — 0.01 admits every normalized corpus and flags every raw
+    * one. */
+  private[llm] val UnitNormTol = 0.01
+
+  /** Whether every vector of a quantized `(…, nv)` frame is
+    * unit-norm within [[UnitNormTol]] — ONE column-pruned agg over the
+    * (typically already-persisted) frame, the build-time cost of
+    * stamping the ANN norm contract. Empty corpus counts as unit-norm
+    * (nothing can violate the metric). Callers must have registered
+    * [[graft.functions.LongArrayDot]]. */
+  private[llm] def isUnitNormQ(v: DataFrame, nvCol: String = "nv"): Boolean = {
+    val scale2 = lit(Scale.toDouble * Scale.toDouble)
+    val drift = v.agg(
+      max(abs(dotQ(col(nvCol), col(nvCol)).cast("double") / scale2 - lit(1.0)))).head()
+    drift.isNullAt(0) || drift.getDouble(0) <= UnitNormTol
+  }
+
   /** Exact integer dot product of two quantized vectors, via the
     * native codegen expression [[graft.functions.LongArrayDot]]
     * (a fused loop — no intermediate array, unlike
@@ -256,19 +276,32 @@ object Similarity {
     * k15/st12 incremental-state pattern applied to ANN). */
   def buildIvfIndex(corpus: DataFrame, indexDir: String,
                     numCells: Int = 16, iters: Int = 2): Unit = {
-    graft.functions.LongArrayDot.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    graft.functions.LongArrayDot.register(spark)
     // one scan+quantize serves training AND the member assignment
     val v = spread(corpus)
       .select(col("vec_id"), quantize(col("embedding")).as("nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // norm PROVENANCE stamp (round-16 verdict item 2, the index_params
+    // convention): IVF-flat itself needs no serve gate — assignment,
+    // probe and scoring are all cosine, which is scale-invariant, so
+    // un-normalized vectors rank identically — but the stamp records
+    // the contract so a consumer feeding these members into an
+    // L2-metric system (or comparing against the ADC family, which
+    // DOES gate) can check what was indexed. One column-pruned agg
+    // over the already-persisted frame.
+    val unitNorm = isUnitNormQ(v)
     val cents = kmeansCodebookQ(v, numCells, iters)
     // centroids + members swap live as ONE unit (graft.io.Staging): a
     // query can never assign against one build's codebook and scan
     // another build's members, and a crashed rebuild keeps the old
     // index serving
-    graft.io.Staging.publish(corpus.sparkSession, indexDir) { tmp =>
+    graft.io.Staging.publish(spark, indexDir) { tmp =>
       cents.write.mode("overwrite").parquet(s"$tmp/centroids")
       writeMembers(assignCellsQ(v, cents), tmp, "overwrite")
+      import spark.implicits._
+      Seq((unitNorm, numCells, iters)).toDF("unit_norm", "num_cells", "iters")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/norm_params")
     }
     v.unpersist(false)
   }

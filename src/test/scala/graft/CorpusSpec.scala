@@ -1014,8 +1014,10 @@ class CorpusSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val exact = pairs(graft.llm.Similarity.bruteForceTopK(corpus, queries, k = 3))
     val adc = pairs(graft.llm.Pq.adcTopKPrebuilt(spark, idx, queries, k = 3))
+    // this fixture is deliberately raw (norm ~1.3): the spec pins the
+    // re-rank MECHANICS, so it opts out of the unit-norm serve gate
     val rer = graft.llm.Pq.adcTopKReranked(spark, idx, corpus, queries,
-      k = 3, shortlist = 12)
+      k = 3, shortlist = 12, allowRawNorms = true)
     val rerPairs = pairs(rer)
     // re-ranking can only help: every exact winner that survived the
     // 12-deep shortlist is recovered, so recall dominates plain ADC
@@ -1037,9 +1039,65 @@ class CorpusSpec extends SparkSpec {
     // passed frame trip the drift guard
     val drift = intercept[IllegalArgumentException] {
       graft.llm.Pq.adcTopKReranked(spark, idx, corpus.filter(col("vec_id") < 5),
-        queries, k = 3, shortlist = 12).collect()
+        queries, k = 3, shortlist = 12, allowRawNorms = true).collect()
     }
     assert(drift.getMessage.contains("shortlist/corpus drift"), drift.getMessage)
+  }
+
+  test("ANN norm contract: raw-embedding indexes fail the metric-mixing serves loudly, unit-norm ones pass (r16 verdict item 2)") {
+    // un-normalized 2-d corpus (norms 3..5-ish): builds fine — quantize
+    // guards amplitude, not norm — but the L2-ranked ADC order and the
+    // cosine-ranked probe/re-rank DISAGREE on it (the x24c 1M probe's
+    // 0.944 recall plateau), so the mixing serves must fail with the
+    // contract named instead of silently degrading recall
+    val raw = spark.range(16)
+      .select(col("id").as("vec_id"),
+        array((col("id") % 5 + 1).cast("double"),
+          (col("id") % 3 + 2).cast("double")).as("embedding"))
+    val q = raw.filter(col("vec_id") < 2)
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_test_normgate_idx"
+    graft.streaming.Streams.deleteDir(spark, idx)
+    graft.llm.Pq.buildPqIndex(raw, idx, m = 2, numCells = 4, coarseCells = 4)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.llm.Pq.ivfAdcTopKPrebuilt(spark, idx, q, k = 3, m = 2).collect()
+    }
+    assert(e1.getMessage.contains("UN-normalized") && e1.getMessage.contains("L2"),
+      e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.llm.Pq.ivfAdcTopKReranked(spark, idx, raw, q, k = 3, m = 2).collect()
+    }
+    assert(e2.getMessage.contains("UN-normalized"), e2.getMessage)
+    // plain ADC is pure L2 — metric-consistent, stays servable on the
+    // same raw index
+    assert(graft.llm.Pq.adcTopKPrebuilt(spark, idx, q, k = 3, m = 2).count() > 0)
+    // the explicit opt-out works (diagnostics/geometry callers)
+    assert(graft.llm.Pq.ivfAdcTopKPrebuilt(spark, idx, q, k = 3, m = 2,
+      allowRawNorms = true).count() > 0)
+    // a unit-norm corpus stamps true and serves the full chain
+    val unit = spark.range(16)
+      .select(col("id").as("vec_id"),
+        array(sin(col("id").cast("double")), cos(col("id").cast("double")))
+          .as("embedding"))
+    val uq = unit.filter(col("vec_id") < 2)
+    val idx2 = s"${sys.props("java.io.tmpdir")}/graft_test_normgate_idx2"
+    graft.streaming.Streams.deleteDir(spark, idx2)
+    graft.llm.Pq.buildPqIndex(unit, idx2, m = 2, numCells = 4, coarseCells = 4)
+    assert(graft.llm.Pq.ivfAdcTopKReranked(spark, idx2, unit, uq, k = 3, m = 2)
+      .count() > 0, "a unit-norm index must serve the mixing chain ungated")
+    // the IVF-flat build stamps provenance too (no gate by design:
+    // cosine is scale-invariant end to end there)
+    val idx3 = s"${sys.props("java.io.tmpdir")}/graft_test_normgate_idx3"
+    graft.streaming.Streams.deleteDir(spark, idx3)
+    graft.llm.Similarity.buildIvfIndex(raw, idx3, numCells = 4)
+    val live3 = graft.io.Staging.resolveRead(spark, idx3)
+    val stamp = spark.read.parquet(s"$live3/norm_params").collect()
+    assert(stamp.length == 1 && !stamp(0).getAs[Boolean]("unit_norm"),
+      "IVF-flat must stamp the raw-norm provenance")
+    assert(graft.llm.Similarity.ivfTopKPrebuilt(spark, idx3, q, k = 3).count() > 0,
+      "IVF-flat serving stays ungated — cosine is scale-invariant")
+    graft.streaming.Streams.deleteDir(spark, idx)
+    graft.streaming.Streams.deleteDir(spark, idx2)
+    graft.streaming.Streams.deleteDir(spark, idx3)
   }
 
   test("quantize amplitude contract: unnormalized embeddings fail with a NAMED overflow error on every similarity entry point") {

@@ -159,7 +159,8 @@ class SpanSketchSpec extends SparkSpec {
     val idx = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
     try {
       Pq.buildPqIndex(emb, idx)
-      val pre = Pq.ivfAdcTopKPrebuilt(spark, idx, emb.filter(col("vec_id") === 7L), k = 5)
+      val pre = Pq.ivfAdcTopKPrebuilt(spark, idx, emb.filter(col("vec_id") === 7L), k = 5,
+        allowRawNorms = true)
         .collect().sortBy(_.getAs[Int]("rank"))
       assert(pre.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSeq
         === top.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSeq)
@@ -180,10 +181,11 @@ class SpanSketchSpec extends SparkSpec {
       // fixed policy at nProbe = numCells (the convergence contract)
       def keyOf(r: org.apache.spark.sql.Row) =
         (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))
-      val full = Pq.ivfAdcTopKPrebuilt(spark, idx, q, k = 10, nProbe = 16)
+      val full = Pq.ivfAdcTopKPrebuilt(spark, idx, q, k = 10, nProbe = 16,
+          allowRawNorms = true)
         .collect().sortBy(_.getAs[Int]("rank")).map(keyOf).toSeq
       val adFull = Pq.ivfAdcTopKPrebuilt(spark, idx, q, k = 10,
-          minCandidates = Some(1000L))
+          minCandidates = Some(1000L), allowRawNorms = true)
         .collect().sortBy(_.getAs[Int]("rank")).map(keyOf).toSeq
       assert(adFull === full, "target >= corpus must equal the full scan")
       // the kept-cell RULE, pinned against a driver-side replica over
@@ -212,7 +214,7 @@ class SpanSketchSpec extends SparkSpec {
       assert(cum >= target || keptCells == rankedCells.toSet,
         "the rule stops only once the target is met (or cells run out)")
       val adSmall = Pq.ivfAdcTopKPrebuilt(spark, idx, q, k = 64,
-          minCandidates = Some(target))
+          minCandidates = Some(target), allowRawNorms = true)
         .collect().map(_.getAs[Long]("neighbor_id")).toSet
       assert(adSmall === expected,
         s"adaptive candidates must be exactly the kept cells' members: " +
@@ -224,7 +226,7 @@ class SpanSketchSpec extends SparkSpec {
       statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(statsPath, true)
       val adNoStats = Pq.ivfAdcTopKPrebuilt(spark, idx, q, k = 64,
-          minCandidates = Some(target))
+          minCandidates = Some(target), allowRawNorms = true)
         .collect().map(_.getAs[Long]("neighbor_id")).toSet
       assert(adNoStats === adSmall, "cell_stats fallback must be value-invisible")
     } finally graft.streaming.Streams.deleteDir(spark, idx)
