@@ -69,18 +69,47 @@ object Streams {
     * different provider is rejected by Spark itself (offsets pin the
     * provider), so flipping the knob mid-deployment requires a fresh
     * checkpoint — the standard Spark migration contract. */
+  /** Sessions with an engine stream currently inside
+    * [[withEngineStateStore]]'s set/restore window, keyed by session
+    * identity. The provider swap mutates SESSION-WIDE SQL conf around
+    * the run, so two overlapping engine streams on one session would
+    * interleave set/restore and could start a query on the wrong
+    * provider — the sequential-streams assumption is ENFORCED here,
+    * not just documented (round-16 ADVICE): the second entrant fails
+    * loudly instead of racing. */
+  private val activeStateStoreSwaps =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  private[graft] def acquireStateStoreSwap(spark: SparkSession): Unit = {
+    val id = System.identityHashCode(spark)
+    if (!activeStateStoreSwaps.add(id))
+      throw new IllegalStateException(
+        "another engine stream is already running on this session: the " +
+          "state-store provider is session-wide SQL conf swapped around " +
+          "each run, so overlapping engine streams could start on the " +
+          "wrong provider — run engine streams sequentially per session " +
+          "(or use separate sessions via SparkSession.newSession)")
+  }
+
+  private[graft] def releaseStateStoreSwap(spark: SparkSession): Unit =
+    activeStateStoreSwaps.remove(System.identityHashCode(spark)): Unit
+
   private def withEngineStateStore[T](spark: SparkSession,
                                       force: Option[String] = None)(body: => T): T = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val logKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     def withConfs(values: Seq[(String, String)])(b: => T): T = {
+      acquireStateStoreSwap(spark)
       val prev = values.map { case (k, _) => k -> spark.conf.getOption(k) }
       values.foreach { case (k, v) => spark.conf.set(k, v) }
       try b
-      finally prev.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None)    => spark.conf.unset(k)
+      finally {
+        prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+        releaseStateStoreSwap(spark)
       }
     }
     force.getOrElse(spark.conf.get(StateStoreModeKey, "rocksdb")) match {

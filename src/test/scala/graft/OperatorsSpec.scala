@@ -527,6 +527,53 @@ class OperatorsSpec extends SparkSpec {
       "the adopted version retires like any predecessor")
   }
 
+  test("staged-query read overlapping a re-publish + GC resolves a retained version (r16 verdict item 6)") {
+    // the registry-level twin of the reader-grace unit spec: an
+    // IN-FLIGHT semanticDedupStaged read (resolved against the live
+    // version) overlaps a second stageSemanticCells publish on the
+    // same root, whose post-flip gcVersions(keep=1) cadence runs
+    // inside the publish — the read must still materialize from its
+    // retained version, value-identical to the direct path
+    import org.apache.hadoop.fs.Path
+    val root = s"${sys.props("java.io.tmpdir")}/graft_test_gc_race_semcells"
+    graft.streaming.Streams.deleteDir(spark, root)
+    def corpus(shift: Int) = spark.range(24)
+      .select(col("id").as("vec_id"),
+        array(sin((col("id") + lit(shift)).cast("double")),
+          cos((col("id") + lit(shift)).cast("double"))).as("embedding"))
+    graft.llm.Similarity.stageSemanticCells(corpus(0), root,
+      numCells = Some(4), publishMode = Some("versioned"))
+    // resolve NOW (v1), collect LATER — the overlap under test
+    val inFlight = graft.llm.Similarity.semanticDedupStaged(spark, root,
+      threshold = 0.999)
+    val direct = graft.llm.Similarity.semanticDedup(corpus(0),
+      numCells = Some(4), threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    // second publish over the same root: flips LATEST to v2 and runs
+    // the keep=1 GC cadence inside Staging.publish
+    graft.llm.Similarity.stageSemanticCells(corpus(7), root,
+      numCells = Some(4), publishMode = Some("versioned"))
+    assert(inFlight.select("vec_id").as[Long].collect().toSet == direct,
+      "the in-flight read must survive the re-publish + GC and stay value-identical")
+    // fresh reads resolve the NEW version
+    val fresh = graft.llm.Similarity.semanticDedupStaged(spark, root,
+      threshold = 0.999).select("vec_id").as[Long].collect().toSet
+    val direct2 = graft.llm.Similarity.semanticDedup(corpus(7),
+      numCells = Some(4), threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(fresh == direct2)
+    // a third publish retires v1 (two publishes stale) — the
+    // structural reader-grace window, asserted at the artifact root
+    graft.llm.Similarity.stageSemanticCells(corpus(13), root,
+      numCells = Some(4), publishMode = Some("versioned"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$root/v=000001")),
+      "v1 must be GC'd after two further publishes")
+    assert(fs.exists(new Path(s"$root/v=000002")) && fs.exists(new Path(s"$root/v=000003")),
+      "live + 1 predecessor retained")
+    graft.streaming.Streams.deleteDir(spark, root)
+  }
+
   test("S18 manifest ingest: waves accumulate, drift fails loudly, empty waves are no-ops") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path

@@ -282,4 +282,23 @@ class StreamingSpec extends SparkSpec {
       .select(col("content").cast("string")).as[String].head()
     assert(body4 == "wave four 0")
   }
+
+  test("state-store swap window refuses overlapping engine streams on one session (r16 ADVICE)") {
+    // the provider swap is session-wide conf; a second engine stream
+    // entering the window must fail loudly, not race the set/restore
+    Streams.acquireStateStoreSwap(spark)
+    try {
+      val e = intercept[IllegalStateException] {
+        Streams.acquireStateStoreSwap(spark)
+      }
+      assert(e.getMessage.contains("another engine stream"), e.getMessage)
+      // a DIFFERENT session is independent (per-session keying)
+      val other = spark.newSession()
+      Streams.acquireStateStoreSwap(other)
+      Streams.releaseStateStoreSwap(other)
+    } finally Streams.releaseStateStoreSwap(spark)
+    // released: the next engine stream on this session runs normally
+    Streams.acquireStateStoreSwap(spark)
+    Streams.releaseStateStoreSwap(spark)
+  }
 }
