@@ -122,16 +122,20 @@ object StreamQueries {
     },
     "st8_stream_join" -> { (s, dir) =>
       val glob = writeMicroBatches(s, dir)
-      // 4 state partitions: the join holds 4-5 state stores/partition
-      // — at 32 partitions the store-commit machinery, not the data,
-      // dominates (16s → 5.3s at sf0.1; results partition-independent).
+      // 8 state partitions: the join holds 4-5 state stores/partition,
+      // and per-trigger store commits PARALLELIZE across tasks, so the
+      // partition count is U-shaped under RocksDB — the interleaved
+      // sf0.1 sweep (probe_st8_rocksdb_trim.sc) reads p1 27.2s /
+      // p2 14.9s / p4 7.9s / p8 5.5s / p16 6.6s / p32 ~16s: too few
+      // partitions serialize the commit constant, too many multiply
+      // it. Results are partition-independent (oracle-pinned).
       // 2 files/trigger: 3 replay triggers instead of 5, same
       // cross-batch join matches (inner join emits each match once
-      // whatever the batching — oracle-pinned)
+      // whatever the batching)
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st8_ckpt"),
           df => Streams.streamSelfJoinPairs(df), OutputMode.Append(),
-          maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
+          maxFilesPerTrigger = Some(2), shufflePartitions = Some(8))
         .orderBy("a_id", "b_id")
     },
     "st9_stream_dedup" -> { (s, dir) =>

@@ -44,6 +44,9 @@ object Streams {
     * HDFSBackedStateStoreProvider, for A/B comparison). */
   val StateStoreModeKey = "spark.graft.streaming.stateStore"
 
+  private val TrackRowsKey =
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+
   val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
@@ -123,8 +126,17 @@ object Streams {
         // changelog checkpointing: commit uploads the delta, not a full
         // snapshot — the per-trigger RocksDB commit cost that dominates
         // small-state benches (st8 A/B: 7.6 s vs heap 3.5 s without it)
-        // and the recommended production config at large state
-        withConfs(Seq(provKey -> RocksDbProvider, logKey -> "true"))(body)
+        // and the recommended production config at large state.
+        // trackTotalNumberOfRows off by default (round-16 verdict item
+        // 4): maintaining the numTotalStateRows METRIC costs the write
+        // path a point-get per put/remove — a bookkeeping knob, zero
+        // effect on answers or stored state (the metric just reads 0).
+        // The interleaved sf0.1 A/B (probe_st8_rocksdb_trim.sc)
+        // attributes part of the stream-join trim to it; an explicit
+        // session setting wins over the default.
+        val track = spark.conf.getOption(TrackRowsKey).getOrElse("false")
+        withConfs(Seq(provKey -> RocksDbProvider, logKey -> "true",
+          TrackRowsKey -> track))(body)
       case other => throw new IllegalArgumentException(
         s"$StateStoreModeKey must be 'rocksdb' or 'heap', got '$other'")
     }
