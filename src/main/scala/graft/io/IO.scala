@@ -380,22 +380,39 @@ object IO {
     * [[replaceDir]] protocol; and a crash between the swap and the
     * segment deletes leaves duplicate rows that [[readLandingManifest]]
     * dedups and the next compaction folds away — every window is
-    * either invisible or self-healing, never silent loss.
+    * either invisible or self-healing, never silent loss. Run ONE fold
+    * at a time per manifest: [[replaceDir]]'s swap tmp names are fixed
+    * per target, so concurrent FOLDS (unlike concurrent appends) would
+    * collide — the same single-writer rule as [[compact]] and the
+    * streaming upsert sink.
     *
     * Consumer contract: the BATCH reader ([[readBinaryFromManifest]])
-    * sees an identical manifest before and after. A RESUMED st18 drain
-    * (kept checkpoint) is also unaffected — its seen-file log already
-    * covers the folded segments, and its per-trigger relist SHRINKS. A
-    * FRESH stream drain started after compaction sees only live
-    * segments, so bootstrap new consumers from the batch read (or the
-    * packed table) first — same rule as any log-compacted source.
+    * sees an identical manifest before and after. A stream drain
+    * ([[graft.streaming.Streams.runManifestIngestStream]]) lists the
+    * live `seg_*.json` glob per trigger, so folding a segment the
+    * drain has ALREADY ingested is invisible (seen-file log) and its
+    * per-trigger relist SHRINKS — but folding a segment a LAGGING
+    * drain has not yet listed would silently starve it of those waves
+    * (the checkpoint parquet is outside its glob): the log-compaction
+    * rule. `graceMs` is that rule as code — only segments whose
+    * modification time is at least `graceMs` old are folded, so set it
+    * to an upper bound on consumer lag (e.g. a day for a daily fold
+    * over 5-minute waves; the default 0 folds everything and is for
+    * single-consumer/batch-only manifests). A FRESH stream drain
+    * started after compaction sees only live segments, so bootstrap
+    * new consumers from the batch read (or the packed table) first —
+    * same rule as any log-compacted source.
     * Returns (segmentsFolded, checkpointRows). */
-  def compactLandingManifest(spark: SparkSession, manifestDir: String): (Int, Long) = {
+  def compactLandingManifest(spark: SparkSession, manifestDir: String,
+                             graceMs: Long = 0L): (Int, Long) = {
     val f = fs(spark, manifestDir)
     val ckpt = manifestCheckpointDir(manifestDir)
     if (!f.exists(new Path(manifestDir))) return (0, 0L)
     recoverSwap(spark, ckpt)
-    val segs = f.globStatus(new Path(s"$manifestDir/seg_*.json")).map(_.getPath)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val segs = f.globStatus(new Path(s"$manifestDir/seg_*.json"))
+      .filter(s => graceMs <= 0L || s.getModificationTime <= cutoff)
+      .map(_.getPath)
     if (segs.isEmpty) return (0, 0L)
     val hasCkpt = f.exists(new Path(ckpt))
     val segRows = spark.read.schema(ManifestSchema)

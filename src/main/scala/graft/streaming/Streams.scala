@@ -79,13 +79,16 @@ object Streams {
     * interleave set/restore and could start a query on the wrong
     * provider — the sequential-streams assumption is ENFORCED here,
     * not just documented (round-16 ADVICE): the second entrant fails
-    * loudly instead of racing. */
+    * loudly instead of racing. Keyed by the session REFERENCE
+    * (SparkSession keeps default identity equals), not its identity
+    * hash — hash codes can collide across two live sessions and would
+    * abort an innocent one; the reference is held only for the swap
+    * window (released in the finally). */
   private val activeStateStoreSwaps =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   private[graft] def acquireStateStoreSwap(spark: SparkSession): Unit = {
-    val id = System.identityHashCode(spark)
-    if (!activeStateStoreSwaps.add(id))
+    if (!activeStateStoreSwaps.add(spark))
       throw new IllegalStateException(
         "another engine stream is already running on this session: the " +
           "state-store provider is session-wide SQL conf swapped around " +
@@ -95,7 +98,7 @@ object Streams {
   }
 
   private[graft] def releaseStateStoreSwap(spark: SparkSession): Unit =
-    activeStateStoreSwaps.remove(System.identityHashCode(spark)): Unit
+    activeStateStoreSwaps.remove(spark): Unit
 
   private def withEngineStateStore[T](spark: SparkSession,
                                       force: Option[String] = None)(body: => T): T = {

@@ -1095,6 +1095,20 @@ class CorpusSpec extends SparkSpec {
       "IVF-flat must stamp the raw-norm provenance")
     assert(graft.llm.Similarity.ivfTopKPrebuilt(spark, idx3, q, k = 3).count() > 0,
       "IVF-flat serving stays ungated — cosine is scale-invariant")
+    // a PRE-CONTRACT index (no unit_norm column — an external or
+    // older build) is a distinct failure: the gate cannot verify the
+    // agreement it assumes, and says so (vs the stamped-false message)
+    val live2 = graft.io.Staging.resolveRead(spark, idx2)
+    val params = spark.read.parquet(s"$live2/index_params")
+      .drop("unit_norm").collect()
+    val old = spark.createDataFrame(
+      spark.sparkContext.parallelize(params.toSeq),
+      spark.read.parquet(s"$live2/index_params").drop("unit_norm").schema)
+    old.coalesce(1).write.mode("overwrite").parquet(s"$live2/index_params")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.llm.Pq.ivfAdcTopKPrebuilt(spark, idx2, uq, k = 3, m = 2).collect()
+    }
+    assert(e3.getMessage.contains("no unit_norm stamp"), e3.getMessage)
     graft.streaming.Streams.deleteDir(spark, idx)
     graft.streaming.Streams.deleteDir(spark, idx2)
     graft.streaming.Streams.deleteDir(spark, idx3)

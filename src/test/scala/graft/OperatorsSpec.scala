@@ -682,6 +682,25 @@ class OperatorsSpec extends SparkSpec {
     val (folded3, rows3) = graft.io.IO.compactLandingManifest(spark, man)
     assert(folded3 == 1 && rows3 == 4L, "re-folding the leftover must not duplicate rows")
     assert(readAll().map(_._1.split('/').last) == Seq("a.bin", "b.bin", "c.bin", "d.bin"))
+    // graceMs — the log-compaction rule: a segment YOUNGER than the
+    // grace must survive the fold (a lagging stream drain that has not
+    // listed it yet would otherwise silently lose its waves — the
+    // checkpoint parquet is outside the drain's seg_*.json glob); once
+    // the segment ages past the grace it folds normally
+    val w4 = Seq(land("e.bin", "echo"))
+    graft.io.IO.appendLandingManifest(spark, man, w4.toDF("path", "length"))
+    assert(graft.io.IO.compactLandingManifest(spark, man, graceMs = 3600000L) == ((0, 0L)),
+      "a segment younger than the grace must not fold")
+    assert(segCount() == 1, "the young segment must survive on disk")
+    assert(readAll().map(_._1.split('/').last) ==
+      Seq("a.bin", "b.bin", "c.bin", "d.bin", "e.bin"))
+    val young = fs.globStatus(new Path(s"$man/seg_*.json")).head.getPath
+    // age the whole segment dir (the listing reads the DIR mtime)
+    fs.setTimes(young, System.currentTimeMillis() - 7200000L, -1)
+    val (folded4, rows4) = graft.io.IO.compactLandingManifest(spark, man, graceMs = 3600000L)
+    assert(folded4 == 1 && rows4 == 5L, s"an aged segment folds, got ($folded4, $rows4)")
+    assert(readAll().map(_._1.split('/').last) ==
+      Seq("a.bin", "b.bin", "c.bin", "d.bin", "e.bin"))
   }
 
   test("openManifested packs splits by BYTES and fails loudly on corrupt lengths/size confs") {
