@@ -360,7 +360,27 @@ object Similarity {
         "before appending (or a rebuild is mid-swap; retry)")
     val cents = readCentroids(spark, live)
     val v = spread(newCorpus).select(col("vec_id"), quantize(col("embedding")).as("nv"))
-    writeMembers(assignCellsQ(v, cents), live, "append")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // keep the norm PROVENANCE stamp honest across appends: a raw
+      // batch landing in a unit-norm-stamped index would leave the
+      // stamp overclaiming what was indexed (round-17 review finding).
+      // The downgrade writes BEFORE the member append — the safe
+      // direction: a crash between the two leaves a false stamp over
+      // all-unit members (conservative), never a true stamp over raw
+      // ones. Serving stays ungated either way (cosine end to end).
+      val stampPath = new org.apache.hadoop.fs.Path(s"$live/norm_params")
+      if (fs.exists(stampPath) && !isUnitNormQ(v)) {
+        val cur = spark.read.parquet(stampPath.toString).collect().head
+        if (cur.getAs[Boolean]("unit_norm")) {
+          import spark.implicits._
+          Seq((false, cur.getAs[Int]("num_cells"), cur.getAs[Int]("iters")))
+            .toDF("unit_norm", "num_cells", "iters")
+            .coalesce(1).write.mode("overwrite").parquet(stampPath.toString)
+        }
+      }
+      writeMembers(assignCellsQ(v, cents), live, "append")
+    } finally v.unpersist(false)
   }
 
   /** Probed-cells member read. The IN filter lands on the RAW

@@ -1109,9 +1109,27 @@ class CorpusSpec extends SparkSpec {
       graft.llm.Pq.ivfAdcTopKPrebuilt(spark, idx2, uq, k = 3, m = 2).collect()
     }
     assert(e3.getMessage.contains("no unit_norm stamp"), e3.getMessage)
+    // appending a RAW batch into a unit-norm-stamped IVF index must
+    // downgrade the provenance stamp — a stale true stamp would
+    // overclaim what was indexed (serving stays ungated either way)
+    val idx4 = s"${sys.props("java.io.tmpdir")}/graft_test_normgate_idx4"
+    graft.streaming.Streams.deleteDir(spark, idx4)
+    graft.llm.Similarity.buildIvfIndex(unit, idx4, numCells = 4)
+    def stampOf(dir: String): Boolean = {
+      val live = graft.io.Staging.resolveRead(spark, dir)
+      spark.read.parquet(s"$live/norm_params").collect().head
+        .getAs[Boolean]("unit_norm")
+    }
+    assert(stampOf(idx4), "a unit-norm build must stamp true")
+    graft.llm.Similarity.appendToIvfIndex(
+      raw.withColumn("vec_id", col("vec_id") + lit(100L)), idx4)
+    assert(!stampOf(idx4), "a raw append must downgrade the norm stamp")
+    assert(graft.llm.Similarity.ivfTopKPrebuilt(spark, idx4, uq, k = 3).count() > 0,
+      "the appended index still serves (IVF is cosine end to end)")
     graft.streaming.Streams.deleteDir(spark, idx)
     graft.streaming.Streams.deleteDir(spark, idx2)
     graft.streaming.Streams.deleteDir(spark, idx3)
+    graft.streaming.Streams.deleteDir(spark, idx4)
   }
 
   test("quantize amplitude contract: unnormalized embeddings fail with a NAMED overflow error on every similarity entry point") {
