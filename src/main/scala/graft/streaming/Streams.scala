@@ -187,7 +187,17 @@ object Streams {
         .start()
       q.awaitTermination()
     } finally shufflePartitions.foreach(_ => spark.conf.set(key, prev))
-    spark.table(name)
+    // copy the sink out and DROP the temp view: the memory sink holds
+    // every result row on the driver for as long as its view is
+    // registered, and each run registers a fresh mem_<nanoTime> name —
+    // a long-lived session looping engine streams would accumulate
+    // every historical sink (round-17 review finding). localCheckpoint
+    // materializes the (sink-sized, small by design — AvailableNow
+    // control results) frame into block storage so the catalog entry
+    // and its sink can be released immediately.
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name): Unit
+    out
   }
 
   /** ST4 — per-user 30-minute session windows as a streaming aggregate.

@@ -301,4 +301,25 @@ class StreamingSpec extends SparkSpec {
     Streams.acquireStateStoreSwap(spark)
     Streams.releaseStateStoreSwap(spark)
   }
+
+  test("runFileStream drops its memory-sink view; the result survives the drop (r17 review)") {
+    // each run registers a fresh mem_<nanoTime> view whose sink holds
+    // every result row on the driver — without the drop, a session
+    // looping engine streams accumulates every historical sink
+    import org.apache.spark.sql.types._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_memdrop"
+    Streams.deleteDir(spark, base)
+    val schema = StructType(Seq(StructField("entry_id", LongType),
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("pageview_count", LongType), StructField("event_type", StringType)))
+    import spark.implicits._
+    Seq((1L, 10L, 1000000L, 2L, "view"), (2L, 10L, 2000000L, 1L, "view"))
+      .toDF("entry_id", "user_id", "ts_us", "pageview_count", "event_type")
+      .coalesce(1).write.mode("overwrite").json(s"$base/src")
+    val out = Streams.runFileStream(spark, s"$base/src", schema,
+      s"$base/ckpt", df => df.select("entry_id", "user_id"))
+    assert(!spark.catalog.listTables().collect().exists(_.name.startsWith("mem_")),
+      "the memory-sink view must be dropped before returning")
+    assert(out.count() == 2, "the returned frame must outlive the dropped view")
+  }
 }
