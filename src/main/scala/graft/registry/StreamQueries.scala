@@ -126,7 +126,7 @@ object StreamQueries {
       // and per-trigger store commits PARALLELIZE across tasks, so the
       // partition count is U-shaped under RocksDB — the interleaved
       // sf0.1 sweep (probe_st8_rocksdb_trim.sc) reads p1 27.2s /
-      // p2 14.9s / p4 7.9s / p8 5.5s / p16 6.6s / p32 ~16s: too few
+      // p2 12.7-14.9s / p4 7.9s / p8 5.5s / p16 6.6s / p32 ~16s: too few
       // partitions serialize the commit constant, too many multiply
       // it. Results are partition-independent (oracle-pinned).
       // 2 files/trigger: 3 replay triggers instead of 5, same
