@@ -686,7 +686,15 @@ object Streams {
     * production steady state: only segments that arrived since the
     * last drain are processed. Cross-wave basename collisions are the
     * packed table's post-hoc check (each wave is checked on ingest;
-    * fname-keyed consumers re-assert distinctness on read). */
+    * fname-keyed consumers re-assert distinctness on read).
+    *
+    * Compaction contract: this source lists only the LIVE `seg_*.json`
+    * glob, so [[graft.io.IO.compactLandingManifest]] must only fold
+    * segments every drain has already ingested — run it with `graceMs`
+    * set to an upper bound on drain lag (folding a segment a lagging
+    * drain has not yet listed silently starves it of those waves; the
+    * full rule and its kill -9 probe live on the compaction's own
+    * scaladoc). */
   def runManifestIngestStream(
       spark: SparkSession,
       manifestDir: String,
