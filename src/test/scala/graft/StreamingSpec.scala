@@ -283,23 +283,114 @@ class StreamingSpec extends SparkSpec {
     assert(body4 == "wave four 0")
   }
 
-  test("state-store swap window refuses overlapping engine streams on one session (r16 ADVICE)") {
-    // the provider swap is session-wide conf; a second engine stream
-    // entering the window must fail loudly, not race the set/restore
-    Streams.acquireStateStoreSwap(spark)
-    try {
-      val e = intercept[IllegalStateException] {
-        Streams.acquireStateStoreSwap(spark)
+  test("ST18 auto-fold: post-drain compaction bounds live segments across drained waves (r17 verdict #4)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_st18_autofold"
+    Streams.deleteDir(spark, base)
+    val man = s"$base/man"
+    val fs = new Path(man).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def land(n: String, body: String): (String, Long) = {
+      val f = new java.io.File(s"$base/zone/$n")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+      (f.getAbsolutePath, body.getBytes("UTF-8").length.toLong)
+    }
+    def segs(): Array[Path] =
+      fs.globStatus(new Path(s"$man/seg_*.json")).map(_.getPath)
+    // stamp every live segment with a deterministic, strictly
+    // increasing mtime (by creation order — segment names embed the
+    // landing millis): local-FS appends in one test can otherwise tie
+    // within a clock granule, and the fold's strict `< newest` cutoff
+    // is exactly what such ties exercise
+    val mtimeBase = System.currentTimeMillis() - 3600000L
+    def stampMtimes(): Unit =
+      segs().sortBy(_.getName).zipWithIndex.foreach { case (p, i) =>
+        fs.setTimes(p, mtimeBase + i * 60000L, -1)
       }
-      assert(e.getMessage.contains("another engine stream"), e.getMessage)
-      // a DIFFERENT session is independent (per-session keying)
-      val other = spark.newSession()
-      Streams.acquireStateStoreSwap(other)
-      Streams.releaseStateStoreSwap(other)
-    } finally Streams.releaseStateStoreSwap(spark)
-    // released: the next engine stream on this session runs normally
-    Streams.acquireStateStoreSwap(spark)
-    Streams.releaseStateStoreSwap(spark)
+    var allNames = Seq.empty[String]
+    (0 until 3).foreach { w =>
+      val wave = (0 until 2).map(i => land(s"w${w}_$i.bin", s"wave $w file $i"))
+      allNames = allNames ++ wave.map(_._1.split('/').last)
+      graft.io.IO.appendLandingManifest(spark, man, wave.toDF("path", "length"))
+      stampMtimes()
+      val out = Streams.runManifestIngestStream(spark, man, s"$base/ckpt",
+        s"$base/out", reset = w == 0, compactAfterDrain = true)
+      assert(out.select("fname").as[String].collect().toSeq.sorted == allNames.sorted,
+        s"cycle $w: the accumulated output must hold exactly the drained waves")
+      // the auto-fold keeps only segments the drain could NOT prove
+      // listed (ties with the newest-at-start mtime): with distinct
+      // mtimes that is exactly the newest one
+      assert(segs().length == 1,
+        s"cycle $w: live segments must stay bounded, got ${segs().length}")
+    }
+    // the folded manifest stays complete for batch readers
+    assert(graft.io.IO.readLandingManifest(spark, man).count() == 6)
+    assert(graft.io.IO.readBinaryFromManifest(spark, man)
+      .select("fname").as[String].collect().toSeq.sorted == allNames.sorted)
+    // no fold runs for a drain that ingested nothing new and no marker
+    // is left behind
+    val before = segs().map(_.getName).toSeq
+    Streams.runManifestIngestStream(spark, man, s"$base/ckpt",
+      s"$base/out", reset = false, compactAfterDrain = true): Unit
+    assert(segs().map(_.getName).toSeq == before)
+    assert(!fs.exists(new Path(s"$man/_FOLDING")))
+  }
+
+  test("concurrent engine streams on one session: sibling STATEFUL drains run side by side (r17 verdict #1)") {
+    // the reference DAG schedules the users and browsinghistory drains
+    // as sibling tasks (dags/dwh_dag.py:212-221); each engine stream
+    // now runs on its own newSession clone — own SQLConf, so neither
+    // the RocksDB provider pin nor per-query shuffle partitions can
+    // race across overlapping runs, and the caller session's conf is
+    // never touched
+    import org.apache.spark.sql.types._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_concurrent"
+    Streams.deleteDir(spark, base)
+    def writeSrc(sub: String, rows: Seq[(Long, Long, Long)]): String = {
+      val dir = new java.io.File(s"$base/$sub"); dir.mkdirs()
+      rows.grouped(2).zipWithIndex.foreach { case (g, i) =>
+        val f = new java.io.File(dir, s"b$i.json")
+        java.nio.file.Files.write(f.toPath,
+          g.map { case (id, uid, ts) =>
+            s"""{"entry_id":$id,"user_id":$uid,"ts_us":$ts,"pageview_count":1,"event_type":"view"}"""
+          }.mkString("\n").getBytes("UTF-8"))
+        // distinct mtimes: the file source orders micro-batches by
+        // modification time, and the stitch's cross-batch carry assumes
+        // in-order waves — files written in one tight loop can tie
+        // within a clock granule and replay out of order
+        f.setLastModified(System.currentTimeMillis() - 60000L + i * 10000L): Unit
+      }
+      dir.toString
+    }
+    val src1 = writeSrc("src1",
+      Seq((1L, 7L, 1000000L), (2L, 7L, 5000000L), (3L, 7L, 9000000L), (4L, 8L, 1000000L)))
+    val src2 = writeSrc("src2",
+      Seq((10L, 1L, 1000000L), (11L, 1L, 2000000L), (12L, 2L, 3000000L), (13L, 1L, 4000000L)))
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provBefore = spark.conf.getOption(provKey)
+    // both drains STATEFUL (cross-batch fMGWS state + dedup state), so
+    // both exercise the RocksDB provider on their clones concurrently
+    val f1 = Future(Streams.runFileStream(spark, src1, schema, s"$base/ckpt1",
+      df => Streams.stitchDwell(spark, df),
+      maxFilesPerTrigger = Some(1), shufflePartitions = Some(2)))
+    val f2 = Future(Streams.runFileStream(spark, src2, schema, s"$base/ckpt2",
+      df => Streams.streamDedupKeys(df, Seq("user_id")),
+      maxFilesPerTrigger = Some(1), shufflePartitions = Some(3)))
+    val r1 = Await.result(f1, 5.minutes)
+    val r2 = Await.result(f2, 5.minutes)
+    import spark.implicits._
+    val dwells = r1.select("entry_id", "dwell_us").as[(Long, Long)].collect().toSeq.sorted
+    assert(dwells == Seq((1L, 4000000L), (2L, 4000000L)),
+      s"drain 1 (cross-batch stitch) must be correct under concurrency, got $dwells")
+    val users = r2.select("user_id").as[Long].collect().toSeq.sorted
+    assert(users == Seq(1L, 2L),
+      s"drain 2 (stateful dedup) must be correct under concurrency, got $users")
+    assert(spark.conf.getOption(provKey) == provBefore,
+      "the caller session's provider conf must never be touched by engine streams")
   }
 
   test("runFileStream drops its memory-sink view; the result survives the drop (r17 review)") {
