@@ -319,7 +319,7 @@ object IO {
   /** The compacted-manifest checkpoint table under a manifest root.
     * The name is outside the `seg_*.json` glob, so neither the batch
     * segment read nor the ST18 stream source ever sees it as a wave. */
-  private def manifestCheckpointDir(manifestDir: String): String =
+  private[graft] def manifestCheckpointDir(manifestDir: String): String =
     s"$manifestDir/_checkpoint"
 
   /** On-disk bracket around compaction's one duplicate window (r17

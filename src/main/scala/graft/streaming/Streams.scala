@@ -61,6 +61,17 @@ object Streams {
     * footprint stays flat (probe: tools/probes/probe_state_store_10x
     * .sc). transformWithState additionally REQUIRES RocksDB.
     *
+    * The cost side, measured honestly (probe_stream_wall_10x.sc, r17
+    * verdict #6): the RocksDB tax is PER STATE ROW, not a per-trigger
+    * constant — at 1× join state the A/B is parity (8.9 vs 8.7 s),
+    * at 10× the stream-stream join reads 39-57 s vs heap's 15-19 s
+    * (~2.5-3.5×), insensitive to trigger count, changelog mode, block
+    * cache, and write buffer (all probed); the dedup shape pays only
+    * ~1.2×. The default therefore trades wall while state still FITS
+    * heap for survival when it no longer does; deployments whose
+    * state provably fits executor heap reclaim the tax with
+    * `heap` mode (SPARK_GRAFT_STATE_STORE=heap).
+    *
     * The provider is a session-level SQL conf captured into the
     * query's checkpoint at START — Spark has no per-query spelling —
     * so every engine stream runs on its OWN internal
@@ -713,6 +724,23 @@ object Streams {
     import org.apache.spark.sql.types._
     val manSchema = StructType(Seq(
       StructField("path", StringType), StructField("length", LongType)))
+    // a FRESH (reset) drain lists only LIVE segments, so starting one
+    // against a manifest whose history has been folded into the
+    // _checkpoint would silently drain a PARTIAL corpus — the folded
+    // waves are outside the seg_*.json glob (round-18 review finding;
+    // the log-compacted-source bootstrap rule, enforced instead of
+    // documented). Bootstrap new consumers from the batch read
+    // (IO.readBinaryFromManifest) and resume with reset = false.
+    if (reset) {
+      val ckptTable = new Path(graft.io.IO.manifestCheckpointDir(manifestDir))
+      val mf = ckptTable.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!mf.exists(ckptTable),
+        s"$manifestDir has a compacted _checkpoint: a fresh (reset) drain " +
+          "sees only live segments and would silently miss every folded " +
+          "wave — bootstrap this consumer from the batch read " +
+          "(IO.readBinaryFromManifest) or resume its existing stream " +
+          "checkpoint with reset = false")
+    }
     val reader = spark.readStream.schema(manSchema)
     // __seg = the manifest segment each row came from: the basename-
     // collision check scopes PER WAVE, so a multi-segment micro-batch

@@ -335,6 +335,14 @@ class StreamingSpec extends SparkSpec {
       s"$base/out", reset = false, compactAfterDrain = true): Unit
     assert(segs().map(_.getName).toSeq == before)
     assert(!fs.exists(new Path(s"$man/_FOLDING")))
+    // a FRESH (reset) drain against the folded manifest must refuse
+    // loudly — it would see only live segments and silently miss every
+    // folded wave (the log-compacted-source bootstrap rule)
+    val e = intercept[IllegalArgumentException] {
+      Streams.runManifestIngestStream(spark, man, s"$base/ckpt2",
+        s"$base/out2", reset = true)
+    }
+    assert(e.getMessage.contains("folded"), e.getMessage)
   }
 
   test("concurrent engine streams on one session: sibling STATEFUL drains run side by side (r17 verdict #1)") {
