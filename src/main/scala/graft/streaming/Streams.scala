@@ -180,16 +180,23 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // copy the sink out as a DRIVER-LOCAL relation on the CALLER's
-      // session: the memory sink already holds every result row on the
-      // driver (sink-sized, small by design — AvailableNow control
-      // results), so the copy is one driver-side pass, the returned
-      // frame is independent of the clone AND of executor block
-      // storage (a localCheckpoint here would become unrecomputable on
-      // executor loss in a cluster deployment — round-17 ADVICE), and
-      // the clone's catalog entry can be released immediately.
+      // copy the sink out as a driver-held, PARALLELIZED frame on the
+      // CALLER's session: the memory sink already holds every result
+      // row on the driver, so the copy is one driver-side pass; the
+      // rows live in the RDD definition itself, so the frame survives
+      // executor loss (a localCheckpoint's blocks would not, in a
+      // cluster deployment — round-17 ADVICE) and the clone's catalog
+      // entry can be released immediately. parallelize, NOT a
+      // LocalRelation: createDataFrame(list) starts every downstream
+      // plan single-partition, wrong for table-sized sinks like st1's
+      // full-scan result (round-18 review finding).
       val sink = runner.table(name)
-      spark.createDataFrame(sink.collectAsList(), sink.schema)
+      import scala.jdk.CollectionConverters._
+      val rows = sink.collectAsList().asScala.toSeq
+      val slices = math.max(1,
+        math.min(spark.sparkContext.defaultParallelism, rows.size / 10000 + 1))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), sink.schema)
     } finally
       // drop on EVERY path: a failed query has still registered the
       // view at start(), and leaking it driver-holds the partial sink
