@@ -401,6 +401,85 @@ class StreamingSpec extends SparkSpec {
       "the caller session's provider conf must never be touched by engine streams")
   }
 
+  test("concurrent engine streams isolate per-run provider and partition pins (the race the old lock guarded)") {
+    // one drain pinned heap, one pinned rocksdb, CONCURRENTLY on one
+    // session — under the old session-wide conf swap this interleaving
+    // could start a query on the wrong provider; with per-run clones
+    // each query's checkpoint must record ITS OWN pin. The offsets log
+    // persists the conf the query actually started with, so the
+    // assertion reads the artifact Spark itself commits to.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_conc_iso"
+    Streams.deleteDir(spark, base)
+    val dir = new java.io.File(s"$base/src"); dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "a.json").toPath,
+      (1 to 6).map(i =>
+        s"""{"entry_id":$i,"user_id":${i % 2},"ts_us":${i * 1000000},"pageview_count":1,"event_type":"view"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    def drain(ckpt: String, mode: String, parts: Int) =
+      Streams.runFileStream(spark, dir.toString, schema, ckpt,
+        df => Streams.streamDedupKeys(df, Seq("user_id")),
+        stateStoreMode = Some(mode), shufflePartitions = Some(parts))
+    val fHeap = Future(drain(s"$base/ckptH", "heap", 2))
+    val fRocks = Future(drain(s"$base/ckptR", "rocksdb", 3))
+    assert(Await.result(fHeap, 5.minutes).count() == 2)
+    assert(Await.result(fRocks, 5.minutes).count() == 2)
+    def offsetsConf(ckpt: String): String =
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(s"$ckpt/offsets/0").toPath), "UTF-8")
+    val heapConf = offsetsConf(s"$base/ckptH")
+    val rocksConf = offsetsConf(s"$base/ckptR")
+    assert(heapConf.contains("HDFSBackedStateStoreProvider")
+      && heapConf.contains("\"spark.sql.shuffle.partitions\":\"2\""),
+      s"heap drain must start on its own pins:\n$heapConf")
+    assert(rocksConf.contains("RocksDBStateStoreProvider")
+      && rocksConf.contains("\"spark.sql.shuffle.partitions\":\"3\""),
+      s"rocksdb drain must start on its own pins:\n$rocksConf")
+  }
+
+  test("concurrent foreachBatch drains (manifest ingest + bucketed upsert) share one session safely") {
+    // the reference DAG's sibling-task shape across the OTHER runner
+    // family: foreachBatch drains never touch session conf, so two on
+    // one session (distinct checkpoints/tables) must interleave freely
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_conc_feb"
+    Streams.deleteDir(spark, base)
+    // manifest side: two landed waves
+    val zone = new java.io.File(s"$base/zone"); zone.mkdirs()
+    val waves = (0 until 4).map { i =>
+      val f = new java.io.File(zone, s"f$i.bin")
+      java.nio.file.Files.write(f.toPath, s"payload $i".getBytes("UTF-8"))
+      (f.getAbsolutePath, f.length())
+    }
+    graft.io.IO.appendLandingManifest(spark, s"$base/man",
+      waves.take(2).toDF("path", "length"))
+    graft.io.IO.appendLandingManifest(spark, s"$base/man",
+      waves.drop(2).toDF("path", "length"))
+    // upsert side: two versions per user, keep-latest
+    val src = new java.io.File(s"$base/usrc"); src.mkdirs()
+    java.nio.file.Files.write(new java.io.File(src, "u.json").toPath,
+      Seq((1L, 10L, 1L), (2L, 10L, 2L), (3L, 20L, 1L)).map { case (id, uid, ts) =>
+        s"""{"entry_id":$id,"user_id":$uid,"ts_us":$ts,"pageview_count":1,"event_type":"view"}"""
+      }.mkString("\n").getBytes("UTF-8"))
+    val fMan = Future(Streams.runManifestIngestStream(spark, s"$base/man",
+      s"$base/ckM", s"$base/outM"))
+    val fUp = Future(Streams.runFileStreamUpsertBucketed(spark, src.toString,
+      schema, s"$base/ckU", s"$base/tblU",
+      keys = Seq("user_id"), order = Seq("ts_us", "entry_id"), nBuckets = 4))
+    val man = Await.result(fMan, 5.minutes)
+    val up = Await.result(fUp, 5.minutes)
+    assert(man.select("fname").as[String].collect().toSeq.sorted ==
+      (0 until 4).map(i => s"f$i.bin"))
+    val kept = up.select("user_id", "entry_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(kept == Seq((10L, 2L), (20L, 3L)),
+      s"keep-latest per user under a concurrent sibling drain, got $kept")
+  }
+
   test("runFileStream drops its memory-sink view; the result survives the drop (r17 review)") {
     // each run registers a fresh mem_<nanoTime> view whose sink holds
     // every result row on the driver — without the drop, a session
