@@ -496,8 +496,19 @@ object IO {
     // spurious distinct until the next fold clears it), where the
     // reverse order would leave a real duplicate window unmarked.
     f.create(foldingMarker(manifestDir), true).close()
-    replaceDir(spark, ckpt) { tmp =>
+    try replaceDir(spark, ckpt) { tmp =>
       folded.write.mode(SaveMode.Overwrite).parquet(tmp)
+    } catch {
+      case e: Throwable =>
+        // a fold that THROWS (as opposed to a killed JVM) cannot have
+        // published the new checkpoint: replaceDir's only post-swap
+        // step is an unchecked delete of the old copy, so on any
+        // exception the live checkpoint still lacks the folded rows
+        // and no duplicate window exists — clear the marker, or every
+        // later read would dedup (and pay the shuffle) until some
+        // future fold succeeds (round-18 review finding)
+        f.delete(foldingMarker(manifestDir), false)
+        throw e
     }
     // delete exactly the snapshotted segments — waves appended during
     // the fold keep their segments and fold next time

@@ -191,8 +191,10 @@ object Streams {
       // plan single-partition, wrong for table-sized sinks like st1's
       // full-scan result (round-18 review finding).
       val sink = runner.table(name)
-      import scala.jdk.CollectionConverters._
-      val rows = sink.collectAsList().asScala.toSeq
+      // unsafeWrapArray: zero-copy view of the collected array (never
+      // mutated) — a toSeq would retain a second full copy of a
+      // table-sized sink on the driver (round-18 review finding)
+      val rows = scala.collection.immutable.ArraySeq.unsafeWrapArray(sink.collect())
       val slices = math.max(1,
         math.min(spark.sparkContext.defaultParallelism, rows.size / 10000 + 1))
       spark.createDataFrame(
@@ -741,6 +743,13 @@ object Streams {
     if (reset) {
       val ckptTable = new Path(graft.io.IO.manifestCheckpointDir(manifestDir))
       val mf = ckptTable.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // heal a fold that crashed between its two renames FIRST: the
+      // checkpoint parked at _checkpoint.__swap_old would otherwise
+      // defeat the exists check below and let the fresh drain silently
+      // ingest the partial corpus this guard exists to refuse
+      // (round-18 review finding — every other checkpoint toucher
+      // recovers before acting)
+      graft.io.IO.recoverSwap(spark, graft.io.IO.manifestCheckpointDir(manifestDir))
       require(!mf.exists(ckptTable),
         s"$manifestDir has a compacted _checkpoint: a fresh (reset) drain " +
           "sees only live segments and would silently miss every folded " +

@@ -343,6 +343,19 @@ class StreamingSpec extends SparkSpec {
         s"$base/out2", reset = true)
     }
     assert(e.getMessage.contains("folded"), e.getMessage)
+    // the guard must hold ACROSS a fold's own crash window: park the
+    // checkpoint at .__swap_old (a fold killed between its two
+    // renames) — the guard heals first, so the crashed state cannot
+    // slip a fresh drain past the exists check into a partial corpus
+    assert(fs.rename(new Path(s"$man/_checkpoint"),
+      new Path(s"$man/_checkpoint.__swap_old")))
+    val e2 = intercept[IllegalArgumentException] {
+      Streams.runManifestIngestStream(spark, man, s"$base/ckpt3",
+        s"$base/out3", reset = true)
+    }
+    assert(e2.getMessage.contains("folded"), e2.getMessage)
+    assert(fs.exists(new Path(s"$man/_checkpoint")),
+      "the guard's recoverSwap must have healed the parked checkpoint")
   }
 
   test("concurrent engine streams on one session: sibling STATEFUL drains run side by side (r17 verdict #1)") {
