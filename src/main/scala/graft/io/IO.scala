@@ -460,6 +460,85 @@ object IO {
     foldManifestSegments(spark, manifestDir)(
       _.filter(_.getModificationTime <= cutoffInclusive))
 
+  // ---- multi-consumer fold coordination (round 18): the manual rule
+  // "set graceMs to an upper bound on the laggiest consumer's lag"
+  // replaced by exact bookkeeping. Each drain records, after a
+  // SUCCESSFUL run, the store-clock mtime through which it has
+  // provably ingested every segment; the consumer-aware fold takes
+  // min over all marks — never a guess, never starvation. Marks live
+  // under `_consumers/` (outside the seg_*.json glob, like the
+  // checkpoint and marker), one tiny file per consumer id,
+  // single-writer per id (the same rule as every Staging artifact).
+
+  private def consumersDir(manifestDir: String): String =
+    s"$manifestDir/_consumers"
+
+  /** Record that consumer `id` has ingested EVERY segment with
+    * mtime <= `upToMtime` (store clock domain — callers pass
+    * newest-listed-at-start − 1, the same strict tie-safe bound the
+    * single-drain auto-fold uses). tmp-write + atomic
+    * rename(OVERWRITE), so a crash never leaves a torn mark that a
+    * fold could misread. */
+  def recordManifestConsumer(spark: SparkSession, manifestDir: String,
+                             id: String, upToMtime: Long): Unit = {
+    require(id.nonEmpty && id.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"consumer id '$id' must be [A-Za-z0-9._-]+ — it names a mark file")
+    val f = fs(spark, manifestDir)
+    f.mkdirs(new Path(consumersDir(manifestDir)))
+    val target = new Path(s"${consumersDir(manifestDir)}/$id.json")
+    val tmp = new Path(s"${consumersDir(manifestDir)}/.$id.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"""{"consumer":"$id","up_to_mtime":$upToMtime}"""
+      .getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** All registered consumer marks (id -> drained-through mtime).
+    * A corrupt/torn mark fails LOUDLY with the repair action — a
+    * silent skip would let the fold starve the very consumer the mark
+    * protects, a silent Long.MinValue would wedge folding forever. */
+  def readManifestConsumers(spark: SparkSession,
+                            manifestDir: String): Map[String, Long] = {
+    val f = fs(spark, manifestDir)
+    val d = new Path(consumersDir(manifestDir))
+    if (!f.exists(d)) Map.empty
+    else f.listStatus(d).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json")
+        && !s.getPath.getName.startsWith("."))
+      .map { s =>
+        val in = f.open(s.getPath)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val id = s.getPath.getName.stripSuffix(".json")
+        """"up_to_mtime"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
+          .map(m => id -> m.group(1).toLong)
+          .getOrElse(throw new IllegalStateException(
+            s"consumer mark ${s.getPath} is torn or corrupt — delete it " +
+              "(the consumer re-records on its next successful drain) or " +
+              "repair the up_to_mtime field"))
+      }.toMap
+  }
+
+  /** Consumer-aware compaction: fold exactly the segments EVERY
+    * registered consumer has provably ingested — cutoff =
+    * min(marks), inclusive (each mark already carries the strict
+    * tie-safe bound). Starvation-free by construction: a lagging
+    * drain's stale mark simply holds its un-ingested waves live until
+    * its next successful run advances it. No registered consumers →
+    * no-op (a single-consumer or batch-only zone uses
+    * [[compactLandingManifest]] with `graceMs` directly). Same
+    * single-fold-at-a-time rule as every fold. */
+  def compactLandingManifestForConsumers(spark: SparkSession,
+                                         manifestDir: String): (Int, Long) = {
+    val marks = readManifestConsumers(spark, manifestDir)
+    if (marks.isEmpty) (0, 0L)
+    else compactLandingManifestOlderThan(spark, manifestDir, marks.values.min)
+  }
+
   private def foldManifestSegments(spark: SparkSession, manifestDir: String)(
       select: Array[org.apache.hadoop.fs.FileStatus] =>
         Array[org.apache.hadoop.fs.FileStatus]): (Int, Long) = {

@@ -716,11 +716,21 @@ object Streams {
     * monotonicity (a wave landing mid-drain is newer and survives;
     * ties at the captured mtime survive too, against coarse-mtime
     * stores, and fold next cycle). Live segments therefore stay
-    * O(waves per drain cadence). Multi-CONSUMER zones (several
-    * independent drains on one manifest) must instead run ONE central
-    * [[graft.io.IO.compactLandingManifest]] with `graceMs` covering
-    * the laggiest consumer — a per-drain auto-fold only knows its own
-    * lag (and the fold itself is single-writer per manifest). */
+    * O(waves per drain cadence).
+    *
+    * Multi-CONSUMER zones (several independent drains on one
+    * manifest): pass each drain a stable `consumerId` — after a
+    * successful drain it records the mtime through which it has
+    * provably ingested every segment
+    * ([[graft.io.IO.recordManifestConsumer]]), and the auto-fold (or a
+    * central [[graft.io.IO.compactLandingManifestForConsumers]] on any
+    * cadence) folds only what EVERY registered consumer has covered —
+    * exact bookkeeping instead of a guessed `graceMs` lag bound, so a
+    * lagging sibling's waves stay live until its own mark advances.
+    * The fold itself stays single-writer per manifest: with several
+    * sibling drains auto-folding, serialize the folds (or let one
+    * owner run them) exactly as [[graft.io.IO.compactLandingManifest]]
+    * documents. */
   def runManifestIngestStream(
       spark: SparkSession,
       manifestDir: String,
@@ -728,7 +738,8 @@ object Streams {
       outPath: String,
       maxFilesPerTrigger: Option[Int] = Some(1),
       reset: Boolean = true,
-      compactAfterDrain: Boolean = false
+      compactAfterDrain: Boolean = false,
+      consumerId: Option[String] = None
   ): DataFrame = {
     import org.apache.spark.sql.types._
     val manSchema = StructType(Seq(
@@ -774,7 +785,7 @@ object Streams {
     // <= this value existed before the listing and is in the drain's
     // seen-file log once the AvailableNow run completes
     val newestAtStart: Option[Long] =
-      if (!compactAfterDrain) None
+      if (!compactAfterDrain && consumerId.isEmpty) None
       else {
         val p = new Path(manifestDir)
         val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -785,9 +796,19 @@ object Streams {
     val out = drainToBatchDirs(spark, checkpoint, outPath, reset, src,
       batch => graft.io.IO.openManifested(spark, batch, collisionScope = Some("__seg")))
     // only reached on drain SUCCESS (a failed query throws above) —
-    // a fold must never run for a drain that did not ingest its waves
-    newestAtStart.foreach(n =>
-      graft.io.IO.compactLandingManifestOlderThan(spark, manifestDir, n - 1): Unit)
+    // a mark/fold must never advance for a drain that did not ingest
+    // its waves. The mark records BEFORE the fold so this drain's own
+    // fresh progress counts toward the consumer-aware cutoff.
+    for (id <- consumerId; n <- newestAtStart)
+      graft.io.IO.recordManifestConsumer(spark, manifestDir, id, n - 1)
+    if (compactAfterDrain) {
+      if (consumerId.isDefined)
+        // consumer-aware: min over EVERY registered mark — a lagging
+        // sibling drain's waves stay live
+        graft.io.IO.compactLandingManifestForConsumers(spark, manifestDir): Unit
+      else newestAtStart.foreach(n =>
+        graft.io.IO.compactLandingManifestOlderThan(spark, manifestDir, n - 1): Unit)
+    }
     out
   }
 

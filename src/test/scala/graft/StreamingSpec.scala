@@ -358,6 +358,76 @@ class StreamingSpec extends SparkSpec {
       "the guard's recoverSwap must have healed the parked checkpoint")
   }
 
+  test("multi-consumer manifest: the consumer-aware fold never starves a lagging sibling drain") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_multiconsumer"
+    Streams.deleteDir(spark, base)
+    val man = s"$base/man"
+    val fs = new Path(man).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def land(n: String, body: String): (String, Long) = {
+      val f = new java.io.File(s"$base/zone/$n")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+      (f.getAbsolutePath, body.getBytes("UTF-8").length.toLong)
+    }
+    def segs(): Array[Path] =
+      fs.globStatus(new Path(s"$man/seg_*.json")).map(_.getPath)
+    val mtimeBase = System.currentTimeMillis() - 3600000L
+    def stampMtimes(): Unit =
+      segs().sortBy(_.getName).zipWithIndex.foreach { case (p, i) =>
+        fs.setTimes(p, mtimeBase + i * 60000L, -1)
+      }
+    def drain(consumer: String, reset: Boolean, fold: Boolean) =
+      Streams.runManifestIngestStream(spark, man, s"$base/ck_$consumer",
+        s"$base/out_$consumer", reset = reset,
+        compactAfterDrain = fold, consumerId = Some(consumer))
+    // wave 0 lands; A and B both drain it (sibling consumers)
+    val w0 = (0 until 2).map(i => land(s"w0_$i.bin", s"wave0 $i"))
+    graft.io.IO.appendLandingManifest(spark, man, w0.toDF("path", "length"))
+    stampMtimes()
+    assert(drain("a", reset = true, fold = true).count() == 2)
+    assert(drain("b", reset = true, fold = false).count() == 2)
+    assert(graft.io.IO.readManifestConsumers(spark, man).keySet == Set("a", "b"))
+    // wave 1 lands; only A drains it — B now LAGS. A's auto-fold is
+    // consumer-aware: B's stale mark must hold wave 0's segment live
+    // (the checkpoint parquet is outside B's source glob — folding it
+    // would silently starve B of those waves)
+    val w1 = (0 until 2).map(i => land(s"w1_$i.bin", s"wave1 $i"))
+    graft.io.IO.appendLandingManifest(spark, man, w1.toDF("path", "length"))
+    stampMtimes()
+    assert(drain("a", reset = false, fold = true).count() == 4)
+    assert(segs().length == 2,
+      "a lagging sibling's un-advanced mark must keep both segments live")
+    // B catches up; its mark advances; the central fold now proceeds
+    // exactly up to what EVERY consumer has covered (wave 0's segment)
+    assert(drain("b", reset = false, fold = false).count() == 4)
+    val (folded, rows) = graft.io.IO.compactLandingManifestForConsumers(spark, man)
+    assert(folded == 1 && rows == 2L, s"got ($folded, $rows)")
+    assert(segs().length == 1, "only the newest segment band stays live")
+    assert(graft.io.IO.readLandingManifest(spark, man).count() == 4)
+    // no registered consumers -> the consumer-aware fold is a no-op
+    val man2 = s"$base/man2"
+    graft.io.IO.appendLandingManifest(spark, man2,
+      Seq(w0.head).toDF("path", "length"))
+    assert(graft.io.IO.compactLandingManifestForConsumers(spark, man2) == ((0, 0L)))
+    // a torn mark fails LOUDLY with the repair action, never silently
+    // (written through the Hadoop fs so the local ChecksumFileSystem's
+    // .crc sidecar stays consistent — the tear under test is the
+    // CONTENT, not a checksum mismatch)
+    val badOut = fs.create(new Path(s"$man/_consumers/b.json"), true)
+    badOut.write("{\"consumer\":\"b\"".getBytes("UTF-8")); badOut.close()
+    val e = intercept[IllegalStateException] {
+      graft.io.IO.readManifestConsumers(spark, man)
+    }
+    assert(e.getMessage.contains("torn or corrupt"), e.getMessage)
+    // a path-hostile consumer id is refused before it names a file
+    val e2 = intercept[IllegalArgumentException] {
+      graft.io.IO.recordManifestConsumer(spark, man, "../evil", 0L)
+    }
+    assert(e2.getMessage.contains("consumer id"), e2.getMessage)
+  }
+
   test("concurrent engine streams on one session: sibling STATEFUL drains run side by side (r17 verdict #1)") {
     // the reference DAG schedules the users and browsinghistory drains
     // as sibling tasks (dags/dwh_dag.py:212-221); each engine stream
