@@ -523,12 +523,23 @@ object IO {
       }.toMap
   }
 
+  /** Remove consumer `id`'s mark — the DECOMMISSION step: a retired
+    * drain's frozen mark would otherwise hold the fold cutoff back
+    * forever (min over marks never advances past it). Idempotent. */
+  def removeManifestConsumer(spark: SparkSession, manifestDir: String,
+                             id: String): Unit = {
+    fs(spark, manifestDir).delete(
+      new Path(s"${consumersDir(manifestDir)}/$id.json"), false): Unit
+  }
+
   /** Consumer-aware compaction: fold exactly the segments EVERY
     * registered consumer has provably ingested — cutoff =
     * min(marks), inclusive (each mark already carries the strict
     * tie-safe bound). Starvation-free by construction: a lagging
     * drain's stale mark simply holds its un-ingested waves live until
-    * its next successful run advances it. No registered consumers →
+    * its next successful run advances it — and a RETIRED drain must
+    * be decommissioned ([[removeManifestConsumer]]) or its frozen
+    * mark wedges the cutoff forever. No registered consumers →
     * no-op (a single-consumer or batch-only zone uses
     * [[compactLandingManifest]] with `graceMs` directly). Same
     * single-fold-at-a-time rule as every fold. */

@@ -426,6 +426,10 @@ class StreamingSpec extends SparkSpec {
       graft.io.IO.recordManifestConsumer(spark, man, "../evil", 0L)
     }
     assert(e2.getMessage.contains("consumer id"), e2.getMessage)
+    // decommission: removing the (torn) retired mark unwedges the fold
+    graft.io.IO.removeManifestConsumer(spark, man, "b")
+    assert(graft.io.IO.readManifestConsumers(spark, man).keySet == Set("a"))
+    graft.io.IO.removeManifestConsumer(spark, man, "b") // idempotent
   }
 
   test("concurrent engine streams on one session: sibling STATEFUL drains run side by side (r17 verdict #1)") {
