@@ -473,27 +473,51 @@ object IO {
   private def consumersDir(manifestDir: String): String =
     s"$manifestDir/_consumers"
 
-  /** Record that consumer `id` has ingested EVERY segment with
-    * mtime <= `upToMtime` (store clock domain — callers pass
-    * newest-listed-at-start − 1, the same strict tie-safe bound the
-    * single-drain auto-fold uses). tmp-write + atomic
-    * rename(OVERWRITE), so a crash never leaves a torn mark that a
-    * fold could misread. */
-  def recordManifestConsumer(spark: SparkSession, manifestDir: String,
-                             id: String, upToMtime: Long): Unit = {
-    require(id.nonEmpty && id.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
-      s"consumer id '$id' must be [A-Za-z0-9._-]+ — it names a mark file")
-    val f = fs(spark, manifestDir)
-    f.mkdirs(new Path(consumersDir(manifestDir)))
-    val target = new Path(s"${consumersDir(manifestDir)}/$id.json")
-    val tmp = new Path(s"${consumersDir(manifestDir)}/.$id.json.tmp")
+  /** Consumer ids name mark files: alnum/._- only, and NO leading dot
+    * — a dot-prefixed id would validate, write a mark the tmp-file
+    * filter in [[readManifestConsumers]] then HIDES, and be silently
+    * starved by every fold (second review pass). Shared by record and
+    * remove so the destructive side can never accept an id the record
+    * side refuses. */
+  private def requireConsumerId(id: String): Unit =
+    require(id.nonEmpty && !id.startsWith(".")
+      && id.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"consumer id '$id' must be [A-Za-z0-9_-][A-Za-z0-9._-]* — it names " +
+        "a mark file (no path separators, no leading dot)")
+
+  /** Atomic small-file publish: tmp-write + FileContext
+    * rename(OVERWRITE) — one implementation of the pattern
+    * [[Staging]]'s LATEST manifest also uses (atomic on HDFS/POSIX;
+    * on S3-likes the copy window is microseconds over bytes), so the
+    * crash-window reasoning lives in one place. */
+  private[io] def atomicWriteSmallFile(spark: SparkSession, target: Path,
+                                       bytes: Array[Byte]): Unit = {
+    val f = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(target.getParent, s".${target.getName}.tmp")
     val out = f.create(tmp, true)
-    try out.write(s"""{"consumer":"$id","up_to_mtime":$upToMtime}"""
-      .getBytes("UTF-8"))
-    finally out.close()
+    try out.write(bytes) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       target.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Record that consumer `id` has ingested EVERY segment with
+    * mtime <= `upToMtime` (store clock domain — callers pass
+    * newest-listed-at-start − 1, the same strict tie-safe bound the
+    * single-drain auto-fold uses; a consumer that has ingested
+    * nothing yet registers `Long.MinValue`, which holds every fold
+    * back until its first real drain advances it — the PRE-REGISTRATION
+    * step a consumer joining an ACTIVE zone runs before its first
+    * drain, so a sibling's fold can never outrun it). Atomic
+    * tmp+rename, so a crash never leaves a torn mark. */
+  def recordManifestConsumer(spark: SparkSession, manifestDir: String,
+                             id: String, upToMtime: Long): Unit = {
+    requireConsumerId(id)
+    val f = fs(spark, manifestDir)
+    f.mkdirs(new Path(consumersDir(manifestDir)))
+    atomicWriteSmallFile(spark,
+      new Path(s"${consumersDir(manifestDir)}/$id.json"),
+      s"""{"consumer":"$id","up_to_mtime":$upToMtime}""".getBytes("UTF-8"))
   }
 
   /** All registered consumer marks (id -> drained-through mtime).
@@ -525,9 +549,12 @@ object IO {
 
   /** Remove consumer `id`'s mark — the DECOMMISSION step: a retired
     * drain's frozen mark would otherwise hold the fold cutoff back
-    * forever (min over marks never advances past it). Idempotent. */
+    * forever (min over marks never advances past it). Idempotent.
+    * Same id validation as the record side — a path-hostile id must
+    * not reach a delete (second review pass). */
   def removeManifestConsumer(spark: SparkSession, manifestDir: String,
                              id: String): Unit = {
+    requireConsumerId(id)
     fs(spark, manifestDir).delete(
       new Path(s"${consumersDir(manifestDir)}/$id.json"), false): Unit
   }
@@ -586,19 +613,26 @@ object IO {
     // spurious distinct until the next fold clears it), where the
     // reverse order would leave a real duplicate window unmarked.
     f.create(foldingMarker(manifestDir), true).close()
-    try replaceDir(spark, ckpt) { tmp =>
-      folded.write.mode(SaveMode.Overwrite).parquet(tmp)
-    } catch {
-      case e: Throwable =>
-        // a fold that THROWS (as opposed to a killed JVM) cannot have
-        // published the new checkpoint: replaceDir's only post-swap
-        // step is an unchecked delete of the old copy, so on any
-        // exception the live checkpoint still lacks the folded rows
-        // and no duplicate window exists — clear the marker, or every
-        // later read would dedup (and pay the shuffle) until some
-        // future fold succeeds (round-18 review finding)
-        f.delete(foldingMarker(manifestDir), false)
-        throw e
+    replaceDir(spark, ckpt) { tmp =>
+      // a failure in the WRITE phase (the failure-prone part — a
+      // distributed parquet job) provably precedes the swap: the live
+      // checkpoint lacks the folded rows, no duplicate window exists,
+      // so the marker is cleared — or every later read would pay the
+      // dedup shuffle until some future fold succeeds (round-18 review
+      // finding). A failure in the SWAP phase conservatively KEEPS the
+      // marker: a post-swap-in throw (e.g. the old-copy delete raising
+      // IOException rather than returning false) leaves the new
+      // checkpoint live beside the still-live segments — a real
+      // duplicate window that must stay bracketed. Marker-cleanup
+      // failures are suppressed onto the original error, never
+      // masking it (second review pass).
+      try folded.write.mode(SaveMode.Overwrite).parquet(tmp)
+      catch {
+        case e: Throwable =>
+          try f.delete(foldingMarker(manifestDir), false): Unit
+          catch { case c: Throwable => e.addSuppressed(c) }
+          throw e
+      }
     }
     // delete exactly the snapshotted segments — waves appended during
     // the fold keep their segments and fold next time

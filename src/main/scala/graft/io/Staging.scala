@@ -256,7 +256,11 @@ object Staging {
     * single-writer per root, as everywhere in Staging. */
   private def adoptRenameLayout(f: FileSystem, root: String): Unit = {
     if (listVersions(f, root).isEmpty && !f.exists(new Path(s"$root/LATEST"))) {
-      val reserved = Set("LATEST", "LATEST.__tmp")
+      // ".LATEST.tmp" is the shared atomic-write helper's tmp name
+      // (the legacy "LATEST.__tmp" stays reserved for roots written by
+      // older builds) — a crash-leftover tmp must not be adopted into
+      // v0 as if it were artifact data
+      val reserved = Set("LATEST", "LATEST.__tmp", ".LATEST.tmp")
       val existing = f.listStatus(new Path(root)).toSeq
         .filter(s => !reserved(s.getPath.getName) && !s.getPath.getName.startsWith("v="))
       if (existing.nonEmpty) {
@@ -271,17 +275,14 @@ object Staging {
     }
   }
 
-  /** Flip LATEST to `v` via tmp-write + atomic rename(OVERWRITE). */
+  /** Flip LATEST to `v` — one shared implementation of the atomic
+    * small-file publish ([[IO.atomicWriteSmallFile]]; the consumer
+    * marks use the same one, so the crash-window reasoning lives in
+    * one place — round-18 second review pass). */
   private def writeManifest(spark: SparkSession, f: FileSystem, root: String,
-                            v: Long): Unit = {
-    val tmp = new Path(s"$root/LATEST.__tmp")
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(s"$root/LATEST"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+                            v: Long): Unit =
+    IO.atomicWriteSmallFile(spark, new Path(s"$root/LATEST"),
+      v.toString.getBytes("UTF-8"))
 
   /** Resolve the directory a reader should scan for the artifact at
     * `root`, whichever protocol published it — the single read-side

@@ -727,6 +727,12 @@ object Streams {
     * cadence) folds only what EVERY registered consumer has covered —
     * exact bookkeeping instead of a guessed `graceMs` lag bound, so a
     * lagging sibling's waves stay live until its own mark advances.
+    * A consumer JOINING an active zone PRE-REGISTERS before its first
+    * drain ([[graft.io.IO.recordManifestConsumer]] with its bootstrap
+    * coverage, or `Long.MinValue` for "hold everything") — an
+    * unregistered consumer is invisible to sibling folds exactly
+    * while it is laggiest, and a fold racing its first drain could
+    * otherwise outrun it.
     * The fold itself stays single-writer per manifest: with several
     * sibling drains auto-folding, serialize the folds (or let one
     * owner run them) exactly as [[graft.io.IO.compactLandingManifest]]
@@ -798,9 +804,14 @@ object Streams {
     // only reached on drain SUCCESS (a failed query throws above) —
     // a mark/fold must never advance for a drain that did not ingest
     // its waves. The mark records BEFORE the fold so this drain's own
-    // fresh progress counts toward the consumer-aware cutoff.
-    for (id <- consumerId; n <- newestAtStart)
-      graft.io.IO.recordManifestConsumer(spark, manifestDir, id, n - 1)
+    // fresh progress counts toward the consumer-aware cutoff. A drain
+    // that found NO segments still registers (at Long.MinValue —
+    // "covered nothing yet"): an unregistered consumer would be
+    // invisible to every sibling fold exactly while it is newest and
+    // laggiest (second review pass).
+    for (id <- consumerId)
+      graft.io.IO.recordManifestConsumer(spark, manifestDir, id,
+        newestAtStart.map(_ - 1).getOrElse(Long.MinValue))
     if (compactAfterDrain) {
       if (consumerId.isDefined)
         // consumer-aware: min over EVERY registered mark — a lagging

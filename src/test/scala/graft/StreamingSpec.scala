@@ -430,6 +430,24 @@ class StreamingSpec extends SparkSpec {
     graft.io.IO.removeManifestConsumer(spark, man, "b")
     assert(graft.io.IO.readManifestConsumers(spark, man).keySet == Set("a"))
     graft.io.IO.removeManifestConsumer(spark, man, "b") // idempotent
+    // a leading-dot id would write a mark the tmp-file filter then
+    // HIDES from every fold (silent starvation) — refused up front,
+    // on the destructive side too
+    intercept[IllegalArgumentException] {
+      graft.io.IO.recordManifestConsumer(spark, man, ".hidden", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.io.IO.removeManifestConsumer(spark, man, "../evil")
+    }
+    // a drain that found NO segments still registers (Long.MinValue =
+    // "covered nothing yet") — an unregistered consumer would be
+    // invisible to sibling folds exactly while it is laggiest
+    val man3 = s"$base/man3"
+    Streams.runManifestIngestStream(spark, man3, s"$base/ck_c",
+      s"$base/out_c", consumerId = Some("c")): Unit
+    assert(graft.io.IO.readManifestConsumers(spark, man3) ==
+      Map("c" -> Long.MinValue))
+    assert(graft.io.IO.compactLandingManifestForConsumers(spark, man3) == ((0, 0L)))
   }
 
   test("concurrent engine streams on one session: sibling STATEFUL drains run side by side (r17 verdict #1)") {
