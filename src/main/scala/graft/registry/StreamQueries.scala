@@ -323,6 +323,44 @@ object StreamQueries {
         .select(col("fname"), col("length"),
           base64(col("content")).as("content_b64"))
         .orderBy("fname")
+    },
+    // st20 — MULTI-CONSUMER manifest lifecycle (round 18): two sibling
+    // drains on one manifest with consumer MARKS replacing the guessed
+    // graceMs lag bound. Consumer b pre-registers ("covered nothing
+    // yet"), so a's post-drain consumer-aware fold is held back — its
+    // waves stay live for b; once b drains, the central fold proceeds
+    // exactly up to what both covered. The oracle is the shared
+    // byte-content SQL over a's accumulated output: the coordination
+    // machinery must be byte-invisible to either consumer.
+    "st20_manifest_multiconsumer" -> { (s, dir) =>
+      import s.implicits._
+      val p = IoQueries.binFilesFixture(s, dir)
+      val man = scratch(dir, "st20_man")
+      Streams.deleteDir(s, man)
+      val waves = new java.io.File(p).listFiles().toSeq
+        .filter(_.getName.endsWith(".bin")).sortBy(_.getName)
+        .map(f => (f.getAbsolutePath, f.length()))
+        .grouped(10).toSeq
+      IO.appendLandingManifest(s, man, waves.head.toDF("path", "length"))
+      // b joins the active zone: pre-register before its first drain
+      IO.recordManifestConsumer(s, man, "b", Long.MinValue)
+      Streams.runManifestIngestStream(s, man, scratch(dir, "st20_ckpt_a"),
+        scratch(dir, "st20_out_a"), compactAfterDrain = true,
+        consumerId = Some("a")): Unit
+      waves.tail.foreach(w =>
+        IO.appendLandingManifest(s, man, w.toDF("path", "length")))
+      val outA = Streams.runManifestIngestStream(s, man,
+        scratch(dir, "st20_ckpt_a"), scratch(dir, "st20_out_a"),
+        reset = false, compactAfterDrain = true, consumerId = Some("a"))
+      // b catches up on its own checkpoint; the central fold then
+      // folds exactly the band both consumers covered
+      Streams.runManifestIngestStream(s, man, scratch(dir, "st20_ckpt_b"),
+        scratch(dir, "st20_out_b"), consumerId = Some("b")): Unit
+      IO.compactLandingManifestForConsumers(s, man): Unit
+      outA
+        .select(col("fname"), col("length"),
+          base64(col("content")).as("content_b64"))
+        .orderBy("fname")
     }
   )
 
@@ -371,6 +409,10 @@ object StreamQueries {
     // st19 adds the post-drain auto-fold to the same drain — fold
     // boundaries must be byte-invisible too, same shared oracle
     "st19_manifest_autofold" -> IoQueries.BinFilesSql,
+    // st20 runs two marked sibling consumers through the held-back /
+    // catch-up / central-fold cycle — the coordination must be
+    // byte-invisible to consumer a's accumulated output
+    "st20_manifest_multiconsumer" -> IoQueries.BinFilesSql,
     // inner stream-stream join emits every match exactly once, so the
     // memory sink equals the batch self-join
     "st8_stream_join" ->
