@@ -55,10 +55,18 @@ object StreamQueries {
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // st1's result is the registry's largest (a full unaggregated
+    // scan, ~600k rows at sf0.1) — exactly the table-sized shape the
+    // memory runner's driver-sized contract excludes at 100×, so it
+    // runs through the parquet file-sink twin (r18 verdict #4): rows
+    // stream to files, the driver never holds them, and the read-back
+    // is a lazy scan on the caller's session. Memory-runner coverage
+    // stays on every aggregate-sized st query (st4-st14).
     "st1_stream_file_source" -> { (s, dir) =>
       val glob = writeMicroBatches(s, dir)
       Streams
-        .runFileStream(s, glob, streamSchema, scratch(dir, "st1_ckpt"),
+        .runFileStreamToParquet(s, glob, streamSchema, scratch(dir, "st1_ckpt"),
+          scratch(dir, "st1_out"),
           df => df.select("entry_id", "user_id", "event_type", "ts_us"))
         .orderBy("entry_id")
     },
@@ -361,6 +369,41 @@ object StreamQueries {
         .select(col("fname"), col("length"),
           base64(col("content")).as("content_b64"))
         .orderBy("fname")
+    },
+    // st21 — POST-FOLD consumer bootstrap (round 19, r18 verdict #1):
+    // a brand-new consumer joins a zone whose history has already been
+    // folded into the _checkpoint. Consumer a drains wave 0, wave 1
+    // lands, a's second auto-fold moves wave 0's segment into the
+    // checkpoint band; consumer b then JOINS with
+    // bootstrapFromCheckpoint = true — seeded from the checkpoint band
+    // (wave 0) through the same open kernel, mark pre-registered, live
+    // segments (wave 1) streamed from there. b's accumulated output
+    // must be byte-equal to a never-folded consumer's: the shared
+    // content oracle over the whole fixture pins exactly that.
+    "st21_manifest_bootstrap" -> { (s, dir) =>
+      import s.implicits._
+      val p = IoQueries.binFilesFixture(s, dir)
+      val man = scratch(dir, "st21_man")
+      Streams.deleteDir(s, man)
+      val waves = new java.io.File(p).listFiles().toSeq
+        .filter(_.getName.endsWith(".bin")).sortBy(_.getName)
+        .map(f => (f.getAbsolutePath, f.length()))
+        .grouped(10).toSeq
+      IO.appendLandingManifest(s, man, waves.head.toDF("path", "length"))
+      Streams.runManifestIngestStream(s, man, scratch(dir, "st21_ckpt_a"),
+        scratch(dir, "st21_out_a"), compactAfterDrain = true,
+        consumerId = Some("a")): Unit
+      waves.tail.foreach(w =>
+        IO.appendLandingManifest(s, man, w.toDF("path", "length")))
+      Streams.runManifestIngestStream(s, man, scratch(dir, "st21_ckpt_a"),
+        scratch(dir, "st21_out_a"), reset = false, compactAfterDrain = true,
+        consumerId = Some("a")): Unit
+      Streams.runManifestIngestStream(s, man, scratch(dir, "st21_ckpt_b"),
+        scratch(dir, "st21_out_b"), consumerId = Some("b"),
+        bootstrapFromCheckpoint = true)
+        .select(col("fname"), col("length"),
+          base64(col("content")).as("content_b64"))
+        .orderBy("fname")
     }
   )
 
@@ -413,6 +456,10 @@ object StreamQueries {
     // catch-up / central-fold cycle — the coordination must be
     // byte-invisible to consumer a's accumulated output
     "st20_manifest_multiconsumer" -> IoQueries.BinFilesSql,
+    // st21 joins a NEW consumer into an already-folded zone via the
+    // checkpoint-band bootstrap — its accumulated output must be
+    // byte-equal to a never-folded consumer's, same shared oracle
+    "st21_manifest_bootstrap" -> IoQueries.BinFilesSql,
     // inner stream-stream join emits every match exactly once, so the
     // memory sink equals the batch self-join
     "st8_stream_join" ->

@@ -778,6 +778,105 @@ class OperatorsSpec extends SparkSpec {
       "an orphaned marker over zero live segments is stale and must clear")
   }
 
+  test("fold lock: a second concurrent fold fails loudly naming the holder; takeover recovers a crashed one (r18 verdict #2)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val zone = s"${sys.props("java.io.tmpdir")}/graft_test_foldlock_zone"
+    val man = s"${sys.props("java.io.tmpdir")}/graft_test_foldlock_man"
+    val fs = new Path(man).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(zone), true); fs.delete(new Path(man), true)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(zone))
+    val entries = (0 until 3).map { i =>
+      val p = java.nio.file.Paths.get(zone, s"f$i.bin")
+      java.nio.file.Files.write(p, s"lock $i".getBytes("UTF-8"))
+      (p.toString, 6L)
+    }
+    entries.foreach(e =>
+      graft.io.IO.appendLandingManifest(spark, man, Seq(e).toDF("path", "length")))
+    def segCount(): Int = fs.globStatus(new Path(s"$man/seg_*.json")).length
+    // a marker HELD by another process (a running sibling fold, or a
+    // kill -9'd one) refuses a second fold loudly, naming the holder —
+    // and leaves every segment and the marker untouched
+    val marker = new Path(s"$man/_FOLDING")
+    val out = fs.create(marker, true)
+    out.write("""{"holder":"otherhost:pid12345","acquired_at_ms":1}""".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalStateException] {
+      graft.io.IO.compactLandingManifest(spark, man)
+    }
+    assert(e.getMessage.contains("otherhost:pid12345")
+      && e.getMessage.contains("takeoverCrashedFold"), e.getMessage)
+    assert(segCount() == 3 && fs.exists(marker),
+      "a refused fold must leave the manifest untouched")
+    // after verifying the holder crashed, takeover folds normally
+    val (folded, rows) = graft.io.IO.compactLandingManifest(spark, man,
+      takeoverCrashedFold = true)
+    assert(folded == 3 && rows == 3L, s"got ($folded, $rows)")
+    assert(!fs.exists(marker), "a successful fold releases the lock")
+    assert(graft.io.IO.readBinaryFromManifest(spark, man)
+      .select("fname").as[String].collect().toSeq.sorted ==
+      Seq("f0.bin", "f1.bin", "f2.bin"))
+    // a RELEASED marker (an in-process fold failure that had to keep
+    // the bracket over a possibly-real duplicate window) is adopted
+    // WITHOUT takeover — and the bracket still dedups for readers
+    graft.io.IO.appendLandingManifest(spark, man,
+      Seq(entries.head).toDF("path", "length"))
+    val rel = fs.create(marker, true)
+    rel.write("""{"holder":"released"}""".getBytes("UTF-8")); rel.close()
+    assert(graft.io.IO.readLandingManifest(spark, man).count() == 3L,
+      "inside a released bracket the checkpoint/segment overlap must dedup")
+    assert(graft.io.IO.compactLandingManifest(spark, man) == ((1, 3L)))
+    assert(!fs.exists(marker))
+    // two genuinely CONCURRENT folds: exactly one may win the lock;
+    // whatever the interleaving, no rows are lost or resurrected
+    graft.io.IO.appendLandingManifest(spark, man,
+      Seq((java.nio.file.Paths.get(zone, "f3.bin").toString, 6L))
+        .toDF("path", "length"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(zone, "f3.bin"),
+      "lock 3".getBytes("UTF-8"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = Seq(
+      Future(scala.util.Try(graft.io.IO.compactLandingManifest(spark, man))),
+      Future(scala.util.Try(graft.io.IO.compactLandingManifest(spark, man))))
+      .map(Await.result(_, 2.minutes))
+    val (won, lost) = attempts.partition(_.isSuccess)
+    assert(won.nonEmpty, s"at least one fold must complete: $attempts")
+    lost.foreach(l => assert(
+      l.failed.get.isInstanceOf[IllegalStateException]
+        && l.failed.get.getMessage.contains("fold"),
+      s"a losing fold must fail loudly at the lock, got ${l.failed.get}"))
+    assert(!fs.exists(marker))
+    assert(graft.io.IO.readLandingManifest(spark, man).count() == 4L,
+      "no lost or resurrected manifest rows after racing folds")
+    assert(segCount() == 0)
+  }
+
+  test("consumer marks never move backward; single-mark reads are one tiny file (r18 ADVICE)") {
+    val man = s"${sys.props("java.io.tmpdir")}/graft_test_mark_clamp"
+    graft.streaming.Streams.deleteDir(spark, man)
+    // the dir need not exist for a mark-less read
+    assert(graft.io.IO.readManifestConsumerMark(spark, man, "x").isEmpty)
+    graft.io.IO.recordManifestConsumer(spark, man, "x", 100L)
+    assert(graft.io.IO.readManifestConsumerMark(spark, man, "x").contains(100L))
+    // an empty-wave drain records MinValue — the clamp keeps the real
+    // coverage, so sibling folds never wedge on a transient regression
+    graft.io.IO.recordManifestConsumer(spark, man, "x", Long.MinValue)
+    assert(graft.io.IO.readManifestConsumerMark(spark, man, "x").contains(100L))
+    graft.io.IO.recordManifestConsumer(spark, man, "x", 50L)
+    assert(graft.io.IO.readManifestConsumerMark(spark, man, "x").contains(100L))
+    graft.io.IO.recordManifestConsumer(spark, man, "x", 200L)
+    assert(graft.io.IO.readManifestConsumerMark(spark, man, "x").contains(200L))
+    // a deliberate rewind is decommission + re-register
+    graft.io.IO.removeManifestConsumer(spark, man, "x")
+    graft.io.IO.recordManifestConsumer(spark, man, "x", 50L)
+    assert(graft.io.IO.readManifestConsumerMark(spark, man, "x").contains(50L))
+    intercept[IllegalArgumentException] {
+      graft.io.IO.readManifestConsumerMark(spark, man, "../evil")
+    }
+  }
+
   test("openManifested packs splits by BYTES and fails loudly on corrupt lengths/size confs") {
     import spark.implicits._
     // byte-aware assignment on a skewed mix: one over-target file plus

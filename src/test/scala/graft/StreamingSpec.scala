@@ -605,4 +605,125 @@ class StreamingSpec extends SparkSpec {
       "the memory-sink view must be dropped before returning")
     assert(out.count() == 2, "the returned frame must outlive the dropped view")
   }
+
+  test("ST21 bootstrap: a new consumer joins a compacted zone from the checkpoint band (r18 verdict #1)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_st21"
+    Streams.deleteDir(spark, base)
+    val man = s"$base/man"
+    val fs = new Path(man).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def land(n: String, body: String): (String, Long) = {
+      val f = new java.io.File(s"$base/zone/$n")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+      (f.getAbsolutePath, body.getBytes("UTF-8").length.toLong)
+    }
+    def drainA(reset: Boolean) =
+      Streams.runManifestIngestStream(spark, man, s"$base/ck_a",
+        s"$base/out_a", reset = reset, compactAfterDrain = true,
+        consumerId = Some("a"))
+    // consumer a drains wave 0; wave 1 lands; a's second auto-fold
+    // moves wave 0's segment into the checkpoint band
+    val w0 = (0 until 2).map(i => land(s"w0_$i.bin", s"wave0 $i"))
+    graft.io.IO.appendLandingManifest(spark, man, w0.toDF("path", "length"))
+    assert(drainA(reset = true).count() == 2)
+    Thread.sleep(5) // distinct segment mtimes on a coarse local clock
+    val w1 = (0 until 2).map(i => land(s"w1_$i.bin", s"wave1 $i"))
+    graft.io.IO.appendLandingManifest(spark, man, w1.toDF("path", "length"))
+    val outA = drainA(reset = false)
+    assert(outA.count() == 4)
+    assert(fs.exists(new Path(s"$man/_checkpoint")), "wave 0 must have folded")
+    // a FRESH-checkpoint drain refuses even with reset = false: the
+    // guard keys on committed offsets, not the reset flag (r18 ADVICE
+    // — a first-ever drain with reset=false is exactly as fresh)
+    val eFresh = intercept[IllegalArgumentException] {
+      Streams.runManifestIngestStream(spark, man, s"$base/ck_fresh",
+        s"$base/out_fresh", reset = false)
+    }
+    assert(eFresh.getMessage.contains("no committed offsets"), eFresh.getMessage)
+    // bootstrap refuses while a fold window is open (checkpoint and
+    // live segments may overlap inside it)
+    val marker = new Path(s"$man/_FOLDING")
+    val mo = fs.create(marker, true)
+    mo.write("""{"holder":"other:pid1"}""".getBytes("UTF-8")); mo.close()
+    val eFold = intercept[IllegalArgumentException] {
+      Streams.runManifestIngestStream(spark, man, s"$base/ck_b",
+        s"$base/out_b", consumerId = Some("b"), bootstrapFromCheckpoint = true)
+    }
+    assert(eFold.getMessage.contains("_FOLDING"), eFold.getMessage)
+    assert(fs.delete(marker, false))
+    // an anonymous bootstrap would race sibling folds — consumerId required
+    val eAnon = intercept[IllegalArgumentException] {
+      Streams.runManifestIngestStream(spark, man, s"$base/ck_b",
+        s"$base/out_b", bootstrapFromCheckpoint = true)
+    }
+    assert(eAnon.getMessage.contains("consumerId"), eAnon.getMessage)
+    // consumer b JOINS post-fold: seeded from the checkpoint band +
+    // the live wave-1 segment streamed — byte-equal to never-folded a
+    val outB = Streams.runManifestIngestStream(spark, man, s"$base/ck_b",
+      s"$base/out_b", consumerId = Some("b"), bootstrapFromCheckpoint = true)
+    def contents(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      df.select(col("fname"), col("content").cast("string"))
+        .as[(String, String)].collect().toSeq.sorted
+    assert(contents(outB) == contents(outA),
+      "a post-fold joiner's accumulated output must be byte-equal to a " +
+        "never-folded consumer's")
+    // b's mark registered and ADVANCED past MinValue (pre-registration
+    // then the drain's own record) — sibling folds see real coverage
+    val marks = graft.io.IO.readManifestConsumers(spark, man)
+    assert(marks.keySet == Set("a", "b"))
+    assert(marks("b") > Long.MinValue, s"got ${marks("b")}")
+    // b resumes as a normal consumer: only the new wave drains
+    Thread.sleep(5)
+    val w2 = Seq(land("w2_0.bin", "wave2 0"))
+    graft.io.IO.appendLandingManifest(spark, man, w2.toDF("path", "length"))
+    val resumed = Streams.runManifestIngestStream(spark, man, s"$base/ck_b",
+      s"$base/out_b", reset = false, consumerId = Some("b"))
+    assert(resumed.count() == 5)
+    assert(resumed.select("fname").as[String].collect().toSeq.sorted ==
+      Seq("w0_0.bin", "w0_1.bin", "w1_0.bin", "w1_1.bin", "w2_0.bin"))
+    // bootstrap of an UNFOLDED zone is just a fresh drain with
+    // pre-registration (no seed band to read)
+    val man2 = s"$base/man2"
+    graft.io.IO.appendLandingManifest(spark, man2,
+      Seq(w2.head).toDF("path", "length"))
+    val outC = Streams.runManifestIngestStream(spark, man2, s"$base/ck_c",
+      s"$base/out_c", consumerId = Some("c"), bootstrapFromCheckpoint = true)
+    assert(outC.count() == 1)
+  }
+
+  test("runFileStreamToParquet: table-sized results stream to files; resume appends exactly the new files (r18 verdict #4)") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_pq_runner"
+    Streams.deleteDir(spark, base)
+    val schema = StructType(Seq(StructField("entry_id", LongType),
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("pageview_count", LongType), StructField("event_type", StringType)))
+    def writeBatch(n: String, rows: Seq[(Long, Long)]): Unit =
+      rows.map { case (id, uid) =>
+        s"""{"entry_id":$id,"user_id":$uid,"ts_us":${id * 1000},"pageview_count":1,"event_type":"view"}"""
+      }.toDF("value").coalesce(1).write.mode("overwrite").text(s"$base/src/$n.json")
+    writeBatch("b0", Seq((1L, 10L), (2L, 11L)))
+    writeBatch("b1", Seq((3L, 10L)))
+    val first = Streams.runFileStreamToParquet(spark, s"$base/src/*.json/*",
+      schema, s"$base/ckpt", s"$base/out",
+      df => df.select("entry_id", "user_id"), maxFilesPerTrigger = Some(1))
+    assert(first.select("entry_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // resume with the kept checkpoint: the sink's _spark_metadata log +
+    // the source's seen-file log append exactly the new file's rows
+    writeBatch("b2", Seq((4L, 12L)))
+    val resumed = Streams.runFileStreamToParquet(spark, s"$base/src/*.json/*",
+      schema, s"$base/ckpt", s"$base/out",
+      df => df.select("entry_id", "user_id"), reset = false)
+    assert(resumed.select("entry_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L), "exactly-once across the resume")
+    // a glob matching nothing runs zero batches: empty frame with the
+    // TRANSFORM's schema, not a path-not-found
+    val empty = Streams.runFileStreamToParquet(spark, s"$base/nothing/*.json",
+      schema, s"$base/ckpt2", s"$base/out2",
+      df => df.select("entry_id", "user_id"))
+    assert(empty.isEmpty && empty.columns.toSeq == Seq("entry_id", "user_id"))
+  }
 }
