@@ -341,9 +341,9 @@ object IO {
     * marker body names the holder; a fold that fails in-process
     * releases the lock itself (deleting the marker when no duplicate
     * window exists, downgrading it to `released` when one might), so
-    * only a kill -9'd holder leaves a held marker behind —
-    * [[takeover-crashed-fold]] recovery is the explicit
-    * `takeoverCrashedFold` flag on the compaction entry points. */
+    * only a kill -9'd holder leaves a held marker behind — recovery
+    * is the explicit `takeoverCrashedFold` flag on the compaction
+    * entry points. */
   private[graft] def foldingMarker(manifestDir: String): Path =
     new Path(s"$manifestDir/_FOLDING")
 
@@ -722,16 +722,22 @@ object IO {
 
   /** Delete the fold's snapshotted segments with a bounded driver
     * thread pool (r18 verdict #3): the serial loop is O(segments)
-    * round-trips — invisible on a local FS (~µs each), a 15-40 minute
-    * fold tail at 50k segments × the 20-50 ms per-delete latency of an
-    * object store. Deletes are independent metadata RPCs, so
-    * concurrency is pure latency-hiding (32 in flight ≈ 32× less
-    * tail); `FileSystem` instances are thread-safe by Hadoop contract.
-    * Every task settles before the first failure propagates (later
-    * failures suppressed onto it) — a throw mid-pool must not leave
-    * in-flight deletes racing the caller's marker removal. */
+    * round-trips — a 17-42 minute fold tail at 50k segments × the
+    * 20-50 ms per-delete latency of an object store, which 32
+    * in-flight deletes cut to 0.5-1.3 min (deletes are independent
+    * metadata RPCs, so concurrency is pure latency-hiding;
+    * `FileSystem` instances are thread-safe by Hadoop contract).
+    * LOCAL file:// deletes stay serial: they are CPU-bound syscalls
+    * (~300 µs each, probe_fold_phases_50k.sc), there is no latency to
+    * hide, and the pool measured ~1.5× SLOWER there (lock contention
+    * in the checksummed local FS). Every pooled task settles before
+    * the first failure propagates (later failures suppressed onto it)
+    * — a throw mid-pool must not leave in-flight deletes racing the
+    * caller's marker removal. */
   private def deleteSegmentsParallel(f: FileSystem, segs: Array[Path]): Unit = {
-    if (segs.length <= 4) { segs.foreach(p => f.delete(p, true)); return }
+    if (segs.length <= 4 || f.getScheme == "file") {
+      segs.foreach(p => f.delete(p, true)); return
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(32, segs.length))
     try {

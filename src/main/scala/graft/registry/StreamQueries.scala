@@ -136,7 +136,12 @@ object StreamQueries {
       // sf0.1 sweep (probe_st8_rocksdb_trim.sc) reads p1 27.2s /
       // p2 12.7-14.9s / p4 7.9s / p8 5.5s / p16 6.6s / p32 ~16s: too few
       // partitions serialize the commit constant, too many multiply
-      // it. Results are partition-independent (oracle-pinned).
+      // it. The minimum MOVES RIGHT with state volume (r18 verdict #6,
+      // probe_st8_partitions_10x.sc: at 10x state p16 beats p8 36-43
+      // vs 45-47s in both sweeps) — p8 stands for THIS 1x-state
+      // registry run; deployments provision state partitions to grow
+      // roughly with state volume, captured at first query start.
+      // Results are partition-independent (oracle-pinned).
       // 2 files/trigger: 3 replay triggers instead of 5, same
       // cross-batch join matches (inner join emits each match once
       // whatever the batching)

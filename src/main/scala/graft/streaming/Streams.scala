@@ -67,10 +67,15 @@ object Streams {
     * at 10× the stream-stream join reads 39-57 s vs heap's 15-19 s
     * (~2.5-3.5×), insensitive to trigger count, changelog mode, block
     * cache, and write buffer (all probed); the dedup shape pays only
-    * ~1.2×. The default therefore trades wall while state still FITS
-    * heap for survival when it no longer does; deployments whose
-    * state provably fits executor heap reclaim the tax with
-    * `heap` mode (SPARK_GRAFT_STATE_STORE=heap).
+    * ~1.2×. The r19 grid (probe_rocksdb_knobs_10x.sc) closed the
+    * remaining Spark-exposed knobs — memtable count/size, maxOpenFiles,
+    * compactOnCommit, formatVersion (Spark exposes no direct
+    * bloom-policy knob) — all inside box noise across two sweeps:
+    * the per-row tax is the provider's FLOOR, knobs exhausted. The
+    * default therefore trades wall while state still FITS heap for
+    * survival when it no longer does; deployments whose state
+    * provably fits executor heap reclaim the tax with `heap` mode
+    * (SPARK_GRAFT_STATE_STORE=heap).
     *
     * The provider is a session-level SQL conf captured into the
     * query's checkpoint at START — Spark has no per-query spelling —

@@ -23,7 +23,21 @@ assert(afterKill == expected,
   s"CPK9 FAIL read-after-kill $afterKill != expected $expected")
 println(s"CPK9 read_after_kill_identical rows=${afterKill._1}")
 
-val (folded, rows) = graft.io.IO.compactLandingManifest(spark, root)
+// the kill -9'd fold died holding the _FOLDING lock (acquired at fold
+// start since round 19): a plain re-fold REFUSES loudly naming the
+// dead holder -- the single-fold-at-a-time contract cannot tell a
+// crashed holder from a running one -- and converges only under the
+// explicit takeoverCrashedFold recovery
+val refused =
+  try { graft.io.IO.compactLandingManifest(spark, root); false }
+  catch {
+    case e: IllegalStateException =>
+      e.getMessage.contains("takeoverCrashedFold")
+  }
+assert(refused, "CPK9 FAIL re-fold must refuse the dead holder's lock")
+println("CPK9 held_lock_refused_without_takeover")
+val (folded, rows) = graft.io.IO.compactLandingManifest(spark, root,
+  takeoverCrashedFold = true)
 val afterRefold = digest(graft.io.IO.readLandingManifest(spark, root))
 assert(afterRefold == expected,
   s"CPK9 FAIL read-after-refold $afterRefold != expected $expected")
