@@ -56,7 +56,7 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // st1's result is the registry's largest (a full unaggregated
-    // scan, ~600k rows at sf0.1) — exactly the table-sized shape the
+    // scan, 100k rows at sf0.1) — exactly the table-sized shape the
     // memory runner's driver-sized contract excludes at 100×, so it
     // runs through the parquet file-sink twin (r18 verdict #4): rows
     // stream to files, the driver never holds them, and the read-back
