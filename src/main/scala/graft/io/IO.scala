@@ -608,8 +608,8 @@ object IO {
     * [[Staging]]'s LATEST manifest also uses (atomic on HDFS/POSIX;
     * on S3-likes the copy window is microseconds over bytes), so the
     * crash-window reasoning lives in one place. */
-  private[io] def atomicWriteSmallFile(spark: SparkSession, target: Path,
-                                       bytes: Array[Byte]): Unit = {
+  private[graft] def atomicWriteSmallFile(spark: SparkSession, target: Path,
+                                          bytes: Array[Byte]): Unit = {
     val f = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(target.getParent, s".${target.getName}.tmp")
     val out = f.create(tmp, true)

@@ -873,15 +873,43 @@ object Streams {
         !cf.listStatus(off).exists(s =>
           s.isFile && s.getPath.getName.forall(_.isDigit))
     }
-    require(!hasFolded || !checkpointIsFresh || bootstrapFromCheckpoint,
+    def ckptFingerprint(): Long =
+      if (mf.exists(ckptTable)) mf.getFileStatus(ckptTable).getModificationTime
+      else -1L
+    // a bootstrap that drained ZERO batches (it joined a fully-folded
+    // zone with no live segments yet) leaves an offset-less stream
+    // checkpoint — indistinguishable from never-bootstrapped by the
+    // offsets test alone, and the consumer's steady-state resumes
+    // would be refused into wasteful re-bootstraps forever. The
+    // bootstrap therefore drops a sentinel into ITS OWN checkpoint
+    // dir carrying the _checkpoint fingerprint its seed covered: a
+    // fresh-checkpoint resume whose sentinel matches the CURRENT
+    // fingerprint is provably safe (the seed covers the whole folded
+    // band and no fold has moved segments since); a mismatch — a fold
+    // ran after the bootstrap — refuses into a loud re-bootstrap,
+    // exactly like the in-flight fingerprint check below.
+    val sentinel = new Path(s"$checkpoint/_graft_bootstrap.json")
+    val sentinelCovers: Boolean = !reset && {
+      val cf = sentinel.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      cf.exists(sentinel) && {
+        val in = cf.open(sentinel)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        """"ckpt_fingerprint"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
+          .exists(_.group(1).toLong == ckptFingerprint())
+      }
+    }
+    require(!hasFolded || !checkpointIsFresh || bootstrapFromCheckpoint
+        || sentinelCovers,
       s"$manifestDir has a compacted _checkpoint and this drain's stream " +
-        s"checkpoint ($checkpoint) has no committed offsets: a fresh drain " +
-        "sees only live segments and would silently miss every folded " +
-        "wave — JOIN the zone with bootstrapFromCheckpoint = true (seeds " +
-        "the output from the checkpoint band, then streams live " +
-        "segments), bootstrap from the batch read " +
-        "(IO.readBinaryFromManifest), or resume the consumer's existing " +
-        "stream checkpoint")
+        s"checkpoint ($checkpoint) has no committed offsets (and no " +
+        "current bootstrap sentinel): a fresh drain sees only live " +
+        "segments and would silently miss every folded wave — JOIN the " +
+        "zone with bootstrapFromCheckpoint = true (seeds the output from " +
+        "the checkpoint band, then streams live segments), bootstrap " +
+        "from the batch read (IO.readBinaryFromManifest), or resume the " +
+        "consumer's existing stream checkpoint")
     // bootstrap a NEW consumer into a zone that has already compacted
     // (r18 verdict #1 — joining must be a capability, not a refusal):
     // seed the consumer's output from the _checkpoint band through the
@@ -920,9 +948,6 @@ object Streams {
           "inside it — let the fold finish (or re-run it with " +
           "takeoverCrashedFold = true) and retry the bootstrap")
     }
-    def ckptFingerprint(): Long =
-      if (mf.exists(ckptTable)) mf.getFileStatus(ckptTable).getModificationTime
-      else -1L
     val bootstrapFp: Long = if (bootstrapFromCheckpoint) ckptFingerprint() else -1L
     if (bootstrapFromCheckpoint) {
       deleteDir(spark, checkpoint)
@@ -975,12 +1000,21 @@ object Streams {
     // this consumer never read — loud re-bootstrap, never silent loss
     // (only a graceMs fold can get here; consumer-aware folds are held
     // back by the mark pre-registered above)
-    if (bootstrapFromCheckpoint)
+    if (bootstrapFromCheckpoint) {
       require(ckptFingerprint() == bootstrapFp,
         s"a fold advanced $manifestDir/_checkpoint while this consumer was " +
           "bootstrapping — its seed misses the newly folded waves; " +
           "re-run the bootstrap (and coordinate folds through consumer " +
           "marks, which hold back for a joining consumer)")
+      // sentinel: lets a bootstrap that drained ZERO batches (no live
+      // segments yet, so no committed offsets) resume as a normal
+      // consumer instead of re-seeding forever — valid exactly while
+      // the _checkpoint fingerprint it covered is unchanged (see the
+      // guard above). Written through the atomic tmp+rename publish so
+      // a crash never leaves a torn sentinel.
+      graft.io.IO.atomicWriteSmallFile(spark, sentinel,
+        s"""{"ckpt_fingerprint":$bootstrapFp}""".getBytes("UTF-8"))
+    }
     // only reached on drain SUCCESS (a failed query throws above) —
     // a mark/fold must never advance for a drain that did not ingest
     // its waves. The mark records BEFORE the fold so this drain's own

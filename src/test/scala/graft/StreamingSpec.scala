@@ -691,6 +691,45 @@ class StreamingSpec extends SparkSpec {
     val outC = Streams.runManifestIngestStream(spark, man2, s"$base/ck_c",
       s"$base/out_c", consumerId = Some("c"), bootstrapFromCheckpoint = true)
     assert(outC.count() == 1)
+    // --- the ZERO-LIVE-SEGMENT join: a consumer bootstrapping into a
+    // FULLY-folded zone drains zero batches, so its stream checkpoint
+    // has no committed offsets — the bootstrap sentinel (fingerprint
+    // of the seeded _checkpoint) is what lets its steady-state resumes
+    // proceed instead of being refused into re-bootstraps forever
+    graft.io.IO.compactLandingManifest(spark, man2) // folds the last live segment
+    val outD = Streams.runManifestIngestStream(spark, man2, s"$base/ck_d",
+      s"$base/out_d", consumerId = Some("d"), bootstrapFromCheckpoint = true)
+    assert(outD.count() == 1, "the seed band alone must come back")
+    assert(new java.io.File(s"$base/ck_d/_graft_bootstrap.json").exists())
+    // steady-state resume on the offset-less checkpoint: NOT refused
+    val resumedD = Streams.runManifestIngestStream(spark, man2, s"$base/ck_d",
+      s"$base/out_d", reset = false, consumerId = Some("d"))
+    assert(resumedD.count() == 1, "an empty resume must keep the seeded band")
+    // a new wave lands; the sentinel-covered resume drains exactly it
+    Thread.sleep(5)
+    graft.io.IO.appendLandingManifest(spark, man2,
+      Seq(land("w3_0.bin", "wave3 0")).toDF("path", "length"))
+    val resumedD2 = Streams.runManifestIngestStream(spark, man2, s"$base/ck_d",
+      s"$base/out_d", reset = false, consumerId = Some("d"))
+    assert(resumedD2.count() == 2)
+    // a fold AFTER the bootstrap invalidates the sentinel: a still
+    // offset-less consumer (e joins another fully-folded state, so its
+    // bootstrap drains zero batches) must be refused into a
+    // re-bootstrap when a mark-ignorant graceMs fold later advances
+    // the checkpoint past its seed — never silently started
+    graft.io.IO.compactLandingManifest(spark, man2) // back to zero live
+    val outE = Streams.runManifestIngestStream(spark, man2, s"$base/ck_e",
+      s"$base/out_e", consumerId = Some("e"), bootstrapFromCheckpoint = true)
+    assert(outE.count() == 2, "seed band only (w2 head + w3_0)")
+    Thread.sleep(5)
+    graft.io.IO.appendLandingManifest(spark, man2,
+      Seq(land("w4_0.bin", "wave4 0")).toDF("path", "length"))
+    assert(graft.io.IO.compactLandingManifest(spark, man2)._1 >= 1)
+    val eStale = intercept[IllegalArgumentException] {
+      Streams.runManifestIngestStream(spark, man2, s"$base/ck_e",
+        s"$base/out_e", reset = false, consumerId = Some("e"))
+    }
+    assert(eStale.getMessage.contains("no committed offsets"), eStale.getMessage)
   }
 
   test("runFileStreamToParquet: table-sized results stream to files; resume appends exactly the new files (r18 verdict #4)") {
