@@ -172,11 +172,15 @@ object StreamQueries {
           OutputMode.Append(), maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
         .orderBy("user_id", "event_type")
     },
+    // st5's dwell result is one row per non-final event (~st1-sized,
+    // the other table-sized stream result in the registry) — through
+    // the parquet file-sink twin like st1, reclaiming the driver copy
     "st5_stream_stitch" -> { (s, dir) =>
       val glob = writeMicroBatches(s, dir)
       Streams
-        .runFileStream(s, glob, streamSchema, scratch(dir, "st5_ckpt"),
-          df => Streams.stitchDwell(s, df), OutputMode.Append(),
+        .runFileStreamToParquet(s, glob, streamSchema, scratch(dir, "st5_ckpt"),
+          scratch(dir, "st5_out"),
+          df => Streams.stitchDwell(s, df),
           maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
         .orderBy("entry_id")
     },
@@ -225,11 +229,12 @@ object StreamQueries {
       // modern arbitrary-state API; requires the RocksDB provider —
       // the engine default (round-15 verdict item 1), PINNED here so
       // the heap A/B knob can't put this query on a provider that
-      // cannot run it
+      // cannot run it. Table-sized result ⇒ parquet file-sink twin
       val glob = writeMicroBatches(s, dir)
       Streams
-        .runFileStream(s, glob, streamSchema, scratch(dir, "st5tws_ckpt"),
-          df => Streams.stitchDwellTws(s, df), OutputMode.Append(),
+        .runFileStreamToParquet(s, glob, streamSchema, scratch(dir, "st5tws_ckpt"),
+          scratch(dir, "st5tws_out"),
+          df => Streams.stitchDwellTws(s, df),
           maxFilesPerTrigger = Some(2), shufflePartitions = Some(4),
           stateStoreMode = Some("rocksdb"))
         .orderBy("entry_id")

@@ -873,9 +873,19 @@ object Streams {
         !cf.listStatus(off).exists(s =>
           s.isFile && s.getPath.getName.forall(_.isDigit))
     }
+    // fingerprint = hash of the checkpoint's DATA-FILE listing (name +
+    // length, order-insensitive): every fold rewrites the directory
+    // with fresh part-file names on every store. A dir MTIME would be
+    // simpler but object stores synthesize directory entries (often
+    // mtime 0), which would silently disarm the fold-race checks there.
     def ckptFingerprint(): Long =
-      if (mf.exists(ckptTable)) mf.getFileStatus(ckptTable).getModificationTime
-      else -1L
+      if (!mf.exists(ckptTable)) -1L
+      // masked non-negative so a hash can never collide with the
+      // -1 "no checkpoint" sentinel value
+      else scala.util.hashing.MurmurHash3.unorderedHash(
+        mf.listStatus(ckptTable).filter(_.isFile)
+          .map(s => s"${s.getPath.getName}:${s.getLen}").toSeq)
+        .toLong & 0x7fffffffL
     // a bootstrap that drained ZERO batches (it joined a fully-folded
     // zone with no live segments yet) leaves an offset-less stream
     // checkpoint — indistinguishable from never-bootstrapped by the
