@@ -70,6 +70,12 @@ object StreamQueries {
           df => df.select("entry_id", "user_id", "event_type", "ts_us"))
         .orderBy("entry_id")
     },
+    // st4-Complete stays on the memory runner BY NECESSITY: the file
+    // sink is Append-only (Spark contract), and this query exists as
+    // the Complete-mode full-replay parity twin of st4_append — its
+    // ~full-session-table sink is the one registered exception to the
+    // "table-sized results go through the file sink" rule, bounded by
+    // the fixture's session count
     "st4_session_window" -> { (s, dir) =>
       val glob = writeMicroBatches(s, dir)
       Streams
@@ -87,9 +93,12 @@ object StreamQueries {
       // (round-9 verdict #3; results are batch-boundary independent,
       // which the unchanged oracle pins)
       val glob = writeMicroBatches(s, dir)
+      // table-sized Append result (one row per closed session) ⇒ the
+      // parquet file-sink runner, like every production-mode st query
       Streams
-        .runFileStream(s, glob, streamSchema, scratch(dir, "st4a_ckpt"),
-          df => Streams.sessionWindowAppend(df), OutputMode.Append(),
+        .runFileStreamToParquet(s, glob, streamSchema, scratch(dir, "st4a_ckpt"),
+          scratch(dir, "st4a_out"),
+          df => Streams.sessionWindowAppend(df),
           maxFilesPerTrigger = Some(2), shufflePartitions = Some(4))
         .orderBy("user_id", "session_start_us")
     },
@@ -193,8 +202,12 @@ object StreamQueries {
       val glob = writeMicroBatches(s, dir)
       val dim = broadcast(Tables.nation(s, dir)
         .select(col("n_nationkey").cast("long").as("nk"), col("n_name")))
+      // per-event enriched rows = table-sized ⇒ file-sink runner (the
+      // broadcast dim is caller-session state, but broadcast() wraps
+      // the FRAME itself — self-contained under the clone contract)
       Streams
-        .runFileStream(s, glob, streamSchema, scratch(dir, "st11_ckpt"),
+        .runFileStreamToParquet(s, glob, streamSchema, scratch(dir, "st11_ckpt"),
+          scratch(dir, "st11_out"),
           df => df
             .select(col("entry_id"), col("user_id"), (col("user_id") % 25).as("nk"))
             .join(dim, "nk")
