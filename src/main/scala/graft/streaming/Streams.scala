@@ -825,7 +825,13 @@ object Streams {
     * same open kernel, its mark pre-registers automatically, and the
     * live segments stream from there — its accumulated output is
     * byte-equal to a never-folded consumer's (st21 pins this under the
-    * shared content oracle).
+    * shared content oracle). A join that found NO live segments leaves
+    * an offset-less stream checkpoint; the fingerprint sentinel the
+    * bootstrap drops there is what lets its steady-state resumes
+    * proceed (valid while the seeded `_checkpoint` is unchanged; a
+    * fold since then refuses into a re-bootstrap). A bootstrap killed
+    * mid-seed is recovered by RE-RUNNING the bootstrap — its reset
+    * deletes the partial state and the seed overwrite is idempotent.
     * The fold itself is single-writer per manifest, ENFORCED by the
     * `_FOLDING` lock: with several sibling drains auto-folding, a
     * second concurrent fold fails loudly naming the holder — let one

@@ -730,6 +730,21 @@ class StreamingSpec extends SparkSpec {
         s"$base/out_e", reset = false, consumerId = Some("e"))
     }
     assert(eStale.getMessage.contains("no committed offsets"), eStale.getMessage)
+    // --- bootstrap crash recovery: a join killed mid-seed leaves a
+    // torn batch_id=-1 band and a checkpoint without offsets or
+    // sentinel — RE-RUNNING the bootstrap is the recovery (its reset
+    // deletes the partial state and the seed write is an idempotent
+    // overwrite), converging to the same accumulated output
+    val tornSeed = new java.io.File(s"$base/out_f/batch_id=-1")
+    new java.io.File(tornSeed, "_temporary/0").mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(tornSeed, "part-00000-killed.snappy.parquet").toPath,
+      "torn seed".getBytes("UTF-8"))
+    val outF = Streams.runManifestIngestStream(spark, man2, s"$base/ck_f",
+      s"$base/out_f", consumerId = Some("f"), bootstrapFromCheckpoint = true)
+    assert(outF.count() == 3, "the re-run bootstrap must replace the torn seed")
+    assert(!new java.io.File(tornSeed, "part-00000-killed.snappy.parquet").exists(),
+      "the torn seed file must be gone after the re-bootstrap")
   }
 
   test("runFileStreamToParquet: table-sized results stream to files; resume appends exactly the new files (r18 verdict #4)") {
