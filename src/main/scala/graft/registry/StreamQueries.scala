@@ -139,25 +139,22 @@ object StreamQueries {
     },
     "st8_stream_join" -> { (s, dir) =>
       val glob = writeMicroBatches(s, dir)
-      // 8 state partitions: the join holds 4-5 state stores/partition,
-      // and per-trigger store commits PARALLELIZE across tasks, so the
-      // partition count is U-shaped under RocksDB — the interleaved
-      // sf0.1 sweep (probe_st8_rocksdb_trim.sc) reads p1 27.2s /
-      // p2 12.7-14.9s / p4 7.9s / p8 5.5s / p16 6.6s / p32 ~16s: too few
-      // partitions serialize the commit constant, too many multiply
-      // it. The minimum MOVES RIGHT with state volume (r18 verdict #6,
-      // probe_st8_partitions_10x.sc: at 10x state p16 beats p8 36-43
-      // vs 45-47s in both sweeps) — p8 stands for THIS 1x-state
-      // registry run; deployments provision state partitions to grow
-      // roughly with state volume, captured at first query start.
-      // Results are partition-independent (oracle-pinned).
+      // State partitions come from the probed U-curve as code
+      // (Streams.suggestedStatePartitions, r19 verdict #7): the
+      // sf0.1 fixture's join state peaks at ~1e5 rows (the events
+      // table, all within the 24 h watermark band), which the helper
+      // maps to the probed p8 pin (probe_st8_rocksdb_trim.sc); the 10×
+      // pin p16 (probe_st8_partitions_10x.sc) is the helper's next
+      // decade — the spec pins both. Results are partition-independent
+      // (oracle-pinned).
       // 2 files/trigger: 3 replay triggers instead of 5, same
       // cross-batch join matches (inner join emits each match once
       // whatever the batching)
       Streams
         .runFileStream(s, glob, streamSchema, scratch(dir, "st8_ckpt"),
           df => Streams.streamSelfJoinPairs(df), OutputMode.Append(),
-          maxFilesPerTrigger = Some(2), shufflePartitions = Some(8))
+          maxFilesPerTrigger = Some(2),
+          shufflePartitions = Some(Streams.suggestedStatePartitions(100000L)))
         .orderBy("a_id", "b_id")
     },
     "st9_stream_dedup" -> { (s, dir) =>
@@ -427,6 +424,43 @@ object StreamQueries {
         .select(col("fname"), col("length"),
           base64(col("content")).as("content_b64"))
         .orderBy("fname")
+    },
+    // st22 — MARK-CLAMPED graceMs fold (round 20, r19 verdict #1): an
+    // ESTABLISHED consumer a drains wave 0, then lags while the rest
+    // of the fixture lands. An age-only graceMs=1 fold would take
+    // every unseen wave out of a's glob (they would live only in the
+    // _checkpoint parquet its file source never reads — silent
+    // starvation); the enforced mark clamp folds nothing past a's
+    // coverage, so a's resume accumulates the WHOLE fixture — the
+    // shared content oracle pins losslessness byte-for-byte. After a
+    // catches up the same fold folds the covered band, and a final
+    // (empty) drain confirms fold invisibility on the accumulated
+    // output.
+    "st22_manifest_markclamp" -> { (s, dir) =>
+      import s.implicits._
+      val p = IoQueries.binFilesFixture(s, dir)
+      val man = scratch(dir, "st22_man")
+      val ckpt = scratch(dir, "st22_ckpt")
+      val out = scratch(dir, "st22_out")
+      Streams.deleteDir(s, man)
+      val waves = new java.io.File(p).listFiles().toSeq
+        .filter(_.getName.endsWith(".bin")).sortBy(_.getName)
+        .map(f => (f.getAbsolutePath, f.length()))
+        .grouped(10).toSeq
+      IO.appendLandingManifest(s, man, waves.head.toDF("path", "length"))
+      Streams.runManifestIngestStream(s, man, ckpt, out,
+        consumerId = Some("a")): Unit
+      waves.tail.foreach(w =>
+        IO.appendLandingManifest(s, man, w.toDF("path", "length")))
+      IO.compactLandingManifest(s, man, graceMs = 1L): Unit
+      Streams.runManifestIngestStream(s, man, ckpt, out, reset = false,
+        consumerId = Some("a")): Unit
+      IO.compactLandingManifest(s, man, graceMs = 1L): Unit
+      Streams.runManifestIngestStream(s, man, ckpt, out, reset = false,
+        consumerId = Some("a"))
+        .select(col("fname"), col("length"),
+          base64(col("content")).as("content_b64"))
+        .orderBy("fname")
     }
   )
 
@@ -483,6 +517,9 @@ object StreamQueries {
     // checkpoint-band bootstrap — its accumulated output must be
     // byte-equal to a never-folded consumer's, same shared oracle
     "st21_manifest_bootstrap" -> IoQueries.BinFilesSql,
+    // st22: the mark-clamped fold must be lossless for the lagging
+    // consumer — its accumulated output equals the whole fixture
+    "st22_manifest_markclamp" -> IoQueries.BinFilesSql,
     // inner stream-stream join emits every match exactly once, so the
     // memory sink equals the batch self-join
     "st8_stream_join" ->

@@ -151,6 +151,39 @@ object Streams {
     runner
   }
 
+  /** Suggested shuffle/state partition count for a STATEFUL stream,
+    * from an estimate of peak state rows — the probed U-curve as code
+    * (r19 verdict #7: the provision-with-state rule lived in a registry
+    * comment; a deployment reading the engine got only the 1×-state
+    * pin). Stateful operators pay a per-trigger store-commit constant
+    * PER PARTITION (a stream-stream join holds 4-5 stores/partition),
+    * so too many partitions multiply the constant while too few
+    * serialize it AND concentrate per-row state work — the wall is
+    * U-shaped in partition count and its minimum MOVES RIGHT with
+    * state volume. Probed pins under the RocksDB default, stream-
+    * stream self-join shape: ~1e5 state rows → p8
+    * (probe_st8_rocksdb_trim.sc: p1 27.2 / p4 7.9 / p8 5.5 / p16 6.6 /
+    * p32 ~16 s), ~1e6 → p16 (probe_st8_partitions_10x.sc: p16 36-43 s
+    * beats p8 45-47 s in both sweeps, p1 ~330 s). The rule: partitions
+    * DOUBLE PER DECADE of state above the 1e5 anchor (log-spaced
+    * growth matches the minimum drifting right slower than linearly),
+    * rounded to a power of two in log space (the U is flat near its
+    * minimum; pow2 keeps partition math friendly), floored at the p8
+    * anchor (below it the commit constant dominates regardless of
+    * state) and clamped at 512. Spark captures the count into the
+    * checkpoint at FIRST query start — provision for the state volume
+    * the deployment will GROW INTO, not its day-one volume, or plan a
+    * checkpoint migration. Results are partition-independent; this
+    * tunes wall only. */
+  def suggestedStatePartitions(estimatedStateRows: Long): Int = {
+    require(estimatedStateRows >= 0L,
+      s"estimatedStateRows must be non-negative, got $estimatedStateRows")
+    val decades = math.max(0.0,
+      math.log10(math.max(1.0, estimatedStateRows.toDouble / 1e5)))
+    val exp = math.round(3.0 + decades).toInt // log2(8) = 3 at the anchor
+    math.min(512, 1 << math.min(9, exp))
+  }
+
   /** ST1 — micro-batch file source. Runs the stream to completion
     * (AvailableNow) into a memory sink and returns the static result.
     * The query runs on an internal [[newRunnerSession]] clone, so any
@@ -245,7 +278,32 @@ object Streams {
     * Complete/Update transforms stay on the memory runner. Returns the
     * accumulated table read back on the CALLER's session (a lazy scan,
     * not a copy); the same self-contained `transform` clone contract
-    * as [[runFileStream]] applies. */
+    * as [[runFileStream]] applies.
+    *
+    * LIFETIME CONTRACT — the sink's `_spark_metadata` commit log grows
+    * with every file EVER written (r19 verdict #3, measured in
+    * probe_sink_metadata_growth.sc): Spark rewrites a `.compact` file
+    * holding one entry per historical file every
+    * `spark.sql.streaming.fileSink.log.compactInterval` (10) batches,
+    * and Spark 4.1 exposes NO entry expiry (deletion/cleanupDelay
+    * remove only superseded per-batch log files, never compact
+    * entries). Measured: the READ side stays shallow — planning a
+    * read-back parses the compact log at ~14 µs/entry (0.14 s at 10 k
+    * entries, synthetic compact templated from the real format) — but
+    * the DRAIN side pays the O(entries) rewrite every 10 batches, a
+    * cumulatively QUADRATIC tax: the per-200-batch drain wall grew
+    * 62 → 78 s (+26 %) within the first 1 200 single-file batches, and
+    * extrapolates to the log tax EXCEEDING the useful per-batch work
+    * within ~10 k batches. Deployment story: this runner is for
+    * BOUNDED replays and cadence jobs (the registry shape — one
+    * AvailableNow drain per run); a forever-running ingest should land
+    * via the manifest zone ([[runBinaryPackStream]] /
+    * [[runManifestIngestStream]] + `compactLandingManifest`), whose
+    * checkpoint FOLDS instead of accumulating, or rotate `outPath` on
+    * a cadence (each rotation starts a fresh log; readers union the
+    * rotated tables). Raising `compactInterval` trades fewer O(entries)
+    * rewrites for more delta files unioned per read — it moves the
+    * constant, not the growth law. */
   def runFileStreamToParquet(
       spark: SparkSession,
       path: String,
@@ -269,8 +327,12 @@ object Streams {
       .map(n => reader.option("maxFilesPerTrigger", n))
       .getOrElse(reader)
       .format(format).load(path)
-    val sinkSchema = transform(src).schema
-    val q = transform(src).writeStream
+    // bound ONCE: transform may carry caller side effects and re-runs
+    // analysis — the memory runner invokes it once, so must this (r19
+    // ADVICE)
+    val sinkFrame = transform(src)
+    val sinkSchema = sinkFrame.schema
+    val q = sinkFrame.writeStream
       .format("parquet")
       .option("path", outPath)
       .outputMode(OutputMode.Append())
@@ -832,6 +894,20 @@ object Streams {
     * fold since then refuses into a re-bootstrap). A bootstrap killed
     * mid-seed is recovered by RE-RUNNING the bootstrap — its reset
     * deletes the partial state and the seed overwrite is idempotent.
+    * One bootstrap at a time PER CONSUMER ID, enforced (r19 verdict
+    * #6): the join holds an exclusive `.bootstrap_<id>.lock` under
+    * `_consumers/` (the fold lock's verified-claim pattern), so two
+    * operators racing the same join fail loudly instead of
+    * interleaving reset/seed/sentinel; the lock releases on every
+    * in-process exit, and a kill -9'd join is recovered with
+    * `takeoverCrashedBootstrap = true` before the re-run. The seed's
+    * basename-collision check is scoped PER PATH (r19 ADVICE): the
+    * `_checkpoint` band has no wave column, so the per-wave scope
+    * every live drain uses cannot be reconstructed — a zone with
+    * legitimate cross-wave basename collisions still joins, and
+    * fname-keyed ambiguity stays the packed table's post-hoc check
+    * exactly as on the drain path (a path manifested at two lengths —
+    * real corruption — still fails loudly).
     * The fold itself is single-writer per manifest, ENFORCED by the
     * `_FOLDING` lock: with several sibling drains auto-folding, a
     * second concurrent fold fails loudly naming the holder — let one
@@ -846,7 +922,8 @@ object Streams {
       reset: Boolean = true,
       compactAfterDrain: Boolean = false,
       consumerId: Option[String] = None,
-      bootstrapFromCheckpoint: Boolean = false
+      bootstrapFromCheckpoint: Boolean = false,
+      takeoverCrashedBootstrap: Boolean = false
   ): DataFrame = {
     import org.apache.spark.sql.types._
     val manSchema = StructType(Seq(
@@ -886,12 +963,19 @@ object Streams {
     // mtime 0), which would silently disarm the fold-race checks there.
     def ckptFingerprint(): Long =
       if (!mf.exists(ckptTable)) -1L
-      // masked non-negative so a hash can never collide with the
-      // -1 "no checkpoint" sentinel value
-      else scala.util.hashing.MurmurHash3.unorderedHash(
-        mf.listStatus(ckptTable).filter(_.isFile)
-          .map(s => s"${s.getPath.getName}:${s.getLen}").toSeq)
-        .toLong & 0x7fffffffL
+      else {
+        val listing = mf.listStatus(ckptTable).filter(_.isFile)
+          .map(s => s"${s.getPath.getName}:${s.getLen}").toSeq
+        // two independently-seeded 32-bit hashes packed into one Long,
+        // masked non-negative so a hash can never collide with the -1
+        // "no checkpoint" sentinel — the mask costs ONE bit, not 33
+        // (r19 ADVICE: a 31-bit fingerprint makes a 2^-31 collision
+        // silently accept a changed checkpoint, the exact partial-
+        // corpus class the fingerprint exists to catch)
+        val h1 = scala.util.hashing.MurmurHash3.unorderedHash(listing, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.unorderedHash(listing, 0x5bd1e995)
+        ((h1.toLong << 32) | (h2.toLong & 0xffffffffL)) & Long.MaxValue
+      }
     // a bootstrap that drained ZERO batches (it joined a fully-folded
     // zone with no live segments yet) leaves an offset-less stream
     // checkpoint — indistinguishable from never-bootstrapped by the
@@ -934,10 +1018,12 @@ object Streams {
     // concurrent fold advancing the checkpoint between the seed read
     // and the stream's listing (those segments would vanish from the
     // glob while absent from our seed — silent loss):
-    //   1. PRE-REGISTER the consumer's mark first — on a
-    //      consumer-coordinated zone (the only kind that should host
-    //      multiple consumers) every consumer-aware fold is now held
-    //      back by this consumer's Long.MinValue mark;
+    //   1. take the per-consumer-id bootstrap lock, then PRE-REGISTER
+    //      the consumer's mark — on a consumer-coordinated zone (the
+    //      only kind that should host multiple consumers) every
+    //      consumer-aware fold is now held back by this consumer's
+    //      Long.MinValue mark, and racing same-id joins are serialized
+    //      before they can interleave reset/seed/sentinel;
     //   2. refuse while a fold is in flight or its crash window is
     //      open (`_FOLDING` present): checkpoint and live segments may
     //      overlap inside the window, and seed + drain would ingest
@@ -956,6 +1042,23 @@ object Streams {
           "consumer's pre-registered mark is what holds sibling " +
           "consumer-aware folds back while it seeds (an anonymous " +
           "bootstrap would race them)")
+      // exclusive PER-CONSUMER-ID bootstrap lock (r19 verdict #6): two
+      // operators concurrently joining the same consumerId would race
+      // the reset (one's deleteDir landing mid-way through the other's
+      // drain), the seed overwrite, the mark, and the sentinel — each
+      // step is individually idempotent/atomic, but the interleavings
+      // are not worth certifying one by one. Same verified-claim
+      // pattern as the fold lock; released on every in-process exit
+      // path below. The mark pre-registration happens INSIDE the lock
+      // (still before the fingerprint capture and seed, which is what
+      // holds sibling consumer-aware folds back through the drain) so
+      // racing joins never write one mark file concurrently.
+      graft.io.IO.acquireProcessLock(spark,
+        s"$manifestDir/_consumers/.bootstrap_${consumerId.get}.lock",
+        "bootstrap", takeoverCrashedBootstrap)
+    }
+    try {
+    if (bootstrapFromCheckpoint) {
       graft.io.IO.recordManifestConsumer(spark, manifestDir,
         consumerId.get, Long.MinValue)
       require(!mf.exists(graft.io.IO.foldingMarker(manifestDir)),
@@ -976,8 +1079,15 @@ object Streams {
         // the seed lands as its own idempotent band beside the stream's
         // batch_id=N dirs (hive values may be negative; the read-back
         // drops the column) — a crash before the stream's first commit
-        // re-runs the whole bootstrap, which overwrites it
-        graft.io.IO.openManifested(spark, spark.read.parquet(ckptTablePath))
+        // re-runs the whole bootstrap, which overwrites it. The
+        // collision check scopes per PATH (the band has no wave
+        // column): cross-wave basename collisions join exactly as they
+        // drain, while a path manifested at two lengths still fails
+        // (r19 ADVICE — the unscoped check made colliding zones
+        // unjoinable post-fold).
+        graft.io.IO.openManifested(spark,
+          spark.read.parquet(ckptTablePath).withColumn("__path_scope", col("path")),
+          collisionScope = Some("__path_scope"))
           .write.mode("overwrite").parquet(s"$outPath/batch_id=-1")
       }
     }
@@ -1054,6 +1164,14 @@ object Streams {
         graft.io.IO.compactLandingManifestOlderThan(spark, manifestDir, n - 1): Unit)
     }
     out
+    } finally {
+      // release on EVERY in-process exit (a failed bootstrap re-runs
+      // from scratch — no crash-window bracket to preserve, unlike the
+      // fold lock); only a kill -9 leaves the lock for takeover
+      if (bootstrapFromCheckpoint)
+        graft.io.IO.releaseProcessLock(spark,
+          s"$manifestDir/_consumers/.bootstrap_${consumerId.get}.lock")
+    }
   }
 
   def runFileStreamNearDupGate(

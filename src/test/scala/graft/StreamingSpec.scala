@@ -696,7 +696,11 @@ class StreamingSpec extends SparkSpec {
     // has no committed offsets — the bootstrap sentinel (fingerprint
     // of the seeded _checkpoint) is what lets its steady-state resumes
     // proceed instead of being refused into re-bootstraps forever
-    graft.io.IO.compactLandingManifest(spark, man2) // folds the last live segment
+    // folds the last live segment. man2 has registered consumers, so a
+    // default fold would clamp to min(marks) and fold nothing (r19
+    // verdict #1) — the fully-folded-zone scenario needs the explicit
+    // mark-ignorant override
+    graft.io.IO.compactLandingManifest(spark, man2, ignoreConsumerMarks = true)
     val outD = Streams.runManifestIngestStream(spark, man2, s"$base/ck_d",
       s"$base/out_d", consumerId = Some("d"), bootstrapFromCheckpoint = true)
     assert(outD.count() == 1, "the seed band alone must come back")
@@ -717,14 +721,18 @@ class StreamingSpec extends SparkSpec {
     // bootstrap drains zero batches) must be refused into a
     // re-bootstrap when a mark-ignorant graceMs fold later advances
     // the checkpoint past its seed — never silently started
-    graft.io.IO.compactLandingManifest(spark, man2) // back to zero live
+    graft.io.IO.compactLandingManifest(spark, man2,
+      ignoreConsumerMarks = true) // back to zero live
     val outE = Streams.runManifestIngestStream(spark, man2, s"$base/ck_e",
       s"$base/out_e", consumerId = Some("e"), bootstrapFromCheckpoint = true)
     assert(outE.count() == 2, "seed band only (w2 head + w3_0)")
     Thread.sleep(5)
     graft.io.IO.appendLandingManifest(spark, man2,
       Seq(land("w4_0.bin", "wave4 0")).toDF("path", "length"))
-    assert(graft.io.IO.compactLandingManifest(spark, man2)._1 >= 1)
+    // the mark-IGNORANT fold is exactly what invalidates e's sentinel
+    // (a mark-aware fold would be held back by e's lagging mark)
+    assert(graft.io.IO.compactLandingManifest(spark, man2,
+      ignoreConsumerMarks = true)._1 >= 1)
     val eStale = intercept[IllegalArgumentException] {
       Streams.runManifestIngestStream(spark, man2, s"$base/ck_e",
         s"$base/out_e", reset = false, consumerId = Some("e"))
@@ -745,6 +753,207 @@ class StreamingSpec extends SparkSpec {
     assert(outF.count() == 3, "the re-run bootstrap must replace the torn seed")
     assert(!new java.io.File(tornSeed, "part-00000-killed.snappy.parquet").exists(),
       "the torn seed file must be gone after the re-bootstrap")
+  }
+
+  test("a lagging marked consumer survives a graceMs fold losslessly (r19 verdict #1)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_lagclamp"
+    Streams.deleteDir(spark, base)
+    val man = s"$base/man"
+    val fs = new Path(man).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def land(n: String): (String, Long) = {
+      val f = new java.io.File(s"$base/zone/$n")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, s"lag $n".getBytes("UTF-8"))
+      (f.getAbsolutePath, f.length())
+    }
+    def drainL(reset: Boolean) =
+      Streams.runManifestIngestStream(spark, man, s"$base/ck_l",
+        s"$base/out_l", reset = reset, consumerId = Some("l"))
+    // the ESTABLISHED consumer drains wave 0, then lags while waves 1
+    // and 2 land; the segment mtimes are backdated so an age heuristic
+    // alone would fold waves 0 AND 1 out of l's glob
+    graft.io.IO.appendLandingManifest(spark, man,
+      Seq(land("w0.bin")).toDF("path", "length"))
+    assert(drainL(reset = true).count() == 1)
+    for (w <- 1 to 2)
+      graft.io.IO.appendLandingManifest(spark, man,
+        Seq(land(s"w$w.bin")).toDF("path", "length"))
+    val segs = fs.globStatus(new Path(s"$man/seg_*.json"))
+      .sortBy(_.getModificationTime)
+    val now = System.currentTimeMillis()
+    fs.setTimes(segs(0).getPath, now - 7200000L, -1)
+    fs.setTimes(segs(1).getPath, now - 5400000L, -1)
+    fs.setTimes(segs(2).getPath, now, -1)
+    // l's mark must survive the backdating: re-pin it to wave 0's new
+    // mtime (the fixture equivalent of what its drain recorded)
+    graft.io.IO.removeManifestConsumer(spark, man, "l")
+    graft.io.IO.recordManifestConsumer(spark, man, "l", now - 7200000L)
+    // a graceMs of 30 min would age-fold waves 0 and 1 — the mark
+    // clamps the cutoff to l's coverage, so only wave 0 folds
+    val (folded, _) = graft.io.IO.compactLandingManifest(spark, man,
+      graceMs = 1800000L)
+    assert(folded == 1, s"only the covered wave may fold, got $folded")
+    // l resumes on its kept checkpoint: waves 1 and 2 are still in its
+    // glob — LOSSLESS, enforced rather than convention-protected
+    val resumed = drainL(reset = false)
+    assert(resumed.select("fname").as[String].collect().toSeq.sorted ==
+      Seq("w0.bin", "w1.bin", "w2.bin"),
+      "the lagging consumer must see every wave despite the graceMs fold")
+  }
+
+  test("double-bootstrap exclusion: one bootstrap at a time per consumer id (r19 verdict #6)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_bootlock"
+    Streams.deleteDir(spark, base)
+    val man = s"$base/man"
+    val fs = new Path(man).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def land(n: String): (String, Long) = {
+      val f = new java.io.File(s"$base/zone/$n")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, s"bl $n".getBytes("UTF-8"))
+      (f.getAbsolutePath, f.length())
+    }
+    graft.io.IO.appendLandingManifest(spark, man,
+      (0 until 3).map(i => land(s"b$i.bin")).toDF("path", "length"))
+    graft.io.IO.compactLandingManifest(spark, man) // zone is folded
+    def bootstrap(id: String, takeover: Boolean = false) =
+      Streams.runManifestIngestStream(spark, man, s"$base/ck_$id",
+        s"$base/out_$id", consumerId = Some(id),
+        bootstrapFromCheckpoint = true, takeoverCrashedBootstrap = takeover)
+    // a HELD lock (a sibling operator's in-flight join, or a kill -9'd
+    // one) refuses loudly naming the holder — never interleaves
+    val lock = new Path(s"$man/_consumers/.bootstrap_b.lock")
+    fs.mkdirs(lock.getParent)
+    val o = fs.create(lock, true)
+    o.write("""{"holder":"otherhost:pid7","acquired_at_ms":1}""".getBytes("UTF-8"))
+    o.close()
+    val e = intercept[IllegalStateException] { bootstrap("b") }
+    assert(e.getMessage.contains("otherhost:pid7")
+      && e.getMessage.contains("takeover"), e.getMessage)
+    // a DIFFERENT consumer id does not contend — the lock is per id
+    assert(bootstrap("c").count() == 3)
+    assert(!fs.exists(new Path(s"$man/_consumers/.bootstrap_c.lock")),
+      "a completed bootstrap must release its lock")
+    // after verifying the holder crashed, takeover recovers the join
+    assert(bootstrap("b", takeover = true).count() == 3)
+    assert(!fs.exists(lock))
+    // an in-process FAILURE releases the lock too (re-run needs no
+    // takeover): poison the zone so the seed's open fails mid-bootstrap
+    val victim = new java.io.File(s"$base/zone/b0.bin")
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    assert(victim.delete())
+    intercept[Exception] { bootstrap("d") }
+    assert(!fs.exists(new Path(s"$man/_consumers/.bootstrap_d.lock")),
+      "a failed bootstrap must release its lock on the way out")
+    java.nio.file.Files.write(victim.toPath, bytes)
+    assert(bootstrap("d").count() == 3, "the re-run needs no takeover")
+    // two CONCURRENT bootstraps of the SAME id: any interleaving
+    // converges — a loser fails loudly at the lock (or both serialize
+    // to the same idempotent result); no torn output, lock released
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = Seq(
+      Future(scala.util.Try(bootstrap("e"))),
+      Future(scala.util.Try(bootstrap("e"))))
+      .map(Await.result(_, 5.minutes))
+    assert(attempts.exists(_.isSuccess), s"one join must win: $attempts")
+    attempts.filter(_.isFailure).foreach(l => assert(
+      l.failed.get.getMessage.contains("bootstrap"),
+      s"a losing join must fail loudly at the bootstrap lock, got ${l.failed.get}"))
+    assert(!fs.exists(new Path(s"$man/_consumers/.bootstrap_e.lock")))
+    val outE = Streams.runManifestIngestStream(spark, man, s"$base/ck_e",
+      s"$base/out_e", reset = false, consumerId = Some("e"))
+    assert(outE.select("fname").as[String].collect().toSeq.sorted ==
+      Seq("b0.bin", "b1.bin", "b2.bin"),
+      "whatever the interleaving, the consumer's accumulated output converges")
+  }
+
+  test("bootstrap joins a zone with cross-wave basename collisions; a double-length path still fails (r19 ADVICE)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_bootcollide"
+    Streams.deleteDir(spark, base)
+    val man = s"$base/man"
+    def land(dir: String, n: String, body: String): (String, Long) = {
+      val f = new java.io.File(s"$base/$dir/$n")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+      (f.getAbsolutePath, f.length())
+    }
+    def drainA(reset: Boolean) =
+      Streams.runManifestIngestStream(spark, man, s"$base/ck_a",
+        s"$base/out_a", reset = reset, consumerId = Some("a"))
+    // the SAME basename lands in two waves from two directories —
+    // explicitly allowed by the drain path (per-wave collision scope);
+    // fname-keyed ambiguity is the packed table's post-hoc check
+    graft.io.IO.appendLandingManifest(spark, man,
+      Seq(land("d1", "same.bin", "first wave")).toDF("path", "length"))
+    assert(drainA(reset = true).count() == 1)
+    Thread.sleep(5)
+    graft.io.IO.appendLandingManifest(spark, man,
+      Seq(land("d2", "same.bin", "second wave!")).toDF("path", "length"))
+    val outA = drainA(reset = false)
+    assert(outA.count() == 2)
+    // fold EVERYTHING into the checkpoint band (a has provably
+    // ingested both waves, so the mark-ignorant override is safe and
+    // keeps the fixture compact — a's own mark is the strict
+    // newest-at-start - 1 bound, which would hold the second wave
+    // live): both colliding basenames now live in the band with no
+    // wave column
+    graft.io.IO.compactLandingManifest(spark, man, ignoreConsumerMarks = true)
+    assert(new Path(man).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new Path(s"$man/_checkpoint")))
+    // the seed's per-path collision scope lets the join through — the
+    // unscoped check of r19 made such zones permanently unjoinable
+    // post-fold even though a never-folded consumer drains them fine
+    val outB = Streams.runManifestIngestStream(spark, man, s"$base/ck_b",
+      s"$base/out_b", consumerId = Some("b"), bootstrapFromCheckpoint = true)
+    def contents(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      df.select(col("fname"), col("content").cast("string"))
+        .as[(String, String)].collect().toSeq.sorted
+    assert(contents(outB) == contents(outA),
+      "the colliding-zone joiner must still be byte-equal to the never-folded consumer")
+    // a path manifested at TWO lengths is real corruption and still
+    // fails the seed loudly — the per-path scope narrows the check to
+    // exactly the drain's semantics, it does not disable it
+    val man2 = s"$base/man2"
+    val (p, _) = land("d3", "corrupt.bin", "12345678")
+    graft.io.IO.appendLandingManifest(spark, man2,
+      Seq((p, 8L), (p, 5L)).toDF("path", "length"))
+    graft.io.IO.compactLandingManifest(spark, man2)
+    val eCorrupt = intercept[Exception] {
+      Streams.runManifestIngestStream(spark, man2, s"$base/ck_c",
+        s"$base/out_c", consumerId = Some("c"), bootstrapFromCheckpoint = true)
+    }
+    assert(eCorrupt.getMessage.contains("collision"), eCorrupt.getMessage)
+  }
+
+  test("suggestedStatePartitions encodes the probed U-curve pins (r19 verdict #7)") {
+    // the registry's 1x-state pin and the 10x probe's optimum are the
+    // anchor and the next decade — the rule must reproduce both
+    assert(Streams.suggestedStatePartitions(100000L) == 8,
+      "1e5 state rows is the probed p8 pin (probe_st8_rocksdb_trim.sc)")
+    assert(Streams.suggestedStatePartitions(1000000L) == 16,
+      "1e6 state rows is the probed p16 pin (probe_st8_partitions_10x.sc)")
+    // below the anchor the per-trigger commit constant dominates: p8 floor
+    assert(Streams.suggestedStatePartitions(0L) == 8)
+    assert(Streams.suggestedStatePartitions(10000L) == 8)
+    // doubles per decade above the anchor, power-of-two rounded, capped
+    assert(Streams.suggestedStatePartitions(10000000L) == 32)
+    assert(Streams.suggestedStatePartitions(Long.MaxValue) == 512)
+    // monotone non-decreasing across the whole range
+    val walk = Seq(0L, 1L, 1000L, 50000L, 100000L, 300000L, 316228L,
+      1000000L, 5000000L, 100000000L, 10000000000L)
+      .map(Streams.suggestedStatePartitions)
+    assert(walk == walk.sorted, s"must be monotone: $walk")
+    intercept[IllegalArgumentException] { Streams.suggestedStatePartitions(-1L) }
+    // the registry's st8 entry uses the helper at the fixture's state
+    // volume — the pin is derived, not hardcoded
+    assert(Streams.suggestedStatePartitions(100000L) == 8)
   }
 
   test("runFileStreamToParquet: table-sized results stream to files; resume appends exactly the new files (r18 verdict #4)") {
