@@ -664,13 +664,33 @@ object IO {
     * waves this drain provably listed" ([[graft.streaming.Streams
     * .runManifestIngestStream]] passes newest-observed-at-start − 1,
     * strict, so mtime-granularity ties with a wave that landed just
-    * after its listing can never fold an unlisted segment). */
+    * after its listing can never fold an unlisted segment).
+    *
+    * Registered consumer marks clamp THIS cutoff too (round 20): an
+    * ANONYMOUS drain's auto-fold on a zone that has marked siblings
+    * would otherwise fold waves a lagging marked consumer has not
+    * drained — "this drain listed it" proves nothing about its
+    * siblings, the same one-level-down hole the graceMs clamp closed.
+    * For [[compactLandingManifestForConsumers]] (cutoff = min(marks))
+    * the clamp is a no-op; there is no caller that may legitimately
+    * out-fold a registered mark, so there is no override here —
+    * mark-ignorant folding is the public `ignoreConsumerMarks`
+    * spelling on [[compactLandingManifest]] only. */
   private[graft] def compactLandingManifestOlderThan(
       spark: SparkSession, manifestDir: String,
       cutoffInclusive: Long,
-      takeoverCrashedFold: Boolean = false): (Int, Long) =
-    foldManifestSegments(spark, manifestDir, takeoverCrashedFold)(
-      _.filter(_.getModificationTime <= cutoffInclusive))
+      takeoverCrashedFold: Boolean = false): (Int, Long) = {
+    val markBound: () => Option[Long] = () => {
+      val st = manifestFoldStatus(spark, manifestDir)
+      if (st.lagWaves > 0) logFoldClamp(manifestDir, st)
+      st.markMtime
+    }
+    foldManifestSegments(spark, manifestDir, takeoverCrashedFold) { all =>
+      val cut = math.min(cutoffInclusive,
+        markBound().getOrElse(Long.MaxValue))
+      all.filter(_.getModificationTime <= cut)
+    }
+  }
 
   // ---- multi-consumer fold coordination (round 18): the manual rule
   // "set graceMs to an upper bound on the laggiest consumer's lag"
@@ -863,12 +883,10 @@ object IO {
       takeoverCrashedFold: Boolean = false): (Int, Long) = {
     val marks = readManifestConsumers(spark, manifestDir)
     if (marks.isEmpty) (0, 0L)
-    else {
-      val st = manifestFoldStatus(spark, manifestDir)
-      if (st.lagWaves > 0) logFoldClamp(manifestDir, st)
-      compactLandingManifestOlderThan(spark, manifestDir, marks.values.min,
-        takeoverCrashedFold)
-    }
+    // the binding-mark diagnostic is logged by the OlderThan clamp
+    // (which re-derives the same min(marks) bound)
+    else compactLandingManifestOlderThan(spark, manifestDir, marks.values.min,
+      takeoverCrashedFold)
   }
 
   /** Delete the fold's snapshotted segments with a bounded driver

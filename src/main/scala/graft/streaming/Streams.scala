@@ -846,13 +846,18 @@ object Streams {
     *
     * Compaction contract: this source lists only the LIVE `seg_*.json`
     * glob, so [[graft.io.IO.compactLandingManifest]] must only fold
-    * segments every drain has already ingested — run it with `graceMs`
-    * set to an upper bound on drain lag, measured RELATIVE TO THE
-    * NEWEST SEGMENT's mtime (one clock domain — store mtimes never
-    * compare against the driver's wall clock, so driver/store skew
-    * cannot erode the window; folding a segment a lagging drain has
-    * not yet listed silently starves it of those waves; the full rule
-    * and its kill -9 probe live on the compaction's own scaladoc).
+    * segments every drain has already ingested. For MARKED consumers
+    * that rule is ENFORCED (round 20): every fold path clamps its
+    * cutoff to `min(consumer marks)`, so a registered lagging drain
+    * cannot be starved by any fold short of the explicit
+    * `ignoreConsumerMarks` override. For zones without marks, run the
+    * fold with `graceMs` set to an upper bound on drain lag, measured
+    * RELATIVE TO THE NEWEST SEGMENT's mtime (one clock domain — store
+    * mtimes never compare against the driver's wall clock, so
+    * driver/store skew cannot erode the window; folding a segment a
+    * lagging drain has not yet listed silently starves it of those
+    * waves; the full rule and its kill -9 probe live on the
+    * compaction's own scaladoc).
     *
     * `compactAfterDrain = true` runs that fold automatically after a
     * SUCCESSFUL drain (r17 verdict #4 — compaction an operator must
@@ -1161,6 +1166,10 @@ object Streams {
         // sibling drain's waves stay live
         graft.io.IO.compactLandingManifestForConsumers(spark, manifestDir): Unit
       else newestAtStart.foreach(n =>
+        // "this drain listed everything <= n-1" proves nothing about
+        // marked SIBLINGS — the OlderThan cutoff additionally clamps
+        // to min(marks), so an anonymous drain's auto-fold can never
+        // starve a registered lagging consumer (round 20)
         graft.io.IO.compactLandingManifestOlderThan(spark, manifestDir, n - 1): Unit)
     }
     out

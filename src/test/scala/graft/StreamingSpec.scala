@@ -803,6 +803,58 @@ class StreamingSpec extends SparkSpec {
       "the lagging consumer must see every wave despite the graceMs fold")
   }
 
+  test("an anonymous drain's auto-fold clamps to sibling marks (round 20)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_anonclamp"
+    Streams.deleteDir(spark, base)
+    val man = s"$base/man"
+    val fs = new Path(man).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def land(n: String): (String, Long) = {
+      val f = new java.io.File(s"$base/zone/$n")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, s"ac $n".getBytes("UTF-8"))
+      (f.getAbsolutePath, f.length())
+    }
+    def segCount(): Int = fs.globStatus(new Path(s"$man/seg_*.json")).length
+    def drainM(reset: Boolean) =
+      Streams.runManifestIngestStream(spark, man, s"$base/ck_m",
+        s"$base/out_m", reset = reset, consumerId = Some("m"))
+    def drainAnon(reset: Boolean) =
+      Streams.runManifestIngestStream(spark, man, s"$base/ck_anon",
+        s"$base/out_anon", reset = reset, compactAfterDrain = true)
+    // marked consumer m covers wave 0 only; waves 1-2 land while it lags
+    graft.io.IO.appendLandingManifest(spark, man,
+      Seq(land("w0.bin")).toDF("path", "length"))
+    assert(drainM(reset = true).count() == 1)
+    for (w <- 1 to 2) {
+      Thread.sleep(5)
+      graft.io.IO.appendLandingManifest(spark, man,
+        Seq(land(s"w$w.bin")).toDF("path", "length"))
+    }
+    // an ANONYMOUS sibling drains everything and auto-folds: "I listed
+    // all of it" proves nothing about m — the OlderThan cutoff clamps
+    // to m's mark (strictly before wave 0's mtime), so NOTHING folds
+    assert(drainAnon(reset = true).count() == 3)
+    assert(segCount() == 3,
+      "the anonymous auto-fold must hold every wave m has not covered")
+    // m resumes losslessly — waves 1-2 are still in its glob
+    assert(drainM(reset = false).count() == 3)
+    // m catches up past the old waves: after wave 3 lands, m's next
+    // drain advances its mark to (wave-3 mtime - 1); the anonymous
+    // auto-fold can then fold exactly the band both covered
+    Thread.sleep(5)
+    graft.io.IO.appendLandingManifest(spark, man,
+      Seq(land("w3.bin")).toDF("path", "length"))
+    assert(drainM(reset = false).count() == 4)
+    assert(drainAnon(reset = false).count() == 4)
+    assert(segCount() == 1,
+      "with m caught up, the covered band folds and the newest wave stays live")
+    // both consumers still see the whole corpus
+    assert(drainM(reset = false).select("fname").as[String].collect().toSeq.sorted ==
+      Seq("w0.bin", "w1.bin", "w2.bin", "w3.bin"))
+  }
+
   test("double-bootstrap exclusion: one bootstrap at a time per consumer id (r19 verdict #6)") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
