@@ -115,7 +115,8 @@ object Streams {
     // store type — a stream-stream join holds 4-5 stores/partition, so
     // a micro-batch replay pays (partitions × stores) store commits per
     // trigger. Queries with heavy state machinery pass a smaller count
-    // (captured into the checkpoint at query start; results unaffected).
+    // (captured into the checkpoint at query start; results unaffected);
+    // size it from the probed U-curve via [[suggestedStatePartitions]].
     shufflePartitions.foreach(n =>
       runner.conf.set("spark.sql.shuffle.partitions", n))
     val provKey = "spark.sql.streaming.stateStore.providerClass"
