@@ -679,9 +679,11 @@ object IO {
   private[graft] def compactLandingManifestOlderThan(
       spark: SparkSession, manifestDir: String,
       cutoffInclusive: Long,
-      takeoverCrashedFold: Boolean = false): (Int, Long) = {
+      takeoverCrashedFold: Boolean = false,
+      knownMarks: Option[Map[String, Long]] = None): (Int, Long) = {
     val markBound: () => Option[Long] = () => {
-      val st = manifestFoldStatus(spark, manifestDir)
+      val marks = knownMarks.getOrElse(readManifestConsumers(spark, manifestDir))
+      val st = manifestFoldStatusFromMarks(spark, manifestDir, marks)
       if (st.lagWaves > 0) logFoldClamp(manifestDir, st)
       st.markMtime
     }
@@ -837,8 +839,18 @@ object IO {
     * pays. Ties on `min(marks)` report the lexicographically-first id
     * (stable across calls). */
   def manifestFoldStatus(spark: SparkSession,
-                         manifestDir: String): ManifestFoldStatus = {
-    val marks = readManifestConsumers(spark, manifestDir)
+                         manifestDir: String): ManifestFoldStatus =
+    manifestFoldStatusFromMarks(spark, manifestDir,
+      readManifestConsumers(spark, manifestDir))
+
+  /** [[manifestFoldStatus]] over marks the caller ALREADY read — the
+    * fold paths pass theirs through so a fold prices ONE `_consumers/`
+    * listing, not two (the r18 fleet probe priced 0.29 s per listing
+    * at 1k marks; doubling it inside every fold would be a silent
+    * regression of that price). */
+  private def manifestFoldStatusFromMarks(
+      spark: SparkSession, manifestDir: String,
+      marks: Map[String, Long]): ManifestFoldStatus = {
     val f = fs(spark, manifestDir)
     val segMtimes =
       if (!f.exists(new Path(manifestDir))) Seq.empty[Long]
@@ -883,10 +895,10 @@ object IO {
       takeoverCrashedFold: Boolean = false): (Int, Long) = {
     val marks = readManifestConsumers(spark, manifestDir)
     if (marks.isEmpty) (0, 0L)
-    // the binding-mark diagnostic is logged by the OlderThan clamp
-    // (which re-derives the same min(marks) bound)
+    // the binding-mark diagnostic is logged by the OlderThan clamp;
+    // the marks pass through so the fold pays ONE _consumers listing
     else compactLandingManifestOlderThan(spark, manifestDir, marks.values.min,
-      takeoverCrashedFold)
+      takeoverCrashedFold, knownMarks = Some(marks))
   }
 
   /** Delete the fold's snapshotted segments with a bounded driver
