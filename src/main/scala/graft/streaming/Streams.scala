@@ -1035,9 +1035,12 @@ object Streams {
     //      overlap inside the window, and seed + drain would ingest
     //      the overlap twice;
     //   3. fingerprint the checkpoint dir and RE-CHECK it after the
-    //      drain — a graceMs-based fold (which ignores marks) racing
-    //      the bootstrap is thereby converted from silent loss into a
-    //      loud re-bootstrap instruction.
+    //      drain — since round 20 every fold path clamps to marks, so
+    //      only an explicitly mark-ignorant fold
+    //      (ignoreConsumerMarks = true) can advance the checkpoint
+    //      past this consumer's pre-registered mark; the re-check
+    //      converts even that from silent loss into a loud
+    //      re-bootstrap instruction.
     if (bootstrapFromCheckpoint) {
       require(reset,
         "bootstrapFromCheckpoint joins a NEW consumer (reset = true); an " +
@@ -1130,8 +1133,9 @@ object Streams {
     // a fold that advanced the checkpoint between the bootstrap's seed
     // read and the stream's listing moved live segments into a band
     // this consumer never read — loud re-bootstrap, never silent loss
-    // (only a graceMs fold can get here; consumer-aware folds are held
-    // back by the mark pre-registered above)
+    // (only an ignoreConsumerMarks = true fold can get here: every
+    // mark-respecting fold is held back by the mark pre-registered
+    // above, enforced on all fold paths since round 20)
     if (bootstrapFromCheckpoint) {
       require(ckptFingerprint() == bootstrapFp,
         s"a fold advanced $manifestDir/_checkpoint while this consumer was " +
