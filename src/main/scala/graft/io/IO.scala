@@ -438,6 +438,26 @@ object IO {
     * over any real duplicate window is continuously present — two
     * racing takeovers still resolve to one winner (exactly the racer
     * that reads its own token back proceeds; the loser fails loudly). */
+  /** Read a lock marker's content for CLASSIFICATION. An EMPTY body is
+    * ambiguous: a legacy/released bracket — or a mid-claim holder on an
+    * atomic-create store, whose 0-length under-construction file is
+    * visible between its create and close (the fresh claim there skips
+    * the settle, so nothing else closes this window). Before treating
+    * empty as adoptable, wait one settle window and re-read: a live
+    * claimer's token becomes visible within it, and the racer then
+    * classifies the marker as HELD instead of overwrite-claiming over a
+    * legitimate owner (r20 ADVICE, high — adopt-on-empty without the
+    * wait broke mutual exclusion on exactly the stores the atomic fast
+    * path serves). */
+  private def readMarkerSettled(f: FileSystem, m: Path): String = {
+    def read(): String =
+      try readSmallTextFile(f, m)
+      catch { case _: java.io.FileNotFoundException => "" } // holder just finished
+    val txt = read()
+    if (txt.trim.nonEmpty) txt
+    else { Thread.sleep(lockSettleMs(f)); read() }
+  }
+
   private[graft] def acquireFoldLock(f: FileSystem, manifestDir: String,
                                      takeoverCrashedFold: Boolean): Boolean = {
     val m = foldingMarker(manifestDir)
@@ -447,10 +467,9 @@ object IO {
     val token = s"$foldHolderId:${java.util.UUID.randomUUID().toString.take(8)}"
     if (tryClaimLock(f, m, token, "fold", overwrite = false)) return false
     // marker exists: a released crash-window bracket (adoptable), a
-    // legacy empty marker (same), or a holder — live or kill -9'd
-    val txt =
-      try readSmallTextFile(f, m)
-      catch { case _: java.io.FileNotFoundException => "" } // holder just finished
+    // legacy empty marker (same, after the settle re-read rules out a
+    // mid-claim holder), or a holder — live or kill -9'd
+    val txt = readMarkerSettled(f, m)
     val holder = """"holder"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
     val adoptable = txt.trim.isEmpty || holder.contains(ReleasedHolder)
     if (!adoptable && !takeoverCrashedFold)
@@ -473,18 +492,23 @@ object IO {
     * release with [[releaseProcessLock]] on EVERY in-process exit path;
     * unlike the fold lock there is no released/downgraded state — the
     * guarded operation must be safe to re-run from scratch (the
-    * bootstrap seed is an idempotent overwrite). */
+    * bootstrap seed is an idempotent overwrite). Returns this
+    * acquisition's TOKEN: the release verifies it, so an operator who
+    * mistakenly took over a LIVE holder cannot have that holder's exit
+    * path delete the usurper's lock out from under it (r20 ADVICE —
+    * the release was token-blind). */
   private[graft] def acquireProcessLock(spark: SparkSession, lockPath: String,
                                         what: String,
-                                        takeoverCrashed: Boolean = false): Unit = {
+                                        takeoverCrashed: Boolean = false): String = {
     val f = fs(spark, lockPath)
     f.mkdirs(new Path(lockPath).getParent)
     val m = new Path(lockPath)
     val token = s"$foldHolderId:${java.util.UUID.randomUUID().toString.take(8)}"
-    if (tryClaimLock(f, m, token, what, overwrite = false)) return
-    val txt =
-      try readSmallTextFile(f, m)
-      catch { case _: java.io.FileNotFoundException => "" } // holder just finished
+    if (tryClaimLock(f, m, token, what, overwrite = false)) return token
+    // empty content settles + re-reads before classifying — a fresh
+    // atomic-create claimer's create→close window must not read as
+    // "finished holder" and get overwrite-claimed (r20 ADVICE, high)
+    val txt = readMarkerSettled(f, m)
     val holder = """"holder"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
     if (!takeoverCrashed && txt.trim.nonEmpty)
       throw new IllegalStateException(
@@ -492,11 +516,26 @@ object IO {
           s"${holder.getOrElse("an unidentified process")} (${txt.trim}) — " +
           s"one $what at a time. If that holder crashed, re-run with the " +
           s"takeover flag; a completed holder deletes the lock itself")
-    tryClaimLock(f, m, token, what, overwrite = true): Unit
+    tryClaimLock(f, m, token, what, overwrite = true)
+    token
   }
 
-  private[graft] def releaseProcessLock(spark: SparkSession, lockPath: String): Unit =
-    fs(spark, lockPath).delete(new Path(lockPath), false): Unit
+  /** Delete `lockPath` iff it still holds `token` — the release half of
+    * [[acquireProcessLock]]. A lock that was taken over carries the
+    * usurper's token, so the original holder's exit path is a no-op
+    * instead of unlocking the zone under the new owner. A missing
+    * marker (already released, or the takeover itself completed and
+    * released) is likewise a no-op. */
+  private[graft] def releaseProcessLock(spark: SparkSession, lockPath: String,
+                                        token: String): Unit = {
+    val f = fs(spark, lockPath)
+    val m = new Path(lockPath)
+    val holder =
+      try """"holder"\s*:\s*"([^"]*)"""".r
+        .findFirstMatchIn(readSmallTextFile(f, m)).map(_.group(1))
+      catch { case _: java.io.FileNotFoundException => None }
+    if (holder.contains(token)) f.delete(m, false): Unit
+  }
 
   /** Downgrade a held marker to a lock-free crash-window bracket:
     * the fold failed after the point where duplicates may exist (or
@@ -636,18 +675,15 @@ object IO {
   def compactLandingManifest(spark: SparkSession, manifestDir: String,
                              graceMs: Long = 0L,
                              takeoverCrashedFold: Boolean = false,
-                             ignoreConsumerMarks: Boolean = false): (Int, Long) = {
+                             ignoreConsumerMarks: Boolean = false): (Int, Long) =
     // marks are read INSIDE the fold lock (the select closure runs
     // after acquisition): a mark recorded while this fold waited is
     // honored, and a concurrently-advancing mark only makes the clamp
-    // conservative (folds less, never more)
-    val markBound: () => Option[Long] =
-      if (ignoreConsumerMarks) () => None
-      else () => {
-        val st = manifestFoldStatus(spark, manifestDir)
-        if (st.lagWaves > 0) logFoldClamp(manifestDir, st)
-        st.markMtime
-      }
+    // conservative (folds less, never more). The clamp's diagnostic is
+    // computed from the fold's OWN segment snapshot — one `_consumers/`
+    // listing and one segment glob per fold, total (r20 verdict #2:
+    // the status helper re-globbed `seg_*.json`, a second paged LIST
+    // per fold at the probed 50k-segment object-store shape).
     foldManifestSegments(spark, manifestDir, takeoverCrashedFold) { all =>
       val aged =
         if (graceMs <= 0L) all
@@ -655,8 +691,23 @@ object IO {
           val newest = all.map(_.getModificationTime).max
           all.filter(_.getModificationTime <= newest - graceMs)
         }
-      markBound().fold(aged)(m => aged.filter(_.getModificationTime <= m))
+      if (ignoreConsumerMarks) aged
+      else clampToMarks(spark, manifestDir, all)
+        .fold(aged)(m => aged.filter(_.getModificationTime <= m))
     }
+
+  /** min(marks) for the clamp, with the binding-consumer diagnostic
+    * logged whenever the clamp holds live waves back — over the fold's
+    * already-listed segment snapshot, so no fold path pays a second
+    * segment glob (r20 verdict #2). Runs inside the fold lock. */
+  private def clampToMarks(spark: SparkSession, manifestDir: String,
+                           segSnapshot: Array[org.apache.hadoop.fs.FileStatus])
+      : Option[Long] = {
+    val marks = readManifestConsumers(spark, manifestDir)
+    val st = manifestFoldStatusFromSnapshot(marks,
+      segSnapshot.map(_.getModificationTime).toSeq)
+    if (st.lagWaves > 0) logFoldClamp(manifestDir, st)
+    st.markMtime
   }
 
   /** Fold only segments whose mtime is `<= cutoffInclusive` (store
@@ -671,28 +722,21 @@ object IO {
     * would otherwise fold waves a lagging marked consumer has not
     * drained — "this drain listed it" proves nothing about its
     * siblings, the same one-level-down hole the graceMs clamp closed.
-    * For [[compactLandingManifestForConsumers]] (cutoff = min(marks))
-    * the clamp is a no-op; there is no caller that may legitimately
-    * out-fold a registered mark, so there is no override here —
-    * mark-ignorant folding is the public `ignoreConsumerMarks`
-    * spelling on [[compactLandingManifest]] only. */
+    * There is no caller that may legitimately out-fold a registered
+    * mark, so there is no override here — mark-ignorant folding is the
+    * public `ignoreConsumerMarks` spelling on
+    * [[compactLandingManifest]] only. Marks are read inside the fold
+    * lock, over the fold's own segment snapshot — one `_consumers/`
+    * listing and one segment glob per fold. */
   private[graft] def compactLandingManifestOlderThan(
       spark: SparkSession, manifestDir: String,
       cutoffInclusive: Long,
-      takeoverCrashedFold: Boolean = false,
-      knownMarks: Option[Map[String, Long]] = None): (Int, Long) = {
-    val markBound: () => Option[Long] = () => {
-      val marks = knownMarks.getOrElse(readManifestConsumers(spark, manifestDir))
-      val st = manifestFoldStatusFromMarks(spark, manifestDir, marks)
-      if (st.lagWaves > 0) logFoldClamp(manifestDir, st)
-      st.markMtime
-    }
+      takeoverCrashedFold: Boolean = false): (Int, Long) =
     foldManifestSegments(spark, manifestDir, takeoverCrashedFold) { all =>
       val cut = math.min(cutoffInclusive,
-        markBound().getOrElse(Long.MaxValue))
+        clampToMarks(spark, manifestDir, all).getOrElse(Long.MaxValue))
       all.filter(_.getModificationTime <= cut)
     }
-  }
 
   // ---- multi-consumer fold coordination (round 18): the manual rule
   // "set graceMs to an upper bound on the laggiest consumer's lag"
@@ -844,10 +888,13 @@ object IO {
       readManifestConsumers(spark, manifestDir))
 
   /** [[manifestFoldStatus]] over marks the caller ALREADY read — the
-    * fold paths pass theirs through so a fold prices ONE `_consumers/`
-    * listing, not two (the r18 fleet probe priced 0.29 s per listing
-    * at 1k marks; doubling it inside every fold would be a silent
-    * regression of that price). */
+    * standalone entry point's spelling; it pays its own segment glob.
+    * Fold paths go through [[clampToMarks]] instead, which reuses the
+    * fold's segment snapshot (one listing of each kind per fold — the
+    * r18 fleet probe priced 0.29 s per `_consumers/` listing at 1k
+    * marks, and a 50k-segment glob is a paged LIST on an object
+    * store; doubling either inside every fold would silently regress
+    * those prices, r20 verdict #2). */
   private def manifestFoldStatusFromMarks(
       spark: SparkSession, manifestDir: String,
       marks: Map[String, Long]): ManifestFoldStatus = {
@@ -856,6 +903,13 @@ object IO {
       if (!f.exists(new Path(manifestDir))) Seq.empty[Long]
       else f.globStatus(new Path(s"$manifestDir/seg_*.json"))
         .map(_.getModificationTime).toSeq
+    manifestFoldStatusFromSnapshot(marks, segMtimes)
+  }
+
+  /** Pure status computation over an already-listed (marks, segment
+    * mtimes) snapshot — zero metadata calls. */
+  private def manifestFoldStatusFromSnapshot(
+      marks: Map[String, Long], segMtimes: Seq[Long]): ManifestFoldStatus = {
     val binding = marks.toSeq.sortBy { case (id, m) => (m, id) }.headOption
     val newest = segMtimes.maxOption
     ManifestFoldStatus(
@@ -893,12 +947,25 @@ object IO {
   def compactLandingManifestForConsumers(
       spark: SparkSession, manifestDir: String,
       takeoverCrashedFold: Boolean = false): (Int, Long) = {
-    val marks = readManifestConsumers(spark, manifestDir)
-    if (marks.isEmpty) (0, 0L)
-    // the binding-mark diagnostic is logged by the OlderThan clamp;
-    // the marks pass through so the fold pays ONE _consumers listing
-    else compactLandingManifestOlderThan(spark, manifestDir, marks.values.min,
-      takeoverCrashedFold, knownMarks = Some(marks))
+    val f = fs(spark, manifestDir)
+    // cheap existence pre-check keeps the no-consumer no-op lock-free;
+    // the real mark read happens INSIDE the fold lock below, so this
+    // path has the same staleness window as every other fold — a mark
+    // registered while the fold waited for the lock is honored (r20
+    // ADVICE: the pre-lock read gave this one path a wider window than
+    // the invariant's comment promised), and the fold still prices ONE
+    // `_consumers/` listing and ONE segment glob.
+    if (!f.exists(new Path(consumersDir(manifestDir)))) (0, 0L)
+    else foldManifestSegments(spark, manifestDir, takeoverCrashedFold) { all =>
+      val marks = readManifestConsumers(spark, manifestDir)
+      if (marks.isEmpty) Array.empty
+      else {
+        val st = manifestFoldStatusFromSnapshot(marks,
+          all.map(_.getModificationTime).toSeq)
+        if (st.lagWaves > 0) logFoldClamp(manifestDir, st)
+        all.filter(_.getModificationTime <= marks.values.min)
+      }
+    }
   }
 
   /** Delete the fold's snapshotted segments with a bounded driver

@@ -309,7 +309,13 @@ object Corpus {
     * only ever joins vocabulary rows, so the skew a corpus-sized
     * w1-join would hit never materializes. */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = docs
+    // spread the tokenize + bigram-explode pass: a small corpus scan is
+    // 1-2 splits and this CPU-dense narrow stage otherwise runs on
+    // those tasks alone (measured a 0.9 s single-task exchange-feed
+    // stage at sf0.1); the plan-stats guard skips the shuffle whenever
+    // the scan already has >= parallelism splits (the shingleTable rule)
+    val tf = graft.ops.Partitions.spreadForCpu(
+      docs.select(col(idCol), col(textCol)))
       .withColumn("__tk", TextAnalysis.regexTokens(col(textCol)))
       .select(col(idCol), explode(graft.ops.Text.ngrams(col("__tk"), 2)).as("bg"))
       .groupBy(col(idCol), col("bg"))

@@ -440,9 +440,15 @@ object DedupLsh {
                          k: Int = 12, w: Int = 8,
                          minShared: Int = 3, maxDf: Long = 20L): DataFrame = {
     graft.functions.WinnowFingerprint.register(df.sparkSession)
-    val fps = df
-      .select(col(idCol).as("id"),
-        explode(call_function("winnowq", col(textCol), lit(k), lit(w))).as("fp"))
+    // spread the per-doc winnow pass (k-gram rolling hash + window min
+    // over every byte of every doc) across cores: a small corpus scan
+    // is 1-2 splits and the fingerprint build otherwise runs on those
+    // tasks alone (measured 2-task 0.8 s stages at sf0.1); plan-stats
+    // guard skips the shuffle on already-wide scans (shingleTable rule)
+    val fps = graft.ops.Partitions.spreadForCpu(
+      df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        explode(call_function("winnowq", col("__text"), lit(k), lit(w))).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -582,16 +588,33 @@ object DedupLsh {
     * fingerprints can never silently disagree on the vote rule. */
   private def simhashVotes(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
     require(bits <= 32, "md5 supplies 32 hex digits = 32 vote lanes")
-    val toks = df.select(col(idCol).as("id"),
-      explode(split(col(textCol), "\\s+")).as("tok"))
+    // spread the per-token md5 + 32-lane vote pass across cores: a
+    // small corpus arrives as 1-2 scan splits and this CPU-dense
+    // narrow stage otherwise runs on those tasks alone (the
+    // shingleTable rule); plan-stats guard skips the shuffle whenever
+    // the scan is already >= parallelism splits
+    val toks = graft.ops.Partitions.spreadForCpu(
+      df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), explode(split(col("__text"), "\\s+")).as("tok"))
       .withColumn("h", md5(col("tok")))
-    // ">= '8'" ≡ IN ('8','9','a'..'f') for lowercase hex (digits sort
-    // below letters): one comparison instead of 8 string equalities on
-    // the tokens × lanes hot path
+    // Stage the hex digest as PACKED INTEGER CHUNKS once per token row
+    // (8 hex digits = 32 bits per chunk, parsed with conv — exact in a
+    // long), so each vote lane is two integer ops on its chunk. The
+    // previous shape evaluated `substring(h, j+1, 1) >= '8'` per lane —
+    // 32 single-char UTF8String allocations + string compares per token
+    // on the map-side hot loop of every simhash build (r21 guide §1.2
+    // step 2: per-task work). Vote values are bit-identical: digit
+    // d >= '8' for lowercase hex ⟺ the nibble's high bit is set, and
+    // chunk c holds digits [8c, 8c+7] with digit 8c most significant,
+    // so lane j reads bit 4*(7 - j%8) + 3 of chunk j/8.
+    val nChunks = (bits + 7) / 8
+    val chunked = toks.select(col("id") +: (0 until nChunks).map(c =>
+      conv(substring(col("h"), c * 8 + 1, 8), 16, 10).cast("long").as(s"c$c")): _*)
     val votes = (0 until bits).map { j =>
-      sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"b$j")
+      val bit = shiftright(col(s"c${j / 8}"), 4 * (7 - j % 8) + 3).bitwiseAND(lit(1L))
+      sum(bit * 2 - 1).as(s"b$j")
     }
-    toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    chunked.groupBy(col("id")).agg(votes.head, votes.tail: _*)
   }
 
   /** SimHash fingerprint as a BIGINT (bit j set when the vote sum is

@@ -42,9 +42,15 @@ object SpanDedup {
     * rows. Tokens are raw whitespace splits — span dedup must see
     * stopwords and punctuation, or removed spans would not reassemble. */
   def windowHashes(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = split(col(textCol), "\\s+")
-    docs
-      .select(col(idCol).as("doc_id"), toks.as("tk"))
+    // spread the CPU-dense window pass (each doc computes n-k+1 md5s
+    // over k-token joins) across cores: a small corpus arrives as 1-2
+    // scan splits and the whole hash pass lands on those tasks
+    // (measured 1.3 s -> 0.7 s at sf0.1); skipped via plan-stats guard
+    // when the scan already has >= parallelism splits (any real-scale
+    // corpus) — the shingleTable/spreadForCpu rule applied here
+    graft.ops.Partitions.spreadForCpu(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"), split(col("__text"), "\\s+").as("tk"))
       // guard the short-doc case explicitly: Spark's sequence(1, n)
       // DESCENDS for n < 1 (sequence(1,0) = [1,0]), it is not empty
       .select(col("doc_id"),

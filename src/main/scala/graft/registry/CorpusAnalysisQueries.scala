@@ -43,7 +43,12 @@ object CorpusAnalysisQueries {
     },
     // y9 — intra-document repetition filter (Gopher/C4-style signal)
     "y9_repetition_filter" -> { (s, dir) =>
-      Tables.documents(s, dir)
+      // spread before the per-row gram HOFs: the documents scan is 1-2
+      // splits at bench scale and the repetition pass otherwise runs
+      // on those tasks alone (measured two 1-task stages, 1.0 + 0.6 s
+      // at sf0.1); guard skips the shuffle on already-wide scans (r21)
+      graft.ops.Partitions.spreadForCpu(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
         .select(col("doc_id"),
           Contamination.repetitionRatio(col("tk"), 3).as("rep_ratio"))

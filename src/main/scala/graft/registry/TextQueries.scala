@@ -152,8 +152,14 @@ object TextQueries {
       // first-run cost measured 3.9 s inline vs 1.4 s staged at sf0.1
       // (warm 1.2 vs 1.1). CollapseProject keeps the barrier because
       // it refuses to duplicate non-cheap expressions.
-      Tables.events(s, dir)
-        .select(col("event_id"), u.as("__u"))
+      // ...and SPREAD the staged frame across cores before the regex
+      // family runs: the events scan is 1-2 splits at bench scale, so
+      // the ~12-regex canonicalization pass (and the orderBy sampling
+      // pass that re-executes it) otherwise runs single-task — measured
+      // 2.7 s + 1.3 s in two 1-task stages at sf0.1. Plan-stats guard
+      // skips the shuffle when the scan is already wide (r21).
+      graft.ops.Partitions.spreadForCpu(
+        Tables.events(s, dir).select(col("event_id"), u.as("__u")))
         .select(col("event_id"),
           Urls.canonicalize(col("__u")).as("url_canon"),
           Urls.host(col("__u")).as("domain"),

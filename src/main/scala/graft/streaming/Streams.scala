@@ -1041,6 +1041,9 @@ object Streams {
     //      past this consumer's pre-registered mark; the re-check
     //      converts even that from silent loss into a loud
     //      re-bootstrap instruction.
+    // this acquisition's lock token: the finally-release verifies it,
+    // so a takeover's new owner is never unlocked by the old holder
+    var bootstrapLockToken: Option[String] = None
     if (bootstrapFromCheckpoint) {
       require(reset,
         "bootstrapFromCheckpoint joins a NEW consumer (reset = true); an " +
@@ -1062,9 +1065,9 @@ object Streams {
       // (still before the fingerprint capture and seed, which is what
       // holds sibling consumer-aware folds back through the drain) so
       // racing joins never write one mark file concurrently.
-      graft.io.IO.acquireProcessLock(spark,
+      bootstrapLockToken = Some(graft.io.IO.acquireProcessLock(spark,
         s"$manifestDir/_consumers/.bootstrap_${consumerId.get}.lock",
-        "bootstrap", takeoverCrashedBootstrap)
+        "bootstrap", takeoverCrashedBootstrap))
     }
     try {
     if (bootstrapFromCheckpoint) {
@@ -1181,10 +1184,12 @@ object Streams {
     } finally {
       // release on EVERY in-process exit (a failed bootstrap re-runs
       // from scratch — no crash-window bracket to preserve, unlike the
-      // fold lock); only a kill -9 leaves the lock for takeover
-      if (bootstrapFromCheckpoint)
+      // fold lock); only a kill -9 leaves the lock for takeover. The
+      // release is token-verified: if this acquisition was itself taken
+      // over by an operator, the lock now belongs to them and stays.
+      for (tok <- bootstrapLockToken)
         graft.io.IO.releaseProcessLock(spark,
-          s"$manifestDir/_consumers/.bootstrap_${consumerId.get}.lock")
+          s"$manifestDir/_consumers/.bootstrap_${consumerId.get}.lock", tok)
     }
   }
 

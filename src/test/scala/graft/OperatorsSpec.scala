@@ -1018,6 +1018,78 @@ class OperatorsSpec extends SparkSpec {
     } finally conf.unset("graft.lock.settle.ms")
   }
 
+  test("empty lock marker settles before classifying; process-lock release is token-verified (r20 ADVICE)") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val man = s"${sys.props("java.io.tmpdir")}/graft_test_emptymarker_man"
+    val fs = new Path(man).getFileSystem(conf)
+    fs.delete(new Path(man), true)
+    fs.mkdirs(new Path(man))
+    val marker = new Path(s"$man/_FOLDING")
+    // 1. A 0-LENGTH marker that is really a mid-claim holder on an
+    // atomic-create store (create→close exposes an empty file): a racer
+    // must settle and RE-READ before classifying, see the holder's
+    // token appear, and refuse — never overwrite-claim over a live
+    // fresh claim. Simulated: empty marker now, holder token lands
+    // well inside the settle window.
+    conf.setLong("graft.lock.settle.ms", 400L)
+    try {
+      fs.create(marker, true).close() // empty: holder mid-claim
+      val writer = new Thread(() => {
+        Thread.sleep(100L)
+        val o = fs.create(marker, true)
+        o.write("""{"holder":"livehost:pid7","acquired_at_ms":1}""".getBytes("UTF-8"))
+        o.close()
+      })
+      writer.start()
+      val e = intercept[IllegalStateException] {
+        graft.io.IO.acquireFoldLock(fs, man, takeoverCrashedFold = false)
+      }
+      writer.join()
+      assert(e.getMessage.contains("livehost:pid7"),
+        s"the settle re-read must surface the mid-claim holder: ${e.getMessage}")
+      fs.delete(marker, false)
+      // a marker still empty AFTER the settle is a legacy/released
+      // bracket and adopts as before
+      fs.create(marker, true).close()
+      assert(graft.io.IO.acquireFoldLock(fs, man, takeoverCrashedFold = false),
+        "an empty-after-settle marker must adopt as a legacy bracket")
+      fs.delete(marker, false)
+      // same guard on the generic process lock: empty-but-live refuses
+      val lockP = s"$man/.bootstrap_x.lock"
+      fs.create(new Path(lockP), true).close()
+      val writer2 = new Thread(() => {
+        Thread.sleep(100L)
+        val o = fs.create(new Path(lockP), true)
+        o.write("""{"holder":"livehost:pid8","acquired_at_ms":1}""".getBytes("UTF-8"))
+        o.close()
+      })
+      writer2.start()
+      val e2 = intercept[IllegalStateException] {
+        graft.io.IO.acquireProcessLock(spark, lockP, "bootstrap")
+      }
+      writer2.join()
+      assert(e2.getMessage.contains("livehost:pid8"), e2.getMessage)
+      fs.delete(new Path(lockP), false)
+    } finally conf.unset("graft.lock.settle.ms")
+    // 2. Token-verified release: an operator who mistakenly takes over
+    // a LIVE process lock now owns it; the original holder's release
+    // must be a no-op, not unlock the zone under the usurper.
+    val lockP = s"$man/.bootstrap_y.lock"
+    val t1 = graft.io.IO.acquireProcessLock(spark, lockP, "bootstrap")
+    val t2 = graft.io.IO.acquireProcessLock(spark, lockP, "bootstrap",
+      takeoverCrashed = true)
+    assert(t1 != t2)
+    graft.io.IO.releaseProcessLock(spark, lockP, t1)
+    assert(fs.exists(new Path(lockP)),
+      "the old holder's release must not delete the usurper's lock")
+    graft.io.IO.releaseProcessLock(spark, lockP, t2)
+    assert(!fs.exists(new Path(lockP)),
+      "the current owner's release deletes the lock")
+    // releasing an already-released lock is a no-op
+    graft.io.IO.releaseProcessLock(spark, lockP, t2)
+  }
+
   test("consumer marks never move backward; single-mark reads are one tiny file (r18 ADVICE)") {
     val man = s"${sys.props("java.io.tmpdir")}/graft_test_mark_clamp"
     graft.streaming.Streams.deleteDir(spark, man)
