@@ -440,15 +440,17 @@ object DedupLsh {
                          k: Int = 12, w: Int = 8,
                          minShared: Int = 3, maxDf: Long = 20L): DataFrame = {
     graft.functions.WinnowFingerprint.register(df.sparkSession)
-    // spread the per-doc winnow pass (k-gram rolling hash + window min
-    // over every byte of every doc) across cores: a small corpus scan
-    // is 1-2 splits and the fingerprint build otherwise runs on those
-    // tasks alone (measured 2-task 0.8 s stages at sf0.1); plan-stats
-    // guard skips the shuffle on already-wide scans (shingleTable rule)
-    val fps = graft.ops.Partitions.spreadForCpu(
-      df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"),
-        explode(call_function("winnowq", col("__text"), lit(k), lit(w))).as("fp"))
+    // NOT spread (r21, measured): unlike the text-HOF passes, the
+    // native winnowq fingerprint build gained only ~0.1 s from a
+    // spreadForCpu repartition in isolated min-of-5 runs and then
+    // REGRESSED x18 1.94 -> 3.18 s in full-sweep context (every sample,
+    // all 5 rotated predecessors) — the extra text exchange + its
+    // sort-before-repartition pass costs more than the parallelism
+    // buys on a pass this cheap per row. Reverted; the exploded fp
+    // table below is what carries the real cost, and it is parallel.
+    val fps = df
+      .select(col(idCol).as("id"),
+        explode(call_function("winnowq", col(textCol), lit(k), lit(w))).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)

@@ -94,7 +94,13 @@ object TextAnalysis {
       w => array_contains(array(Text.StopWords.map(lit): _*), w))).cast("long")
     val symbolHits = size(filter(ts,
       w => w === "#" || w.contains("..."))).cast("long")
-    df.select(col(idCol), nWords.as("n_words"), charSum.as("__cs"),
+    // spread the per-doc token HOFs (five filter/aggregate passes over
+    // every token) across cores: a small corpus scan is 1-2 splits and
+    // the rule pass otherwise runs on those tasks alone (measured two
+    // 1-task ~0.5 s stages at sf0.1); the plan-stats guard skips the
+    // shuffle whenever the scan is already wide (the shingleTable rule)
+    graft.ops.Partitions.spreadForCpu(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), nWords.as("n_words"), charSum.as("__cs"),
         alphaHits.as("__ah"), symbolHits.as("__sh"), stopHits.as("stop_hits"))
       .withColumn("mean_len_milli",
         when(col("n_words") > 0L, expr("__cs * 1000 div n_words")))

@@ -61,7 +61,12 @@ object CorpusAnalysisQueries {
       // per-language stratified downsample (en 50%, rest kept). All
       // narrow per-row work until the final sample filter — one scan,
       // zero shuffles before the output sort.
-      val scored = Tables.documents(s, dir)
+      // spread the three per-row scoring passes across cores: the
+      // documents scan is 1-2 splits at bench scale and the whole
+      // scoring pass otherwise runs single-task (measured a 1-task
+      // 2.0 s stage at sf0.1); guard skips the shuffle on wide scans
+      val scored = graft.ops.Partitions.spreadForCpu(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           TextAnalysis.langId(col("text")).as("lang_pred"),
           TextAnalysis.qualityScore(col("text")).as("score"),

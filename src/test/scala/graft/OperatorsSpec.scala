@@ -1020,9 +1020,15 @@ class OperatorsSpec extends SparkSpec {
 
   test("empty lock marker settles before classifying; process-lock release is token-verified (r20 ADVICE)") {
     import org.apache.hadoop.fs.Path
-    val conf = spark.sparkContext.hadoopConfiguration
     val man = s"${sys.props("java.io.tmpdir")}/graft_test_emptymarker_man"
-    val fs = new Path(man).getFileSystem(conf)
+    val fs = new Path(man).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // set the settle on the FS instance's OWN conf — the object
+    // lockSettleMs actually reads. The cached FileSystem can carry a
+    // COPY of the session's hadoopConfiguration (whichever conf first
+    // created it), and setting the session conf then silently leaves
+    // the default 50 ms window, turning the 150 ms writer below into a
+    // flake (the first full-suite run did exactly that).
+    val conf = fs.getConf
     fs.delete(new Path(man), true)
     fs.mkdirs(new Path(man))
     val marker = new Path(s"$man/_FOLDING")
@@ -1031,12 +1037,14 @@ class OperatorsSpec extends SparkSpec {
     // must settle and RE-READ before classifying, see the holder's
     // token appear, and refuse — never overwrite-claim over a live
     // fresh claim. Simulated: empty marker now, holder token lands
-    // well inside the settle window.
-    conf.setLong("graft.lock.settle.ms", 400L)
+    // well inside the settle window (10x margin: a loaded box can
+    // delay the writer thread by hundreds of ms — the first CI flake
+    // did — and a late writer flips the test onto the adopt path).
+    conf.setLong("graft.lock.settle.ms", 1500L)
     try {
       fs.create(marker, true).close() // empty: holder mid-claim
       val writer = new Thread(() => {
-        Thread.sleep(100L)
+        Thread.sleep(150L)
         val o = fs.create(marker, true)
         o.write("""{"holder":"livehost:pid7","acquired_at_ms":1}""".getBytes("UTF-8"))
         o.close()
@@ -1059,7 +1067,7 @@ class OperatorsSpec extends SparkSpec {
       val lockP = s"$man/.bootstrap_x.lock"
       fs.create(new Path(lockP), true).close()
       val writer2 = new Thread(() => {
-        Thread.sleep(100L)
+        Thread.sleep(150L)
         val o = fs.create(new Path(lockP), true)
         o.write("""{"holder":"livehost:pid8","acquired_at_ms":1}""".getBytes("UTF-8"))
         o.close()
