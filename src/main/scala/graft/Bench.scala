@@ -164,11 +164,28 @@ object Bench {
     // real speedup from a min taken over extra samples (round-13 ADVICE)
     val slowSamples = slow.map { case (n, _) => "\"" + n + "\":" + samples(n).size }
       .mkString("{", ",", "}")
+    // per-query {min, median, max, n} over the same-HEAD sweep family
+    // (round-20 ADVICE item 5, shipped round 22): `queries` keeps the
+    // min (the contract field, never renamed), but cross-round delta
+    // adjudication needs the SPREAD — this box's untouched sub-second
+    // queries drift ±0.2-0.4 s between sweeps, and a min-only schema
+    // forces every round to re-litigate that band from scratch.
+    // Purely additive: one extra top-level JSON object.
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val qsStats = results.collect { case (k, _) if samples(k).nonEmpty =>
+      val xs = samples(k)
+      "\"" + k + "\":{\"min\":" + fmt(xs.min) + ",\"median\":" + fmt(median(xs)) +
+        ",\"max\":" + fmt(xs.max) + ",\"n\":" + xs.size + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val env =
       s"""{"load_avg_1m":${fmt(loadAvg)},"cpus":$cpus,"anchor_cpu_shuffle_sec":${fmt(anchorSec)},"anchor_ref_sec":${fmt(AnchorRefSec)},"anchor_ratio":${fmt(anchorRatio)}}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(total / anchorRatio)},"unit":"sec","runs":$runs,"slow_extra_runs":$extraRuns,"slow_thresh_sec":$slowThresh,"n_slow":${slow.size},"slow_samples":$slowSamples,"agg":"min-across-sweeps","env":$env,"queries":$qs,"queries_normalized":$qsNorm,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_normalized":${fmt(total / anchorRatio)},"unit":"sec","runs":$runs,"slow_extra_runs":$extraRuns,"slow_thresh_sec":$slowThresh,"n_slow":${slow.size},"slow_samples":$slowSamples,"agg":"min-across-sweeps","env":$env,"queries":$qs,"queries_normalized":$qsNorm,"queries_stats":$qsStats,"sf":"$sfDir"}"""
     println(full)
     // The full line is >2KB at 100+ queries and the driver keeps only an
     // output TAIL — BENCH_r03/r04 both captured it front-truncated and
