@@ -687,13 +687,19 @@ object Corpus {
                 merges: Seq[String]): DataFrame = {
     val toks = docs.select(col(idCol),
       posexplode(TextAnalysis.regexTokens(col(textCol))).as(Seq("pos", "word")))
-    val sym0 = rtrim(regexp_replace(col("word"), "(.)", "_$1 "))
-    val encoded = merges.foldLeft(sym0) { (prev, pair) =>
-      val merged = "_" + pair.replace("_", "").replace(" ", "")
-      rtrim(replace(concat(prev, lit(" ")), lit(pair + " "), lit(merged + " ")))
-    }
-    val enc = toks.select("word").distinct()
-      .select(col("word"), encoded.as("sym"))
+    // SPREAD the distinct-word table before the merge replaces run:
+    // the distinct aggregate's output is AQE-coalesced by BYTES, and a
+    // vocabulary is small in bytes but O(vocab · numMerges) in CPU —
+    // profiled at sf0.1 as ONE 1.7 s task computing every word's sym
+    // chain while 31 cores idled (r21 verdict item 1). The repartition
+    // moves vocabulary-sized rows only (never the corpus), so it is
+    // scale-independent by construction: at tokenizer scale
+    // (30-50k merges × vocab) the encode work grows while the
+    // exchanged bytes stay vocabulary-bounded. defaultParallelism
+    // adapts to the core count (the spreadForCpu convention).
+    val spreadWords = toks.select("word").distinct()
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val enc = applyMergesChunked(spreadWords, merges)
     val agg = toks.join(enc, "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
@@ -706,6 +712,55 @@ object Corpus {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
         coalesce(col("bpe_text"), lit("")).as("bpe_text"))
+  }
+
+  /** How many merge `replace`s one projection carries before the plan
+    * is cut by an eager barrier (see [[applyMergesChunked]]). 64 keeps
+    * every generated method far under JIT limits while bounding the
+    * barrier count at tokenizer scale (50k merges → ~780 vocab-sized
+    * checkpoint passes, each O(vocab)). */
+  private[graft] val MergeChunkSize = 64
+
+  /** Rewrite the distinct-word table `words` (one `word` column) into
+    * (word, sym) under the ordered merge list — the exact
+    * marker-prefixed trailing-delimited replace of [[bpeMerges]],
+    * applied in CHUNKS of [[MergeChunkSize]]: one projection per chunk
+    * with an eager `localCheckpoint` between chunks. A single nested
+    * expression over tokenizer-scale merge lists (30-50k) would (a)
+    * blow the analyzer/optimizer cost quadratic in depth, (b) risk
+    * stack overflow in recursive tree traversals, and (c) exceed
+    * codegen method budgets — while ≤ [[MergeChunkSize]] merges (every
+    * registered query: numMerges = 6) take the single-projection path,
+    * producing the IDENTICAL expression tree as before chunking.
+    * Superseded interior checkpoints are dropped as soon as the next
+    * one materializes (the [[bpeMerges]] rotation); the last one backs
+    * the returned frame and is released by the ContextCleaner when the
+    * frame goes unreachable — vocabulary-sized blocks, never corpus. */
+  private[graft] def applyMergesChunked(words: DataFrame, merges: Seq[String],
+                                      chunkSize: Int = MergeChunkSize): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be positive")
+    def applyChunk(start: Column, chunk: Seq[String]): Column =
+      chunk.foldLeft(start) { (prev, pair) =>
+        val merged = "_" + pair.replace("_", "").replace(" ", "")
+        rtrim(replace(concat(prev, lit(" ")), lit(pair + " "), lit(merged + " ")))
+      }
+    val sym0 = rtrim(regexp_replace(col("word"), "(.)", "_$1 "))
+    if (merges.size <= chunkSize)
+      words.select(col("word"), applyChunk(sym0, merges).as("sym"))
+    else {
+      val chunks = merges.grouped(chunkSize).toSeq
+      var cur = words
+        .select(col("word"), applyChunk(sym0, chunks.head).as("sym"))
+        .localCheckpoint()
+      for (chunk <- chunks.tail) {
+        val prev = cur
+        cur = cur
+          .select(col("word"), applyChunk(col("sym"), chunk).as("sym"))
+          .localCheckpoint()
+        graft.Caching.dropSupersededCheckpoint(prev)
+      }
+      cur
+    }
   }
 
   /** The trained BPE tokenizer in its MATERIALIZE-ONCE form: the

@@ -789,6 +789,28 @@ class CorpusSpec extends SparkSpec {
       (3L, 2L, 4L, "_b _a _aa _ab")))
   }
 
+  test("applyMergesChunked: chunked barriers are value-invisible vs the single projection") {
+    // 5 merges applied at chunkSize 2 -> 3 chunks with two interior
+    // localCheckpoint barriers; the rewrite must equal the un-chunked
+    // single-expression path word for word (the y28 scale contract:
+    // chunking exists for 30-50k-merge tokenizers, changes no value)
+    val words = Seq("aaab", "ab", "ba", "cb", "cba", "")
+      .toDF("word")
+    val merges = Seq("_a _a", "_a _b", "_b _a", "_c _ba", "_aa _ab")
+    val single = graft.llm.Corpus.applyMergesChunked(words, merges, chunkSize = 100)
+      .orderBy("word").as[(String, String)].collect().toSeq
+    val chunked = graft.llm.Corpus.applyMergesChunked(words, merges, chunkSize = 2)
+      .orderBy("word").as[(String, String)].collect().toSeq
+    assert(chunked === single)
+    // and the single path matches the driver-side greedy replay
+    def encodeWord(w: String): String =
+      merges.foldLeft(w.map(c => s"_$c").mkString(" ")) { (s, pair) =>
+        val merged = "_" + pair.replace("_", "").replace(" ", "")
+        (s + " ").replace(pair + " ", merged + " ").stripSuffix(" ").stripTrailing()
+      }
+    assert(single.toMap === words.as[String].collect().map(w => w -> encodeWord(w)).toMap)
+  }
+
   test("bpeEncode round-trips bpeMerges: a trained word encodes to its final vocab state") {
     val docs = Seq((1L, "aaab aaab ab ba cb cba")).toDF("doc_id", "text")
     val merges = graft.llm.Corpus.bpeMerges(docs, "doc_id", "text", numMerges = 3)
