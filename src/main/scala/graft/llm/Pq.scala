@@ -81,30 +81,42 @@ object Pq {
     * integer argmin, identical (d asc, cell_id asc) tie-break. */
   def trainCodebooks(v: DataFrame, m: Int = 8, numCells: Int = 16,
                      iters: Int = 2): DataFrame = {
-    graft.functions.NearestCell.register(v.sparkSession)
+    val spark = v.sparkSession
+    graft.functions.NearestCell.register(spark)
+    import spark.implicits._
     val sv = subVectors(v, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents = sv.filter(col("vec_id") < numCells)
-      .select(col("s"), col("vec_id").as("cell_id"), col("sv").as("cv"))
-      .localCheckpoint()
+    // ONE job per iteration (r21 verdict item 2, the kmeansCodebookQ
+    // treatment): the m·numCells centroid rows live on the driver
+    // between iterations — exactly what the broadcast collected there
+    // anyway — so each iteration is a single collect job (assignment +
+    // mean agg) and the per-subspace broadcast operand rebuilds from a
+    // LocalRelation with no job. Sorted by (s, cell_id), matching the
+    // old sort_array hygiene.
+    def collectCents(df: DataFrame): Seq[(Int, Long, Seq[Long])] =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+        .toSeq.sortBy(t => (t._1, t._2))
+    var cents = collectCents(sv.filter(col("vec_id") < numCells)
+      .select(col("s"), col("vec_id").as("cell_id"), col("sv").as("cv")))
+    def cellsFrame(cs: Seq[(Int, Long, Seq[Long])]): DataFrame =
+      cs.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (s, rows) => (s, rows.sortBy(_._2).map(t => (t._2, t._3))) }
+        .toDF("s", "cells")
     for (_ <- 0 until iters) {
-      val prev = cents
-      val assigned = sv.join(broadcast(centsBySubspace(cents)), Seq("s"))
+      val assigned = sv.join(broadcast(cellsFrame(cents)), Seq("s"))
         .select(col("s"),
           call_function("nearest_cell_l2", col("sv"), col("cells")).as("cell_id"),
           col("sv"))
-      cents = assigned
+      cents = collectCents(assigned
         .select(col("s"), col("cell_id"), posexplode(col("sv")).as(Seq("pos", "v")))
         .groupBy(col("s"), col("cell_id"), col("pos"))
         .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("comp"))
         .groupBy(col("s"), col("cell_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
-          _.getField("comp")).as("cv"))
-        .localCheckpoint()
-      graft.Caching.dropSupersededCheckpoint(prev)
+          _.getField("comp")).as("cv")))
     }
     sv.unpersist()
-    cents
+    cents.toDF("s", "cell_id", "cv")
   }
 
   /** PQ codes: (vec_id, s, code) — nearest sub-codebook cell per

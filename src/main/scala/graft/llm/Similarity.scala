@@ -178,9 +178,11 @@ object Similarity {
     * the broadcast codebook array (no N×numCells row explosion, no
     * aggregate, no sort on the corpus), and the mean
     * is a posexplode + two-level hash agg keyed (cell,pos) — numCells ×
-    * dim cells, never corpus-sized state. Centroids are
-    * `localCheckpoint`ed per iteration so the downstream broadcasts
-    * re-read a tiny cached RDD, not a re-executed training chain.
+    * dim cells, never corpus-sized state. Centroids are COLLECTED to
+    * the driver per iteration (K rows — the broadcast collected them
+    * to the driver anyway) and returned as a LocalRelation, so
+    * downstream broadcasts read tiny local rows, not a re-executed
+    * training chain, and each iteration submits exactly ONE job.
     * Cells that lose all members drop out (standard k-means collapse;
     * deterministic on both engines). */
   def kmeansCodebook(corpus: DataFrame, numCells: Int = 16, iters: Int = 2): DataFrame = {
@@ -203,6 +205,23 @@ object Similarity {
     cents.agg(sort_array(collect_list(struct(col("cell_id"), col("cv"),
       dotQ(col("cv"), col("cv")).as("c2")))).as("cells"))
 
+  /** The [[centsAsArrayCos]] one-row broadcast operand built ON THE
+    * DRIVER from already-collected centroid rows — a `LocalRelation`,
+    * whose broadcast build is job-free (`LocalTableScanExec`
+    * collects without submitting a job). `c2 = Σcv²` is the same
+    * unchecked long arithmetic as `dotq(cv, cv)`; the array is sorted
+    * by cell_id exactly as `sort_array` over the distinct-cell structs
+    * sorts. Centroid sets are K rows by contract (the broadcast
+    * collected them to the driver anyway), so driver memory cost is
+    * unchanged. */
+  private def centsArrayFrameCosLocal(spark: SparkSession,
+                                      cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1(cents.sortBy(_._1).map { case (id, cv) =>
+      (id, cv, cv.map(x => x * x).sum)
+    })).toDF("cells")
+  }
+
   /** Training loop over an already-quantized, caller-persisted
     * (vec_id, nv) frame — lets callers that need the quantized corpus
     * AGAIN after training ([[semanticDedup]]'s cell assignment) share
@@ -219,32 +238,38 @@ object Similarity {
     * PROBES.md). Same argmax, same (sim desc, cell_id asc) tie-break,
     * same FP ops — DuckDB oracles stay hash-identical. */
   private[llm] def kmeansCodebookQ(v: DataFrame, numCells: Int, iters: Int): DataFrame = {
-    graft.functions.LongArrayDot.register(v.sparkSession)
-    graft.functions.NearestCell.register(v.sparkSession)
-    var cents = v.filter(col("vec_id") < numCells)
-      .select(col("vec_id").as("cell_id"), col("nv").as("cv"))
-      .localCheckpoint()
+    val spark = v.sparkSession
+    graft.functions.LongArrayDot.register(spark)
+    graft.functions.NearestCell.register(spark)
+    import spark.implicits._
+    // ONE job per iteration (r21 verdict item 2): centroids live as
+    // driver-side rows between iterations — K rows, exactly what every
+    // iteration's broadcast collected to the driver anyway — so the
+    // per-iteration work is a single collect job (assignment + mean
+    // aggregate); the broadcast operand rebuilds from a LocalRelation
+    // with no job, where the old localCheckpoint + broadcast-build
+    // shape paid a second job and two extra stages per iteration.
+    // The returned frame is a LocalRelation too, which keeps the
+    // downstream role of the old checkpoint (consumers re-read tiny
+    // local rows, never a re-executed training chain).
+    def collectCents(df: DataFrame): Seq[(Long, Seq[Long])] =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+    var cents = collectCents(v.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cell_id"), col("nv").as("cv")))
     for (_ <- 0 until iters) {
-      val prev = cents
       val assigned = v
-        .crossJoin(broadcast(centsAsArrayCos(cents)))
+        .crossJoin(broadcast(centsArrayFrameCosLocal(spark, cents)))
         .select(call_function("nearest_cell_cos", col("nv"), col("cells")).as("cell_id"),
           col("nv"))
-      cents = assigned
+      cents = collectCents(assigned
         .select(col("cell_id"), posexplode(col("nv")).as(Seq("pos", "val")))
         .groupBy(col("cell_id"), col("pos"))
         .agg(floor(sum(col("val")).cast("double") / count(lit(1))).cast("long").as("comp"))
         .groupBy(col("cell_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
-          _.getField("comp")).as("cv"))
-        .localCheckpoint()
-      // the new checkpoint is EAGER, so the previous iteration's
-      // centroid blocks are unreferenced the moment it returns —
-      // release them now instead of waiting on the ContextCleaner
-      // (Dataset.unpersist is a no-op on checkpointed frames)
-      graft.Caching.dropSupersededCheckpoint(prev)
+          _.getField("comp")).as("cv")))
     }
-    cents
+    cents.toDF("cell_id", "cv")
   }
 
   /** Nearest-cell assignment of a quantized (vec_id, nv) frame against
