@@ -75,6 +75,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.SortedArrayJaccard.descriptor)
     ext.injectFunction(graft.functions.WinnowFingerprint.descriptor)
     ext.injectFunction(graft.functions.NfcNormalize.descriptor)
+    ext.injectFunction(graft.functions.ContentGrams.descriptor)
     graft.functions.NearestCell.descriptors.foreach(ext.injectFunction)
   }
 }

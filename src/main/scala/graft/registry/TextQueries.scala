@@ -45,18 +45,25 @@ object TextQueries {
         .orderBy("doc_id")
     },
     "t4_keywords_top10" -> { (s, dir) =>
-      // tokens staged as an attribute + repartition: n-gram generation
-      // under HOFs must not re-run tokenize per element access, and the
-      // CPU-heavy narrow stage must not ride a single file split.
-      // 2× parallelism, not 1×: with exactly one task per core the
-      // slowest core sets the stage time (the r9/r11 driver-bench
-      // spikes tracked box contention), at 2× the scheduler can pack
-      // around a busy core; measured ≤ +0.1 s warm vs 1×, tighter
-      // spread (r12 A/B: 32-part 1.16–1.55 s, 64-part 1.23–1.37 s)
+      // repartition: the CPU-heavy narrow stage must not ride a single
+      // file split. 2× parallelism, not 1×: with exactly one task per
+      // core the slowest core sets the stage time (the r9/r11
+      // driver-bench spikes tracked box contention), at 2× the
+      // scheduler can pack around a busy core; measured ≤ +0.1 s warm
+      // vs 1×, tighter spread (r12 A/B: 32-part 1.16–1.55 s, 64-part
+      // 1.23–1.37 s).
+      // Tokenize + gram generation is the native fused `gramsq` loop
+      // (round 22): the composable filter/transform/concat chain ran
+      // FOUR interpreted HOFs per row — 57.5 s of task time for this
+      // one stage at sf0.1 — while gramsq scans the cleaned string
+      // once inside whole-stage codegen, value-identically (spec-pinned
+      // against the composable form; same DuckDB oracle).
+      graft.functions.ContentGrams.register(s)
       val grams = Tables.documents(s, dir)
         .repartition(2 * s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), Text.contentTokens(col("text")).as("ts"))
-        .select(col("doc_id"), explode(Text.gramsFromTokens(col("ts"))).as("g"))
+        .select(col("doc_id"),
+          Text.cleanText(substring(col("text"), 1, 10000)).as("__c"))
+        .select(col("doc_id"), explode(call_function("gramsq", col("__c"))).as("g"))
       val counts = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("cnt").desc, length(col("g")).desc, col("g").asc)
@@ -69,6 +76,9 @@ object TextQueries {
           "|").as("keywords"))
         .orderBy("doc_id")
     },
+    // t5: the spreadForCpu experiment measured +6% (r22 A/B, min-of-5
+    // back-to-back) — the tokenize+normalize pass is too light for the
+    // extra exchange, the r21 negative-result #4 rule. Not applied.
     "t5_exact_keywords" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("lang"),
@@ -115,10 +125,15 @@ object TextQueries {
     // number is appended FIRST (replayable in any engine) and the
     // redaction then has real matches to rewrite.
     "t11_pii_redact" -> { (s, dir) =>
-      val pii = Tables.documents(s, dir).select(col("doc_id"),
-        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
-          lit("@mail.example.com ref "),
-          (col("doc_id") * 7919 + 12345).cast("string")).as("t"))
+      // spread before the 4-regex pass (2 full-text replaces + 2
+      // extract_alls, re-executed by the orderBy sampling pass): the
+      // documents scan is 1-2 splits at bench scale (r22 A/B below;
+      // the same plan-stats guard as t12 makes it a no-op at scale)
+      val pii = graft.ops.Partitions.spreadForCpu(
+        Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com ref "),
+            (col("doc_id") * 7919 + 12345).cast("string")).as("t")))
       pii.select(col("doc_id"),
         Text.redactPii(col("t")).as("redacted"),
         size(regexp_extract_all(col("t"), lit(Text.EmailRe), lit(0)))
@@ -176,6 +191,8 @@ object TextQueries {
       import graft.ops.Urls
       val u = concat(lit("https://Shard"), (col("user_id") % 20).cast("string"),
         lit(".Example.com/p/"), col("event_id").cast("string"))
+      // spreadForCpu here measured +2% (r22 A/B) — one host() regex is
+      // too light for the exchange (r21 negative-result #4). Not applied.
       val withDom = Tables.events(s, dir)
         .select(col("event_id"), col("value"), Urls.host(u).as("domain"))
       graft.ops.Dedup.capPerKey(withDom, Seq("domain"),

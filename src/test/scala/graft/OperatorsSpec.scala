@@ -110,6 +110,30 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.contains("x")) // len-1 token removed
   }
 
+  test("gramsq equals the composable tokenize+ngram chain on every edge shape") {
+    graft.functions.ContentGrams.register(spark)
+    // edge fixtures: empties, all-stopword, 1-char tokens, exactly
+    // 1/2/3 tokens, repeated/leading/trailing whitespace (incl. every
+    // \s char), underscores and hyphens (cleanText survivors)
+    val texts = Seq(
+      "", "   ", "the a an", "x y z", "spark", "spark table",
+      "spark table scan", "the spark table scan x spark table",
+      "  lead trail  ", "tab\tsep\nnewlinevt\fff\rcr end",
+      "under_score multi-hyphen 1234 ab", "dup dup dup dup")
+    val df = texts.toDF("c")
+    val composable = df
+      .select(Text.gramsFromTokens(Text.tokenize(col("c"))).as("g"))
+      .as[Seq[String]].collect().toSeq
+    val fused = df
+      .select(call_function("gramsq", col("c")).as("g"))
+      .as[Seq[String]].collect().toSeq
+    assert(fused === composable)
+    // null in, null out on both paths (explode would drop the row)
+    val nullRow = Seq[Option[String]](None).toDF("c")
+    assert(nullRow.select(call_function("gramsq", col("c"))).head().isNullAt(0))
+    assert(nullRow.select(Text.gramsFromTokens(Text.tokenize(col("c")))).head().isNullAt(0))
+  }
+
   test("Similarity: quantized cosine ≈ float cosine; identical vector ranks first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)),
@@ -1096,6 +1120,56 @@ class OperatorsSpec extends SparkSpec {
       "the current owner's release deletes the lock")
     // releasing an already-released lock is a no-op
     graft.io.IO.releaseProcessLock(spark, lockP, t2)
+  }
+
+  test("a torn checksummed marker settles and re-reads instead of aborting the racer (r22)") {
+    import org.apache.hadoop.fs.Path
+    val man = s"${sys.props("java.io.tmpdir")}/graft_test_crcmarker_man"
+    val fs = new Path(man).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = fs.getConf
+    fs.delete(new Path(man), true)
+    fs.mkdirs(new Path(man))
+    val lockP = s"$man/.bootstrap_crc.lock"
+    // simulate the mid-write window of a checksummed FS: a valid
+    // marker+.crc pair whose DATA file is then overwritten raw
+    // (bypassing the checksum layer), so the sidecar no longer matches
+    // — the reader sees ChecksumException ("exp: N got: M"), exactly
+    // the full-suite race where BOTH racing bootstraps aborted
+    def tearCrc(): Unit = {
+      val o = fs.create(new Path(lockP), true)
+      o.write("""{"holder":"livehost:pid9","acquired_at_ms":1}""".getBytes("UTF-8"))
+      o.close()
+      assert(new java.io.File(s"$man/..bootstrap_crc.lock.crc").exists(),
+        "expected a checksum sidecar on the local FS")
+      val raw = new java.io.FileOutputStream(s"$man/.bootstrap_crc.lock")
+      raw.write("""{"holder":"otherhost:pid0","acquired_at_ms":2}""".getBytes("UTF-8"))
+      raw.close()
+    }
+    conf.setLong("graft.lock.settle.ms", 1500L)
+    try {
+      tearCrc()
+      // healer: the "holder finishes its close" half of the window —
+      // rewrite the marker through the checksum layer inside the settle
+      val healer = new Thread(() => {
+        Thread.sleep(150L)
+        val o = fs.create(new Path(lockP), true)
+        o.write("""{"holder":"livehost:pid9","acquired_at_ms":1}""".getBytes("UTF-8"))
+        o.close()
+      })
+      healer.start()
+      val e = intercept[IllegalStateException] {
+        graft.io.IO.acquireProcessLock(spark, lockP, "bootstrap")
+      }
+      healer.join()
+      assert(e.getMessage.contains("livehost:pid9"),
+        s"the settle re-read must surface the holder, not a ChecksumException: ${e.getMessage}")
+      // a checksum error that PERSISTS past the settle stays loud
+      tearCrc()
+      intercept[org.apache.hadoop.fs.ChecksumException] {
+        graft.io.IO.acquireProcessLock(spark, lockP, "bootstrap")
+      }
+      fs.delete(new Path(lockP), false)
+    } finally conf.unset("graft.lock.settle.ms")
   }
 
   test("consumer marks never move backward; single-mark reads are one tiny file (r18 ADVICE)") {
