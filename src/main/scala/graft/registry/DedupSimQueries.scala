@@ -61,8 +61,13 @@ object DedupSimQueries {
           shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.5))
       val drop = clusters.filter(col("id") =!= col("cluster"))
         .select(col("id").as("doc_id"))
-      corpus.join(drop, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), md5(col("text")).as("digest"))
+      // digest BEFORE the anti-join: the join only filters rows, so
+      // hashing the few dropped members too is free while the join
+      // exchange then carries (doc_id, 32-char digest) instead of the
+      // full text — shuffle metadata, not payloads (r22; at 100 TB the
+      // text column IS the corpus)
+      corpus.select(col("doc_id"), md5(col("text")).as("digest"))
+        .join(drop, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
     },
     // x10b -- x10 against the STAGED pair artifact (the x8b split
@@ -75,8 +80,9 @@ object DedupSimQueries {
       val clusters = DedupLsh.nearDupClusters(stagedNearDupPairs(s, dir))
       val drop = clusters.filter(col("id") =!= col("cluster"))
         .select(col("id").as("doc_id"))
-      corpus.join(drop, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), md5(col("text")).as("digest"))
+      // digest before the anti-join — see x10
+      corpus.select(col("doc_id"), md5(col("text")).as("digest"))
+        .join(drop, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
     },
     "x3_simhash" -> { (s, dir) =>
