@@ -453,9 +453,21 @@ object IO {
     def read(): String =
       try readSmallTextFile(f, m)
       catch { case _: java.io.FileNotFoundException => "" } // holder just finished
-    val txt = read()
-    if (txt.trim.nonEmpty) txt
-    else { Thread.sleep(lockSettleMs(f)); read() }
+    // A ChecksumException on the FIRST read is the checksummed-FS
+    // signature of the same create→close window the empty-body settle
+    // exists for: the racer read the marker between the holder's data
+    // and .crc sidecar writes (observed as a full-suite flake — BOTH
+    // racing bootstraps aborted, an availability hole, not an
+    // exclusion one). Treat it as unsettled: wait the window, re-read.
+    // A checksum error that PERSISTS past the settle is genuine
+    // corruption and stays loud (only the first read is guarded).
+    val txt =
+      try Some(read())
+      catch { case _: org.apache.hadoop.fs.ChecksumException => None }
+    txt match {
+      case Some(t) if t.trim.nonEmpty => t
+      case _ => Thread.sleep(lockSettleMs(f)); read()
+    }
   }
 
   private[graft] def acquireFoldLock(f: FileSystem, manifestDir: String,
