@@ -384,7 +384,25 @@ object IO {
     * window to a few times the store's p99 write latency there (r19
     * verdict #2: the constant is an assumption about the store, not a
     * universal truth — stores whose exclusive create is atomic skip
-    * the settle entirely via [[lockCreateIsAtomic]]). */
+    * the settle entirely via [[lockCreateIsAtomic]]).
+    *
+    * ==Per-scheme deployment table (r20 ADVICE #7)==
+    * Validated by the `SlowLocalFs` racing-lock spec (25 ms injected
+    * per op, 150 ms settle — exclusion and loud-loser classification
+    * hold at 6× op latency):
+    *
+    * | store                  | exclusive create                          | mode                          | settle sizing |
+    * |------------------------|-------------------------------------------|-------------------------------|---------------|
+    * | hdfs / viewfs / webhdfs| atomic at the namenode                    | atomic fast path (no settle)  | n/a |
+    * | file:// (dev, CI)      | check-then-act; .crc sidecars can read torn| verified + settle            | default 50 ms (a torn-crc first read also settles and re-reads — r22) |
+    * | s3a://                 | historically HEAD-then-PUT (not atomic); newer connectors expose conditional (If-None-Match) PUT | verified + settle by default | 3–5× p99 PUT+GET (typically 200–500 ms); set `graft.lock.atomic.create=true` ONLY after validating the connector's conditional-create on your Hadoop version |
+    * | abfs://                | ETag/If-None-Match create — effectively atomic on current connectors | verified by default; opt in via `graft.lock.atomic.create` after validating | 3–5× p99 write if staying verified |
+    * | gs://                  | generation-match precondition — atomic on current connectors | same opt-in rule as abfs      | same |
+    *
+    * The opt-in default is deliberate: a store wrongly flagged atomic
+    * silently skips the settle and re-opens the r20 adopt race, while
+    * a store wrongly left in verified mode only pays an extra window
+    * per contended claim. */
   private def lockSettleMs(f: FileSystem): Long =
     f.getConf.getLong("graft.lock.settle.ms", 50L)
 

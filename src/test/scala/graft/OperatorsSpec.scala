@@ -1172,6 +1172,58 @@ class OperatorsSpec extends SparkSpec {
     } finally conf.unset("graft.lock.settle.ms")
   }
 
+  test("process-lock exclusion holds on a high-latency store when the settle covers op latency (r20 ADVICE probe)") {
+    import org.apache.hadoop.fs.Path
+    // the slowfs scheme = RawLocalFileSystem with 25 ms injected on
+    // every exists/create/open/stat/delete — an object-store-latency
+    // simulator. Its create is check-then-act (NOT atomic), so the
+    // verified-claim settle is what carries exclusion; the settle must
+    // be sized past the op latency (here 6x), the sizing rule the
+    // lockSettleMs scaladoc table documents per scheme.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.slowfs.impl", classOf[graft.SlowLocalFs].getName)
+    conf.setLong("graft.test.slowfs.op.ms", 25L)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_slowfs_lock"
+    val fs = new Path(s"slowfs:$base").getFileSystem(conf)
+    assert(fs.isInstanceOf[graft.SlowLocalFs], s"wrong fs: ${fs.getClass}")
+    fs.getConf.setLong("graft.lock.settle.ms", 150L)
+    try {
+      fs.delete(new Path(s"slowfs:$base"), true)
+      fs.mkdirs(new Path(s"slowfs:$base"))
+      // N rounds of 2 racing acquisitions: at most ONE may win per
+      // round (exclusion); at least one round must produce a winner
+      // overall (availability); a loser always names a holder or
+      // classifies the race loudly — never a silent double-acquire
+      var wins = 0
+      for (round <- 1 to 4) {
+        val lockP = s"slowfs:$base/.bootstrap_r$round.lock"
+        val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, String]]()
+        val ths = (1 to 2).map { _ =>
+          new Thread(() => {
+            try results.add(Right(
+              graft.io.IO.acquireProcessLock(spark, lockP, "probe")))
+            catch { case t: Throwable => results.add(Left(t)) }
+          })
+        }
+        ths.foreach(_.start()); ths.foreach(_.join())
+        val winners = results.toArray.collect { case Right(tok: String) => tok }
+        assert(winners.length <= 1,
+          s"round $round: both racers acquired the lock — exclusion broken " +
+            s"under 25 ms op latency with a 150 ms settle: ${results.toArray.mkString(", ")}")
+        wins += winners.length
+        // losers must fail LOUDLY as a lock conflict, not an IO error
+        results.toArray.collect { case Left(t: Throwable) => t }.foreach { t =>
+          assert(t.isInstanceOf[IllegalStateException],
+            s"round $round: loser failed with ${t.getClass.getName}: ${t.getMessage}")
+        }
+      }
+      assert(wins >= 1, "no round produced a winner — availability broken")
+    } finally {
+      fs.getConf.unset("graft.lock.settle.ms")
+      conf.unset("graft.test.slowfs.op.ms")
+    }
+  }
+
   test("consumer marks never move backward; single-mark reads are one tiny file (r18 ADVICE)") {
     val man = s"${sys.props("java.io.tmpdir")}/graft_test_mark_clamp"
     graft.streaming.Streams.deleteDir(spark, man)
